@@ -1,0 +1,278 @@
+"""Aggregation operators — SURVEY.md §2.4 rows 26-35.
+
+SPARQL 1.1 aggregates (COUNT/SUM/AVG/MIN/MAX/GROUP_CONCAT/SAMPLE, GROUP BY +
+HAVING) as exposed by the reference's triplestore, plus the analytics
+extensions (grouping sets, stats, percentiles, pivot, HLL) mandated for the
+100 TB engine.  All groupBy aggregations rely on Spark's partial (map-side)
+aggregation + final merge — one shuffle on the group keys, no collect().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.numeric import davg, davg_sql, dsum, dsum_sql
+from ..core.registry import query
+from ..core.tables import load
+
+# ---------------------------------------------------------------------------
+# Row 27 — FLAGSHIP: TPC-H-Q1-style pricing summary.  Drives entry().
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary per (returnflag, linestatus) — hash groupBy with
+    8 aggregates in a single pass (partial agg + one shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  {dsum_sql('l_extendedprice')} AS sum_base_price,
+  {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+  {dsum_sql('(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)')} AS sum_charge,
+  {davg_sql('l_quantity')} AS avg_qty,
+  {davg_sql('l_extendedprice')} AS avg_price,
+  {davg_sql('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+query("q_agg_groupby", oracle=_Q1_SQL)(flagship_pricing_summary)
+
+
+# ---------------------------------------------------------------------------
+# Row 26 — ungrouped (global) aggregation.
+# ---------------------------------------------------------------------------
+
+@query("q_agg_global", oracle=f"""
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(l_quantity) AS n_qty,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  MIN(l_extendedprice) AS min_price,
+  MAX(l_extendedprice) AS max_price,
+  {davg_sql('l_extendedprice')} AS avg_price
+FROM lineitem
+""")
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row 28 — DISTINCT aggregates (SPARQL COUNT(DISTINCT ...)).
+# ---------------------------------------------------------------------------
+
+@query("q_agg_distinct", oracle="""
+SELECT
+  event_type,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+  CAST(SUM(DISTINCT CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_distinct_value
+FROM events
+GROUP BY event_type
+""")
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
+        F.sum_distinct(F.col("value").cast("decimal(27,6)"))
+        .cast("double").alias("sum_distinct_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row 29 — approximate distinct (HLL).  Values differ across engines →
+# rows-only for the driver; tests assert ±5% vs exact (SURVEY.md row 29).
+# ---------------------------------------------------------------------------
+
+@query("q_agg_approx_distinct")
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row 30 — GROUPING SETS / ROLLUP / CUBE.
+# ---------------------------------------------------------------------------
+
+@query("q_agg_grouping_sets", oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row 31 — GROUP_CONCAT (SPARQL) — sorted for determinism.
+# ---------------------------------------------------------------------------
+
+@query("q_agg_collect", oracle="""
+SELECT
+  user_id,
+  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY CAST(event_id AS VARCHAR)) AS event_ids
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""")
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("event_id").cast("string")))
+            ).alias("event_ids")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row 32 — statistical aggregates.  stddev/corr are float-order-sensitive →
+# round(4) on both sides (values O(1e2); error O(1e-11); safe margin).
+# ---------------------------------------------------------------------------
+
+@query("q_agg_stats", oracle="""
+SELECT
+  event_type,
+  ROUND(stddev_samp(value), 4) AS sd_value,
+  ROUND(var_pop(value), 4) AS var_value,
+  ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+  ROUND(covar_pop(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu
+FROM events
+GROUP BY event_type
+""")
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_pop("value"), 4).alias("var_value"),
+        F.round(F.corr(F.col("value"), uid), 4).alias("corr_vu"),
+        F.round(F.covar_pop(F.col("value"), uid), 4).alias("covar_vu"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row 33 — exact percentiles (NOT percentile_approx: oracle-checked).
+# ---------------------------------------------------------------------------
+
+@query("q_agg_percentile", oracle="""
+SELECT
+  event_type,
+  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+  ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95
+FROM events
+GROUP BY event_type
+""")
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row 34 — pivot (event_type → columns).  Spark pivot yields NULL for empty
+# cells; COALESCE to 0 to match the oracle's conditional aggregation.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@query("q_agg_pivot", oracle="""
+SELECT
+  user_id,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events
+GROUP BY user_id
+""")
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)  # explicit values: no extra scan
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row 35 — HAVING (post-aggregation filter, SPARQL HAVING).
+# ---------------------------------------------------------------------------
+
+@query("q_agg_having", oracle=f"""
+SELECT
+  o_custkey,
+  COUNT(*) AS n_orders,
+  {dsum_sql('o_totalprice')} AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING {dsum_sql('o_totalprice')} > 1000000.0
+""")
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_spend"),
+        )
+        .filter(F.col("total_spend") > 1000000.0)
+    )
