@@ -1,0 +1,289 @@
+"""Join operators — SURVEY.md §2.3 rows 14-25.
+
+The reference's only join is the event→container-inspect key lookup
+[pub:muswarmlogger/events.py event.container]; SPARQL adds BGP join,
+OPTIONAL (left), FILTER EXISTS (semi), MINUS (anti) [spec:SPARQL 1.1 §18].
+
+Scale posture per join:
+- dimension joins are broadcast (`F.broadcast`) — zero shuffle of the fact;
+- large-large equi joins go to sort-merge (AQE may downgrade to broadcast
+  at runtime when a side is small);
+- the as-of join is the union-window pattern: ONE shuffle on (user_id), no
+  range cross-product — this is the 100 TB-safe formulation;
+- interval joins keep an equi key (user_id) so Spark plans a hash/merge
+  join with a range residual, never a BNLJ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.numeric import dsum, dsum_sql
+from ..core.registry import query
+from ..core.tables import load
+
+
+@query("q_join_inner_hash", oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""")
+def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query("q_join_broadcast", oracle=f"""
+SELECT p.p_brand, COUNT(*) AS n, {dsum_sql('l.l_extendedprice')} AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size > 40
+GROUP BY p.p_brand
+""")
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the small dimension: the fact table never
+    shuffles for the join (only for the final groupBy)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum(F.col("l_extendedprice")).alias("revenue"))
+    )
+
+
+@query("q_join_sortmerge", oracle=f"""
+SELECT o.o_orderpriority, COUNT(*) AS n, {dsum_sql('l.l_quantity')} AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""")
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi join pinned to sort-merge — the strategy that scales
+    when neither side broadcasts (both shuffle-partitioned on the key)."""
+    li = load(spark, sf_dir, "lineitem").hint("merge")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+@query("q_join_left", oracle="""
+SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+""")
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER = SPARQL OPTIONAL: customers with zero orders kept."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query("q_join_right_full", oracle="""
+WITH cust_n AS (
+  SELECT c.c_nationkey AS nk, COUNT(o.o_orderkey) AS n_orders,
+         COUNT(DISTINCT c.c_custkey) AS n_cust
+  FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+), supp_n AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_orders, c.n_cust, s.n_supp
+FROM cust_n c FULL OUTER JOIN supp_n s ON c.nk = s.nk
+""")
+def q_join_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT and FULL OUTER in one plan (engine completeness, row 18)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    cust_n = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.countDistinct("c_custkey").alias("n_cust"))
+    )
+    supp_n = supp.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        cust_n.alias("c").join(supp_n.alias("s"),
+                               F.col("c.nk") == F.col("s.nk"), "full")
+        .select(
+            F.coalesce(F.col("c.nk"), F.col("s.nk")).alias("nationkey"),
+            "n_orders", "n_cust", "n_supp",
+        )
+    )
+
+
+@query("q_join_semi", oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+""")
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI = SPARQL FILTER EXISTS."""
+    cust = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query("q_join_anti", oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI = SPARQL MINUS / NOT EXISTS."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query("q_join_cross", oracle="""
+SELECT r.r_name, s.o_orderstatus
+FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+""")
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (SPARQL disjoint group graph patterns)."""
+    region = load(spark, sf_dir, "region")
+    statuses = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(statuses).select("r_name", "o_orderstatus")
+
+
+@query("q_join_theta_range", oracle="""
+SELECT s.s_suppkey, COUNT(*) AS n_close
+FROM supplier s JOIN customer c
+  ON s.s_nationkey = c.c_nationkey
+ AND c.c_acctbal BETWEEN s.s_acctbal - 100.0 AND s.s_acctbal + 100.0
+GROUP BY s.s_suppkey
+""")
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join with an equi anchor: Catalyst plans a hash join
+    on nationkey with the band predicate as residual — no BNLJ."""
+    supp = load(spark, sf_dir, "supplier")
+    cust = load(spark, sf_dir, "customer")
+    cond = (
+        (supp.s_nationkey == cust.c_nationkey)
+        & (cust.c_acctbal >= supp.s_acctbal - 100.0)
+        & (cust.c_acctbal <= supp.s_acctbal + 100.0)
+    )
+    return (
+        supp.join(cust, cond)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_close"))
+    )
+
+
+@query("q_join_asof", oracle="""
+SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
+       c.event_id AS c_event_id, c.ts AS c_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (row 23): for each purchase, the latest click by the same
+    user at-or-before it.
+
+    Spark has no native ASOF; a range-join + dedup would shuffle a
+    cross-product.  Instead: UNION both streams, ONE window over
+    (user_id ORDER BY ts, kind) carrying the last-seen click as a struct
+    via last(..., ignorenulls) — a single shuffle, O(n log n) per
+    partition, skew-safe, and exactly the formulation that scales to 100 TB
+    (state is one struct per row, not a join buffer).
+    """
+    ev = load(spark, sf_dir, "events")
+    # kind 0 = click (sorts before purchases at identical ts → ">=" semantics)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    unioned = clicks.unionByName(purch)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(
+        F.when(F.col("kind") == 0, F.struct("event_id", "ts")), ignorenulls=True
+    ).over(w)
+    return (
+        unioned.withColumn("lc", last_click)
+        .filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("lc.event_id").alias("c_event_id"),
+            F.col("lc.ts").alias("c_ts"),
+        )
+    )
+
+
+@query("q_join_interval", oracle="""
+SELECT p.event_id AS p_event_id, COUNT(c.event_id) AS n_clicks_1h
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts < p.ts
+GROUP BY p.event_id
+""")
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (row 24): clicks in the hour before each
+    purchase.  Equi key (user_id) + time-band residual — the batch shape of
+    the watermarked stream-stream join (row 64)."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c.ts") < F.col("p.ts"))
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy(F.col("p.event_id").alias("p_event_id"))
+        .agg(F.count("c.event_id").alias("n_clicks_1h"))
+    )
+
+
+@query("q_join_self", oracle="""
+SELECT e1.user_id, COUNT(*) AS n_pairs
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e1.event_type = e2.event_type
+ AND e1.event_id < e2.event_id
+ AND e2.ts >= e1.ts AND e2.ts < e1.ts + INTERVAL 5 MINUTE
+GROUP BY e1.user_id
+""")
+def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self join (row 25): bursts — same-type event pairs within 5 minutes."""
+    ev = load(spark, sf_dir, "events")
+    e1, e2 = ev.alias("e1"), ev.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e1.event_type") == F.col("e2.event_type"))
+        & (F.col("e1.event_id") < F.col("e2.event_id"))
+        & (F.col("e2.ts") >= F.col("e1.ts"))
+        & (F.col("e2.ts") < F.col("e1.ts") + F.expr("INTERVAL 5 MINUTE"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1,0 +1,72 @@
+"""Scans, sources-as-batch, and columnar sinks — SURVEY.md §2.1 rows 1-2, 7.
+
+Scale notes: q_scan_pruned demonstrates the engine's contract that filters
+and projections reach the parquet scan (PushedFilters / ReadSchema in
+.explain) — at 100 TB this is the difference between reading 2 columns of a
+few row groups and reading everything.  q_sink_partitioned is the pattern
+the triple/log sink uses: partition by day so downstream queries prune.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.registry import query
+from ..core.tables import load
+
+SINK_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_sinks")
+
+
+@query("q_scan_parquet", oracle="SELECT * FROM supplier")
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-schema scan (row 1) — the engine's equivalent of the reference
+    reading its raw source stream [pub:muswarmlogger/main.py]."""
+    return load(spark, sf_dir, "supplier")
+
+
+@query("q_scan_pruned", oracle="""
+SELECT l_orderkey, l_quantity
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND l_quantity < 10.0
+""")
+def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning + predicate pushdown (row 2): only 3 columns are read
+    and both predicates reach the parquet reader."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("l_quantity") < 10.0)
+        )
+        .select("l_orderkey", "l_quantity")
+    )
+
+
+@query("q_sink_partitioned", oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS event_date, COUNT(*) AS n
+FROM events
+GROUP BY 1
+""")
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned columnar sink + read-back (row 7).
+
+    Writes events partitioned by event_date (the 100 TB layout: one
+    directory per day → partition pruning for time-ranged queries), then
+    proves round-trip fidelity by re-aggregating from the sink.
+    """
+    out = os.path.join(SINK_ROOT, "events_by_date")
+    ev = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("event_date").cast("string").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
