@@ -1,0 +1,311 @@
+"""Scalar function family queries (SURVEY.md §2.8 rows 49-57).
+
+One query per family, each exercising the family's functions with an exact
+DuckDB oracle.  SPARQL builtin → Spark mapping per SURVEY.md §2.8; the
+reference itself uses only a handful of these (timestamp parsing of log
+lines, IRI minting [pub:muswarmlogger/loggers/docker.py]) — the rest are
+the query surface its triplestore provides.
+
+Cross-engine gotchas handled here:
+- DuckDB ``regexp_replace`` replaces the FIRST match unless the 'g' flag is
+  passed; Spark replaces all → always pass 'g'.
+- Spark ``ceil/floor`` return BIGINT, DuckDB return DOUBLE → cast.
+- DATE-typed outputs → ISO strings (representation-ambiguous via pandas).
+- transcendentals (exp/ln/sqrt) are IEEE-deterministic for identical input
+  bits, but we round(6) anyway to be safe against libm differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.registry import query
+from ..core.tables import load
+
+
+@query("q_fn_string", oracle="""
+SELECT
+  doc_id,
+  upper(lang) AS lang_u,
+  lower(source) AS source_l,
+  length(text) AS n_chars,
+  substr(text, 1, 20) AS prefix20,
+  concat(lang, ':', source) AS lang_source,
+  split_part(text, ' ', 1) AS first_word,
+  regexp_replace(text, 'a+', '_', 'g') AS no_as,
+  trim(concat('  ', lang, '  ')) AS trimmed,
+  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+  reverse(lang) AS lang_rev,
+  len(string_split(text, ' ')) AS n_words
+FROM documents
+""")
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (row 49): CONCAT/SUBSTR/UCASE/LCASE/STRLEN/REPLACE/
+    STRBEFORE/trim/lpad/split — the SPARQL 17.4.3 library."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper("lang").alias("lang_u"),
+        F.lower("source").alias("source_l"),
+        F.length("text").alias("n_chars"),
+        F.substring("text", 1, 20).alias("prefix20"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_source"),
+        F.substring_index("text", " ", 1).alias("first_word"),
+        F.regexp_replace("text", "a+", "_").alias("no_as"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("trimmed"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.reverse("lang").alias("lang_rev"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+
+
+@query("q_fn_hash_uuid", oracle="""
+SELECT
+  doc_id,
+  md5(text) AS text_md5,
+  sha256(text) AS text_sha256,
+  concat('urn:doc:', sha256(concat(CAST(doc_id AS VARCHAR), '|', text)))
+    AS doc_iri
+FROM documents
+""")
+def q_fn_hash_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash / IRI-minting family (row 50).  The reference mints per-log-line
+    resource IRIs [pub:muswarmlogger/loggers/docker.py]; nondeterministic
+    ``uuid()`` is replaced by the deterministic content-hash IRI so the
+    oracle can check it (SURVEY.md §4.3)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+        F.concat(
+            F.lit("urn:doc:"),
+            F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                            F.col("text")), 256),
+        ).alias("doc_iri"),
+    )
+
+
+@query("q_fn_datetime", oracle="""
+SELECT
+  event_id,
+  year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+  hour(ts) AS h, minute(ts) AS mi, CAST(floor(second(ts)) AS BIGINT) AS s,
+  date_trunc('hour', ts) AS ts_hour,
+  strftime(ts + INTERVAL 7 DAY, '%Y-%m-%d') AS plus_week,
+  date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS days_since_y0,
+  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso_text
+FROM events
+""")
+def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family (row 51): SPARQL 17.4.5 accessors + epoch conversion
+    (the Docker event `time` field is unix seconds [spec:Docker API]),
+    truncation, interval arithmetic, date difference."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"), F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"), F.minute("ts").alias("mi"),
+        F.second("ts").cast("long").alias("s"),
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        F.date_format(F.col("ts") + F.expr("INTERVAL 7 DAY"), "yyyy-MM-dd")
+        .alias("plus_week"),
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).alias("days_since_y0"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("iso_text"),
+    )
+
+
+@query("q_fn_math", oracle="""
+SELECT
+  l_orderkey, l_linenumber,
+  abs(l_discount - 0.05) AS abs_d,
+  round(l_extendedprice, 1) AS price_r1,
+  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+  round(sqrt(l_extendedprice), 6) AS price_sqrt,
+  round(ln(l_extendedprice), 6) AS price_ln,
+  round(pow(l_discount, 2), 6) AS disc_sq,
+  l_orderkey % 7 AS key_mod,
+  CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+  greatest(l_quantity, 25.0) AS qty_hi,
+  least(l_quantity, 25.0) AS qty_lo
+FROM lineitem
+""")
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (row 52): SPARQL 17.4.4 numerics + analytics extensions.
+    (``rand`` is exercised in the rows-only sampling query, row 79.)"""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
+    )
+
+
+@query("q_fn_conditional", oracle="""
+SELECT
+  event_id,
+  CASE WHEN value >= 400.0 THEN 'high'
+       WHEN value >= 100.0 THEN 'mid'
+       ELSE 'low' END AS value_band,
+  COALESCE(nullif(event_type, 'view'), 'filtered') AS etype_or_default,
+  (value IS NOT NULL) AS value_bound,
+  CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS user_parity
+FROM events
+""")
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family (row 53): IF→when/otherwise, COALESCE, NULLIF,
+    BOUND→isNotNull [spec:SPARQL 17.4.1]."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") >= 400.0, "high")
+        .when(F.col("value") >= 100.0, "mid")
+        .otherwise("low").alias("value_band"),
+        F.coalesce(F.nullif("event_type", F.lit("view")), F.lit("filtered"))
+        .alias("etype_or_default"),
+        F.col("value").isNotNull().alias("value_bound"),
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+        .alias("user_parity"),
+    )
+
+
+@query("q_fn_cast", oracle="""
+SELECT
+  o_orderkey,
+  CAST(o_orderkey AS VARCHAR) AS key_str,
+  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE) AS price_dec_x2,
+  CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+  strftime(CAST('2024-03-15 12:30:45' AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+    AS ts_parsed,
+  CAST(o_orderkey > 1000 AS VARCHAR) AS flag_str
+FROM orders
+""")
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast family (row 54): xsd constructor casts [spec:SPARQL 17.5] with a
+    pinned DECIMAL(12,2) scale on both engines.
+
+    Note: Spark double→bigint truncates toward zero while DuckDB rounds, so
+    the int conversion goes through floor() explicitly — engine-portable
+    semantics rather than an engine-specific default."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string")
+        .alias("price_dec"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 2).cast("double")
+        .alias("price_dec_x2"),
+        F.floor("o_totalprice").alias("price_int"),
+        F.date_format(F.lit("2024-03-15 12:30:45").cast("timestamp"),
+                      "yyyy-MM-dd HH:mm:ss").alias("ts_parsed"),
+        (F.col("o_orderkey") > 1000).cast("string").alias("flag_str"),
+    )
+
+
+@query("q_fn_array", oracle="""
+SELECT
+  vec_id,
+  len(embedding) AS dim,
+  round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
+  round(CAST(list_max(embedding) AS DOUBLE), 6) AS e_max,
+  round(CAST(list_min(embedding) AS DOUBLE), 6) AS e_min,
+  list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 4)) AS head4_r,
+  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+  round(list_reduce(
+          list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          (acc, x) -> acc + x), 4) AS sumsq
+FROM embeddings
+""")
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family (row 55): size/element_at/slice + higher-order
+    transform/filter/aggregate over `embeddings.embedding` — the primitive
+    layer the cosine similarity search (row 76) builds on.  All higher-order
+    lambdas run JVM-side (no Python)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    ed = F.transform(e, lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(F.element_at(e, 1).cast("double"), 6).alias("e1"),
+        F.round(F.array_max(e).cast("double"), 6).alias("e_max"),
+        F.round(F.array_min(e).cast("double"), 6).alias("e_min"),
+        F.transform(F.slice(e, 1, 4),
+                    lambda x: F.round(x.cast("double"), 4)).alias("head4_r"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(ed, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sumsq"),
+    )
+
+
+@query("q_fn_map", oracle="""
+SELECT event_id, mk AS attr_key, mv AS attr_value
+FROM (
+  SELECT event_id, unnest(['type', 'band']) AS mk,
+         unnest([event_type,
+                 CASE WHEN value >= 250.0 THEN 'high' ELSE 'low' END]) AS mv
+  FROM events
+)
+""")
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (row 56): the Docker event `Actor.Attributes` open
+    string→string map [spec:Docker Engine API] modeled as MapType —
+    construct, then explode to rows (the oracle-comparable form; DuckDB MAP
+    surfaces unorderedly through pandas)."""
+    ev = load(spark, sf_dir, "events")
+    attrs = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("band"), F.when(F.col("value") >= 250.0, "high").otherwise("low"),
+    )
+    return (
+        ev.select("event_id", attrs.alias("attrs"))
+        .select("event_id", F.explode("attrs").alias("attr_key", "attr_value"))
+    )
+
+
+@query("q_fn_json", oracle="""
+SELECT
+  event_id,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k_path,
+  CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
+  to_json(struct_pack(id := event_id, k := CAST(json_extract(props, '$.k') AS BIGINT)))
+    AS packed
+FROM events
+""")
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (row 57) on `events.props`: path extraction, typed
+    from_json, to_json re-serialization — the reference consumes raw Docker
+    JSON event dicts the same way [pub:muswarmlogger/main.py]."""
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_path"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.to_json(F.struct(
+            F.col("event_id").alias("id"),
+            parsed.getField("k").alias("k"),
+        )).alias("packed"),
+    )
