@@ -1,0 +1,223 @@
+"""Registered streaming queries (SURVEY.md §2.9 rows 58-66).
+
+Two execution shapes:
+
+1. **Batch-checked** (rows 58-60, 62-64): the pure transform from
+   transforms.py applied to the batch events table — the DuckDB oracle
+   validates the streaming semantics exactly (SURVEY.md §5.2.4).
+2. **Streaming-executed** (rows 61, 65-66): a real ``readStream`` job run
+   with ``Trigger.AvailableNow`` inside the query function — micro-batch
+   planning, state stores, and sink commit protocol all engaged.  Where the
+   final state is deterministic (complete-mode agg, idempotent foreachBatch
+   sink) the oracle still checks it exactly; the watermark query is
+   rows-only (drop set depends on batch boundaries; the replay harness in
+   tests/test_streaming.py pins it down).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.numeric import dsum_sql
+from ..core.registry import query
+from ..core.tables import load
+from . import transforms as X
+
+_TUMBLING_SQL = f"""
+SELECT
+  time_bucket(INTERVAL '1 hour', ts) AS window_start,
+  event_type,
+  COUNT(*) AS n,
+  {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("q_stream_tumbling", oracle=_TUMBLING_SQL)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.tumbling_counts(load(spark, sf_dir, "events"))
+
+
+@query("q_stream_sliding", oracle="""
+SELECT
+  make_timestamp(((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900) * 1000000)
+    AS window_start,
+  event_type,
+  COUNT(*) AS n
+FROM events, unnest([0, 1, 2, 3]) AS t(k)
+GROUP BY 1, 2
+""")
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (row 59).  Oracle: every event belongs to exactly 4
+    epoch-aligned 1h/15m windows — start = floor(t/slide)*slide - k*slide,
+    k in 0..3 (each start s satisfies s <= t < s + 1h)."""
+    return X.sliding_counts(load(spark, sf_dir, "events"))
+
+
+@query("q_stream_session", oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+""")
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (row 60): Spark's native session_window validated
+    against an independent gaps-and-islands formulation in DuckDB
+    (session_end = last event + gap, per session_window's definition)."""
+    return X.session_windows(load(spark, sf_dir, "events"), "30 minutes")
+
+
+@query("q_stream_dedup", oracle="SELECT * FROM events")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup (row 62): an at-least-once stream simulated by
+    doubling every event, restored to exactly-once by key dedup.  The
+    streaming twin (dropDuplicatesWithinWatermark, bounded state) runs in
+    tests/test_streaming.py."""
+    ev = load(spark, sf_dir, "events")
+    at_least_once = ev.unionByName(ev)
+    return X.dedup_events(at_least_once)
+
+
+@query("q_stream_stateful", oracle="""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_so_far,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS value_so_far
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running state (row 63), batch-equivalent form — mirrors the
+    reference's per-container state machine [pub:muswarmlogger/loggers/
+    docker.py start/die lifecycle].  Streaming twin in streaming/stateful.py
+    runs under applyInPandasWithState."""
+    return X.running_user_counters(load(spark, sf_dir, "events"))
+
+
+@query("q_stream_join", oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts < p.ts
+""")
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join (row 64), batch shape; the watermarked streaming
+    run with identical results is asserted in tests/test_streaming.py."""
+    return X.purchase_click_attribution(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming-executed queries: real micro-batch jobs inside the query fn.
+# ---------------------------------------------------------------------------
+
+def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DF to a memory sink with AvailableNow; return the
+    final table as a batch DataFrame."""
+    name = f"t_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+    q = (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    out = spark.table(name).localCheckpoint(eager=True)  # detach from sink
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+@query("q_stream_output_modes", oracle=_TUMBLING_SQL)
+def q_stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-mode semantics (row 66): the tumbling aggregation executed as
+    a REAL micro-batch job in complete mode → memory sink.  Complete mode
+    re-emits full state at the final trigger, so the result is deterministic
+    and the same oracle as the batch tumbling query checks it exactly.
+    Append/update-mode emission sequences are asserted in
+    tests/test_streaming.py (they depend on batch boundaries)."""
+    stream = X.stream_events(spark, sf_dir)
+    return _run_to_memory(X.tumbling_counts(stream), "complete")
+
+
+@query("q_stream_watermark")
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + late-data handling (row 61): real streaming job with a
+    10-minute watermark, append mode — only windows the watermark has
+    passed are emitted, so the result set depends on trigger boundaries →
+    rows-only for the driver; the replay harness pins exact drop semantics."""
+    stream = X.stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return _run_to_memory(agg, "append")
+
+
+@query("q_stream_foreachbatch", oracle=f"""
+SELECT event_type, COUNT(*) AS n, {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY event_type
+""")
+def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink with exactly-once bookkeeping (row 65) — the
+    replacement for the reference's one-INSERT-per-line sink
+    [pub:muswarmlogger/loggers/docker.py], its main perf defect (§4.1).
+
+    Each micro-batch bulk-appends to a batchId-addressed directory
+    (mode=overwrite → idempotent under retries); reading the sink back and
+    re-aggregating must reproduce the batch answer exactly.
+    """
+    sink = tempfile.mkdtemp(prefix="spark_graft_febsink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(os.path.join(sink, f"batch={batch_id}"))
+
+    q = (
+        X.stream_events(spark, sf_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(os.path.join(sink, "batch=*"))
+    out = (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+             .alias("sum_value"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return out

@@ -1,0 +1,61 @@
+"""Arbitrary stateful streaming (SURVEY.md §2.9 row 63, streaming twin).
+
+The batch-equivalent cumulative window lives in transforms.running_user_
+counters (exact DuckDB oracle); this module is the true streaming form:
+per-key mutable state under ``applyInPandasWithState`` — the engine-side
+generalization of the reference's per-container in-memory state machine
+(start/die lifecycle tracking in [pub:muswarmlogger/loggers/docker.py]).
+
+Scale: state lives in the state store (one entry per user), shuffled once on
+the grouping key per micro-batch; Arrow-batched transfer to Python, never
+row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "event_id long, user_id long, ts timestamp, n_so_far long, value_so_far double"
+)
+STATE_SCHEMA = "n long, total double"
+
+
+def _accumulate(key: tuple, pdf_iter: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    out: list[dict[str, Any]] = []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])  # event-time order per batch
+        for row in pdf.itertuples(index=False):
+            n += 1
+            total += float(row.value)
+            out.append({
+                "event_id": row.event_id, "user_id": user_id, "ts": row.ts,
+                "n_so_far": n, "value_so_far": total,
+            })
+    state.update((n, total))
+    yield pd.DataFrame(out, columns=[
+        "event_id", "user_id", "ts", "n_so_far", "value_so_far",
+    ])
+
+
+def running_user_counters_stateful(events: DataFrame) -> DataFrame:
+    """Streaming per-user running counters: emits one row per input event
+    carrying the cumulative (count, value-total) at that event.  Applied to
+    a batch DataFrame this degenerates to a single "micro-batch", so batch
+    output == first-trigger streaming output — tests exploit that, then
+    replay multi-batch and assert state carries across triggers."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _accumulate,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,152 @@
+"""Pure streaming transformations (batch/stream-agnostic).
+
+Each function takes an events-shaped DataFrame
+``(event_id long, ts timestamp, user_id long, event_type string,
+value double, props string)`` — batch or streaming — and returns a
+transformed DataFrame.  No function touches the source or sink; that is
+what lets the DuckDB oracle validate streaming semantics (SURVEY.md §5.2.4).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.numeric import dsum
+
+
+def stream_events(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """``readStream`` view of the events table — the engine's analog of the
+    reference subscribing to the Docker event socket [pub:muswarmlogger/
+    main.py]; a replayable file source gives the fault tolerance the
+    reference lacks (SURVEY.md §4.1: missed events while down).
+
+    Parquet ns-timestamps are read as long (same conf as core.tables.load)
+    and truncated to µs, so batch and stream see identical values.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # File stream sources need a DIRECTORY; stage one with a symlink to the
+    # (read-only) testdata file.
+    staged = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_src_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    os.makedirs(staged, exist_ok=True)
+    link = os.path.join(staged, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(staged)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Row 58: per-hour, per-type counts/sums — errors-per-minute class
+    query, the log-analytics bread-and-butter the reference delegates to
+    SPARQL date filters [pub]."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Row 59: 1-hour windows sliding every 15 minutes (each event lands in
+    4 overlapping windows, epoch-aligned)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                       "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Row 60 (native form): per-user session windows by inactivity gap.
+    ``session_window`` works identically in batch and micro-batch mode;
+    the batch gaps-and-islands formulation (sessionize_batch) is the
+    independent cross-check."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value")).alias("session_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events", "session_value")
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Row 60 (batch-equivalent form): gaps-and-islands sessionization —
+    lag + cumulative sum of session-break flags.  Produces the same
+    (user_id, session_start, n_events) sets as session_window; the oracle
+    checks this form exactly and tests assert both forms agree."""
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_break = F.when(
+        F.lag("ts").over(w_ord).isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_ord))
+           > gap_seconds),
+        1,
+    ).otherwise(0)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sess = events.withColumn("session_id", F.sum(is_break).over(w_cum))
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             dsum(F.col("value")).alias("session_value"))
+    )
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """Row 62: exactly-once events from an at-least-once stream —
+    dropDuplicates on the event key.  The streaming harness uses
+    dropDuplicatesWithinWatermark for bounded state; semantics on the
+    duplicated batch input are identical."""
+    return events.dropDuplicates(["event_id"])
+
+
+def running_user_counters(events: DataFrame) -> DataFrame:
+    """Row 63 (batch-equivalent form): per-user running event count and
+    value total at every event — the cumulative-window shape whose
+    streaming twin is the transformWithState/applyInPandasWithState
+    accumulator in streaming/stateful.py."""
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+        F.sum(F.col("value").cast("decimal(27,6)")).over(w)
+        .cast("double").alias("value_so_far"),
+    )
+
+
+def purchase_click_attribution(events: DataFrame) -> DataFrame:
+    """Row 64 batch shape of the watermarked stream-stream join: purchases
+    joined to same-user clicks in the preceding hour (inner: attributable
+    purchases only).  Equi key (user_id) + time-band residual."""
+    p = events.filter(F.col("event_type") == "purchase").alias("p")
+    c = events.filter(F.col("event_type") == "click").alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c.ts") < F.col("p.ts"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.user_id").alias("user_id"),
+    )

@@ -1,0 +1,243 @@
+"""Streaming replay harness (SURVEY.md §5.2.4, rows 60-64, 66).
+
+Every pure transform must produce the SAME final state under batch and
+under multi-micro-batch replay (files delivered in order, one per trigger).
+Watermark/late-data semantics — invisible to the batch oracle — are pinned
+here with hand-built file sequences.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mu_swarm_logger_service_spark.core.tables import load
+from mu_swarm_logger_service_spark.streaming import transforms as X
+from mu_swarm_logger_service_spark.streaming.stateful import (
+    running_user_counters_stateful,
+)
+
+
+def _replay_dir(spark, sf_dir, n_files=4):
+    """Split events (ts-ordered) into n parquet files for ordered replay."""
+    out = tempfile.mkdtemp(prefix="replay_src_")
+    ev = load(spark, sf_dir, "events").orderBy("ts", "event_id")
+    rows = ev.count()
+    per = rows // n_files + 1
+    pdf = ev.toPandas()
+    import time
+    for i in range(n_files):
+        chunk = pdf.iloc[i * per:(i + 1) * per]
+        if len(chunk):
+            spark.createDataFrame(chunk, schema=ev.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out, f"f{i:03d}"))
+            time.sleep(1.05)  # file source orders batches by modification time
+    return out
+
+
+def _read_replay(spark, src, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f*"))
+    )
+
+
+def _run_stream(df, mode="append"):
+    name = f"t_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        df.writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = df.sparkSession.table(name).localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+@pytest.fixture(scope="module")
+def replay(spark, sf_dir):
+    src = _replay_dir(spark, sf_dir)
+    schema = load(spark, sf_dir, "events").schema
+    yield src, schema
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_session_native_equals_gaps_and_islands(spark, sf_dir):
+    """session_window (native) ≡ lag+cumsum sessionization on (user, start,
+    n_events); native end = last_ts + gap."""
+    ev = load(spark, sf_dir, "events")
+    native = X.session_windows(ev).select(
+        "user_id", "session_start", "n_events", "session_value"
+    )
+    gai = X.sessionize_batch(ev).select(
+        "user_id", "session_start", "n_events", "session_value"
+    )
+    assert _canon(native) == _canon(gai)
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, replay):
+    src, schema = replay
+    stream = _read_replay(spark, src, schema)
+    got = _run_stream(X.tumbling_counts(stream), "complete")
+    want = X.tumbling_counts(load(spark, sf_dir, "events"))
+    assert _canon(got) == _canon(want)
+
+
+def test_session_stream_equals_batch(spark, sf_dir, replay):
+    """Session windows under multi-batch replay with watermark: all data is
+    on time (ordered replay), so final state == batch sessionization.
+
+    Append mode only emits sessions the watermark has passed, so a
+    far-future sentinel event (user_id = -1) is appended as a final file to
+    flush all real sessions out of the state store."""
+    src, schema = replay
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime as dt
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(hours=2), -1, "view", 0.0, "{}")],
+        schema,
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "f999")
+    )
+    try:
+        stream = _read_replay(spark, src, schema).withWatermark("ts", "1 minute")
+        got = _run_stream(X.session_windows(stream), "append").filter(
+            F.col("user_id") >= 0
+        )
+        want = X.session_windows(ev)
+        assert _canon(got) == _canon(want)
+    finally:
+        shutil.rmtree(os.path.join(src, "f999"), ignore_errors=True)
+
+
+def test_dedup_within_watermark_stream(spark, sf_dir, replay):
+    """At-least-once replay (each file delivered, then its duplicate in the
+    same batch) → dropDuplicatesWithinWatermark restores exactly-once."""
+    src, schema = replay
+    stream = _read_replay(spark, src, schema).withWatermark("ts", "10 minutes")
+    doubled = stream.unionByName(stream)  # duplicate within every batch
+    got = _run_stream(doubled.dropDuplicatesWithinWatermark(["event_id"]))
+    n_events = load(spark, sf_dir, "events").count()
+    assert got.count() == n_events
+    assert got.select("event_id").distinct().count() == n_events
+
+
+def test_stateful_counters_stream_equals_batch(spark, sf_dir, replay):
+    """applyInPandasWithState across 4 triggers ≡ batch cumulative window:
+    state must carry across micro-batches."""
+    src, schema = replay
+    stream = _read_replay(spark, src, schema)
+    got = _run_stream(running_user_counters_stateful(stream)).toPandas()
+    want = X.running_user_counters(load(spark, sf_dir, "events")).toPandas()
+    g = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    w = want.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["n_so_far"] == w["n_so_far"]).all()
+    assert (g["value_so_far"] - w["value_so_far"]).abs().max() < 1e-6
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, replay):
+    """Watermarked stream-stream interval join ≡ batch attribution join."""
+    src, schema = replay
+    raw = _read_replay(spark, src, schema)
+    p = (
+        raw.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(F.col("event_id").alias("p_id"), F.col("user_id").alias("p_uid"),
+                F.col("ts").alias("p_ts"))
+    )
+    c = (
+        raw.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(F.col("event_id").alias("c_id"), F.col("user_id").alias("c_uid"),
+                F.col("ts").alias("c_ts"))
+    )
+    joined = p.join(
+        c,
+        (F.col("p_uid") == F.col("c_uid"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("p_id", "c_id", F.col("p_uid").alias("user_id"))
+    got = _run_stream(joined)
+    want = X.purchase_click_attribution(load(spark, sf_dir, "events"))
+    assert _canon(got) == _canon(
+        want.select(F.col("purchase_id").alias("p_id"),
+                    F.col("click_id").alias("c_id"), "user_id")
+    )
+
+
+def test_watermark_drops_late_rows(spark):
+    """Hand-built sequence: batch 1 advances the watermark far ahead; batch
+    2 delivers a row older than the watermark → it must NOT appear."""
+    src = tempfile.mkdtemp(prefix="late_src_")
+    schema = "event_id long, ts timestamp, event_type string"
+
+    def write(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"f{i:03d}"))
+
+    import datetime as dt
+    import time
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    # Spark's two-watermark scheme (late-event filtering uses the PREVIOUS
+    # batch's watermark) means a row is only dropped when it arrives ≥2
+    # batches after the watermark passed its window:
+    # batch 0: t0 and t0+5h → watermark (after) = 4:50
+    write(0, [(1, t0, "click"), (2, t0 + 5 * h, "click")])
+    time.sleep(1.05)  # file-source ordering is by modification time
+    # batch 1: fresh row → late-filter watermark for batch 2 becomes 4:50
+    write(1, [(4, t0 + 6 * h, "click")])
+    time.sleep(1.05)
+    # batch 2: late row at t0+1h (window end 2:00 < 4:50) → DROPPED
+    write(2, [(3, t0 + 1 * h, "click"), (5, t0 + 7 * h, "click")])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "f*"))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    got = {(r.ws, r.n) for r in _run_stream(agg, "append").collect()}
+    shutil.rmtree(src, ignore_errors=True)
+    # the [t0+1h] window was late → dropped; [t0] window emitted with n=1
+    assert (t0, 1) in got
+    assert not any(ws == t0 + 1 * h for ws, _ in got)
+
+
+def test_update_mode_emits_revisions(spark):
+    """Output-mode matrix (row 66): update mode re-emits a group when a
+    later batch revises it; the memory sink then holds both versions."""
+    src = tempfile.mkdtemp(prefix="upd_src_")
+    schema = "event_id long, ts timestamp, event_type string"
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=5)
+    spark.createDataFrame([(1, t0, "a")], schema).coalesce(1).write.mode(
+        "overwrite").parquet(os.path.join(src, "f000"))
+    spark.createDataFrame([(2, t0 + m, "a")], schema).coalesce(1).write.mode(
+        "overwrite").parquet(os.path.join(src, "f001"))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(os.path.join(src, "f*"))
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    got = sorted(r.n for r in _run_stream(agg, "update").collect())
+    shutil.rmtree(src, ignore_errors=True)
+    assert got == [1, 2]  # first emission n=1, revised emission n=2
