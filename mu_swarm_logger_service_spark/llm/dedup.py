@@ -1,0 +1,217 @@
+"""Deduplication operators (SURVEY.md §2.11 rows 74, 75, 82 + SimHash).
+
+Scale design (100 TB): every method here avoids the O(n²) crossJoin of all
+documents —
+
+- exact dedup is one hash-groupBy (single shuffle on the content hash);
+- MinHash/LSH shuffles on (band, bucket) so only same-bucket docs ever
+  meet; the exact-Jaccard verification runs on the candidate pairs only;
+- the exact pairwise Jaccard baseline restricts pairs to an equi-key
+  blocking group (lang, source) — the pattern a real pipeline uses to keep
+  pair counts bounded (blocking) — and is the ground truth the LSH path is
+  measured against in tests.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.registry import query
+from ..core.tables import load
+
+
+def normalized_text(col: str = "text") -> Column:
+    """lower → trim → collapse whitespace; the canonical form every dedup
+    method hashes."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+@query("q_llm_exact_dedup", oracle=r"""
+SELECT
+  sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+  MIN(doc_id) AS keeper_doc_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""")
+def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (row 74): normalize → sha256 → keep min doc_id per hash.
+    One shuffle; map-side partial aggregation makes the reduce side carry
+    one row per distinct document, not per input row."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2(normalized_text(), 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split(text, ' ')) AS tok
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+             / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))),
+             6) AS jaccard
+FROM t a JOIN t b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+      / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5
+"""
+
+
+@query("q_llm_minhash_jaccard", oracle=_JACCARD_SQL)
+def q_llm_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard on blocked candidate pairs (row 82)
+    — ground truth for the MinHash/LSH path.  Blocking key (lang, source)
+    keeps the pair count O(sum of squared group sizes), not O(n²)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(F.split("text", " ")).alias("tok"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    union = (F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - inter)
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(jac >= 0.5)
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.round(jac, 6).alias("jaccard"))
+    )
+
+
+N_MINHASH = 16          # permutations (4 bands × 4 rows)
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<long>[N_MINHASH]) — MinHash over distinct tokens.
+
+    Each permutation i is simulated by xxhash64(token, i) (64-bit, JVM-side,
+    deterministic); the signature entry is the min over the doc's tokens.
+    Computed as N_MINHASH aggregate columns over one explode — a single
+    shuffle on doc_id, no UDFs.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    mins = [
+        F.min(F.xxhash64("token", F.lit(i))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    sig = tok.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(N_MINHASH)]).alias("sig")
+    )
+
+
+@query("q_llm_near_dedup")
+def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via MinHash + LSH banding (row 75), pure
+    DataFrame.  Docs agreeing on ALL rows of any band land in the same
+    bucket; bucket-mates become candidate pairs; candidates are confirmed
+    with exact token-set Jaccard >= 0.5.
+
+    Rows-only for the driver (xxhash64 has no DuckDB twin); tests assert
+    (a) soundness — every emitted pair really has J >= 0.5 — and (b) recall
+    against the exact blocked baseline (q_llm_minhash_jaccard).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("sig").getItem(b * ROWS_PER_BAND + r)
+                             for r in range(ROWS_PER_BAND)]).alias("bucket"),
+            )
+            for b in range(N_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        bands.alias("x").join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    tok = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tok")
+    )
+    with_tok = (
+        cand.join(tok.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("tok", "tok_a"), "doc_a")
+        .join(tok.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("tok", "tok_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("tok_a", "tok_b"))
+    union = F.size("tok_a") + F.size("tok_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        with_tok.where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash: long) — 32-bit SimHash over token multiset.
+
+    bit b of the signature = sign of sum over tokens of ±1 according to bit
+    b of xxhash64(token).  32 conditional-sum aggregates over one explode —
+    single shuffle, no UDF, no per-bit pass.
+    """
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sh = reduce(
+        lambda acc, b: acc + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", sh.alias("simhash"))
+
+
+@query("q_llm_simhash")
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup signatures (row 75 family): signature per doc plus
+    hamming distance pairs <= 6 within the (lang, source) blocking group.
+    Rows-only (xxhash64); tests assert exact-duplicate texts collide and
+    hamming correlates with Jaccard."""
+    docs = load(spark, sf_dir, "documents")
+    sh = simhash(docs).join(docs.select("doc_id", "lang", "source"), "doc_id")
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(ham <= 6)
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"))
+    )

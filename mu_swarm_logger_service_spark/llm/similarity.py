@@ -1,0 +1,210 @@
+"""Similarity search over embeddings (SURVEY.md §2.11 rows 76-77).
+
+Brute-force cosine top-k is the exact baseline (oracle-checked against
+DuckDB's list_cosine_similarity); the LSH-bucketed variant is the 100 TB
+scale path — random-hyperplane signatures computed DETERMINISTICALLY (seeded
+via xxhash64, not rand()) so results are reproducible and testable.
+
+All vector math runs JVM-side through higher-order array functions
+(zip_with / aggregate) — no Python in the row path; ranking uses the
+ROUNDED cosine (6 dp) with a vec_id tiebreak so ordering is identical
+across engines regardless of last-ulp float noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.registry import query
+from ..core.tables import load
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left fold in double — JVM higher-order, order-stable."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+_QUERY_FILTER = "vec_id % 100 = 0"
+TOPK = 5
+
+_COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE {_QUERY_FILTER}
+), c AS (
+  SELECT vec_id AS c_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings
+), s AS (
+  SELECT q_id, c_id, round(list_cosine_similarity(qe, ce), 6) AS cos_sim
+  FROM q, c WHERE q_id != c_id
+)
+SELECT q_id, c_id, cos_sim,
+       row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
+FROM s
+QUALIFY rn <= {TOPK}
+"""
+
+
+@query("q_llm_cosine_topk", oracle=_COSINE_TOPK_SQL)
+def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k per query vector (row 76).
+
+    The query set (|Q| ≪ |corpus|) is broadcast, so the corpus is scanned
+    exactly once with no shuffle for the join; the per-query ranking is one
+    shuffle on q_id with rank-limit pushdown (only k rows per query survive
+    each map partition).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id",
+                F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+    )
+
+
+@query("q_llm_knn_label", oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE {_QUERY_FILTER}
+), c AS (
+  SELECT vec_id AS c_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings
+), s AS (
+  SELECT q_id, c_id, label,
+         round(list_cosine_similarity(qe, ce), 6) AS cos_sim
+  FROM q, c WHERE q_id != c_id
+), nn AS (
+  SELECT q_id, label
+  FROM s
+  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) <= 10
+), votes AS (
+  SELECT q_id, label, COUNT(*) AS n_votes FROM nn GROUP BY q_id, label
+)
+SELECT q_id, label AS pred_label, n_votes
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) = 1
+""")
+def q_llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-label (row 77): 10 nearest neighbors by cosine, majority
+    vote with deterministic (count desc, label asc) tie-break."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), "label",
+                   F.col("embedding").alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "label",
+                F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    votes = nn.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    wv = Window.partitionBy("q_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+N_TABLES = 4        # independent hash tables (OR-amplification)
+BITS_PER_TABLE = 6  # 64 buckets per table
+
+
+def _hyperplane_component(table: int, bit: int, j: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    xxhash64(table, bit, j) scaled — fixed by construction, identical
+    across runs/executors, no rand()."""
+    return F.xxhash64(F.lit(table), F.lit(bit), j).cast("double") / F.lit(2.0**63)
+
+
+def hyperplane_tables(emb_col: Column) -> Column:
+    """Array of N_TABLES bucket ids (each a BITS_PER_TABLE-bit signature):
+    bit b of table t = sign(v . plane_{t,b})."""
+    def projector(t: int, b: int):
+        return lambda x, j: x.cast("double") * _hyperplane_component(t, b, j)
+
+    buckets = []
+    for t in range(N_TABLES):
+        sig = F.lit(0)
+        for b in range(BITS_PER_TABLE):
+            comp = F.transform(emb_col, projector(t, b))
+            d = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
+            sig = sig + F.when(d > 0, F.lit(1 << b)).otherwise(0)
+        buckets.append(sig)
+    return F.array(*buckets)
+
+
+@query("q_llm_ann_lsh")
+def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via multi-table random-hyperplane LSH (row 76 scale
+    path): candidates = vectors sharing ANY table's bucket with the query;
+    exact cosine re-rank on candidates only.
+
+    At 100 TB the corpus-side signatures are computed once (persisted); the
+    bucket join is an equi shuffle on (table, bucket) -- no crossJoin; per
+    table a query meets about n / 2^bits candidates.  Rows-only for the
+    driver (xxhash64 has no DuckDB twin); tests measure recall vs the
+    exact top-k.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id", "embedding",
+        F.posexplode(hyperplane_tables(F.col("embedding")))
+        .alias("table", "bucket"),
+    )
+    q = (
+        sig.filter(F.expr(_QUERY_FILTER))
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"),
+                "table", "bucket")
+    )
+    c = sig.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"),
+                   "table", "bucket")
+    cand = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "qe", "ce")
+        .dropDuplicates(["q_id", "c_id"])  # met in >=1 table -> score once
+    )
+    scored = cand.select(
+        "q_id", "c_id",
+        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+    )

@@ -1,0 +1,271 @@
+"""Text-analysis operators (SURVEY.md §2.11 rows 78-80 + quality scoring,
+language-ID, token counting, document fingerprinting).
+
+Everything is built from JVM-side primitives (split / explode / regexp /
+higher-order array fns) — the hot path never enters Python.  Deterministic
+sampling uses an md5-derived hash (identical in Spark and DuckDB) instead of
+rand(), so even the "sampling" query has an exact oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.registry import query
+from ..core.tables import load
+
+
+@query("q_llm_text_stats", oracle="""
+SELECT
+  lang, source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_chars_consistent,
+  ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 4) AS avg_tokens,
+  MAX(len(string_split(text, ' '))) AS max_tokens,
+  MIN(length(text)) AS min_chars
+FROM documents
+GROUP BY lang, source
+""")
+def q_llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per (lang, source) (row 78): doc counts, char totals
+    (cross-validated against the table's own n_chars column), token-count
+    distribution."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0))
+        .alias("n_chars_consistent"),
+        F.round(F.avg(n_tok.cast("double")), 4).alias("avg_tokens"),
+        F.max(n_tok).alias("max_tokens"),
+        F.min(F.length("text")).alias("min_chars"),
+    )
+
+
+@query("q_llm_lang_filter", oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE lang IN ('en', 'es')
+  AND ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 4 = 0
+""")
+def q_llm_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language filtering + deterministic stratified sampling (row 79).
+
+    The "sample" is a content-addressed hash gate (md5 of the key), not
+    rand(): reproducible across runs, engines, and partitionings — which is
+    what a training-data pipeline actually wants (stable holdout), and what
+    makes this oracle-checkable where sampleBy would be rows-only.
+    """
+    docs = load(spark, sf_dir, "documents")
+    gate = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 4 == 0
+    return (
+        docs.filter(F.col("lang").isin("en", "es") & gate)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@query("q_llm_tfidf_keywords", oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT lang, token, COUNT(*) AS tf FROM tok GROUP BY lang, token
+), df AS (
+  SELECT token, COUNT(DISTINCT lang) AS df FROM tok GROUP BY token
+), n AS (
+  SELECT COUNT(DISTINCT lang) AS n_langs FROM documents
+), scored AS (
+  SELECT tf.lang, tf.token,
+         ROUND(tf.tf * ln(CAST(n.n_langs AS DOUBLE) / df.df), 6) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT lang, token, score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY score DESC, token) <= 5
+""")
+def q_llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per language (row 80).  tf is one explode +
+    groupBy; df reuses the same exploded frame; idf joins are tiny and
+    broadcast.  Deterministic (score desc, token asc) ranking."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("lang").alias("df"))
+    n_langs = docs.select(F.countDistinct("lang").alias("n_langs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_langs))
+        .select("lang", "token",
+                F.round(F.col("tf")
+                        * F.log(F.col("n_langs").cast("double") / F.col("df")),
+                        6).alias("score"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "token", "score")
+    )
+
+
+@query("q_llm_quality", oracle=r"""
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars_m,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         t -> t IN ('a', 'the', 'of', 'and'))) AS n_stop,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(n_chars_m AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+       ROUND(CAST(n_punct AS DOUBLE) / n_chars_m, 4) AS punct_ratio,
+       (n_tokens BETWEEN 20 AND 500
+        AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5) AS passes_quality
+FROM feat
+""")
+def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (north-star text analysis): length, average
+    token length, stopword ratio, punctuation density, and a pass/fail gate
+    — the C4/Gopher-style heuristic filter family."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feat = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin("a", "the", "of", "and")))
+        .alias("n_stop"),
+        F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).alias("n_punct"),
+    )
+    avg_len = F.col("n_chars_m").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_m")
+    return feat.select(
+        "doc_id", "n_tokens",
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        (F.col("n_tokens").between(20, 500) & (stop_ratio < 0.5))
+        .alias("passes_quality"),
+    )
+
+
+@query("q_llm_langid", oracle="""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+), sig AS (
+  SELECT lang AS sig_lang, token
+  FROM (SELECT lang, token, COUNT(*) AS tf FROM tok GROUP BY lang, token)
+  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY tf DESC, token) <= 20
+), dtok AS (
+  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+), overlap AS (
+  SELECT d.doc_id, d.lang, s.sig_lang, COUNT(*) AS n_hits
+  FROM dtok d JOIN sig s USING (token)
+  GROUP BY d.doc_id, d.lang, s.sig_lang
+)
+SELECT doc_id, lang AS true_lang, sig_lang AS pred_lang, n_hits
+FROM overlap
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY n_hits DESC, sig_lang) = 1
+""")
+def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification (north-star): per-language signature = its
+    top-20 tokens by corpus frequency; prediction = argmax token-set
+    overlap.  The n-gram-profile heuristic (Cavnar-Trenkle style) built
+    entirely from joins + window ranking; the signature table is tiny and
+    broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    w_sig = Window.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("token"))
+    sig = (
+        tf.withColumn("rn", F.row_number().over(w_sig))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("sig_lang"), "token")
+    )
+    dtok = docs.select(
+        "doc_id", "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    overlap = (
+        dtok.join(F.broadcast(sig), "token")
+        .groupBy("doc_id", "lang", "sig_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w_pick = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("sig_lang")
+    )
+    return (
+        overlap.withColumn("r", F.row_number().over(w_pick))
+        .filter(F.col("r") == 1)
+        .select("doc_id", F.col("lang").alias("true_lang"),
+                F.col("sig_lang").alias("pred_lang"), "n_hits")
+    )
+
+
+@query("q_llm_doc_fingerprint", oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(arr) - 1),
+                        i -> md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+           AS shingle_hashes
+  FROM t WHERE len(arr) >= 3
+)
+SELECT doc_id,
+       array_to_string(list_sort(shingle_hashes)[1:4], '|') AS fingerprint,
+       len(shingle_hashes) AS n_shingles
+FROM sh
+""")
+def q_llm_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (north-star): 3-token shingles → md5 → the 4
+    lexicographically-smallest hashes joined as the fingerprint (a
+    deterministic min-k sketch, the winnowing idea).  Entirely in
+    higher-order array functions — no explode, no shuffle beyond the scan."""
+    docs = load(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    t = docs.select("doc_id", arr.alias("arr")).filter(F.size("arr") >= 3)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("arr") - 2),
+        lambda i: F.md5(F.concat_ws(
+            " ",
+            F.element_at(F.col("arr"), i),
+            F.element_at(F.col("arr"), i + 1),
+            F.element_at(F.col("arr"), i + 2),
+        )),
+    )
+    return t.select(
+        "doc_id",
+        F.concat_ws("|", F.slice(F.array_sort(shingles), 1, 4)).alias("fingerprint"),
+        F.size(shingles).alias("n_shingles"),
+    )
+
+
+@query("q_llm_token_count", oracle=r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_div4
+FROM documents
+""")
+def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north-star): whitespace tokens, a BPE-ish regex
+    segmentation (letter runs / digit runs / single punctuation), and the
+    chars/4 heuristic — the three estimators pipelines actually use."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .alias("n_bpe_ish"),
+        F.ceil(F.length("text") / 4.0).alias("n_chars_div4"),
+    )
