@@ -1,0 +1,102 @@
+"""RDF triple sink (SURVEY.md §2.1 rows 6-7; §1.3 graph layer).
+
+The reference turns every event/log line into RDF triples and POSTs an
+``INSERT DATA { GRAPH <g> { ... } }`` per record to its SPARQL endpoint
+[pub:muswarmlogger/loggers/docker.py via aiosparql Triples].  Engine-side:
+the wide→narrow (g,s,p,o) transform is a Catalyst UNION of per-predicate
+projections, and the sink is bulk, columnar, partitioned, and idempotent —
+replacing O(1 HTTP round-trip per line) with O(1 append per micro-batch)
+(the reference's main perf defect, SURVEY.md §4.1).
+
+Vocabulary (mu.semte.ch conventions the reference uses [spec:mu.semte.ch]):
+  swarmui: http://swarmui.semte.ch/vocabularies/core/
+  dct:     http://purl.org/dc/terms/
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.registry import query
+from ..core.tables import load
+
+GRAPH = "http://mu.semte.ch/application"
+SWARMUI = "http://swarmui.semte.ch/vocabularies/core/"
+DCT = "http://purl.org/dc/terms/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def events_to_triples(events: DataFrame) -> DataFrame:
+    """Wide event rows → narrow (g, s, p, o) triples.
+
+    Subject IRIs are minted DETERMINISTICALLY (sha256 of the natural key),
+    not with uuid() — replayable ingestion needs stable IRIs (SURVEY.md
+    §4.3).  One row becomes 4 triples via a single inline explode (no
+    4-way union scan: the source is read once).
+    """
+    subj = F.concat(
+        F.lit("http://swarmui.semte.ch/resources/events/"),
+        F.sha2(F.col("event_id").cast("string"), 256),
+    )
+    triple = lambda p, o: F.struct(  # noqa: E731
+        F.lit(p).alias("p"), o.cast("string").alias("o")
+    )
+    return events.select(
+        F.lit(GRAPH).alias("g"),
+        subj.alias("s"),
+        F.explode(F.array(
+            triple(RDF_TYPE, F.lit(SWARMUI + "Event")),
+            triple(SWARMUI + "eventType", F.col("event_type")),
+            triple(SWARMUI + "container",
+                   F.concat(F.lit("c"), F.col("user_id").cast("string"))),
+            triple(DCT + "created",
+                   F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")),
+        )).alias("po"),
+    ).select("g", "s", F.col("po.p").alias("p"), F.col("po.o").alias("o"))
+
+
+_TRIPLES_SQL = f"""
+WITH t AS (
+  SELECT 'http://swarmui.semte.ch/resources/events/'
+           || sha256(CAST(event_id AS VARCHAR)) AS s,
+         event_type, user_id, ts
+  FROM events
+), triples AS (
+  SELECT s, '{RDF_TYPE}' AS p, '{SWARMUI}Event' AS o FROM t
+  UNION ALL
+  SELECT s, '{SWARMUI}eventType', event_type FROM t
+  UNION ALL
+  SELECT s, '{SWARMUI}container', 'c' || CAST(user_id AS VARCHAR) FROM t
+  UNION ALL
+  SELECT s, '{DCT}created', strftime(ts, '%Y-%m-%dT%H:%M:%SZ') FROM t
+)
+SELECT p, COUNT(*) AS n, COUNT(DISTINCT s) AS n_subjects,
+       MIN(o) AS min_o, MAX(o) AS max_o
+FROM triples GROUP BY p
+"""
+
+
+@query("q_sink_triples", oracle=_TRIPLES_SQL)
+def q_sink_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows 6 end-to-end: events → (g,s,p,o) triples → partitioned parquet
+    sink (partitioned by predicate: the narrow table's pruning key) →
+    read-back → per-predicate audit.  The oracle rebuilds the triples
+    relationally, value-checking IRI minting, literal formatting, and sink
+    round-trip fidelity."""
+    sink = os.path.join(tempfile.gettempdir(), "spark_graft_triple_sink")
+    triples = events_to_triples(load(spark, sf_dir, "events"))
+    # predicate-partitioned layout: queries touching one predicate (the
+    # SPARQL access pattern) prune 3/4 of the data at the directory level.
+    (triples.withColumn("p_part", F.regexp_replace("p", "[^a-zA-Z]", "_"))
+     .write.mode("overwrite").partitionBy("p_part").parquet(sink))
+    back = spark.read.parquet(sink)
+    return (
+        back.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("s").alias("n_subjects"),
+             F.min("o").alias("min_o"), F.max("o").alias("max_o"))
+    )

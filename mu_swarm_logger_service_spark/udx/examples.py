@@ -1,0 +1,203 @@
+"""UDF / UDAF / UDTF examples (SURVEY.md §2.10 rows 67-73), each with an
+exact DuckDB oracle proving the Python boundary preserves semantics.
+
+Performance tiers demonstrated (SURVEY.md §4.2, SNIPPETS.md patterns):
+row-at-a-time Python UDF (row 67 — the documented slow path), Arrow-batched
+scalar pandas UDF (row 68, ~10-100× faster), grouped-agg pandas UDF
+(row 69), applyInPandas grouped map (row 70), mapInPandas partition
+iterator (row 71), SQL-registered UDTF (row 72) and scalar UDF (row 73).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from ..core.registry import query
+from ..core.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Row 67 — row-at-a-time Python UDF (slow path; kept tiny on purpose).
+# ---------------------------------------------------------------------------
+
+def _band_py_fn(value: float) -> str:
+    if value is None:
+        return "none"
+    if value >= 400.0:
+        return "high"
+    if value >= 100.0:
+        return "mid"
+    return "low"
+
+
+@query("q_udf_python", oracle="""
+SELECT event_id,
+       CASE WHEN value >= 400.0 THEN 'high'
+            WHEN value >= 100.0 THEN 'mid'
+            ELSE 'low' END AS band
+FROM events
+""")
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (row 67).  One pickle round-trip per row —
+    the formulation q_fn_conditional does JVM-side; both must agree."""
+    ev = load(spark, sf_dir, "events")
+    band_py = udf(_band_py_fn, "string")
+    return ev.select("event_id", band_py("value").alias("band"))
+
+
+# ---------------------------------------------------------------------------
+# Row 68 — vectorized scalar pandas UDF (Arrow batches).
+# ---------------------------------------------------------------------------
+
+def _log_score_fn(v: pd.Series) -> pd.Series:
+    import numpy as np
+    return np.log1p(v.clip(lower=0.0)) * 10.0
+
+
+@query("q_udf_pandas_scalar", oracle="""
+SELECT event_id, ROUND(ln(1 + greatest(value, 0.0)) * 10.0, 6) AS log_score
+FROM events
+""")
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (row 68): whole Arrow batches into numpy —
+    vectorized log1p, no per-row Python."""
+    ev = load(spark, sf_dir, "events")
+    log_score = pandas_udf(_log_score_fn, "double")
+    return ev.select(
+        "event_id", F.round(log_score("value"), 6).alias("log_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row 69 — grouped-aggregate pandas UDF (custom UDAF: weighted mean).
+# ---------------------------------------------------------------------------
+
+def _weighted_mean_fn(v: pd.Series, w: pd.Series) -> float:
+    return float((v * w).sum() / w.sum())
+
+
+@query("q_udaf_pandas", oracle="""
+SELECT event_type,
+       ROUND(SUM(value * (1 + user_id % 10)) / SUM(1 + user_id % 10), 6)
+         AS wmean_value
+FROM events
+GROUP BY event_type
+""")
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (row 69): weighted mean with weights derived
+    from user_id — the custom-aggregate shape SQL can't express without a
+    rewrite (oracle does the rewrite: SUM(v*w)/SUM(w))."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "w", (1 + F.col("user_id") % 10).cast("double")
+    )
+    weighted_mean = pandas_udf(_weighted_mean_fn, "double")
+    return ev.groupBy("event_type").agg(
+        F.round(weighted_mean("value", "w"), 6).alias("wmean_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row 70 — grouped map (applyInPandas): per-group normalization.
+# ---------------------------------------------------------------------------
+
+def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    mu = pdf["value"].mean()
+    sd = pdf["value"].std(ddof=1)  # sample stddev, matches stddev_samp
+    out = pdf[["event_id", "event_type"]].copy()
+    out["z"] = ((pdf["value"] - mu) / sd).round(6)
+    return out
+
+
+@query("q_udtf_grouped_map", oracle="""
+SELECT event_id, event_type,
+       ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+             / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
+FROM events
+""")
+def q_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped map (row 70): per-event-type z-score.  Whole
+    group as one pandas frame (the contract that enables sklearn-style
+    per-group logic); oracle is the equivalent window SQL."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").applyInPandas(
+        _zscore, schema="event_id long, event_type string, z double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row 71 — mapInPandas: partition-wise iterator transform.
+# ---------------------------------------------------------------------------
+
+@query("q_udtf_map_iter", oracle="""
+SELECT event_id, value, value * value AS value_sq
+FROM events
+WHERE event_type = 'purchase' AND value > 100.0
+""")
+def q_udtf_map_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas (row 71): streaming iterator of Arrow batches — filter +
+    derive without materializing a partition at once (constant memory at
+    100 TB).  Filter applied Python-side on purpose; the JVM-side
+    event_type predicate still pushes to the scan."""
+
+    def flt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf[pdf["value"] > 100.0]
+            yield pd.DataFrame({
+                "event_id": keep["event_id"],
+                "value": keep["value"],
+                "value_sq": keep["value"] * keep["value"],
+            })
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.mapInPandas(flt, schema="event_id long, value double, value_sq double")
+
+
+# ---------------------------------------------------------------------------
+# Row 72 — SQL-callable table function (Spark 4 @udtf).
+# ---------------------------------------------------------------------------
+
+class _SquaresUDTF:
+    """Yields (i, i²) for i in [start, stop] — the Spark 4 UDTF shape."""
+
+    def eval(self, start: int, stop: int):
+        for i in range(start, stop + 1):
+            yield i, i * i
+
+
+@query("q_udtf_sql", oracle="""
+SELECT i, i * i AS sq FROM generate_series(0, 31) t(i)
+""")
+def q_udtf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-registered UDTF (row 72): table-valued function callable from
+    the FROM clause."""
+    spark.udtf.register("squares_udtf", udtf(_SquaresUDTF, returnType="i int, sq int"))
+    return spark.sql("SELECT i, sq FROM squares_udtf(0, 31)")
+
+
+# ---------------------------------------------------------------------------
+# Row 73 — UDF registered for the SQL surface.
+# ---------------------------------------------------------------------------
+
+@query("q_udf_register_sql", oracle="""
+SELECT event_id, least(value, 250.0) AS value_clipped
+FROM events
+""")
+def q_udf_register_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.udf.register (row 73): the pandas UDF becomes callable from SQL
+    text — entry point B (SURVEY.md §3.2) reaching the Python tier."""
+
+    @pandas_udf("double")
+    def clip250(v: pd.Series) -> pd.Series:
+        return v.clip(upper=250.0)
+
+    spark.udf.register("clip250", clip250)
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        "SELECT event_id, clip250(value) AS value_clipped FROM events_v"
+    )

@@ -1,0 +1,90 @@
+"""Ingestion parity tests (SURVEY.md §2.1 rows 3-6): the reference's whole
+dataflow — event stream → filter → enrich → triple sink — run under REAL
+readStream and checked against the batch twin."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from mu_swarm_logger_service_spark.core.tables import load
+from mu_swarm_logger_service_spark.sources.container_logs import (
+    read_container_logs,
+)
+from mu_swarm_logger_service_spark.sources.docker_events import (
+    lifecycle_filter,
+    read_docker_events,
+)
+from mu_swarm_logger_service_spark.sources.triples import events_to_triples
+
+
+def _run_stream(df, mode="append"):
+    import uuid
+    name = f"t_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        df.writeStream.format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = df.sparkSession.table(name).localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def test_docker_events_stream_equals_batch(spark, sf_dir):
+    """Row 3: the same decode+filter transform under readStream reproduces
+    the batch result (replayable-source fault tolerance the reference
+    lacks)."""
+    batch = lifecycle_filter(read_docker_events(spark, sf_dir))
+    want = batch.groupBy("Action").count()
+    stream = lifecycle_filter(read_docker_events(spark, sf_dir, streaming=True))
+    got = _run_stream(stream.groupBy("Action").count(), "complete")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_container_logs_stream_equals_batch(spark, sf_dir):
+    batch = read_container_logs(spark, sf_dir).groupBy("stream").count()
+    stream = read_container_logs(spark, sf_dir, streaming=True)
+    got = _run_stream(stream.groupBy("stream").count(), "complete")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_triple_pipeline_end_to_end_streaming(spark, sf_dir):
+    """The reference's full job, engine-style: event stream → triples →
+    idempotent foreachBatch parquet sink; sink contents == batch transform."""
+    import os
+    from mu_swarm_logger_service_spark.streaming.transforms import stream_events
+
+    sink = tempfile.mkdtemp(prefix="triple_sink_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+
+    def write_batch(bdf, batch_id):
+        bdf.write.mode("overwrite").parquet(os.path.join(sink, f"batch={batch_id}"))
+
+    q = (
+        events_to_triples(stream_events(spark, sf_dir))
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(os.path.join(sink, "batch=*"))
+    want = events_to_triples(load(spark, sf_dir, "events"))
+    assert got.count() == want.count()
+    assert got.select("s", "p", "o").exceptAll(want.select("s", "p", "o")).count() == 0
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_triples_four_per_event(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    t = events_to_triples(ev)
+    assert t.count() == 4 * ev.count()
+    assert t.select("s").distinct().count() == ev.count()
+    assert {r.g for r in t.select("g").distinct().collect()} == {
+        "http://mu.semte.ch/application"
+    }
