@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = one representative per operator family (SURVEY.md §2): scan,
+filter, the flagship aggregation, broadcast + sort-merge + as-of joins,
+window top-k, sessionization, exact dedup, MinHash LSH, cosine top-k,
+TF-IDF, pandas-UDF tier, streaming tumbling (batch form).  Each query is
+fully materialized via a count-style action (``df.count()`` after a
+``localCheckpoint``-free plan) so Catalyst can't elide work; wall time is
+per query, end to end, cache-cold per run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mu_swarm_logger_service_spark import all_queries, get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q_scan_pruned",
+    "q_filter_compound",
+    "q_agg_groupby",          # flagship (TPC-H-Q1 style)
+    "q_agg_grouping_sets",
+    "q_join_broadcast",
+    "q_join_sortmerge",
+    "q_join_asof",
+    "q_win_topk_group",
+    "q_stream_session",
+    "q_stream_tumbling",
+    "q_llm_exact_dedup",
+    "q_llm_near_dedup",
+    "q_llm_cosine_topk",
+    "q_llm_tfidf_keywords",
+    "q_udf_pandas_scalar",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    queries = all_queries()
+    # JVM + IO warm-up: one tiny action so the first measured query doesn't
+    # pay session startup.
+    queries["q_scan_parquet"](spark, SF_DIR).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        n = fn(spark, SF_DIR).count()
+        dt = round(time.perf_counter() - t0, 3)
+        per_query[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,14 +125,23 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket; bucket-mates become candidate pairs; candidates are confirmed
     with exact token-set Jaccard >= 0.5.
 
+    Candidates are scoped to the (lang, source) blocking group — the same
+    blocking the exact baseline uses.  This matters beyond parity: this
+    corpus is drawn from a tiny vocabulary, so token-SET similarity is high
+    corpus-wide and unblocked LSH buckets degenerate to near-whole-corpus
+    (quadratic candidates).  Blocking keeps the bucket join selective at
+    any scale; at 100 TB the blocking key is the partition key.
+
     Rows-only for the driver (xxhash64 has no DuckDB twin); tests assert
     (a) soundness — every emitted pair really has J >= 0.5 — and (b) recall
     against the exact blocked baseline (q_llm_minhash_jaccard).
     """
     docs = load(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    sig = minhash_signatures(docs).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
     bands = sig.select(
-        "doc_id",
+        "doc_id", "lang", "source",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -141,12 +150,14 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for b in range(N_BANDS)
         ])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "lang", "source", "bb.band", "bb.bucket")
     cand = (
         bands.alias("x").join(
             bands.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.source") == F.col("y.source"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))

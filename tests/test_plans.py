@@ -1,0 +1,79 @@
+"""Physical-plan invariants (SCALE.md): the plans Catalyst picks for our
+queries must stay the plans that survive 100 TB.  A regression here (lost
+pushdown, a BNLJ, a global sort) is a scale bug even when results stay
+correct."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_scan_pruned_pushdown_and_pruning(spark, sf_dir):
+    p = _plan(spark, sf_dir, "q_scan_pruned")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "GreaterThanOrEqual(l_shipdate" in m.group(1)
+    assert "LessThan(l_quantity" in m.group(1)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert sorted(cols) == ["l_orderkey", "l_quantity", "l_shipdate"]
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    assert "BroadcastHashJoin" in _plan(spark, sf_dir, "q_join_broadcast")
+
+
+def test_large_join_is_sort_merge(spark, sf_dir):
+    assert "SortMergeJoin" in _plan(spark, sf_dir, "q_join_sortmerge")
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "q_topk")
+
+
+def test_group_topk_gets_window_group_limit(spark, sf_dir):
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "q_win_topk_group")
+
+
+def test_flagship_agg_is_partial_plus_final(spark, sf_dir):
+    assert _plan(spark, sf_dir, "q_agg_groupby").count("HashAggregate") >= 2
+
+
+def test_theta_join_keeps_equi_anchor(spark, sf_dir):
+    """The band predicate must ride as residual on a hash/merge join —
+    never a nested-loop over both sides."""
+    p = _plan(spark, sf_dir, "q_join_theta_range")
+    assert "NestedLoop" not in p or "BroadcastNestedLoop" in p
+    assert ("SortMergeJoin" in p) or ("HashJoin" in p)
+
+
+def test_asof_join_single_window_shuffle(spark, sf_dir):
+    """Union + one window: at most the window's Exchange per branch, no
+    join operator at all (the cross-product formulation would show one)."""
+    p = _plan(spark, sf_dir, "q_join_asof")
+    assert "Join" not in p.replace("WindowGroupLimit", "")  # no join operator
+    assert p.count("Window") >= 1
+
+
+def test_no_cartesian_in_blocked_dedup(spark, sf_dir):
+    assert "CartesianProduct" not in _plan(spark, sf_dir, "q_llm_minhash_jaccard")
+
+
+@pytest.mark.parametrize("name", ["q_llm_cosine_topk", "q_llm_knn_label"])
+def test_cosine_broadcasts_query_side(spark, sf_dir, name):
+    p = _plan(spark, sf_dir, name)
+    assert "Broadcast" in p  # corpus never shuffles for the query join
