@@ -1,0 +1,101 @@
+"""Algebraic property spot-checks on seeded data (SURVEY.md §5.2.5) —
+invariants that hold regardless of data values, catching wiring bugs the
+oracle can't (e.g. a filter applied to the wrong branch)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from mu_swarm_logger_service_spark.core.tables import load
+
+QUERIES = entrymod.queries()
+
+
+def test_union_all_count_is_sum(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    n_view = ev.filter(F.col("event_type") == "view").count()
+    assert QUERIES["q_union_all"](spark, sf_dir).count() == n_click + n_view
+
+
+def test_semi_join_subset_of_inner_keys(spark, sf_dir):
+    semi = {r.c_custkey for r in QUERIES["q_join_semi"](spark, sf_dir).collect()}
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    inner = {
+        r.c_custkey
+        for r in cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .select("c_custkey").distinct().collect()
+    }
+    assert semi == inner
+
+
+def test_anti_plus_semi_partition_left(spark, sf_dir):
+    """semi(P) ∪ anti(P) partitions the left side for any predicate P."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    semi = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    assert semi.count() + anti.count() == cust.count()
+    assert semi.join(anti, "c_custkey", "inner").count() == 0
+
+
+def test_approx_distinct_within_5pct(spark, sf_dir):
+    """SURVEY.md row 29: HLL must land within ±5% of exact per group."""
+    rows = QUERIES["q_agg_approx_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users), (
+            f"{r.event_type}: approx={r.approx_users} exact={r.exact_users}"
+        )
+
+
+def test_rollup_grand_total_matches_global(spark, sf_dir):
+    gs = QUERIES["q_agg_grouping_sets"](spark, sf_dir)
+    grand = gs.filter(
+        F.col("l_returnflag").isNull() & F.col("l_linestatus").isNull()
+    ).collect()
+    assert len(grand) == 1
+    assert grand[0].n == load(spark, sf_dir, "lineitem").count()
+
+
+def test_topk_group_is_k_per_group(spark, sf_dir):
+    got = QUERIES["q_win_topk_group"](spark, sf_dir)
+    per_group = got.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_group <= 10
+
+
+def test_asof_result_never_future_click(spark, sf_dir):
+    asof = QUERIES["q_join_asof"](spark, sf_dir)
+    assert asof.filter(F.col("c_ts") > F.col("p_ts")).count() == 0
+    # every purchase appears exactly once (left semantics)
+    ev = load(spark, sf_dir, "events")
+    assert asof.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_sessions_partition_events(spark, sf_dir):
+    """Session windows partition each user's events: per-user session event
+    counts sum to the user's event count."""
+    sess = QUERIES["q_stream_session"](spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    got = sess.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+    want = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_exact_dedup_partitions_docs(spark, sf_dir):
+    d = QUERIES["q_llm_exact_dedup"](spark, sf_dir)
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert d.agg(F.sum("n_copies")).collect()[0][0] == n_docs
+
+
+def test_knn_pred_label_in_domain(spark, sf_dir):
+    labels = {
+        r.label
+        for r in load(spark, sf_dir, "embeddings").select("label").distinct().collect()
+    }
+    preds = QUERIES["q_llm_knn_label"](spark, sf_dir)
+    assert {r.pred_label for r in preds.collect()} <= labels
+    n_queries = load(spark, sf_dir, "embeddings").filter("vec_id % 100 = 0").count()
+    assert preds.count() == n_queries
