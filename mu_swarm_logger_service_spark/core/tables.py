@@ -7,8 +7,39 @@ added without touching query code.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_PYFILES_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers regardless of
+    the driver's cwd/PYTHONPATH (pandas UDFs pickle module functions by
+    reference, so workers must be able to ``import`` us).  Zips the package
+    once and registers it via addPyFile — idempotent per SparkContext."""
+    sc = spark.sparkContext
+    if id(sc) in _PYFILES_SHIPPED:
+        return
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parent = os.path.dirname(pkg_root)
+    zpath = os.path.join(
+        tempfile.gettempdir(), "mu_swarm_logger_service_spark_pkg.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, parent))
+    sc.addPyFile(zpath)
+    _PYFILES_SHIPPED.add(id(sc))
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -23,6 +54,7 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ship_package(spark)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md) which Spark 4
         # rejects outright; read nanos as long and truncate to µs — exactly

@@ -225,10 +225,11 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   vec_id,
   len(embedding) AS dim,
-  round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
-  round(CAST(list_max(embedding) AS DOUBLE), 6) AS e_max,
-  round(CAST(list_min(embedding) AS DOUBLE), 6) AS e_min,
-  list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 4)) AS head4_r,
+  round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS e1,
+  round(CAST(list_max(embedding) AS DOUBLE), 6) + 0.0 AS e_max,
+  round(CAST(list_min(embedding) AS DOUBLE), 6) + 0.0 AS e_min,
+  list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 4) + 0.0)
+    AS head4_r,
   len(list_filter(embedding, x -> x > 0)) AS n_pos,
   round(list_reduce(
           list_prepend(CAST(0 AS DOUBLE),
@@ -248,11 +249,14 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size(e).alias("dim"),
-        F.round(F.element_at(e, 1).cast("double"), 6).alias("e1"),
-        F.round(F.array_max(e).cast("double"), 6).alias("e_max"),
-        F.round(F.array_min(e).cast("double"), 6).alias("e_min"),
+        # + 0.0 normalizes -0.0 → +0.0 (Spark's round strips the sign of
+        # negative zero, DuckDB's keeps it; IEEE: -0.0 + 0.0 = +0.0)
+        (F.round(F.element_at(e, 1).cast("double"), 6) + 0.0).alias("e1"),
+        (F.round(F.array_max(e).cast("double"), 6) + 0.0).alias("e_max"),
+        (F.round(F.array_min(e).cast("double"), 6) + 0.0).alias("e_min"),
         F.transform(F.slice(e, 1, 4),
-                    lambda x: F.round(x.cast("double"), 4)).alias("head4_r"),
+                    lambda x: F.round(x.cast("double"), 4) + 0.0)
+        .alias("head4_r"),
         F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
         F.round(
             F.aggregate(ed, F.lit(0.0), lambda acc, x: acc + x * x), 4

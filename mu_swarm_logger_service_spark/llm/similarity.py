@@ -53,7 +53,7 @@ WITH q AS (
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
   FROM embeddings
 ), s AS (
-  SELECT q_id, c_id, round(list_cosine_similarity(qe, ce), 6) AS cos_sim
+  SELECT q_id, c_id, round(list_cosine_similarity(qe, ce), 6) + 0.0 AS cos_sim
   FROM q, c WHERE q_id != c_id
 )
 SELECT q_id, c_id, cos_sim,
@@ -81,7 +81,8 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id",
-                F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"))
+                (F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0)
+                .alias("cos_sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
     return (
@@ -101,7 +102,7 @@ WITH q AS (
   FROM embeddings
 ), s AS (
   SELECT q_id, c_id, label,
-         round(list_cosine_similarity(qe, ce), 6) AS cos_sim
+         round(list_cosine_similarity(qe, ce), 6) + 0.0 AS cos_sim
   FROM q, c WHERE q_id != c_id
 ), nn AS (
   SELECT q_id, label
@@ -127,7 +128,8 @@ def q_llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", "label",
-                F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"))
+                (F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0)
+                .alias("cos_sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
     nn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
@@ -201,7 +203,7 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = cand.select(
         "q_id", "c_id",
-        F.round(cosine(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+        (F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
     return (

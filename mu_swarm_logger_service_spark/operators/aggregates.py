@@ -186,8 +186,8 @@ SELECT
   event_type,
   ROUND(stddev_samp(value), 4) AS sd_value,
   ROUND(var_pop(value), 4) AS var_value,
-  ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
-  ROUND(covar_pop(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu
+  ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS corr_vu,
+  ROUND(covar_pop(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS covar_vu
 FROM events
 GROUP BY event_type
 """)
@@ -197,8 +197,9 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(F.stddev_samp("value"), 4).alias("sd_value"),
         F.round(F.var_pop("value"), 4).alias("var_value"),
-        F.round(F.corr(F.col("value"), uid), 4).alias("corr_vu"),
-        F.round(F.covar_pop(F.col("value"), uid), 4).alias("covar_vu"),
+        # + 0.0: normalize negative zero (see functions/scalar.py note)
+        (F.round(F.corr(F.col("value"), uid), 4) + 0.0).alias("corr_vu"),
+        (F.round(F.covar_pop(F.col("value"), uid), 4) + 0.0).alias("covar_vu"),
     )
 
 

@@ -100,3 +100,61 @@ def q_sink_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("s").alias("n_subjects"),
              F.min("o").alias("min_o"), F.max("o").alias("max_o"))
     )
+
+
+@query("q_triples_bgp", oracle=f"""
+WITH t AS (
+  SELECT 'http://swarmui.semte.ch/resources/events/'
+           || sha256(CAST(event_id AS VARCHAR)) AS s,
+         event_type, user_id, ts
+  FROM events
+), triples AS (
+  SELECT s, '{RDF_TYPE}' AS p, '{SWARMUI}Event' AS o FROM t
+  UNION ALL
+  SELECT s, '{SWARMUI}eventType', event_type FROM t
+  UNION ALL
+  SELECT s, '{SWARMUI}container', 'c' || CAST(user_id AS VARCHAR) FROM t
+  UNION ALL
+  SELECT s, '{DCT}created', strftime(ts, '%Y-%m-%dT%H:%M:%SZ') FROM t
+)
+SELECT tc.o AS container, COUNT(*) AS n_errors,
+       MAX(cr.o) AS last_created
+FROM triples te
+JOIN triples tc ON tc.s = te.s AND tc.p = '{SWARMUI}container'
+JOIN triples cr ON cr.s = te.s AND cr.p = '{DCT}created'
+WHERE te.p = '{SWARMUI}eventType' AND te.o = 'error'
+GROUP BY tc.o
+""")
+def q_triples_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL basic-graph-pattern parity on the narrow triple table: the
+    SwarmUI-style dashboard query "error events per container with last
+    timestamp" — i.e. the SPARQL
+
+        SELECT ?container (COUNT(*) AS ?n) (MAX(?created) AS ?last)
+        WHERE { ?e swarmui:eventType "error" ;
+                   swarmui:container ?container ;
+                   dct:created ?created } GROUP BY ?container
+
+    executed as self-joins on subject over (s,p,o) — each triple pattern is
+    a filtered scan, each shared variable an equi join, exactly how a
+    triplestore's BGP plan decomposes [spec:SPARQL 1.1 §18.2].  On the
+    predicate-partitioned sink layout each pattern scan prunes to one
+    partition directory.
+    """
+    triples = events_to_triples(load(spark, sf_dir, "events"))
+    te = triples.filter(
+        (F.col("p") == SWARMUI + "eventType") & (F.col("o") == "error")
+    ).select(F.col("s").alias("es"))
+    tc = triples.filter(F.col("p") == SWARMUI + "container").select(
+        F.col("s").alias("cs"), F.col("o").alias("container")
+    )
+    cr = triples.filter(F.col("p") == DCT + "created").select(
+        F.col("s").alias("rs"), F.col("o").alias("created")
+    )
+    return (
+        te.join(tc, F.col("es") == F.col("cs"))
+        .join(cr, F.col("es") == F.col("rs"))
+        .groupBy("container")
+        .agg(F.count(F.lit(1)).alias("n_errors"),
+             F.max("created").alias("last_created"))
+    )

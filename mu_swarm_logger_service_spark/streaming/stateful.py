@@ -9,6 +9,12 @@ generalization of the reference's per-container in-memory state machine
 Scale: state lives in the state store (one entry per user), shuffled once on
 the grouping key per micro-batch; Arrow-batched transfer to Python, never
 row-at-a-time.
+
+API note: Spark 4's successor API (``transformWithStateInPandas`` +
+``StatefulProcessor``) was probed and requires the ``protobuf`` Python
+package for its state-server protocol, which this environment does not ship
+(and installs are off-limits) — ``applyInPandasWithState`` is the supported
+stateful surface here and carries identical semantics for this operator.
 """
 
 from __future__ import annotations

@@ -1,0 +1,46 @@
+"""Hypothesis checks for the cross-engine numeric core (core/numeric.py):
+the decimal-path SUM must be partition-order independent and equal the
+exact decimal sum — this is what makes every float aggregate in the engine
+hash-match DuckDB regardless of shuffle order."""
+
+from __future__ import annotations
+
+import decimal
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from mu_swarm_logger_service_spark.core.numeric import dsum
+
+# doubles representable in DECIMAL(27,6) row-space with headroom
+_vals = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+              allow_infinity=False, width=32),
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_vals)
+def test_dsum_is_order_independent_and_exact(spark, xs):
+    df = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    out1 = df.repartition(7).agg(dsum(F.col("v")).alias("s")).collect()[0].s
+    out2 = df.repartition(2).agg(dsum(F.col("v")).alias("s")).collect()[0].s
+    assert out1 == out2  # bit-identical across partitionings
+    want = float(sum(
+        decimal.Decimal(repr(float(x))).quantize(decimal.Decimal("0.000001"),
+                                                 rounding=decimal.ROUND_HALF_UP)
+        for x in xs
+    ))
+    assert out1 == want
+
+
+def test_dsum_half_up_tie_note(spark):
+    """Ties at the 7th decimal are unrepresentable in binary doubles (see
+    core/numeric.py docstring) — spot-check a near-tie rounds identically."""
+    df = spark.createDataFrame([(0.1234565,)], "v double")
+    got = df.agg(dsum(F.col("v")).alias("s")).collect()[0].s
+    want = float(decimal.Decimal(repr(0.1234565)).quantize(
+        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+    assert got == want
