@@ -64,6 +64,13 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # Ingestion throughput: the reference's whole job (event stream →
+    # triples → sink) measured as events/s.  Reference ceiling: one
+    # synchronous SPARQL INSERT per line, O(10^2-10^3) lines/s
+    # (SURVEY.md §4.1); micro-batch bulk appends clear it by orders of
+    # magnitude on a single node.
+    ingest_rate = _measure_ingest(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -71,7 +78,41 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf),
+        "ingest_events_per_sec": ingest_rate,
     }))
+
+
+def _measure_ingest(spark) -> float:
+    import shutil
+    import tempfile
+
+    from mu_swarm_logger_service_spark.core.tables import load
+    from mu_swarm_logger_service_spark.sources.triples import events_to_triples
+    from mu_swarm_logger_service_spark.streaming.transforms import stream_events
+
+    n_events = load(spark, SF_DIR, "events").count()
+    sink = tempfile.mkdtemp(prefix="bench_ingest_sink_")
+    ckpt = tempfile.mkdtemp(prefix="bench_ingest_ckpt_")
+
+    def write_batch(bdf, batch_id):
+        bdf.write.mode("overwrite").parquet(os.path.join(sink, f"batch={batch_id}"))
+
+    t0 = time.perf_counter()
+    q = (
+        events_to_triples(stream_events(spark, SF_DIR))
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.perf_counter() - t0
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    rate = round(n_events / dt, 1)
+    print(f"# ingest: {n_events} events -> triples+sink in {dt:.2f}s "
+          f"= {rate:.0f} events/s", file=sys.stderr)
+    return rate
 
 
 if __name__ == "__main__":
