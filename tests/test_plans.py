@@ -77,3 +77,15 @@ def test_no_cartesian_in_blocked_dedup(spark, sf_dir):
 def test_cosine_broadcasts_query_side(spark, sf_dir, name):
     p = _plan(spark, sf_dir, name)
     assert "Broadcast" in p  # corpus never shuffles for the query join
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Co-located bucketed join: no hash-partitioning Exchange feeds the
+    SortMergeJoin (the only shuffle left is the final groupBy's)."""
+    p = _plan(spark, sf_dir, "q_join_bucketed")
+    assert "SortMergeJoin" in p
+    assert p.count("Bucketed: true") == 2
+    # the ONLY shuffle is the post-join groupBy's (on o_orderstatus);
+    # neither join key is ever hash-partitioned
+    assert "hashpartitioning(l_orderkey" not in p
+    assert "hashpartitioning(o_orderkey" not in p
