@@ -18,7 +18,6 @@ name before hashing values) and deterministic values.  Determinism rules
 from __future__ import annotations
 
 from collections.abc import Callable
-from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -4,7 +4,7 @@ from . import aggregates  # noqa: F401
 
 _MODULES = ["aggregates"]
 
-for _m in ("scans", "filters", "joins", "windows", "sorts", "setops"):
+for _m in ("scans", "filters", "joins", "windows", "sorts", "setops", "analytics"):
     try:  # modules land incrementally during the build
         __import__(f"{__name__}.{_m}")
         _MODULES.append(_m)

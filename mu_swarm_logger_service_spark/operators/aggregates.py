@@ -277,3 +277,37 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("total_spend") > 1000000.0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe two-level aggregation (SCALE.md): pre-aggregate on a salted key,
+# then merge partials.  The decimal SUM is associative, so salting is
+# semantics-preserving — the oracle is the UNSALTED GROUP BY.
+# ---------------------------------------------------------------------------
+
+@query("q_agg_salted", oracle=f"""
+SELECT event_type, COUNT(*) AS n, {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY event_type
+""")
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted aggregation for skewed group keys.
+
+    event_type has only 5 values — at 100 TB a plain groupBy sends ALL rows
+    of a hot key to one reducer.  Level 1 aggregates on (key, salt) spreading
+    each key over 16 reducers; level 2 merges the 16 partials per key.  The
+    shuffle carries 16 rows per key instead of all raw rows.  Results are
+    bit-identical to the direct groupBy (associative decimal sums), which
+    the oracle checks.
+    """
+    ev = load(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("psum"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("pn").alias("n"),
+             F.sum("psum").cast("double").alias("sum_value"))
+    )

@@ -7,7 +7,6 @@ from __future__ import annotations
 import shutil
 import tempfile
 
-from pyspark.sql import functions as F
 
 from mu_swarm_logger_service_spark.core.tables import load
 from mu_swarm_logger_service_spark.sources.container_logs import (
