@@ -201,3 +201,32 @@ def q_udf_register_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT event_id, clip250(value) AS value_clipped FROM events_v"
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow — the zero-copy tier below mapInPandas (no pandas conversion).
+# ---------------------------------------------------------------------------
+
+@query("q_udtf_map_arrow", oracle="""
+SELECT event_id, CAST(floor(value) AS BIGINT) AS value_floor
+FROM events
+WHERE event_type = 'view'
+""")
+def q_udtf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: operate on raw pyarrow RecordBatches — skips the
+    Arrow→pandas conversion entirely, the fastest Python tier for
+    columnar-in/columnar-out work (the shape multimodal decode uses when
+    the codec takes buffers, not Series)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def floors(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_id"),
+                 pc.cast(pc.floor(batch.column("value")), pa.int64())],
+                names=["event_id", "value_floor"],
+            )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    return ev.mapInArrow(floors, schema="event_id long, value_floor long")
