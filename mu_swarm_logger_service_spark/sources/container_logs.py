@@ -35,6 +35,10 @@ def container_logs_text_dir(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
+    # no marker → any existing dir is a partial write from a crashed run
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out + ".tmp", ignore_errors=True)
     ev = load(spark, sf_dir, "events")
     line = F.concat_ws(
         " ",
@@ -47,8 +51,7 @@ def container_logs_text_dir(spark: SparkSession, sf_dir: str) -> str:
     ev.select(line.alias("value")).coalesce(4).write.mode("overwrite").text(
         out + ".tmp"
     )
-    if not os.path.exists(out):
-        os.rename(out + ".tmp", out)
+    os.rename(out + ".tmp", out)
     open(marker, "w").close()
     return out
 

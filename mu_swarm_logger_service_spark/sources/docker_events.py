@@ -61,6 +61,10 @@ def docker_events_json_dir(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
+    # no marker → any existing dir is a partial write from a crashed run
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out + ".tmp", ignore_errors=True)
     ev = load(spark, sf_dir, "events")
     action = F.coalesce(
         *[F.when(F.col("event_type") == k, F.lit(v)) for k, v in _ACTION.items()]
@@ -79,7 +83,7 @@ def docker_events_json_dir(spark: SparkSession, sf_dir: str) -> str:
         (F.unix_timestamp("ts") * F.lit(1_000_000_000)).alias("timeNano"),
     )).alias("value"))
     docker_shaped.coalesce(4).write.mode("overwrite").text(out + ".tmp")
-    os.rename(out + ".tmp", out) if not os.path.exists(out) else None
+    os.rename(out + ".tmp", out)
     open(marker, "w").close()
     return out
 
