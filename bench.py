@@ -49,9 +49,10 @@ HEADLINE = [
 def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
-    # JVM + IO warm-up: one tiny action so the first measured query doesn't
-    # pay session startup.
+    # Warm-up: exercise scan + shuffle + codegen paths so the first measured
+    # query doesn't pay session/scheduler initialization.
     queries["q_scan_parquet"](spark, SF_DIR).count()
+    queries["q_agg_global"](spark, SF_DIR).count()
 
     per_query: dict[str, float] = {}
     total = 0.0

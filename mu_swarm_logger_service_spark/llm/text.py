@@ -269,3 +269,38 @@ def q_llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_bpe_ish"),
         F.ceil(F.length("text") / 4.0).alias("n_chars_div4"),
     )
+
+
+CHUNK_TOKENS = 64
+
+
+@query("q_llm_chunk", oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+)
+SELECT doc_id, k - 1 AS chunk_id,
+       array_to_string(arr[(k - 1) * {CHUNK_TOKENS} + 1 : k * {CHUNK_TOKENS}], ' ')
+         AS chunk_text,
+       len(arr[(k - 1) * {CHUNK_TOKENS} + 1 : k * {CHUNK_TOKENS}]) AS n_tokens
+FROM t, unnest(range(1, CAST(ceil(len(arr) / {CHUNK_TOKENS}.0) AS BIGINT) + 1))
+       AS u(k)
+""")
+def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (training-data staple): split each document into
+    fixed-size token chunks (last chunk ragged).  Chunk construction is a
+    JVM higher-order transform over the token array; one posexplode emits
+    the chunk rows — no Python, no per-chunk re-tokenization."""
+    docs = load(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(arr) / CHUNK_TOKENS).cast("int") - 1),
+        lambda k: F.slice(arr, k * CHUNK_TOKENS + 1, CHUNK_TOKENS),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(
+            "doc_id", "chunk_id",
+            F.concat_ws(" ", F.col("chunk")).alias("chunk_text"),
+            F.size("chunk").alias("n_tokens"),
+        )
+    )

@@ -70,3 +70,49 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(F.col("event_date").cast("string").alias("event_date")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Date-partitioned events layout (the 100 TB fact layout; see
+    q_sink_partitioned).  Written once per sf_dir."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(SINK_ROOT, f"events_dpp_{tag}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = load(spark, sf_dir, "events").withColumn(
+            "event_date", F.date_format("ts", "yyyy-MM-dd")
+        )
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    return out
+
+
+@query("q_scan_dpp", oracle="""
+WITH dim AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_date
+  FROM events
+  WHERE day(ts) <= 3
+)
+SELECT e.event_type, COUNT(*) AS n
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date FROM events) e
+JOIN dim USING (event_date)
+GROUP BY e.event_type
+""")
+def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the date-partitioned
+    layout, the dim side a filtered date list only known at runtime —
+    Catalyst injects a dynamicpruning subquery into the fact scan's
+    PartitionFilters, so only the dim's dates are read from disk
+    (tests/test_plans.py asserts it).  At 100 TB this is the difference
+    between scanning 3 days and scanning the year."""
+    path = _ensure_partitioned_events(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = (
+        load(spark, sf_dir, "events")
+        .filter(F.dayofmonth("ts") <= 3)
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact.event_date.cast("string") == dim.event_date)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -89,3 +89,10 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     # neither join key is ever hash-partitioned
     assert "hashpartitioning(l_orderkey" not in p
     assert "hashpartitioning(o_orderkey" not in p
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """Dynamic partition pruning: the fact scan's PartitionFilters must
+    carry a dynamicpruning subquery driven by the dim side."""
+    p = _plan(spark, sf_dir, "q_scan_dpp")
+    assert "dynamicpruning" in p.lower(), p[:2000]
