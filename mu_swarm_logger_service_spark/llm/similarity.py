@@ -210,3 +210,29 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOPK)
     )
+
+
+@query("q_llm_centroid", oracle="""
+SELECT label, k AS pos,
+       round(CAST(SUM(CAST(embedding[k] AS DECIMAL(27,12))) AS DOUBLE)
+             / COUNT(*), 6) + 0.0 AS c
+FROM embeddings, unnest([1, 2, 3, 4, 5, 6, 7, 8]) t(k)
+GROUP BY label, k
+""")
+def q_llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (first 8 dims; the k-means/classifier
+    primitive): posexplode aligns (position, value), one groupBy on
+    (label, pos) with map-side partial aggregation.  The mean goes through
+    the exact decimal SUM (order-independent; float avg would be shuffle-
+    order-sensitive in the last ulp) with -0.0 normalization."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.slice("embedding", 1, 8)).alias("pos0", "v"),
+        )
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg((F.round(
+            F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1)), 6) + 0.0).alias("c"))
+    )

@@ -304,3 +304,41 @@ def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("chunk").alias("n_tokens"),
         )
     )
+
+
+_MIX_RATES = {"src0": 100, "src1": 75, "src2": 50, "src3": 25}  # % kept; others 10
+_MIX_SQL_RATE = ("CASE source "
+                 + " ".join(f"WHEN '{s}' THEN {r}" for s, r in _MIX_RATES.items())
+                 + " ELSE 10 END")
+
+
+@query("q_llm_mixture", oracle=f"""
+SELECT source, lang, COUNT(*) AS n_kept
+FROM documents
+WHERE ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|' || source), 1, 1))
+      * 100 / 128 < {_MIX_SQL_RATE}
+GROUP BY source, lang
+""")
+def q_llm_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: per-source keep rates (upweight curated
+    sources, downsample the crawl) via the same content-addressed md5 gate
+    as q_llm_lang_filter — deterministic, engine-portable, and re-runnable
+    with identical membership (what mixture reproducibility requires).
+    The gate maps the first md5 hex char's ASCII code onto [0,128)·100/128,
+    compared against the per-source percentage."""
+    docs = load(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(r)) for s, r in _MIX_RATES.items()],
+        F.lit(10),
+    )
+    gate = (
+        F.ascii(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                           F.col("source"))), 1, 1))
+        * 100 / 128 < rate
+    )
+    return (
+        docs.filter(gate)
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
