@@ -236,3 +236,34 @@ def q_llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
             / F.count(F.lit(1)), 6) + 0.0).alias("c"))
     )
+
+
+@query("q_llm_embed_near_dup", oracle="""
+WITH sub AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.e, b.e), 6) + 0.0 AS cos_sim
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.7
+""")
+def q_llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all pairs with cos >= 0.7 on
+    a deterministic 10% id-gated subset (the oracle-scale exact form; the
+    full-corpus scale path composes hyperplane_tables bucketing with this
+    same verify, exactly like q_llm_ann_lsh).
+
+    The subset side is broadcast, so the pair generation is a broadcast
+    join with an id-inequality residual, not a shuffled cross-product.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    sub = emb.filter(F.expr("vec_id % 10 = 0")).select("vec_id", "embedding")
+    a = sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = sub.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .where(F.round(cos, 6) >= 0.7)  # rounded: threshold can't straddle ulp noise
+        .select("vec_a", "vec_b", (F.round(cos, 6) + 0.0).alias("cos_sim"))
+    )
