@@ -112,3 +112,31 @@ def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").eqNullSafe(F.lit(None).cast("double")).alias("v_is_null"),
         )
     )
+
+
+@query("q_values_inline", oracle="""
+SELECT v.event_type, v.weight, COUNT(*) AS n,
+       CAST(SUM(CAST(value * v.weight AS DECIMAL(27,6))) AS DOUBLE)
+         AS weighted_value
+FROM events e
+JOIN (VALUES ('click', 1.0), ('purchase', 5.0), ('error', 0.5))
+       v(event_type, weight)
+  ON e.event_type = v.event_type
+GROUP BY v.event_type, v.weight
+""")
+def q_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES clause [spec:SPARQL 1.1 §10.2]: inline bindings joined
+    against the data — engine-side, a literal DataFrame broadcast against
+    the fact (zero shuffle on the fact side)."""
+    ev = load(spark, sf_dir, "events")
+    values = ev.sparkSession.createDataFrame(
+        [("click", 1.0), ("purchase", 5.0), ("error", 0.5)],
+        "event_type string, weight double",
+    )
+    return (
+        ev.join(F.broadcast(values), "event_type")
+        .groupBy("event_type", "weight")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum((F.col("value") * F.col("weight")).cast("decimal(27,6)"))
+             .cast("double").alias("weighted_value"))
+    )

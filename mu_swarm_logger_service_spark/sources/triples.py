@@ -158,3 +158,58 @@ def q_triples_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_errors"),
              F.max("created").alias("last_created"))
     )
+
+
+@query("q_triples_optional", oracle=f"""
+WITH t AS (
+  SELECT 'http://swarmui.semte.ch/resources/events/'
+           || sha256(CAST(event_id AS VARCHAR)) AS s,
+         event_type, user_id, ts
+  FROM events
+), triples AS (
+  SELECT s, '{SWARMUI}eventType' AS p, event_type AS o FROM t
+  UNION ALL
+  SELECT s, '{SWARMUI}container', 'c' || CAST(user_id AS VARCHAR) FROM t
+  UNION ALL
+  SELECT s, '{SWARMUI}errorValue', CAST(user_id % 5 AS VARCHAR)
+  FROM t WHERE event_type = 'error'
+)
+SELECT tc.o AS container,
+       COUNT(*) AS n_events,
+       COUNT(ev.o) AS n_with_error_value
+FROM triples te
+JOIN triples tc ON tc.s = te.s AND tc.p = '{SWARMUI}container'
+LEFT JOIN triples ev ON ev.s = te.s AND ev.p = '{SWARMUI}errorValue'
+WHERE te.p = '{SWARMUI}eventType'
+GROUP BY tc.o
+""")
+def q_triples_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL over the triple table [spec:SPARQL 1.1 LeftJoin]:
+
+        SELECT ?container (COUNT(*) AS ?n) (COUNT(?v) AS ?nv)
+        WHERE { ?e swarmui:eventType ?t ; swarmui:container ?container .
+                OPTIONAL { ?e swarmui:errorValue ?v } } GROUP BY ?container
+
+    — the optional pattern becomes a LEFT JOIN on subject; COUNT(?v) counts
+    only bound solutions, exactly SPARQL's unbound-variable semantics.
+    errorValue triples exist only for error events (sparse predicate)."""
+    ev = load(spark, sf_dir, "events")
+    subj = F.concat(
+        F.lit("http://swarmui.semte.ch/resources/events/"),
+        F.sha2(F.col("event_id").cast("string"), 256),
+    )
+    base = ev.select(subj.alias("s"), "event_type", "user_id")
+    te = base.select(F.col("s").alias("es"))
+    tc = base.select(F.col("s").alias("cs"),
+                     F.concat(F.lit("c"), F.col("user_id").cast("string"))
+                     .alias("container"))
+    errv = base.filter(F.col("event_type") == "error").select(
+        F.col("s").alias("vs"), (F.col("user_id") % 5).cast("string").alias("v")
+    )
+    return (
+        te.join(tc, F.col("es") == F.col("cs"))
+        .join(errv, F.col("es") == F.col("vs"), "left")
+        .groupBy("container")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.count("v").alias("n_with_error_value"))
+    )
