@@ -30,7 +30,8 @@ def _ship_package(spark: SparkSession) -> None:
     zpath = os.path.join(
         tempfile.gettempdir(), "mu_swarm_logger_service_spark_pkg.zip"
     )
-    with zipfile.ZipFile(zpath, "w") as zf:
+    tmp = f"{zpath}.{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w") as zf:
         for dirpath, _dirnames, filenames in os.walk(pkg_root):
             if "__pycache__" in dirpath:
                 continue
@@ -38,6 +39,7 @@ def _ship_package(spark: SparkSession) -> None:
                 if fn.endswith(".py"):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, parent))
+    os.replace(tmp, zpath)  # atomic: concurrent sessions never see a partial zip
     sc.addPyFile(zpath)
     _PYFILES_SHIPPED.add(id(sc))
 
