@@ -2,9 +2,11 @@
 
 The single-operator queries in this package isolate one primitive each;
 these compose them the way the reference's downstream dashboards would
-(SwarmUI-style multi-pattern SPARQL ≈ multi-join SQL): shipping-priority
-(TPC-H Q3 shape) and regional-revenue (TPC-H Q5 shape) — broadcast dims,
-one fact shuffle, top-k pushdown, all in a single Catalyst plan.
+(SwarmUI-style multi-pattern SPARQL ≈ multi-join SQL): the classic TPC-H
+query shapes adapted to the testdata's trimmed star schema (no partsupp,
+no commit/receipt dates — see FIXTURES.md) — broadcast dims, one fact
+shuffle per query, top-k pushdown, subqueries decorrelated into joins,
+all in single Catalyst plans.
 """
 
 from __future__ import annotations
@@ -12,9 +14,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..core.numeric import dsum, dsum_sql
+from ..core.numeric import davg, davg_sql, dsum, dsum_sql
 from ..core.registry import query
 from ..core.tables import load
+
+_REV = "l.l_extendedprice * (1.0 - l.l_discount)"
+
+
+def _revenue() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
 
 
 @query("q_analytics_shipping_priority", oracle=f"""
@@ -91,4 +99,374 @@ def q_analytics_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dim), li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@query("q_analytics_promo_revenue", oracle=f"""
+SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
+       100.0 * {dsum_sql(f"CASE WHEN p.p_type = 'PROMO' THEN {_REV} ELSE 0.0 END")}
+             / {dsum_sql(_REV)} AS promo_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY date_trunc('month', l.l_shipdate)
+""")
+def q_analytics_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14 shape: promotional-revenue share per ship month.  The
+    part dimension broadcasts (fact never shuffles for the join); the
+    conditional aggregate computes numerator and denominator in ONE fact
+    pass; the ratio divides two exact-decimal-derived doubles, so both
+    engines agree bit-for-bit."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part")
+    rev = _revenue()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM")
+                 .alias("ship_month"))
+        .agg(
+            (F.lit(100.0)
+             * dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+             / dsum(rev)).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query("q_analytics_returned_items", oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       {dsum_sql(_REV)} AS revenue,
+       c.c_acctbal, n.n_name AS nation
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""")
+def q_analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10 shape: top-20 customers by revenue lost to returned items
+    in a half-year window.  Selective fact filter first (pushdown), then a
+    single groupBy shuffle keyed by customer; nation broadcasts; top-20 via
+    TakeOrderedAndProject with c_custkey as the unique tiebreaker."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal",
+                 F.col("n_name").alias("nation"))
+        .agg(dsum(_revenue()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query("q_analytics_large_orders", oracle=f"""
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_totalprice,
+       {dsum_sql('l.l_quantity')} AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > 250
+)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""")
+def q_analytics_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: customers with orders whose total quantity exceeds
+    250.  The IN-subquery decorrelates into a semi join against the grouped
+    lineitem aggregate; the surviving key set is tiny, so AQE converts the
+    orders join to broadcast at runtime — the fact shuffles once (groupBy
+    l_orderkey), never for a join."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "semi"
+    )
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .select("c_custkey", "c_name", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query("q_analytics_late_orders", oracle="""
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o.o_orderpriority
+""")
+def q_analytics_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape (adapted: no commit/receipt dates in the trimmed
+    schema — "late" = any line shipped >90 days after the order date).
+    The correlated EXISTS decorrelates into a left-semi join whose
+    non-equi part rides along as a residual condition on the hash join."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query("q_analytics_small_qty_revenue", oracle=f"""
+WITH pa AS (
+  SELECT l_partkey, {davg_sql('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       {dsum_sql('l.l_extendedprice')} AS total_rev
+FROM lineitem l
+JOIN pa ON l.l_partkey = pa.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND l.l_quantity < 0.2 * pa.avg_qty
+""")
+def q_analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 shape: revenue from small-quantity lines of one brand,
+    where "small" compares against the per-part average quantity — a
+    correlated scalar subquery decorrelated into an aggregate + self
+    join.  The per-part average uses the exact-decimal path, so the 0.2×
+    threshold is bit-identical across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pa, li.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(F.count(F.lit(1)).alias("n_small"),
+             dsum(F.col("l_extendedprice")).alias("total_rev"))
+    )
+
+
+@query("q_analytics_disjunctive_revenue", oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       {dsum_sql(_REV)} AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 40)
+""")
+def q_analytics_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19 shape: disjunction of conjunctive brand/size/quantity
+    clauses across the join.  Catalyst extracts the common sub-predicates
+    (brand IN (...), size/quantity upper bounds) and pushes them below the
+    join into both scans, so the broadcast join sees pre-filtered inputs —
+    the classic OR-predicate-pushdown showcase."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 21))
+        | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 30))
+        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             dsum(_revenue()).alias("revenue"))
+    )
+
+
+@query("q_analytics_volume_shipping", oracle=f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       {dsum_sql(_REV)} AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+""")
+def q_analytics_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 shape: bilateral trade volume between two nations by ship
+    year.  Supplier→nation and customer→nation collapse into two broadcast
+    dims; the disjunctive nation-pair filter applies after both joins;
+    lineitem⋈orders is the single large-large join."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    nation = load(spark, sf_dir, "nation")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load(spark, sf_dir, "orders")
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(dsum(_revenue()).alias("revenue"))
+    )
+
+
+@query("q_analytics_market_share", oracle=f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       {dsum_sql(f"CASE WHEN ns.n_name = 'NATION_5' THEN {_REV} ELSE 0.0 END")}
+         / {dsum_sql(_REV)} AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = nc.n_regionkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+GROUP BY year(o.o_orderdate)
+""")
+def q_analytics_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8 shape: NATION_5's share of ECONOMY-part revenue sold into
+    ASIA, per order year.  Numerator and denominator come out of ONE
+    conditional aggregate over one fact pass; every dimension broadcasts;
+    the share divides two exact-decimal-derived doubles."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_asia = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    rev = _revenue()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_asia), orders.o_custkey == F.col("c_custkey"), "semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (dsum(F.when(F.col("supp_nation") == "NATION_5", rev)
+                  .otherwise(F.lit(0.0)))
+             / dsum(rev)).alias("mkt_share")
+        )
+    )
+
+
+@query("q_analytics_idle_customers", oracle=f"""
+WITH avg_bal AS (
+  SELECT {davg_sql('c_acctbal')} AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       {dsum_sql('c.c_acctbal')} AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.ab
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c.c_nationkey
+""")
+def q_analytics_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape: above-average-balance customers with no recent
+    (1999+) orders, grouped by nation.  The uncorrelated scalar subquery
+    (global average balance) becomes a broadcast 1-row cross join — no
+    collect(), the threshold never leaves the cluster; NOT EXISTS becomes
+    a left-anti join on the filtered orders key set."""
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg(F.col("c_acctbal")).alias("ab"))
+    )
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent.select(F.col("o_custkey").alias("c_custkey")),
+              "c_custkey", "anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_custs"),
+             dsum(F.col("c_acctbal")).alias("total_bal"))
     )
