@@ -8,4 +8,4 @@ idempotent partitioned triple sink — batch and readStream share every
 transformation.
 """
 
-from . import container_logs, docker_events, triples  # noqa: F401
+from . import container_logs, docker_events, sparql, triples  # noqa: F401
