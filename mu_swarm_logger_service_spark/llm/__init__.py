@@ -7,4 +7,4 @@ TF-IDF, fingerprinting), and multimodal binary columns — all on the
 `documents` / `embeddings` testdata tables.
 """
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import clustering, dedup, multimodal, similarity, text  # noqa: F401

@@ -1,0 +1,237 @@
+"""IVF similarity search + dedup-group clustering (SURVEY.md §2.11 scale
+paths for rows 75-76).
+
+Two operators that complete the 100 TB story of the similarity/dedup
+family:
+
+- **IVF (inverted-file) ANN**: the other canonical ANN index besides LSH
+  (`similarity.q_llm_ann_lsh`).  A coarse quantizer assigns every corpus
+  vector to its nearest centroid (its *cell*); a query probes only the
+  `NPROBE` nearest cells and re-ranks exactly within them.  Centroids are
+  chosen DETERMINISTICALLY (an id-gated subset — the degenerate but
+  reproducible stand-in for sampled k-means), so the whole index is
+  value-exact and DuckDB-checkable, unlike the xxhash64 LSH path.
+- **Dedup groups**: near-duplicate PAIRS (q_llm_minhash_jaccard) are only
+  half of dedup — a keeper policy needs the connected COMPONENTS of the
+  similarity graph.  Implemented as iterative min-label propagation
+  (the standard large-graph CC algorithm: Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14), semi-naive like the
+  SPARQL property-path closure in `sources.sparql`.
+
+Scale design: IVF assignment is a broadcast of the (small) centroid set
+against the corpus with map-side argmax partial aggregation — the corpus
+is scanned once, the shuffle carries one row per vector.  Cell probing is
+an equi join on cell id, never a crossJoin.  Label propagation shuffles
+only (node,label) pairs per round and converges in graph-diameter rounds
+(near-dup components are shallow); lineage is truncated per round with
+localCheckpoint exactly like the BFS closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.registry import query
+from ..core.tables import load
+from .similarity import cosine
+
+CENT_MOD = 71       # centroids = vectors with vec_id % 71 == 3  (~n/71 cells)
+NPROBE = 3          # cells probed per query
+IVF_TOPK = 5
+_IVF_QUERY_FILTER = "vec_id % 100 = 0"
+
+_IVF_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id % {CENT_MOD} = 3
+), assign AS (
+  SELECT vec_id, cell, e FROM (
+    SELECT emb.vec_id, cent.cell, emb.e,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY round(list_cosine_similarity(emb.e, cent.ce), 6) DESC,
+                      cent.cell) AS r
+    FROM emb, cent
+  ) WHERE r = 1
+), probe AS (
+  SELECT q_id, cell, qe FROM (
+    SELECT emb.vec_id AS q_id, cent.cell, emb.e AS qe,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY round(list_cosine_similarity(emb.e, cent.ce), 6) DESC,
+                      cent.cell) AS r
+    FROM emb, cent WHERE emb.vec_id % 100 = 0
+  ) WHERE r <= {NPROBE}
+), s AS (
+  SELECT p.q_id, a.vec_id AS c_id,
+         round(list_cosine_similarity(p.qe, a.e), 6) + 0.0 AS cos_sim
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id != p.q_id
+)
+SELECT q_id, c_id, cos_sim,
+       row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
+FROM s
+QUALIFY rn <= {IVF_TOPK}
+"""
+
+
+@query("q_llm_ann_ivf", oracle=_IVF_SQL)
+def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor (row 76 scale path, exact oracle).
+
+    Index build = one broadcast pass: corpus × broadcast(centroids) with
+    the argmax folded into a map-side partial ``max(struct(...))``
+    aggregation, so the shuffle carries one (vector → cell) row per
+    corpus vector — O(n·K) compute, O(n) shuffle.  Query = probe the
+    NPROBE nearest cells (window over a broadcast-sized query set) and
+    exact-re-rank only within them; the candidate fetch is an equi join
+    on cell id, never a crossJoin.  Ranking uses the rounded cosine with
+    id tiebreaks so Spark and DuckDB agree bit-for-bit.
+    """
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
+    )
+    cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
+
+    # Coarse assignment: nearest centroid, tiebreak lowest cell id.  The
+    # argmax rides a struct max — (cos, -cell) never ties because cell ids
+    # are unique — and partial-aggregates map-side before the shuffle.
+    assign = (
+        emb.join(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(
+            cos_r.alias("cs"),
+            (-F.col("cell")).alias("nc"),
+            F.col("embedding").alias("e"),
+        )).alias("best"))
+        .select("vec_id", (-F.col("best.nc")).alias("cell"),
+                F.col("best.e").alias("e"))
+    )
+
+    # Query-side probing: NPROBE nearest cells per query vector.
+    q = emb.filter(F.expr(_IVF_QUERY_FILTER)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    probe_cos = F.round(cosine(F.col("qe"), F.col("ce")), 6)
+    wp = Window.partitionBy("q_id").orderBy(probe_cos.desc(), F.col("cell"))
+    probe = (
+        q.join(F.broadcast(cent))
+        .withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= NPROBE)
+        .select("q_id", "qe", "cell")
+    )
+
+    scored = (
+        assign.join(F.broadcast(probe), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", F.col("vec_id").alias("c_id"),
+            (F.round(cosine(F.col("qe"), F.col("e")), 6) + 0.0).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOPK)
+    )
+
+
+_GROUPS_SQL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split(text, ' ')) AS tok
+  FROM documents
+), e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5
+), ed AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach AS (
+  SELECT src AS node, dst AS peer FROM ed
+  UNION
+  SELECT r.node, ed.dst FROM reach r JOIN ed ON ed.src = r.peer
+), comp AS (
+  SELECT node AS doc_id, LEAST(node, MIN(peer)) AS component
+  FROM reach GROUP BY node
+), lab AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id, component,
+       COUNT(*) OVER (PARTITION BY component) AS group_size,
+       doc_id = component AS is_keeper
+FROM lab
+"""
+
+
+@query("q_llm_dedup_groups", oracle=_GROUPS_SQL)
+def q_llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUPS: connected components of the exact-Jaccard
+    similarity graph (threshold 0.5, (lang, source) blocking), labeled by
+    the minimum doc_id in each component — the keeper.
+
+    Min-label propagation: every round each node takes the min of its own
+    label and its neighbors' labels; converges in diameter rounds (the
+    monotone label-sum is the fixpoint check, one driver-side scalar per
+    round).  Per round: one shuffle on node id; lineage truncated with
+    localCheckpoint so the plan stays flat.  The DuckDB oracle computes
+    the same components via a recursive transitive closure — value-exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(F.split("text", " ")).alias("tok"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    union = F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - inter
+    half = (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(inter.cast("double") / union >= 0.5)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    lab = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=True)
+    prev_sum = lab.agg(F.sum("label")).collect()[0][0]
+    while True:
+        nb = (
+            edges.join(lab, edges.dst == lab.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nb_label"))
+        )
+        lab = (
+            lab.join(nb, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nb_label"), F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = lab.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    w = Window.partitionBy("component")
+    return (
+        lab.select(F.col("node").alias("doc_id"),
+                   F.col("label").alias("component"))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
+    )

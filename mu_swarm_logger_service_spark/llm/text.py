@@ -342,3 +342,66 @@ def q_llm_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+TOP_STOPWORDS = 5  # the K most document-frequent tokens are boilerplate
+
+
+@query("q_llm_boilerplate_strip", oracle=f"""
+WITH df AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents)
+  GROUP BY token
+  ORDER BY df DESC, token
+  LIMIT {TOP_STOPWORDS}
+), bw AS (
+  SELECT COALESCE(list_sort(list(token)), []) AS stop FROM df
+)
+SELECT doc_id,
+       COALESCE(array_to_string(
+         list_filter(string_split(text, ' '),
+                     t -> NOT list_contains(bw.stop, t)), ' '), '')
+         AS clean_text,
+       CAST(len(string_split(text, ' '))
+            - len(list_filter(string_split(text, ' '),
+                              t -> NOT list_contains(bw.stop, t)))
+            AS BIGINT) AS n_removed
+FROM documents, bw
+""")
+def q_llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven boilerplate removal (training-data cleaning staple):
+    the K most document-frequent tokens (deterministic df-desc/token-asc
+    cut) are stripped from every document, preserving the order of the
+    survivors.
+
+    Two phases, one pass each: (1) the DF table — explode distinct tokens,
+    groupBy token, top-K via TakeOrderedAndProject; (2) the rewrite — the
+    K-token stopword set is collected into a single sorted array,
+    broadcast, and applied with a JVM higher-order ``filter`` over each
+    document's token array.  No Python in either phase; at 100 TB the
+    stopword array is K entries regardless of corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    df_tab = (
+        docs.select("doc_id",
+                    F.explode(F.array_distinct(F.split("text", " ")))
+                    .alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(TOP_STOPWORDS)
+    )
+    stop = df_tab.agg(
+        F.sort_array(F.collect_list("token")).alias("stop")
+    )
+    toks = F.split("text", " ")
+    keep = F.filter(toks, lambda t: ~F.array_contains(F.col("stop"), t))
+    return (
+        docs.crossJoin(F.broadcast(stop))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", keep).alias("clean_text"),
+            (F.size(toks) - F.size(keep)).cast("long").alias("n_removed"),
+        )
+    )

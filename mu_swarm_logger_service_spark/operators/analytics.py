@@ -470,3 +470,279 @@ def q_analytics_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_custs"),
              dsum(F.col("c_acctbal")).alias("total_bal"))
     )
+
+
+@query("q_analytics_forecast_revenue", oracle=f"""
+SELECT {dsum_sql('l_extendedprice * l_discount')} AS potential_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+""")
+def q_analytics_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6 shape: pure scan-filter-aggregate, the pushdown showcase —
+    all three predicates reach the Parquet reader (row-group min/max
+    skipping), no join, no groupBy shuffle; the global aggregate is one
+    partial-per-partition + single final reduce."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"))
+             .alias("potential_revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query("q_analytics_product_profit", oracle=f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)'
+                 ' - 0.1 * p.p_retailprice * l.l_quantity')} AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""")
+def q_analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9 shape: product profit by supplier nation × order year.
+    The testdata has no partsupp (FIXTURES.md), so unit cost is proxied as
+    10% of p_retailprice — the plan shape is the point: three broadcast
+    dims, one large-large join (lineitem⋈orders), one groupBy shuffle."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    dim = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "n_name")
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dsum(amount).alias("profit"))
+    )
+
+
+@query("q_analytics_important_parts", oracle=f"""
+WITH total AS (
+  SELECT {dsum_sql('l_extendedprice * l_quantity')} AS tv FROM lineitem
+)
+SELECT l.l_partkey AS partkey,
+       {dsum_sql('l.l_extendedprice * l.l_quantity')} AS part_value
+FROM lineitem l, total
+GROUP BY l.l_partkey, total.tv
+HAVING {dsum_sql('l.l_extendedprice * l.l_quantity')} > 0.002 * ANY_VALUE(total.tv)
+""")
+def q_analytics_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape: parts whose traded value exceeds a fraction of the
+    GLOBAL total — the uncorrelated scalar subquery in HAVING.  The total
+    is a 1-row aggregate broadcast into the per-part HAVING filter; the
+    fact table is scanned twice but shuffled once (the groupBy); no
+    collect() — the threshold never leaves the cluster."""
+    li = load(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    total = li.agg(dsum(value).alias("tv"))
+    return (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum(value).alias("part_value"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.002) * F.col("tv"))
+        .select("partkey", "part_value")
+    )
+
+
+@query("q_analytics_shipmode_priority", oracle="""
+SELECT CAST(FLOOR(date_diff('day', o.o_orderdate, l.l_shipdate) / 90.0)
+            AS BIGINT) AS lag_bucket,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate
+GROUP BY 1
+""")
+def q_analytics_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12 shape: order-priority counts per shipping-lag bucket
+    (no l_shipmode in the testdata — the 90-day lag bucket stands in).
+    One large-large join, conditional aggregation in a single pass;
+    both engines bucket via FLOOR(double division) so negative lags
+    (synthetic data ships before ordering) bucket identically."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lag_days = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        j.groupBy(F.floor(lag_days / F.lit(90.0)).cast("long")
+                  .alias("lag_bucket"))
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+    )
+
+
+@query("q_analytics_order_distribution", oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                     AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""")
+def q_analytics_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 shape: distribution of customers by order count — the
+    double-aggregation query.  LEFT join keeps order-less customers
+    (COUNT of a null column = 0); first groupBy shuffles on custkey,
+    the second on the (tiny-domain) count."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query("q_analytics_top_supplier", oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey AS suppkey,
+         {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+""")
+def q_analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15 shape: supplier(s) with the maximum quarterly revenue —
+    the view + scalar-MAX-subquery query.  The revenue "view" is computed
+    once and reused for both the MAX and the equality filter (Spark plans
+    it twice but the scan is pruned to one quarter); the 1-row MAX
+    broadcasts.  Revenue equality is safe cross-engine because both sides
+    derive from the same exact-decimal sum."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mr"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mr"))
+        .join(F.broadcast(supp), F.col("suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query("q_analytics_part_supp_counts", oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_size IN (1, 5, 9, 14, 20, 27, 33, 40)
+  AND NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 1000.0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""")
+def q_analytics_part_supp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape: distinct-supplier counts per (brand, type, size)
+    with an excluded-supplier NOT-IN subquery (complaint suppliers →
+    negative-balance suppliers here, no s_comment in the testdata).  The
+    exclusion list is a broadcast anti join; COUNT(DISTINCT) expands to
+    the two-phase distinct aggregate."""
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 5, 9, 14, 20, 27, 33, 40)
+    )
+    bad_supp = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000.0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), "l_suppkey", "anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query("q_analytics_blocking_supplier", oracle="""
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+""")
+def q_analytics_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21 shape: suppliers whose line was the LAST to ship on
+    finished multi-supplier orders (no receipt/commit dates in the
+    testdata, so "kept waiting" = latest l_shipdate).  EXISTS → left-semi
+    self join, NOT EXISTS → left-anti self join; both are equi joins on
+    l_orderkey with a residual predicate, so they hash-partition on the
+    order key instead of exploding into a cross product."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load(spark, sf_dir, "supplier")
+    l1, l2, l3 = li.alias("l1"), li.alias("l2"), li.alias("l3")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+            "anti",
+        )
+        .join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )

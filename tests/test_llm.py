@@ -89,3 +89,35 @@ def test_multimodal_fake_decoder_batch_shape(spark, sf_dir):
     bad = joined.filter(F.col("payload_len") != F.col("n_chars")).count()
     assert bad == 0
     assert feats.count() == docs.count()
+
+
+def test_ann_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF (nprobe=3 coarse cells) must recover a solid fraction of the
+    exact top-5 and never emit self-pairs."""
+    exact = QUERIES["q_llm_cosine_topk"](spark, sf_dir)
+    ivf = QUERIES["q_llm_ann_ivf"](spark, sf_dir)
+    e = {(r.q_id, r.c_id) for r in exact.collect()}
+    a = {(r.q_id, r.c_id) for r in ivf.collect()}
+    assert a, "IVF produced no candidates"
+    assert all(q != c for q, c in a)
+    recall = len(e & a) / len(e)
+    assert recall > 0.2, f"IVF recall {recall:.2f} suspiciously low"
+
+
+def test_dedup_groups_cover_pairs(spark, sf_dir):
+    """Connected components must (a) put both endpoints of every exact
+    near-dup pair in the same component, (b) label each component by its
+    minimum member, (c) cover every document exactly once."""
+    comp = {r.doc_id: r.component
+            for r in QUERIES["q_llm_dedup_groups"](spark, sf_dir).collect()}
+    pairs = QUERIES["q_llm_minhash_jaccard"](spark, sf_dir).collect()
+    assert pairs, "no near-dup edges in fixture"
+    for r in pairs:
+        assert comp[r.doc_a] == comp[r.doc_b], (r.doc_a, r.doc_b)
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    for c, ds in members.items():
+        assert c == min(ds), f"component {c} not labeled by min member"
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(comp) == n_docs

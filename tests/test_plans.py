@@ -96,3 +96,31 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     carry a dynamicpruning subquery driven by the dim side."""
     p = _plan(spark, sf_dir, "q_scan_dpp")
     assert "dynamicpruning" in p.lower(), p[:2000]
+
+
+def test_forecast_revenue_filters_pushed(spark, sf_dir):
+    """Q6 shape is the pushdown showcase: all three predicates must reach
+    the Parquet scan and only the needed columns are read."""
+    p = _plan(spark, sf_dir, "q_analytics_forecast_revenue")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "l_shipdate" in m.group(1) and "l_discount" in m.group(1)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(","))
+    assert cols == ["l_discount", "l_extendedprice", "l_quantity", "l_shipdate"]
+
+
+def test_blocking_supplier_self_joins_stay_hashed(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS self joins must anchor on the l_orderkey
+    equi key (hash or merge), never degrade to a nested loop."""
+    p = _plan(spark, sf_dir, "q_analytics_blocking_supplier")
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_ivf_assignment_partial_aggregates(spark, sf_dir):
+    """IVF coarse assignment: centroids broadcast; the argmax runs as
+    partial+final HashAggregate so the shuffle carries one row per
+    vector, not one per (vector, centroid)."""
+    p = _plan(spark, sf_dir, "q_llm_ann_ivf")
+    assert "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2 or p.count("SortAggregate") >= 2
+    assert "CartesianProduct" not in p
