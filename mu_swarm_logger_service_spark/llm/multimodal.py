@@ -105,3 +105,125 @@ def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "payload_len", "b64_prefix",
                 "width", "height", "n_pixels")
     )
+
+
+RESIZE_TARGET = 16  # fit into a 16x16 box, aspect preserved
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, dst_w int, dst_h int, scale double"
+)
+
+
+def resize_dims(media: DataFrame) -> DataFrame:
+    """mapInPandas resize planner over (doc_id, payload): decode source
+    dims (fake codec), compute the aspect-preserving scale into a
+    RESIZE_TARGET² box, never upscale.  The real implementation would
+    also emit the resampled pixel buffer; the geometry — the part a
+    Spark pipeline schedules and the oracle can check — is exact."""
+    decode = _decode_real if USE_REAL_CODEC else _decode_fake
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decode(p) for p in pdf["payload"]]
+            out = pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": [w for w, _ in dims],
+                "height": [h for _, h in dims],
+            })
+            scale = [min(RESIZE_TARGET / w, RESIZE_TARGET / h, 1.0)
+                     for w, h in dims]
+            out["dst_w"] = [max(1, int(w * s)) for (w, _), s in zip(dims, scale)]
+            out["dst_h"] = [max(1, int(h * s)) for (_, h), s in zip(dims, scale)]
+            out["scale"] = scale
+            yield out
+
+    return media.mapInPandas(plan, schema=RESIZE_SCHEMA)
+
+
+@query("q_llm_media_resize", oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) % 64 + 1 AS INT) AS width,
+         CAST(ascii(substr(text, 1, 1)) % 32 + 1 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(greatest(1, floor(width * least({RESIZE_TARGET}.0 / width,
+                                            {RESIZE_TARGET}.0 / height, 1.0)))
+            AS INT) AS dst_w,
+       CAST(greatest(1, floor(height * least({RESIZE_TARGET}.0 / width,
+                                             {RESIZE_TARGET}.0 / height, 1.0)))
+            AS INT) AS dst_h,
+       least({RESIZE_TARGET}.0 / width, {RESIZE_TARGET}.0 / height, 1.0)
+         AS scale
+FROM m
+""")
+def q_llm_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize plumbing (north-star multimodal surface): source dims
+    from the decode path, aspect-preserving fit into a 16×16 box with no
+    upscaling, computed inside Arrow-batched mapInPandas exactly where a
+    real resampler would run.  IEEE division/multiplication sequences are
+    identical in Python and DuckDB, so even the raw double `scale` column
+    is value-exact."""
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return resize_dims(media)
+
+
+FRAME_BYTES = 16   # bytes per synthetic "video frame"
+MAX_FRAMES = 4     # sampling budget per document
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_md5 string, n_frames long"
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """mapInPandas frame sampler over (doc_id, payload): treat the payload
+    as n complete FRAME_BYTES-sized frames, sample every stride-th frame
+    (stride = max(1, n // MAX_FRAMES)), fingerprint each sampled frame.
+    One input row fans out to ≤⌈n/stride⌉ output rows — the iterator
+    yields one frame-table per Arrow batch, so memory stays per-batch."""
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes, counts = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload) // FRAME_BYTES
+                stride = max(1, n // MAX_FRAMES)
+                for i in range(0, n, stride):
+                    frame = payload[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(frame).hexdigest())
+                    counts.append(n)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_md5": pd.Series(hashes, dtype="object"),
+                "n_frames": pd.Series(counts, dtype="int64"),
+            })
+
+    return media.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+@query("q_llm_frame_sample", oracle=f"""
+WITH v AS (
+  SELECT doc_id, text,
+         CAST(length(text) // {FRAME_BYTES} AS BIGINT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       md5(substr(text, CAST(i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES}))
+         AS frame_md5,
+       n_frames
+FROM v, unnest(range(0, n_frames, greatest(1, n_frames // {MAX_FRAMES})))
+       AS u(i)
+""")
+def q_llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing (north-star multimodal surface): the
+    payload stands in for a video of 16-byte frames; a deterministic
+    stride keeps ≤~MAX_FRAMES frames per document, each fingerprinted
+    with md5.  The fan-out (one media row → several frame rows) runs in
+    mapInPandas like a real frame extractor; the oracle replays the same
+    slicing on the (ASCII) text so every hash is value-exact."""
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return sample_frames(media)
