@@ -235,3 +235,67 @@ def q_llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("group_size", F.count(F.lit(1)).over(w))
         .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
     )
+
+
+_TRIANGLES_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split(text, ' ')) AS tok
+  FROM documents
+), e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+        / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5
+)
+SELECT CAST((SELECT COUNT(*) FROM e e1
+             JOIN e e2 ON e2.src = e1.dst
+             JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS BIGINT)
+         AS n_triangles,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(DISTINCT d) FROM (
+             SELECT src AS d FROM e UNION SELECT dst FROM e)) AS BIGINT)
+         AS n_nodes
+"""
+
+
+@query("q_llm_dup_triangles", oracle=_TRIANGLES_SQL)
+def q_llm_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-duplicate similarity graph — the
+    clustering-coefficient primitive that tells a dedup pipeline whether
+    components are cliques (true duplicate clusters) or thin chains
+    (lexical drift).  Canonical oriented counting on a<b<c edges: each
+    triangle counted exactly once via two hash joins on node ids — the
+    standard distributed formulation; no driver-side graph object.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(F.split("text", " ")).alias("tok"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    union = F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - inter
+    e = (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(inter.cast("double") / union >= 0.5)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .localCheckpoint(eager=True)  # edge set reused by three plan arms
+    )
+    e1 = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = e.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = e.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = (
+        e1.join(e2, "y").join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = (
+        e.select(F.col("src").alias("d"))
+        .union(e.select(F.col("dst").alias("d")))
+        .agg(F.count_distinct("d").alias("n_nodes"))
+    )
+    return tri.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(nodes))

@@ -1,0 +1,139 @@
+"""Time-series operators over the event stream — gap-filling, histograms,
+anomaly detection.
+
+The reference's downstream consumers (SwarmUI dashboards querying the
+triplestore it feeds [pub:muswarmlogger/loggers/docker.py]) chart event
+rates over time; these are the engine-side primitives those charts need
+beyond plain tumbling windows (streaming/queries.py):
+
+- **gap-fill**: a dashboard needs zero rows for silent hours, which a
+  plain groupBy can never emit — densify against a generated hour spine.
+- **histogram**: fixed-width value bucketing, the distribution primitive.
+- **anomaly**: per-type z-score over hourly rates — "error spike"
+  detection.  Variance comes from INTEGER sums (exact in both engines),
+  so the z-scores are bit-identical cross-engine without decimal casts.
+
+Scale notes: the hour spine is generated from a 1-row global min/max
+aggregate and broadcast (~10⁴ rows per year — trivially small at any
+corpus size); the counts side shuffles once on (type, hour).  Nothing
+here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.registry import query
+from ..core.tables import load
+
+
+@query("q_ts_gapfill", oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+), errs AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT s.hour, CAST(COALESCE(e.n, 0) AS BIGINT) AS n_errors
+FROM spine s LEFT JOIN errs e ON s.hour = e.hour
+""")
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled hourly error counts: the dense hour spine (generated
+    from one global min/max row, exploded, broadcast) left-joins the
+    sparse per-hour counts.  Hours with no errors appear with 0 — the
+    rows a bare groupBy cannot produce."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
+    )
+    errs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        F.broadcast(spine).join(errs, "hour", "left")
+        .select("hour", F.coalesce("n", F.lit(0)).cast("long").alias("n_errors"))
+    )
+
+
+BIN_WIDTH = 25.0
+
+
+@query("q_ts_histogram", oracle=f"""
+SELECT CAST(FLOOR(value / {BIN_WIDTH}) AS BIGINT) AS bin,
+       CAST(FLOOR(value / {BIN_WIDTH}) * {BIN_WIDTH} AS DOUBLE) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS v_min, MAX(value) AS v_max
+FROM events
+GROUP BY 1, 2
+""")
+def q_ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values: one groupBy on the bin id;
+    min/max per bin ride the same single pass.  FLOOR(double / width) is
+    the same IEEE operation in both engines, so bin edges agree exactly."""
+    ev = load(spark, sf_dir, "events")
+    bin_id = F.floor(F.col("value") / BIN_WIDTH).cast("long")
+    return (
+        ev.groupBy(bin_id.alias("bin"),
+                   (bin_id * BIN_WIDTH).cast("double").alias("bin_lo"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("value").alias("v_min"),
+             F.max("value").alias("v_max"))
+    )
+
+
+Z_THRESHOLD = 2.0
+
+
+@query("q_ts_anomaly", oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, hour, n,
+         CAST(SUM(n) OVER w AS DOUBLE) / COUNT(*) OVER w AS mu,
+         CAST(SUM(n * n) OVER w AS DOUBLE) AS sq,
+         CAST(SUM(n) OVER w AS DOUBLE) AS s1,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+       round((n - mu) / sqrt((sq - s1 * s1 / cnt) / (cnt - 1.0)), 6) + 0.0
+         AS z
+FROM stats
+WHERE abs((n - mu) / sqrt((sq - s1 * s1 / cnt) / (cnt - 1.0)))
+      >= {Z_THRESHOLD}
+""")
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: hourly counts per type, z-scored
+    against that type's own distribution, |z| >= 2 flagged.  Mean and
+    variance derive from INTEGER sums (Σn, Σn², exact and order-free in
+    both engines), divided/rooted as doubles — bit-identical without any
+    decimal machinery.  Two shuffles total: (type, hour) then type."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    s1 = F.sum("n").over(w).cast("double")
+    sq = F.sum(F.col("n") * F.col("n")).over(w).cast("double")
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    mu = s1 / cnt
+    z = (F.col("n") - mu) / F.sqrt((sq - s1 * s1 / cnt) / (cnt - F.lit(1.0)))
+    return (
+        hourly.withColumn("z_raw", z)
+        .filter(F.abs(F.col("z_raw")) >= Z_THRESHOLD)
+        .select("event_type", "hour", F.col("n").cast("long").alias("n"),
+                (F.round("z_raw", 6) + 0.0).alias("z"))
+    )
