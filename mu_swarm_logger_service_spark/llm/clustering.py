@@ -299,3 +299,97 @@ def q_llm_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("d").alias("n_nodes"))
     )
     return tri.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(nodes))
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+_PAGERANK_SQL = f"""
+WITH ids AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS uid FROM events
+), edges AS (
+  SELECT 'c' || CAST(uid AS VARCHAR) AS child,
+         'c' || CAST(uid // 2 AS VARCHAR) AS parent
+  FROM ids WHERE uid >= 1
+), nodes AS (
+  SELECT child AS node FROM edges UNION SELECT parent FROM edges
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes
+), r0 AS (
+  SELECT node, 1.0 / n.c AS rank FROM nodes CROSS JOIN n
+), m1 AS (
+  SELECT e.parent AS node,
+         CAST(SUM(CAST(r.rank AS DECIMAL(27,12))) AS DOUBLE) AS m
+  FROM edges e JOIN r0 r ON r.node = e.child GROUP BY e.parent
+), r1 AS (
+  SELECT nd.node, (1.0 - {PR_DAMPING}) / n.c
+                  + {PR_DAMPING} * COALESCE(m1.m, 0.0) AS rank
+  FROM nodes nd CROSS JOIN n LEFT JOIN m1 ON m1.node = nd.node
+), m2 AS (
+  SELECT e.parent AS node,
+         CAST(SUM(CAST(r.rank AS DECIMAL(27,12))) AS DOUBLE) AS m
+  FROM edges e JOIN r1 r ON r.node = e.child GROUP BY e.parent
+), r2 AS (
+  SELECT nd.node, (1.0 - {PR_DAMPING}) / n.c
+                  + {PR_DAMPING} * COALESCE(m2.m, 0.0) AS rank
+  FROM nodes nd CROSS JOIN n LEFT JOIN m2 ON m2.node = nd.node
+), m3 AS (
+  SELECT e.parent AS node,
+         CAST(SUM(CAST(r.rank AS DECIMAL(27,12))) AS DOUBLE) AS m
+  FROM edges e JOIN r2 r ON r.node = e.child GROUP BY e.parent
+), r3 AS (
+  SELECT nd.node, (1.0 - {PR_DAMPING}) / n.c
+                  + {PR_DAMPING} * COALESCE(m3.m, 0.0) AS rank
+  FROM nodes nd CROSS JOIN n LEFT JOIN m3 ON m3.node = nd.node
+)
+SELECT node, round(rank, 9) AS rank FROM r3
+"""
+
+
+@query("q_llm_pagerank", oracle=_PAGERANK_SQL)
+def q_llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the container dependency graph ({PR_ITERS} damped
+    iterations) — the iterative-algorithm template beyond reachability
+    (sources.sparql) and components (q_llm_dedup_groups).
+
+    Every node here has out-degree ≤ 1 (a tree), so the mass a node
+    forwards is its whole rank; per iteration the in-mass aggregation is
+    one shuffle on the parent key, with the per-parent sum carried through
+    an exact DECIMAL so Spark's nondeterministic reduce order can't move
+    the double result.  The iteration count is FIXED, so the DuckDB
+    oracle unrolls the same three steps symbolically — value-exact.
+    Lineage is truncated per round with localCheckpoint, like the BFS
+    frontier loop.
+    """
+    from ..sources.sparql import container_edges
+
+    edges = container_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("child").alias("node"))
+        .union(edges.select(F.col("parent").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.agg(F.count(F.lit(1)).cast("double").alias("c"))
+    r = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("c")).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        mass = (
+            edges.join(r, edges.child == r.node)
+            .groupBy(F.col("parent").alias("node"))
+            .agg(F.sum(F.col("rank").cast("decimal(27,12)")).cast("double")
+                 .alias("m"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(mass, "node", "left")
+            .select(
+                "node",
+                (F.lit(1.0 - PR_DAMPING) / F.col("c")
+                 + F.lit(PR_DAMPING) * F.coalesce("m", F.lit(0.0)))
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select("node", F.round("rank", 9).alias("rank"))

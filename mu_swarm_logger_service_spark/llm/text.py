@@ -405,3 +405,35 @@ def q_llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size(toks) - F.size(keep)).cast("long").alias("n_removed"),
         )
     )
+
+
+# Tokens that look like identifiers/contact info: digit runs (>=4) and
+# long alphanumeric tokens (>=10 chars) — the deterministic stand-ins for
+# phone/SSN/email patterns on this corpus.
+_PII_PATTERN = r"\b([a-z0-9]{10,}|[0-9]{4,})\b"
+
+
+@query("q_llm_pii_redact", oracle=rf"""
+SELECT doc_id,
+       regexp_replace(text, '{_PII_PATTERN}', '[PII]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '{_PII_PATTERN}')) AS BIGINT)
+         AS n_redacted
+FROM documents
+""")
+def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data compliance staple): every token
+    matching the identifier pattern (digit runs, long alphanumerics —
+    where real pipelines put phone/SSN/email regexes) is replaced with a
+    [PII] sentinel, and the per-document match count is kept for audit.
+
+    Pure JVM regex — one projection, no shuffle, trivially partition-
+    parallel at any scale.  DuckDB needs the explicit 'g' flag to match
+    Spark's replace-all semantics (see the verify skill's gotcha list).
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", _PII_PATTERN, "[PII]").alias("redacted"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_PATTERN}', 0)"))
+        .cast("long").alias("n_redacted"),
+    )
