@@ -43,6 +43,13 @@ HEADLINE = [
     "q_llm_cosine_topk",
     "q_llm_tfidf_keywords",
     "q_udf_pandas_scalar",
+    "q_llm_ann_ivf",          # IVF index build + probe (scale-path ANN)
+    "q_llm_dedup_groups",     # iterative connected components
+    "q_llm_pagerank",         # iterative damped PageRank
+    "q_analytics_product_profit",   # Q9-shape multi-join star query
+    "q_analytics_blocking_supplier",  # Q21-shape semi/anti self joins
+    "q_ts_anomaly",           # hourly z-score anomaly detection
+    "q_sparql_path",          # transitive closure (semi-naive BFS)
 ]
 
 

@@ -15,6 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..core.numeric import dsum, dsum_sql
 from ..core.registry import query
 from ..core.tables import load
 
@@ -115,4 +116,49 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact.join(dim, fact.event_date.cast("string") == dim.event_date)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_FMT_SCHEMA = "event_id long, event_type string, value double"
+
+
+@query("q_source_formats", oracle=f"""
+SELECT fmt, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('value')} AS sum_value
+FROM events CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) t(fmt)
+GROUP BY fmt, event_type
+""")
+def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink format breadth beyond parquet: the same event
+    projection round-trips through CSV (schema supplied on read — headers
+    carry no types), JSON lines, and ORC, then re-aggregates per format.
+    Identical counts/sums across all three prove lossless round-trips —
+    Spark's CSV/JSON writers emit shortest-round-trip doubles, so even
+    the float column survives textual serialization bit-exactly.
+
+    At 100 TB: columnar formats (parquet/ORC) for facts — pushdown +
+    pruning; text formats only at the ingestion edge (the reference's
+    world is JSON events [pub:muswarmlogger/main.py]), converted to
+    columnar in the first micro-batch.
+    """
+    base = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    parts = []
+    for fmt in ("csv", "json", "orc"):
+        out = os.path.join(SINK_ROOT, f"events_fmt_{fmt}")
+        writer = base.write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", True).csv(out)
+            back = spark.read.schema(_FMT_SCHEMA).option("header", True).csv(out)
+        elif fmt == "json":
+            writer.json(out)
+            back = spark.read.schema(_FMT_SCHEMA).json(out)
+        else:
+            writer.orc(out)
+            back = spark.read.orc(out)
+        parts.append(back.withColumn("fmt", F.lit(fmt)))
+    allf = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        allf.groupBy("fmt", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
     )
