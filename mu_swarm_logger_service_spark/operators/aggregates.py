@@ -314,3 +314,20 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pn").alias("n"),
              F.sum("psum").cast("double").alias("sum_value"))
     )
+
+
+@query("q_agg_approx_percentile")
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the KLL-style sketch
+    (``approx_percentile``, accuracy=10000) — the second sketch family
+    beside HLL (q_agg_approx_distinct).  At 100 TB the exact
+    ``percentile`` (q_agg_percentile) needs a full sort per group; the
+    sketch is one pass, mergeable, and bounded-memory.  Rows-only for the
+    driver (sketch internals differ across engines); the compensating
+    test asserts each approximate quantile lands within the rank-error
+    bound of the exact value."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -340,3 +340,44 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"),
              dsum(F.col("l_extendedprice")).alias("revenue"))
     )
+
+
+N_SALT = 8
+
+
+@query("q_join_salted", oracle=f"""
+SELECT e.event_type, c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('e.value')} AS sum_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id % 150 + 1
+GROUP BY e.event_type, c.c_mktsegment
+""")
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for skewed keys: the fact side gets a random-but-
+    deterministic salt (xxhash64 of the row id mod N_SALT), the dimension
+    side is exploded N_SALT× — each (key, salt) pair now carries ~1/N of
+    the hot key's rows, so no single reducer owns a hot key.
+
+    The join result is IDENTICAL to the unsalted join (the oracle runs the
+    plain join), which is the point: salting is a physical rewrite, not a
+    semantic one.  AQE's skew-join splitting does this automatically for
+    sort-merge joins; the manual form is for stable plans under extreme
+    single-key skew (the reference's world: one chatty container dominating
+    the log stream) and for pre-Spark-3 engines.
+
+    Cite: SURVEY.md §2.3 row 14 (enrichment join) — this is that join
+    under a hot-key distribution.
+    """
+    ev = load(spark, sf_dir, "events").withColumn(
+        "join_key", F.col("user_id") % 150 + 1
+    ).withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)))
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("join_key"), "c_mktsegment"
+    ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)])))
+    return (
+        ev.join(cust, ["join_key", "salt"])
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum(F.col("value")).alias("sum_value"))
+    )

@@ -99,3 +99,30 @@ def test_knn_pred_label_in_domain(spark, sf_dir):
     assert {r.pred_label for r in preds.collect()} <= labels
     n_queries = load(spark, sf_dir, "embeddings").filter("vec_id % 100 = 0").count()
     assert preds.count() == n_queries
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """The sketch's contract is RANK error, not value error: the returned
+    order statistic's empirical rank must sit within eps + 1/n of the
+    requested quantile in every group (value distance is unbounded in a
+    sparse tail, so that's the wrong thing to assert)."""
+    import __spark_entry__ as entrymod
+
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    Q = entrymod.queries()
+    approx = {
+        r.event_type: (r.pcts, r.n)
+        for r in Q["q_agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    vals: dict[str, list[float]] = {}
+    for r in load(spark, sf_dir, "events").select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    assert approx.keys() == vals.keys()
+    for k, (pcts, n) in approx.items():
+        vs = sorted(vals[k])
+        assert n == len(vs)
+        for q, a in zip([0.5, 0.95, 0.99], pcts):
+            assert a in vals[k], f"{k}: sketch value {a} not a data point"
+            frac = sum(1 for v in vs if v <= a) / n
+            assert abs(frac - q) <= 0.01 + 2.0 / n, (k, q, a, frac)
