@@ -313,3 +313,57 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             parsed.getField("k").alias("k"),
         )).alias("packed"),
     )
+
+
+@query("q_fn_bitwise", oracle="""
+SELECT event_id,
+       event_id & 255 AS lo_byte,
+       event_id | 4096 AS with_flag,
+       xor(event_id, 21845) AS masked,
+       event_id << 3 AS shl,
+       event_id >> 2 AS shr,
+       CAST(bit_count(event_id) AS INT) AS popcount,
+       CAST(~event_id AS BIGINT) AS inverted
+FROM events
+WHERE event_id % 97 = 0
+""")
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family (engine completeness; flag fields and id
+    packing are everywhere in event schemas): AND/OR/XOR, shifts,
+    popcount, complement — all JVM-side expression ops inside one
+    whole-stage-codegen projection."""
+    ev = load(spark, sf_dir, "events").filter(F.expr("event_id % 97 = 0"))
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("lo_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.lit(21845)).alias("masked"),
+        F.shiftleft("event_id", 3).alias("shl"),
+        F.shiftright("event_id", 2).alias("shr"),
+        F.bit_count("event_id").alias("popcount"),
+        F.bitwise_not("event_id").alias("inverted"),
+    )
+
+
+@query("q_fn_format", oracle="""
+SELECT event_id,
+       printf('%s#%06d', event_type, event_id) AS tagged,
+       printf('%.3f', value) AS val3,
+       lpad(CAST(user_id AS VARCHAR), 8, '0') AS uid_padded,
+       repeat('*', CAST(user_id % 5 AS INT)) AS stars
+FROM events
+WHERE event_id % 101 = 0
+""")
+def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting family: printf-style templating (log-line
+    rendering — the inverse of the reference's line parsing), zero-pad,
+    repeat.  format_string maps to Java's Formatter and DuckDB's printf —
+    %.3f rounding agrees because both round the same IEEE double."""
+    ev = load(spark, sf_dir, "events").filter(F.expr("event_id % 101 = 0"))
+    return ev.select(
+        "event_id",
+        F.format_string("%s#%06d", "event_type", "event_id").alias("tagged"),
+        F.format_string("%.3f", "value").alias("val3"),
+        F.lpad(F.col("user_id").cast("string"), 8, "0").alias("uid_padded"),
+        F.repeat(F.lit("*"), (F.col("user_id") % 5).cast("int")).alias("stars"),
+    )

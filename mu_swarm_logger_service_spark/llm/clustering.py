@@ -203,8 +203,12 @@ def q_llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
 
-    lab = docs.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    # Only nodes that touch an edge can ever change label — iterate over
+    # that (much smaller) set and union the untouched singletons at the
+    # end.  On a mostly-unique corpus this shrinks every round's input
+    # from |docs| to |dup candidates|.
+    lab = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
     ).localCheckpoint(eager=True)
     prev_sum = lab.agg(F.sum("label")).collect()[0][0]
     while True:
@@ -228,10 +232,15 @@ def q_llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
 
+    components = docs.select(F.col("doc_id").alias("node")).join(
+        lab, "node", "left"
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("label", F.col("node")).alias("component"),
+    )
     w = Window.partitionBy("component")
     return (
-        lab.select(F.col("node").alias("doc_id"),
-                   F.col("label").alias("component"))
+        components
         .withColumn("group_size", F.count(F.lit(1)).over(w))
         .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
     )
