@@ -437,3 +437,42 @@ def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr(f"regexp_extract_all(text, '{_PII_PATTERN}', 0)"))
         .cast("long").alias("n_redacted"),
     )
+
+
+@query("q_llm_dataset_stats", oracle=r"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT sha256(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g')))
+            AS BIGINT) AS n_unique,
+       round(1.0 - CAST(COUNT(DISTINCT sha256(regexp_replace(lower(trim(text)),
+                                                             '\s+', ' ', 'g')))
+                        AS DOUBLE) / COUNT(*), 6) + 0.0 AS dup_rate,
+       round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+FROM documents
+GROUP BY source
+""")
+def q_llm_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: per-source doc counts, token totals, language
+    spread, exact-dedup uniqueness and duplicate rate, mean length — the
+    one-pass corpus report a training-data pipeline publishes with every
+    snapshot.  Single groupBy; the distinct-hash counts expand to Spark's
+    two-phase distinct aggregate, still one logical pass over the corpus.
+    """
+    from .dedup import normalized_text
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.sha2(normalized_text(), 256)
+    n_unique = F.count_distinct(h)
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        n_unique.alias("n_unique"),
+        (F.round(F.lit(1.0) - n_unique.cast("double") / F.count(F.lit(1)), 6)
+         + 0.0).alias("dup_rate"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4)
+        .alias("avg_chars"),
+    )
