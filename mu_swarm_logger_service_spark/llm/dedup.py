@@ -226,3 +226,45 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc_b"),
                 ham.alias("hamming"))
     )
+
+
+_EVAL_GATE = "doc_id % 50 = 7"  # stand-in for the benchmark/eval corpus
+
+
+@query("q_llm_decontaminate", oracle=rf"""
+WITH hashed AS (
+  SELECT doc_id, source,
+         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM documents
+), eval_h AS (
+  SELECT DISTINCT h FROM hashed WHERE {_EVAL_GATE}
+)
+SELECT t.doc_id, t.source,
+       EXISTS (SELECT 1 FROM eval_h e WHERE e.h = t.h) AS is_contaminated
+FROM hashed t
+WHERE NOT ({_EVAL_GATE})
+""")
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document whose
+    normalized content hash collides with the eval corpus (an id-gated
+    stand-in here; in production, the benchmark suite's fingerprint
+    table).  The eval hash set is tiny relative to the corpus and
+    BROADCAST, so the contamination check is a map-side hash probe over
+    one training-corpus scan — no shuffle of the 100 TB side.  Flagging
+    (not dropping) keeps the audit trail; the clean view is one filter
+    away.
+    """
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", "source", F.sha2(normalized_text(), 256).alias("h")
+    )
+    eval_h = (
+        hashed.filter(F.expr(_EVAL_GATE)).select("h").distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        hashed.filter(~F.expr(_EVAL_GATE))
+        .join(F.broadcast(eval_h), "h", "left")
+        .select("doc_id", "source",
+                F.coalesce("hit", F.lit(False)).alias("is_contaminated"))
+    )

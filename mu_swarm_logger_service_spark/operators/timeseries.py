@@ -137,3 +137,32 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "hour", F.col("n").cast("long").alias("n"),
                 (F.round("z_raw", 6) + 0.0).alias("z"))
     )
+
+
+@query("q_ts_transitions", oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ordered
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""")
+def q_ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (Markov user-journey counts): per-user
+    event sequence via one window (unique (ts, event_id) tiebreak, so the
+    lag is shuffle-order-proof), then a global (prev, next) count.  Two
+    shuffles: user_id for the sequence, the tiny transition key for the
+    count — the funnel/journey primitive dashboards build on."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
