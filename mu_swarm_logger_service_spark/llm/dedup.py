@@ -268,3 +268,47 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source",
                 F.coalesce("hit", F.lit(False)).alias("is_contaminated"))
     )
+
+
+@query("q_llm_containment", oracle="""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(string_split(text, ' ')) AS tok
+  FROM documents
+)
+SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+       round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+             / len(a.tok), 6) AS containment
+FROM t a JOIN t b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id != b.doc_id
+WHERE len(a.tok) <= len(b.tok)
+  AND NOT (len(a.tok) = len(b.tok) AND a.doc_id > b.doc_id)
+  AND CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / len(a.tok) >= 0.9
+""")
+def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment similarity |A∩B| / |A| (the asymmetric near-dup
+    measure): catches a document whose token set is swallowed by a larger
+    one — quotes, excerpts, supersets — which symmetric Jaccard dilutes
+    below threshold.  Same (lang, source) blocking as the Jaccard
+    baseline; the smaller-side convention (|A| <= |B|, id tiebreak on
+    equal size) emits each pair once with a deterministic orientation."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(F.split("text", " ")).alias("tok"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    sa, sb = F.size(F.col("a.tok")), F.size(F.col("b.tok"))
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    cont = inter.cast("double") / sa
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .where((sa <= sb)
+               & ~((sa == sb) & (F.col("a.doc_id") > F.col("b.doc_id")))
+               & (cont >= 0.9))
+        .select(F.col("a.doc_id").alias("doc_small"),
+                F.col("b.doc_id").alias("doc_big"),
+                F.round(cont, 6).alias("containment"))
+    )
