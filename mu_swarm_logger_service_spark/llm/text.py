@@ -476,3 +476,45 @@ def q_llm_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4)
         .alias("avg_chars"),
     )
+
+
+@query("q_llm_ngram_stats", oracle="""
+WITH grams AS (
+  SELECT lang,
+         unnest(list_transform(range(1, len(string_split(text, ' '))),
+                               i -> string_split(text, ' ')[i] || ' ' ||
+                                    string_split(text, ' ')[i + 1])) AS bigram
+  FROM documents
+), counts AS (
+  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
+  FROM grams GROUP BY lang, bigram
+)
+SELECT lang, bigram, n
+FROM counts
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) <= 10
+""")
+def q_llm_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram statistics: top-10 token bigrams per language — the n-gram
+    LM / collocation primitive underlying the shingling that MinHash
+    consumes.  Bigrams materialize as one JVM higher-order transform over
+    the token array (no self-join of adjacent tokens), then one explode +
+    groupBy + WindowGroupLimit rank; counts shuffle once on
+    (lang, bigram)."""
+    docs = load(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.concat(F.element_at(arr, i), F.lit(" "),
+                           F.element_at(arr, i + 1)),
+    )
+    counts = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "bigram", "n")
+    )
