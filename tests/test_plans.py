@@ -124,3 +124,23 @@ def test_ivf_assignment_partial_aggregates(spark, sf_dir):
     assert "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p
     assert p.count("HashAggregate") >= 2 or p.count("SortAggregate") >= 2
     assert "CartesianProduct" not in p
+
+
+def test_decontaminate_broadcasts_eval_hashes(spark, sf_dir):
+    """The eval fingerprint set must broadcast — the training-corpus side
+    (the 100 TB side) never shuffles for the contamination probe."""
+    p = _plan(spark, sf_dir, "q_llm_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ngram_topk_gets_window_group_limit(spark, sf_dir):
+    """Per-language top-10 bigrams must rank-limit map-side, not sort
+    whole per-language count lists through the window."""
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "q_llm_ngram_stats")
+
+
+def test_gapfill_spine_broadcasts(spark, sf_dir):
+    """The generated hour spine joins the sparse counts by broadcast —
+    at 100 TB the spine stays ~10^4 rows/year while counts grow."""
+    assert "Broadcast" in _plan(spark, sf_dir, "q_ts_gapfill")
