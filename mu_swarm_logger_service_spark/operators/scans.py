@@ -143,9 +143,10 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     columnar in the first micro-batch.
     """
     base = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    tag = sf_dir.strip("/").replace("/", "_")
     parts = []
     for fmt in ("csv", "json", "orc"):
-        out = os.path.join(SINK_ROOT, f"events_fmt_{fmt}")
+        out = os.path.join(SINK_ROOT, f"events_fmt_{tag}_{fmt}")
         writer = base.write.mode("overwrite")
         if fmt == "csv":
             writer.option("header", True).csv(out)
