@@ -166,3 +166,57 @@ def q_ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+FUNNEL_WINDOW_S = 3600
+
+
+@query("q_ts_funnel", oracle=f"""
+WITH s AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), converted AS (
+  SELECT DISTINCT s.user_id
+  FROM s JOIN p ON p.user_id = s.user_id
+              AND p.ts >= s.ts
+              AND epoch(p.ts) - epoch(s.ts) <= {FUNNEL_WINDOW_S}
+)
+SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM s) AS BIGINT) AS n_signup_users,
+       CAST((SELECT COUNT(*) FROM converted) AS BIGINT) AS n_converted,
+       round(CAST((SELECT COUNT(*) FROM converted) AS DOUBLE)
+             / (SELECT COUNT(DISTINCT user_id) FROM s), 6) AS conversion_rate
+""")
+def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: users who purchase within an hour of signing up,
+    as a fraction of all signup users — the sequential-pattern metric
+    behind every onboarding dashboard.  The signup→purchase match is a
+    range join WITH an equi anchor (user_id), so it hash-partitions on
+    the user and evaluates the time band as a residual — never a
+    time-cross-product."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        s.join(p, (s.user_id == p.p_user)
+               & (F.col("p_ts") >= F.col("s_ts"))
+               & (F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts")
+                  <= FUNNEL_WINDOW_S))
+        .select("user_id").distinct()
+        .agg(F.count(F.lit(1)).alias("n_converted"))
+    )
+    signups = s.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_signup_users")
+    )
+    return (
+        signups.crossJoin(F.broadcast(converted))
+        .select(
+            "n_signup_users", "n_converted",
+            F.round(F.col("n_converted").cast("double")
+                    / F.col("n_signup_users"), 6).alias("conversion_rate"),
+        )
+    )

@@ -168,3 +168,36 @@ def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("user_id", "event_id", "ts", "event_type")
     )
+
+
+@query("q_win_time_range", oracle=f"""
+SELECT event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+         AS sum_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""")
+def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: per user, the count/sum of activity in
+    the trailing hour of EVENT time (not row count) — the moving-window
+    rate every log dashboard draws.  The frame is anchored on WHOLE epoch
+    seconds on both sides — Spark's unix_timestamp truncates while
+    DuckDB's epoch() keeps fractional seconds, and at sf0.1 event density
+    (sub-second spacing) that skew flips frame membership; floor()ing the
+    oracle's anchor restores identical frames.  Rows with equal anchors
+    share a frame (RANGE semantics).  Decimal-cast sum keeps the frame
+    aggregate shuffle-order-proof."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
+        .alias("sum_last_hour"),
+    )
