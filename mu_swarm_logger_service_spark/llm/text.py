@@ -518,3 +518,38 @@ def q_llm_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("lang", "bigram", "n")
     )
+
+
+@query("q_llm_split", oracle="""
+WITH gated AS (
+  SELECT source, lang,
+         ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 1)) % 10
+           AS g
+  FROM documents
+)
+SELECT source, lang,
+       CASE WHEN g < 8 THEN 'train' WHEN g = 8 THEN 'val' ELSE 'test' END
+         AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM gated
+GROUP BY source, lang, 3
+""")
+def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split, stratified by
+    (source, lang): membership is a content-addressed md5 gate on the doc
+    id — stable across runs, engines, partitionings, and re-ingests, the
+    property a holdout split must have (rand()-based splits leak).  One
+    projection + one groupBy for the audit counts; the split column
+    itself costs nothing at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    g = F.ascii(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|split"))), 1, 1
+    )) % 10
+    split = (
+        F.when(g < 8, "train").when(g == 8, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", "lang", split.alias("split"))
+        .groupBy("source", "lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
