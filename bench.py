@@ -49,6 +49,8 @@ HEADLINE = [
     "q_analytics_product_profit",   # Q9-shape multi-join star query
     "q_analytics_blocking_supplier",  # Q21-shape semi/anti self joins
     "q_ts_anomaly",           # hourly z-score anomaly detection
+    "q_ts_retention",         # cohort retention (windowed, single-shuffle)
+    "q_analytics_min_cost_supplier",  # Q2-shape min-per-part rank
     "q_sparql_path",          # transitive closure (semi-naive BFS)
 ]
 

@@ -11,7 +11,7 @@ all in single Catalyst plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.numeric import davg, davg_sql, dsum, dsum_sql
@@ -745,4 +745,128 @@ def q_analytics_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
+    )
+
+
+@query("q_analytics_min_cost_supplier", oracle=f"""
+WITH eur AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+), cost AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')}
+               / SUM(l.l_quantity) AS unit_cost
+  FROM lineitem l
+  GROUP BY l.l_partkey, l.l_suppkey
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand, c.unit_cost
+FROM cost c
+JOIN part p ON p.p_partkey = c.l_partkey
+JOIN eur e ON e.s_suppkey = c.l_suppkey
+WHERE p.p_type = 'LARGE' AND p.p_size <= 15
+QUALIFY row_number() OVER (PARTITION BY c.l_partkey
+                           ORDER BY c.unit_cost, c.l_suppkey) = 1
+""")
+def q_analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape: for each small LARGE-type part, the EUROPE supplier
+    offering the minimum effective unit cost (no partsupp in the testdata,
+    so cost = discounted revenue / quantity over that (part, supplier)'s
+    lineitems — the same correlated-MIN-per-part structure).  The min is a
+    per-part window rank with a suppkey tiebreak, not a self-join; part
+    and supplier dims broadcast, and the fact side is pre-partitioned on
+    partkey alone so the (partkey, suppkey) aggregate and the per-part
+    min-rank window share one exchange — one fact shuffle total.  Unit cost is NOT rounded: the
+    numerator is an exact decimal sum, the denominator an exact
+    integral-double sum, so the single IEEE division yields identical
+    bits in both engines — while round() itself diverges by one ulp on
+    boundary values (seen at sf0.1).  Ranking on the raw quotient is
+    therefore deterministic; suppkey breaks genuine ties."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 15)
+    )
+    cost = (
+        load(spark, sf_dir, "lineitem")
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((dsum(_revenue()) / F.sum("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    return (
+        cost.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                "unit_cost")
+    )
+
+
+@query("q_analytics_dominant_supplier", oracle="""
+WITH qty AS (
+  SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS q,
+         SUM(SUM(l.l_quantity)) OVER (PARTITION BY l.l_partkey) AS tot
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'PROMO'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+  GROUP BY l.l_partkey, l.l_suppkey
+)
+SELECT s.s_name, n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_parts_dominated
+FROM qty
+JOIN supplier s ON s.s_suppkey = qty.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE qty.q > 0.5 * qty.tot AND r.r_name = 'ASIA'
+GROUP BY s.s_name, n.n_name
+""")
+def q_analytics_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 shape: ASIA suppliers who shipped more than half of a
+    PROMO part's total January-1996 volume (the testdata has no partsupp
+    availqty, so "excess stock" becomes volume dominance — the same
+    correlated supplier-share-vs-part-total comparison Q20 decorrelates).
+    The fact side is pre-partitioned on
+    partkey alone so the (part, supplier) aggregate AND the per-part
+    window total both reuse that single exchange (partkey partitioning
+    satisfies the clustered distribution of both operators) — one fact
+    shuffle total, verified by plan invariant.  Quantities are integral doubles, so both the
+    share and the strict > threshold are exact in both engines."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    qty = (
+        li.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .withColumn("tot",
+                    F.sum("q").over(Window.partitionBy("l_partkey")))
+        .filter(F.col("q") > 0.5 * F.col("tot"))
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        qty.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
     )

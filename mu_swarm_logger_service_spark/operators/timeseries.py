@@ -220,3 +220,108 @@ def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("n_signup_users"), 6).alias("conversion_rate"),
         )
     )
+
+
+RETENTION_DAYS = 7
+
+
+@query("q_ts_retention", oracle=f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), offsets AS (
+  SELECT MIN(day) OVER (PARTITION BY user_id) AS cohort_day,
+         date_diff('day', MIN(day) OVER (PARTITION BY user_id), day)
+           AS day_offset
+  FROM activity
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM offsets
+WHERE day_offset BETWEEN 0 AND {RETENTION_DAYS}
+GROUP BY cohort_day, day_offset
+""")
+def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each of the next {0..7} days they return — the engagement grid
+    behind every product dashboard.  The cohort day is a per-user MIN
+    *window* over the distinct (user, day) activity set, not a self-join:
+    the event stream is pre-partitioned on user_id once and the distinct,
+    the window, and nothing else touch it — one fact scan, one fact
+    shuffle (a join formulation scans the facts twice and, at real user
+    counts, would try to broadcast a billions-of-rows cohort table).
+    COUNT(*) equals COUNT(DISTINCT user_id) here because each user
+    contributes exactly one row per (cohort, offset) after the distinct.
+    Pure integer/date arithmetic — exact in both engines; cohort_day is
+    emitted as a string per the determinism rules."""
+    ev = load(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).repartition("user_id").distinct()
+    w = Window.partitionBy("user_id")
+    return (
+        activity.withColumn("cohort_day", F.min("day").over(w))
+        .withColumn("day_offset",
+                    F.datediff(F.col("day"), F.col("cohort_day")).cast("long"))
+        .filter(F.col("day_offset").between(0, RETENTION_DAYS))
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+EWMA_SPAN = 11  # trailing hours beyond the current one
+
+
+@query("q_ts_ewma", oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), expanded AS (
+  SELECT t.event_type, t.hour, s.n, power(0.5, j.j) AS w
+  FROM hourly t
+  CROSS JOIN (SELECT unnest(generate_series(0, {EWMA_SPAN})) AS j) j
+  JOIN hourly s ON s.event_type = t.event_type
+                AND CAST(epoch(s.hour) AS BIGINT)
+                    = CAST(epoch(t.hour) AS BIGINT) - j.j * 3600
+)
+SELECT event_type, hour, SUM(n * w) / SUM(w) AS ewma
+FROM expanded
+GROUP BY event_type, hour
+""")
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted trailing average of hourly event rates
+    (half-life = 1 hour over a 12-hour window) — the smoothed rate curve
+    dashboards overlay on raw counts.  Weights are powers of 0.5, so
+    every term n*2^-j is an exact binary fraction and the weighted sums
+    are order-independent and the final division is one IEEE op on exact
+    operands — bit-identical cross-engine with no decimal machinery and
+    no round() (whose boundary behavior differs between engines).  The expansion joins the hourly aggregate to itself on
+    (type, epoch-offset): 12x fan-out of the *aggregated* rows (tiny at
+    any corpus scale), never of the raw events; one shuffle for the
+    hourly rollup, one equi-join shuffle on the offset key."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    targets = hourly.select(
+        "event_type", "hour",
+        F.unix_timestamp("hour").alias("t_epoch"),
+    ).withColumn("j", F.explode(F.expr(f"sequence(0, {EWMA_SPAN})")))
+    sources = hourly.select(
+        F.col("event_type").alias("s_type"),
+        F.unix_timestamp("hour").alias("s_epoch"),
+        "n",
+    )
+    return (
+        targets.join(
+            sources,
+            (F.col("event_type") == F.col("s_type"))
+            & (F.col("s_epoch") == F.col("t_epoch") - F.col("j") * 3600),
+        )
+        .withColumn("w", F.pow(F.lit(0.5), F.col("j")))
+        .groupBy("event_type", "hour")
+        .agg((F.sum(F.col("n") * F.col("w")) / F.sum("w")).alias("ewma"))
+    )

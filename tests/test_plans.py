@@ -144,3 +144,30 @@ def test_gapfill_spine_broadcasts(spark, sf_dir):
     """The generated hour spine joins the sparse counts by broadcast —
     at 100 TB the spine stays ~10^4 rows/year while counts grow."""
     assert "Broadcast" in _plan(spark, sf_dir, "q_ts_gapfill")
+
+
+def test_min_cost_supplier_single_fact_shuffle(spark, sf_dir):
+    """TPC-H-Q2 analog: dims broadcast; the partkey pre-partitioning is
+    reused by both the (partkey, suppkey) aggregate and the per-part
+    min-rank window — exactly one non-broadcast exchange."""
+    p = _plan(spark, sf_dir, "q_analytics_min_cost_supplier")
+    assert len(re.findall(r"\+- Exchange ", p)) == 1
+    assert len(re.findall(r"BroadcastExchange \(", p)) >= 2
+
+
+def test_dominant_supplier_agg_and_window_share_shuffle(spark, sf_dir):
+    """TPC-H-Q20 analog: the (partkey, suppkey) aggregate and the
+    per-part total window share the partkey exchange; the only other
+    exchange is the tiny final supplier count."""
+    p = _plan(spark, sf_dir, "q_analytics_dominant_supplier")
+    assert len(re.findall(r"\+- Exchange ", p)) == 2
+
+
+def test_retention_is_windowed_not_self_joined(spark, sf_dir):
+    """Cohort retention must not self-join the fact (a join formulation
+    scans events twice and broadcasts a per-user table that is huge at
+    real scale): one scan, no joins, user_id exchange + final count."""
+    p = _plan(spark, sf_dir, "q_ts_retention")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    assert len(re.findall(r"\+- Exchange ", p)) == 2
