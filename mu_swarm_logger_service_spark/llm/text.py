@@ -553,3 +553,57 @@ def q_llm_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+REPETITION_THRESHOLD = 0.2  # duplicate-trigram fraction that flags a doc
+
+
+@query("q_llm_repetition", oracle=f"""
+WITH tri AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                        i -> array_to_string(string_split(text, ' ')[i:i+2],
+                                             ' ')) AS trigrams
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+)
+SELECT doc_id,
+       CAST(len(trigrams) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct(trigrams)) AS BIGINT) AS n_distinct,
+       1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams)
+         AS dup_ratio,
+       1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE) / len(trigrams)
+         > {REPETITION_THRESHOLD} AS is_repetitious
+FROM tri
+""")
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring (the Gopher repeated-n-gram
+    quality signal): the fraction of a document's word trigrams that are
+    duplicates of an earlier trigram in the same document.  Entirely
+    narrow — the trigram list is built with JVM higher-order transform/
+    slice over the token array and reduced with array_distinct per row,
+    so the operator has ZERO shuffles at any corpus size (contrast the
+    explode-and-groupBy formulation, which shuffles every trigram).
+    The ratio divides two exact integers as one IEEE expression, so the
+    raw double matches the oracle bit-for-bit without round(); docs
+    shorter than one trigram are excluded on both sides (Spark's
+    sequence(1, n) would count DOWN for n < 1)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tri = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+    d = F.size(F.array_distinct(tri)).cast("double")
+    t = F.size(tri)
+    ratio = F.lit(1.0) - d / t
+    return (
+        docs.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.size(tri).cast("long").alias("n_trigrams"),
+            F.size(F.array_distinct(tri)).cast("long").alias("n_distinct"),
+            ratio.alias("dup_ratio"),
+            (ratio > REPETITION_THRESHOLD).alias("is_repetitious"),
+        )
+    )

@@ -213,3 +213,49 @@ def q_triples_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.count("v").alias("n_with_error_value"))
     )
+
+
+@query("q_sparql_delete_where", oracle=f"""
+WITH t AS (
+  SELECT 'http://swarmui.semte.ch/resources/events/'
+           || sha256(CAST(event_id AS VARCHAR)) AS s,
+         event_type, user_id, ts
+  FROM events
+), triples AS (
+  SELECT s, '{RDF_TYPE}' AS p, '{SWARMUI}Event' AS o FROM t
+  UNION ALL
+  SELECT s, '{SWARMUI}eventType', event_type FROM t
+  UNION ALL
+  SELECT s, '{SWARMUI}container', 'c' || CAST(user_id AS VARCHAR) FROM t
+  UNION ALL
+  SELECT s, '{DCT}created', strftime(ts, '%Y-%m-%dT%H:%M:%SZ') FROM t
+), doomed AS (
+  SELECT DISTINCT s FROM triples
+  WHERE p = '{SWARMUI}eventType' AND o = 'view'
+), retained AS (
+  SELECT * FROM triples WHERE s NOT IN (SELECT s FROM doomed)
+)
+SELECT p, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_subjects
+FROM retained GROUP BY p
+""")
+def q_sparql_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Update ``DELETE WHERE { ?s swarmui:eventType "view" .
+    ?s ?p ?o }`` — the retention-policy purge the reference's triplestore
+    would run to drop noisy view events and every triple about them
+    [spec:SPARQL 1.1 Update §3.1.3].  In algebra: evaluate the pattern to
+    a subject binding set, then store MINUS bound triples — engine-side a
+    filtered scan for the doomed subjects and one anti join on subject
+    over the narrow store (on the predicate-partitioned layout the
+    pattern scan prunes to one predicate directory).  Returns the
+    per-predicate audit of the RETAINED store, proving the delete took
+    all four triples of each doomed event and nothing else."""
+    triples = events_to_triples(load(spark, sf_dir, "events"))
+    doomed = triples.filter(
+        (F.col("p") == SWARMUI + "eventType") & (F.col("o") == "view")
+    ).select("s").distinct()
+    retained = triples.join(doomed, "s", "anti")
+    return retained.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("s").alias("n_subjects"),
+    )
