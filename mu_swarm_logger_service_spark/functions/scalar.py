@@ -367,3 +367,34 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("user_id").cast("string"), 8, "0").alias("uid_padded"),
         F.repeat(F.lit("*"), (F.col("user_id") % 5).cast("int")).alias("stars"),
     )
+
+
+@query("q_fn_try", oracle="""
+SELECT doc_id,
+       TRY_CAST(lang AS BIGINT) AS lang_as_int,
+       TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS n_chars_rt,
+       CAST(n_chars AS DOUBLE) / NULLIF(n_chars - n_chars, 0) AS div_zero,
+       string_split(text, ' ')[9999] AS token_oob,
+       string_split(text, ' ')[1] AS token_first
+FROM documents
+WHERE doc_id % 7 = 0
+""")
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive error-handling family — SPARQL evaluation errors become
+    unbound variables, never query failures [spec:SPARQL 1.1 §17.2], which
+    is also why the session runs ANSI-off: try_cast on a non-numeric
+    string -> NULL, a string round-trip cast -> the value, try_divide by
+    zero -> NULL (DuckDB mirror: NULLIF denominator), try_element_at past
+    the end of an array -> NULL (DuckDB lists do this natively).  All
+    row-local, codegen'd, shuffle-free."""
+    docs = load(spark, sf_dir, "documents").filter(F.expr("doc_id % 7 = 0"))
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.col("lang").try_cast("bigint").alias("lang_as_int"),
+        F.col("n_chars").cast("string").try_cast("bigint").alias("n_chars_rt"),
+        F.try_divide(F.col("n_chars").cast("double"),
+                     F.col("n_chars") - F.col("n_chars")).alias("div_zero"),
+        F.try_element_at(toks, F.lit(9999)).alias("token_oob"),
+        F.try_element_at(toks, F.lit(1)).alias("token_first"),
+    )
