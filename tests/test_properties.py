@@ -126,3 +126,68 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
             assert a in vals[k], f"{k}: sketch value {a} not a data point"
             frac = sum(1 for v in vs if v <= a) / n
             assert abs(frac - q) <= 0.01 + 2.0 / n, (k, q, a, frac)
+
+
+def test_retention_day0_is_cohort_size(spark, sf_dir):
+    """Every cohort member is active on their first day, so the offset-0
+    count is the cohort's maximum across all offsets."""
+    rows = QUERIES["q_ts_retention"](spark, sf_dir).collect()
+    day0 = {r.cohort_day: r.n_users for r in rows if r.day_offset == 0}
+    for r in rows:
+        assert r.n_users <= day0[r.cohort_day], (r.cohort_day, r.day_offset)
+
+
+def test_ewma_bounded_by_hourly_extremes(spark, sf_dir):
+    """A weighted average of trailing hourly counts can never leave the
+    [min, max] envelope of that type's hourly counts."""
+    ev = load(spark, sf_dir, "events")
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in ev.groupBy("event_type", F.date_trunc("hour", "ts"))
+        .count()
+        .groupBy("event_type")
+        .agg(F.min("count").alias("lo"), F.max("count").alias("hi"))
+        .collect()
+    }
+    for r in QUERIES["q_ts_ewma"](spark, sf_dir).collect():
+        lo, hi = bounds[r.event_type]
+        assert lo <= r.ewma <= hi, (r.event_type, r.hour, r.ewma)
+
+
+def test_repetition_ratio_in_unit_interval(spark, sf_dir):
+    for r in QUERIES["q_llm_repetition"](spark, sf_dir).collect():
+        assert 0 < r.n_distinct <= r.n_trigrams
+        assert 0.0 <= r.dup_ratio < 1.0
+        assert r.is_repetitious == (r.dup_ratio > 0.2)
+
+
+def test_min_cost_supplier_one_row_per_part(spark, sf_dir):
+    df = QUERIES["q_analytics_min_cost_supplier"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == len({r.p_partkey for r in rows})
+    assert all(r.unit_cost > 0 for r in rows)
+
+
+def test_dominant_supplier_at_most_one_per_part(spark, sf_dir):
+    """Strict >50% dominance admits at most one supplier per part, so the
+    dominated-part counts can never exceed the number of PROMO parts."""
+    n_promo = (
+        load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").count()
+    )
+    rows = QUERIES["q_analytics_dominant_supplier"](spark, sf_dir).collect()
+    assert sum(r.n_parts_dominated for r in rows) <= n_promo
+    assert all(r.n_parts_dominated >= 1 for r in rows)
+
+
+def test_delete_where_removes_all_view_triples(spark, sf_dir):
+    """After DELETE WHERE on view-typed subjects, every predicate keeps
+    the same subject count (subjects die whole, all four triples)."""
+    rows = QUERIES["q_sparql_delete_where"](spark, sf_dir).collect()
+    subj_counts = {r.n_subjects for r in rows}
+    assert len(subj_counts) == 1  # all predicates agree on survivors
+    n_events = load(spark, sf_dir, "events").count()
+    n_views = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view").count()
+    )
+    assert subj_counts.pop() == n_events - n_views
