@@ -67,3 +67,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """SQL entry point (SURVEY.md §3.2 entry point B): expose every table
+    as a temp view so raw ``spark.sql(...)`` strings — the ANTLR parser
+    path — run against the same loaders (and the same ns→µs events
+    normalization) as the DataFrame API.  Idempotent; views are session-
+    scoped, so concurrent sessions on different sf_dirs don't collide."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

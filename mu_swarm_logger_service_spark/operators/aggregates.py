@@ -331,3 +331,36 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query("q_agg_boolean", oracle="""
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+         AS n_errors,
+       bool_or(event_type = 'purchase') AS ever_purchased,
+       bool_and(value >= 0.0) AS all_nonneg,
+       CAST(COUNT(*) FILTER (WHERE value > 90.0) AS BIGINT) AS n_high
+FROM events
+GROUP BY user_id
+HAVING bool_or(event_type = 'purchase')
+""")
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/filtered aggregate family (SPARQL EXISTS-style per-group
+    predicates): count_if (= COUNT FILTER), bool_or/bool_and (= SQL
+    ANY/EVERY) — per-user error counts and purchase flags, keeping only
+    users who ever purchased.  All four fold into ONE hash aggregate
+    pass (no join against a filtered subquery, which is how the naive
+    SQL states it); booleans partial-aggregate map-side like any other
+    agg."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count_if(F.col("event_type") == "error").alias("n_errors"),
+            F.bool_or(F.col("event_type") == "purchase")
+            .alias("ever_purchased"),
+            F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+            F.count_if(F.col("value") > 90.0).alias("n_high"),
+        )
+        .filter(F.col("ever_purchased"))
+    )

@@ -163,3 +163,42 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         allf.groupBy("fmt", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
     )
+
+
+@query("q_sql_surface", oracle=f"""
+SELECT r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY r.r_name
+""")
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's second entry point: the SAME query text a DuckDB user
+    would write, executed via ``spark.sql`` over registered views
+    (core.tables.register_views) — SQL string → ANTLR parse → the
+    identical Catalyst analyzer/optimizer/execution path as the
+    DataFrame API (SURVEY.md §3.2 entry point B).  Star-schema revenue
+    per region: Catalyst broadcasts the four dims and pushes the
+    shipdate filter to the fact scan with no DataFrame-side hints —
+    the declarative-plan story in one query."""
+    from ..core.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT r.r_name,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                             AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY r.r_name
+    """)
