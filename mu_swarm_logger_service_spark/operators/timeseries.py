@@ -325,3 +325,69 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour")
         .agg((F.sum(F.col("n") * F.col("w")) / F.sum("w")).alias("ewma"))
     )
+
+
+@query("q_ts_changepoint", oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, hour,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY hour
+                      ROWS UNBOUNDED PRECEDING) AS s,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS k,
+         SUM(n) OVER (PARTITION BY event_type) AS t,
+         COUNT(*) OVER (PARTITION BY event_type) AS c
+  FROM hourly
+), cs AS (
+  SELECT event_type, hour,
+         CAST(s AS DOUBLE) - CAST(k * t AS DOUBLE) / CAST(c AS DOUBLE)
+           AS cusum
+  FROM stats
+)
+SELECT event_type, hour AS cp_hour, cusum
+FROM cs
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY abs(cusum) DESC, hour) = 1
+""")
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection: per event type, the hour where the
+    cumulative deviation from the type's mean hourly rate peaks — the
+    classic single-changepoint estimator for "when did the rate shift".
+
+    Determinism needs care: a naive running SUM of double deviations
+    diverges in the last ulp because DuckDB evaluates window sums with a
+    segment tree (tree-shaped addition order) while Spark accumulates
+    row-by-row.  The algebraic rewrite cusum_k = S_k - k*T/C keeps every
+    window aggregate on exact INTEGERS (prefix sum S_k, rank k, totals
+    T, C — any association order is exact) and converts to double only
+    in the final two IEEE ops, which both engines evaluate identically.
+    Two shuffles: (type, hour) rollup, then type for the windows."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("hour")
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cs = (
+        hourly
+        .withColumn("s", F.sum("n").over(wc))
+        .withColumn("k", F.row_number().over(wo))
+        .withColumn("t", F.sum("n").over(wp))
+        .withColumn("c", F.count(F.lit(1)).over(wp))
+        .withColumn(
+            "cusum",
+            F.col("s").cast("double")
+            - (F.col("k") * F.col("t")).cast("double")
+            / F.col("c").cast("double"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs("cusum").desc(), "hour"
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("hour").alias("cp_hour"), "cusum")
+    )

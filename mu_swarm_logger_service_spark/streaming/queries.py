@@ -221,3 +221,88 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
     return out
+
+
+@query("q_stream_rollup", oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date,
+       date_trunc('hour', ts) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2, 3
+""")
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous hourly rollup — the incrementally-maintained aggregate
+    ("hypertable rollup" / materialized dashboard view) the reference's
+    consumers would poll the triplestore for.  A real two-micro-batch
+    stream upserts per-batch partial counts into a store partitioned by
+    event_date, using DYNAMIC partition overwrite: each batch rewrites
+    only the day-partitions it touches.  Exactly-once comes from batch
+    provenance, not retries-don't-happen: partials carry their batch_id,
+    and an upsert replaces any prior rows of the SAME batch_id before
+    merging — re-running a failed batch converges to the same store.
+    The final read-back re-aggregates across batch partials; the oracle
+    is the plain batch hourly count, so the whole incremental path is
+    value-exact.  At 100 TB the store stays one row per
+    (day, hour, type, batch) and each trigger touches only the days in
+    that batch — never a full-store rewrite."""
+    run = uuid.uuid4().hex[:8]
+    src = tempfile.mkdtemp(prefix=f"spark_graft_rollup_src_{run}_")
+    store = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_rollup_store_{run}")
+    ckpt = tempfile.mkdtemp(prefix=f"spark_graft_rollup_ckpt_{run}_")
+
+    # Stage the source as TWO files so the rollup genuinely increments
+    # across micro-batches (maxFilesPerTrigger=1 → two triggers).
+    ev = load(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(
+        os.path.join(src, "half=0"))
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(
+        os.path.join(src, "half=1"))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    schema = ev.schema
+
+    def upsert(bdf: DataFrame, batch_id: int) -> None:
+        part = (
+            bdf.groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                .alias("event_date"),
+                F.date_trunc("hour", "ts").alias("hour"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        try:
+            existing = spark.read.parquet(store)
+            days = [r.event_date for r in
+                    part.select("event_date").distinct().collect()]
+            keep = existing.filter(
+                F.col("event_date").isin(days)
+                & (F.col("batch_id") != batch_id)
+            )
+            merged = keep.unionByName(part)
+        except Exception:  # first batch: store doesn't exist yet
+            merged = part
+        (merged.repartition("event_date")
+         .write.mode("overwrite").partitionBy("event_date").parquet(store))
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "half=*"))
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.read.parquet(store)
+        .groupBy("event_date", "hour", "event_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    for d in (src, store, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
