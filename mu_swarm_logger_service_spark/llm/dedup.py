@@ -312,3 +312,51 @@ def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b.doc_id").alias("doc_big"),
                 F.round(cont, 6).alias("containment"))
     )
+
+
+@query("q_llm_dedup_keep_best", oracle=r"""
+WITH t AS (
+  SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+         doc_id, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), g AS (
+  SELECT h, COUNT(*) AS n_copies FROM t GROUP BY h
+)
+SELECT t.h AS content_hash, t.doc_id AS keeper_doc_id,
+       CAST(t.n_tokens AS BIGINT) AS keeper_n_tokens,
+       CAST(g.n_copies AS BIGINT) AS n_copies
+FROM t JOIN g USING (h)
+QUALIFY row_number() OVER (PARTITION BY t.h
+                           ORDER BY t.n_tokens DESC, t.doc_id) = 1
+""")
+def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper policy: within each exact-duplicate
+    group keep the RICHEST document (most tokens, doc_id tiebreak), not
+    blindly the lowest id — what real corpus pipelines do when near-copies
+    differ by truncation.  The argmax rides a single ``max(struct)``
+    aggregate alongside the group count — ONE shuffle, one row per group
+    on the reduce side (the window-rank formulation the oracle uses would
+    shuffle every input row AND re-join for counts).  Struct ordering
+    never ties because -doc_id is unique."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        F.sha2(normalized_text(), 256).alias("content_hash"),
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return (
+        t.groupBy("content_hash")
+        .agg(
+            F.max(F.struct(
+                F.col("n_tokens").alias("nt"),
+                (-F.col("doc_id")).alias("nid"),
+            )).alias("best"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "content_hash",
+            (-F.col("best.nid")).alias("keeper_doc_id"),
+            F.col("best.nt").cast("long").alias("keeper_n_tokens"),
+            "n_copies",
+        )
+    )

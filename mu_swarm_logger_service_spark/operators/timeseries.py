@@ -391,3 +391,38 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("hour").alias("cp_hour"), "cusum")
     )
+
+
+@query("q_ts_locf", oracle="""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN value END AS pv
+  FROM events
+)
+SELECT user_id, ts, event_id,
+       last_value(pv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+FROM marked
+WHERE user_id % 50 = 0
+""")
+def q_ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill / last-observation-carried-forward: every event row
+    carries the value of the user's most recent purchase (NULL until the
+    first one) — the sparse-measurement densifier behind "state as of
+    this event" joins, done with one window instead of an as-of
+    self-join.  ``last(ignorenulls)`` over a running frame needs no
+    shuffle beyond the user_id partition; (ts, event_id) is a unique
+    ordering so the carried value is shuffle-order-proof.  Values pass
+    through untouched (no arithmetic), so cross-engine equality is
+    trivial."""
+    ev = load(spark, sf_dir, "events").filter(F.expr("user_id % 50 = 0"))
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "ts", "event_id",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
