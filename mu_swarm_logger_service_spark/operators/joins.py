@@ -381,3 +381,52 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"),
              dsum(F.col("value")).alias("sum_value"))
     )
+
+
+BAND_S = 300  # ±5-minute proximity window, whole seconds
+
+
+@query("q_join_banded", oracle=f"""
+WITH e AS (
+  SELECT event_id, ts FROM events WHERE event_type = 'error'
+), p AS (
+  SELECT event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, CAST(COUNT(p.event_id) AS BIGINT) AS n_nearby_purchases
+FROM e LEFT JOIN p
+  ON CAST(floor(epoch(p.ts)) AS BIGINT)
+     - CAST(floor(epoch(e.ts)) AS BIGINT) BETWEEN -{BAND_S} AND {BAND_S}
+GROUP BY e.event_id
+""")
+def q_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join with NO equi anchor — "purchases by ANY user within
+    ±5 minutes of each error" — the shape Catalyst can only plan as a
+    nested-loop cross product.  The scale path is band bucketing: bucket
+    both sides by floor(epoch/band); the probe side keeps its one bucket,
+    the build side explodes to {{b-1, b, b+1}} (constant 3× fan-out for a
+    window ≤ band width), and the join becomes an EQUI join on bucket id
+    with the time predicate as residual — shuffle-partitionable, BNLJ
+    eliminated (plan-invariant-tested).  Each qualifying pair meets in
+    exactly one bucket (the probe row's own), so no dedup is needed.
+    Both engines compare truncated whole-second epochs, so the band edge
+    is exact cross-engine (DuckDB's epoch() is fractional — the floor is
+    what keeps sub-second rows from straddling the boundary)."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.unix_timestamp("ts").alias("es")
+    )
+    b = F.floor(F.col("es") / BAND_S)
+    eb = e.withColumn("band", F.explode(F.array(b - 1, b, b + 1)))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.unix_timestamp("ts").alias("ps"),
+    ).withColumn("band", F.floor(F.col("ps") / BAND_S))
+    joined = eb.join(
+        p,
+        (eb.band == p.band)
+        & (F.col("ps") - F.col("es")).between(-BAND_S, BAND_S),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("p_id").alias("n_nearby_purchases")
+    )

@@ -171,3 +171,11 @@ def test_retention_is_windowed_not_self_joined(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "Join" not in p
     assert len(re.findall(r"\+- Exchange ", p)) == 2
+
+
+def test_banded_range_join_is_not_nested_loop(spark, sf_dir):
+    """The anchor-free range join must band-bucket into an equi join —
+    a BroadcastNestedLoopJoin here is O(n*m) at any scale."""
+    p = _plan(spark, sf_dir, "q_join_banded")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
