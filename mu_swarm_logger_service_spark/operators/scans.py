@@ -202,3 +202,48 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         GROUP BY r.r_name
     """)
+
+
+@query("q_scan_merge_schema", oracle=f"""
+WITH unioned AS (
+  SELECT l_orderkey, l_quantity, NULL::DOUBLE AS l_tax
+  FROM lineitem WHERE l_orderkey % 2 = 0
+  UNION ALL
+  SELECT l_orderkey, l_quantity, l_tax
+  FROM lineitem WHERE l_orderkey % 2 = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(l_tax) AS BIGINT) AS n_with_tax,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_tax')} AS sum_tax
+FROM unioned
+""")
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source: a table whose newer files carry an
+    added column (l_tax) is read with ``mergeSchema`` — older files
+    surface NULL for the missing column, exactly the contract a 100 TB
+    corpus needs when producers add fields mid-stream (re-writing old
+    files is not an option at that size).  The audit counts rows with
+    and without the evolved column and decimal-sums both measures; the
+    oracle replays the same union semantics relationally."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(SINK_ROOT, f"evolve_{tag}")
+    li = load(spark, sf_dir, "lineitem")
+    if not os.path.exists(os.path.join(root, "_SUCCESS_BOTH")):
+        (li.filter(F.col("l_orderkey") % 2 == 0)
+         .select("l_orderkey", "l_quantity")
+         .write.mode("overwrite").parquet(os.path.join(root, "gen=0")))
+        (li.filter(F.col("l_orderkey") % 2 == 1)
+         .select("l_orderkey", "l_quantity", "l_tax")
+         .write.mode("overwrite").parquet(os.path.join(root, "gen=1")))
+        open(os.path.join(root, "_SUCCESS_BOTH"), "w").close()
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, "gen=0"), os.path.join(root, "gen=1"))
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_tax").alias("n_with_tax"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_tax")).alias("sum_tax"),
+    )

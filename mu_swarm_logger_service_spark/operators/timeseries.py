@@ -426,3 +426,64 @@ def q_ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id",
         F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@query("q_ts_trend", oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS xi,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), reb AS (
+  SELECT event_type,
+         xi - MIN(xi) OVER (PARTITION BY event_type) AS x, y
+  FROM hourly
+), agg AS (
+  SELECT event_type, COUNT(*) AS c, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM reb GROUP BY 1
+)
+SELECT event_type, CAST(c AS BIGINT) AS n_hours,
+       CAST(c * sxy - sx * sy AS DOUBLE)
+         / CAST(c * sxx - sx * sx AS DOUBLE) AS slope_per_hour,
+       CAST(sy AS DOUBLE) / c AS mean_rate
+FROM agg
+""")
+def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear rate trend: closed-form OLS slope of hourly event
+    counts over time — "is the error rate climbing".  Every moment
+    (Σx, Σy, Σxy, Σx²) is an exact INTEGER sum over hour indexes REBASED
+    to each type's first hour (bounded by the time span, not the epoch —
+    no overflow and no precision loss at any corpus age); the slope
+    converts the two small integer differences to double in one fixed
+    expression, so it is bit-identical cross-engine with no rounding.
+    Single fact shuffle: the stream is pre-partitioned on event_type, and
+    the hourly rollup, the per-type MIN window, and the moments aggregate
+    all reuse that one exchange."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.repartition("event_type")
+        .groupBy(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+            .cast("long").alias("xi"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = Window.partitionBy("event_type")
+    reb = hourly.withColumn("x", F.col("xi") - F.min("xi").over(w))
+    agg = reb.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("c") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("c") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return agg.select(
+        "event_type",
+        F.col("c").cast("long").alias("n_hours"),
+        (num.cast("double") / den.cast("double")).alias("slope_per_hour"),
+        (F.col("sy").cast("double") / F.col("c")).alias("mean_rate"),
+    )
