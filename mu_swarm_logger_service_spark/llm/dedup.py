@@ -360,3 +360,72 @@ def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_copies",
         )
     )
+
+
+_NGRAM_N = 8  # decontamination shingle width (tokens)
+
+
+@query("q_llm_decontaminate_ngram", oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(t) - {_NGRAM_N - 1}),
+                               i -> array_to_string(t[i:i+{_NGRAM_N - 1}],
+                                                    ' '))) AS g
+  FROM toks
+), eval_g AS (
+  SELECT DISTINCT g FROM sh WHERE {_EVAL_GATE}
+), hits AS (
+  SELECT s.doc_id, COUNT(DISTINCT s.g) AS n_shared
+  FROM sh s JOIN eval_g e ON e.g = s.g
+  WHERE NOT ({_EVAL_GATE.replace('doc_id', 's.doc_id')})
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+       h.n_shared IS NOT NULL AS is_contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE NOT ({_EVAL_GATE.replace('doc_id', 'd.doc_id')})
+""")
+def q_llm_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination (the GPT-3/PaLM recipe): a training
+    document is contaminated if it shares ANY word 8-gram with the eval
+    corpus — catching partial/embedded leakage the whole-document hash
+    probe (q_llm_decontaminate) misses.
+
+    Scale shape: the training side is scanned ONCE; shingling is a
+    narrow JVM higher-order transform + explode (no shuffle), the eval
+    shingle set is tiny and BROADCAST, so the probe join is map-side and
+    only the HIT rows (rare by construction) reach the per-doc count
+    shuffle; the hit table is then broadcast back onto the doc spine for
+    the clean-majority flag join.  Documents shorter than one shingle
+    contribute no shingles on either engine (Spark's sequence() needs
+    the explicit size guard — it counts DOWN for negative spans)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.when(
+        F.size(toks) >= _NGRAM_N,
+        F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {_NGRAM_N - 1}),"
+            f" i -> concat_ws(' ', slice(split(text, ' '), i, {_NGRAM_N})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select("doc_id", "source", F.explode(grams).alias("g"))
+    eval_g = sh.filter(F.expr(_EVAL_GATE)).select("g").distinct()
+    hits = (
+        sh.filter(~F.expr(_EVAL_GATE))
+        .join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+    return (
+        docs.filter(~F.expr(_EVAL_GATE))
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id", "source",
+            F.coalesce("n_shared", F.lit(0)).cast("long")
+            .alias("n_shared_ngrams"),
+            F.col("n_shared").isNotNull().alias("is_contaminated"),
+        )
+    )
