@@ -223,6 +223,41 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def rollup_upsert(spark: SparkSession, store: str):
+    """Build the idempotent hourly-rollup upsert for ``foreachBatch``:
+    partial counts carry their batch_id, and an upsert first drops any
+    prior rows of the SAME batch_id in the day-partitions it touches —
+    so a retried batch converges instead of double-counting (directly
+    exercised by tests/test_streaming.py's replay-retry test)."""
+
+    def upsert(bdf: DataFrame, batch_id: int) -> None:
+        part = (
+            bdf.groupBy(
+                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+                .alias("event_date"),
+                F.date_trunc("hour", "ts").alias("hour"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        try:
+            existing = spark.read.parquet(store)
+            days = [r.event_date for r in
+                    part.select("event_date").distinct().collect()]
+            keep = existing.filter(
+                F.col("event_date").isin(days)
+                & (F.col("batch_id") != batch_id)
+            )
+            merged = keep.unionByName(part)
+        except Exception:  # first batch: store doesn't exist yet
+            merged = part
+        (merged.repartition("event_date")
+         .write.mode("overwrite").partitionBy("event_date").parquet(store))
+
+    return upsert
+
+
 @query("q_stream_rollup", oracle="""
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date,
        date_trunc('hour', ts) AS hour, event_type,
@@ -261,31 +296,7 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     schema = ev.schema
-
-    def upsert(bdf: DataFrame, batch_id: int) -> None:
-        part = (
-            bdf.groupBy(
-                F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
-                .alias("event_date"),
-                F.date_trunc("hour", "ts").alias("hour"),
-                "event_type",
-            )
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("batch_id", F.lit(batch_id))
-        )
-        try:
-            existing = spark.read.parquet(store)
-            days = [r.event_date for r in
-                    part.select("event_date").distinct().collect()]
-            keep = existing.filter(
-                F.col("event_date").isin(days)
-                & (F.col("batch_id") != batch_id)
-            )
-            merged = keep.unionByName(part)
-        except Exception:  # first batch: store doesn't exist yet
-            merged = part
-        (merged.repartition("event_date")
-         .write.mode("overwrite").partitionBy("event_date").parquet(store))
+    upsert = rollup_upsert(spark, store)
 
     q = (
         spark.readStream.schema(schema)

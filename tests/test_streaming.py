@@ -323,3 +323,34 @@ def test_rate_source_soak(spark):
         assert total >= 500, f"only {total} rows flowed through the rate soak"
     finally:
         q.stop()
+
+
+def test_rollup_upsert_is_idempotent_under_retry(spark, sf_dir):
+    """The batch-provenance upsert must converge when a batch is replayed
+    (foreachBatch retries re-deliver the SAME batch_id): applying batch 0
+    twice then batch 1 equals applying each once."""
+    from mu_swarm_logger_service_spark.streaming.queries import rollup_upsert
+
+    store = os.path.join(
+        tempfile.gettempdir(), f"rollup_retry_{uuid.uuid4().hex[:8]}")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ev = load(spark, sf_dir, "events")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    up = rollup_upsert(spark, store)
+    up(b0, 0)
+    up(b0, 0)  # simulated retry of the same micro-batch
+    up(b1, 1)
+    got = {
+        (r.hour, r.event_type): r.n
+        for r in spark.read.parquet(store)
+        .groupBy("hour", "event_type").agg(F.sum("n").alias("n")).collect()
+    }
+    want = {
+        (r.hour, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    shutil.rmtree(store, ignore_errors=True)
+    assert got == want
