@@ -398,3 +398,40 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at(toks, F.lit(9999)).alias("token_oob"),
         F.try_element_at(toks, F.lit(1)).alias("token_first"),
     )
+
+
+@query("q_fn_struct", oracle="""
+SELECT event_id,
+       struct_pack(id := event_id, t := event_type).t AS tagged_type,
+       to_json(struct_pack(id := event_id, t := event_type)) AS as_json,
+       (user_id > 500 OR (user_id = 500 AND event_id > 0)) AS after_mark,
+       struct_pack(u := user_id,
+                   inner := struct_pack(e := event_id)).inner.e AS nested_id
+FROM events
+WHERE event_id % 97 = 0
+""")
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct scalar family — completes the complex-type trio with array
+    (q_fn_array) and map (q_fn_map): build with named fields, dotted
+    field access (one level and nested), JSON serialization, and the
+    lexicographic struct comparison (the tuple-ordering idiom behind
+    every max(struct) argmax in this codebase; the oracle states the
+    expansion relationally since engines differ on row-value syntax).
+    JSON fields stay long/string so both engines serialize identically
+    (doubles format differently)."""
+    ev = load(spark, sf_dir, "events").filter(F.expr("event_id % 97 = 0"))
+    s = F.struct(F.col("event_id").alias("id"),
+                 F.col("event_type").alias("t"))
+    nested = F.struct(
+        F.col("user_id").alias("u"),
+        F.struct(F.col("event_id").alias("e")).alias("inner"),
+    )
+    mark = F.struct(F.lit(500).alias("u"), F.lit(0).alias("e"))
+    return ev.select(
+        "event_id",
+        s.getField("t").alias("tagged_type"),
+        F.to_json(s).alias("as_json"),
+        (F.struct(F.col("user_id").alias("u"),
+                  F.col("event_id").alias("e")) > mark).alias("after_mark"),
+        nested.getField("inner").getField("e").alias("nested_id"),
+    )

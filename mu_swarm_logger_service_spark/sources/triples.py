@@ -259,3 +259,67 @@ def q_sparql_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("s").alias("n_subjects"),
     )
+
+
+@query("q_sparql_path_features", oracle=f"""
+WITH t AS (
+  SELECT 'http://swarmui.semte.ch/resources/events/'
+           || sha256(CAST(event_id AS VARCHAR)) AS s,
+         event_type, user_id, ts
+  FROM events
+), triples AS (
+  SELECT s, '{RDF_TYPE}' AS p, '{SWARMUI}Event' AS o FROM t
+  UNION ALL
+  SELECT s, '{SWARMUI}eventType', event_type FROM t
+  UNION ALL
+  SELECT s, '{SWARMUI}container', 'c' || CAST(user_id AS VARCHAR) FROM t
+  UNION ALL
+  SELECT s, '{DCT}created', strftime(ts, '%Y-%m-%dT%H:%M:%SZ') FROM t
+), inv AS (          -- ^swarmui:container : container -> event
+  SELECT o AS container, s AS ev FROM triples
+  WHERE p = '{SWARMUI}container'
+), alt AS (          -- (swarmui:eventType | rdf:type) : event -> label
+  SELECT s AS ev, o FROM triples
+  WHERE p IN ('{SWARMUI}eventType', '{RDF_TYPE}')
+), created AS (      -- dct:created : event -> literal
+  SELECT s AS ev, o FROM triples WHERE p = '{DCT}created'
+)
+SELECT i.container,
+       CAST(COUNT(DISTINCT i.ev) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT a.o) AS BIGINT) AS n_labels,
+       MIN(c.o) AS first_created
+FROM inv i JOIN alt a ON a.ev = i.ev
+           JOIN created c ON c.ev = i.ev
+GROUP BY i.container
+""")
+def q_sparql_path_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property-path feature set beyond the transitive closure
+    (q_sparql_path covers `+`): INVERSE `^container` walks from each
+    container node back to its event subjects, SEQUENCE `/dct:created`
+    continues to the timestamp literal, and ALTERNATION
+    `(eventType | rdf:type)` unions two predicate patterns — evaluated
+    exactly as the algebra prescribes [spec:SPARQL 1.1 §9.1: inverse =
+    swapped pattern, sequence = join, alternation = union].  Per
+    container: events reached, distinct labels over the alternation,
+    earliest creation literal.  The three pattern scans prune to single
+    predicate partitions on the sink layout; joins co-key on the event
+    subject before one container-keyed aggregate."""
+    triples = events_to_triples(load(spark, sf_dir, "events"))
+    inv = triples.filter(F.col("p") == SWARMUI + "container").select(
+        F.col("o").alias("container"), F.col("s").alias("ev")
+    )
+    alt = triples.filter(
+        F.col("p").isin(SWARMUI + "eventType", RDF_TYPE)
+    ).select(F.col("s").alias("ev"), F.col("o").alias("label"))
+    created = triples.filter(F.col("p") == DCT + "created").select(
+        F.col("s").alias("ev"), F.col("o").alias("created_o")
+    )
+    return (
+        inv.join(alt, "ev").join(created, "ev")
+        .groupBy("container")
+        .agg(
+            F.count_distinct("ev").alias("n_events"),
+            F.count_distinct("label").alias("n_labels"),
+            F.min("created_o").alias("first_created"),
+        )
+    )
