@@ -607,3 +607,50 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio > REPETITION_THRESHOLD).alias("is_repetitious"),
         )
     )
+
+
+@query("q_llm_diversity", oracle="""
+WITH c AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+), s AS (
+  SELECT source,
+         list_sort(list(struct_pack(lang := lang, n := n))) AS ls,
+         CAST(SUM(n) AS BIGINT) AS n_docs
+  FROM c GROUP BY source
+)
+SELECT source, n_docs, CAST(len(ls) AS BIGINT) AS n_langs,
+       round(-list_reduce(
+         list_prepend(CAST(0 AS DOUBLE),
+           list_transform(ls, e -> (CAST(e.n AS DOUBLE) / n_docs)
+                                   * log2(CAST(e.n AS DOUBLE) / n_docs))),
+         (a, x) -> a + x), 6) + 0.0 AS entropy_bits
+FROM s
+""")
+def q_llm_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language diversity — Shannon entropy (bits) of each
+    source's language mix, the dataset-card number that distinguishes a
+    monolingual dump from a balanced multilingual crawl.  Determinism:
+    the per-language counts fold in LANG-SORTED order via a JVM
+    higher-order aggregate (a bare SUM over doubles would re-associate
+    under shuffle), mirrored by DuckDB's list_reduce with a prepended
+    zero seed; the entropy is rounded with the -0.0 guard (a one-language
+    source yields exactly -0.0 before the guard).  Two small shuffles on
+    aggregated rows; the doc scan itself is one pass."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_source = counts.groupBy("source").agg(
+        F.sort_array(F.collect_list(F.struct("lang", "n"))).alias("ls"),
+        F.sum("n").cast("long").alias("n_docs"),
+    )
+    p = lambda e: e.getField("n").cast("double") / F.col("n_docs")  # noqa: E731
+    h = -F.aggregate(
+        F.col("ls"), F.lit(0.0),
+        lambda acc, e: acc + p(e) * F.log2(p(e)),
+    )
+    return per_source.select(
+        "source", "n_docs",
+        F.size("ls").cast("long").alias("n_langs"),
+        (F.round(h, 6) + 0.0).alias("entropy_bits"),
+    )
