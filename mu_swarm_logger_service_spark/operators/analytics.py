@@ -870,3 +870,50 @@ def q_analytics_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("s_name", "n_name")
         .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
     )
+
+
+@query("q_audit_referential", oracle="""
+SELECT
+  CAST((SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+       AS BIGINT) AS orphan_lineitems,
+  CAST((SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+       AS BIGINT) AS orphan_orders,
+  CAST((SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+       AS BIGINT) AS dangling_part_refs,
+  CAST((SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
+       AS BIGINT) AS dangling_supplier_refs
+""")
+def q_audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the pre-training data-quality gate:
+    counts of fact rows whose foreign keys resolve to nothing (orphan
+    lineitems/orders, dangling part/supplier references).  Each probe is
+    an ANTI join; the three dimension probes broadcast their key sets so
+    the fact scans as few times as it must with zero fact shuffles — the
+    orders probe is the one genuine large-large anti join (SMJ on
+    orderkey).  All-zero on sound data; non-zero counts localize the
+    broken ingest immediately."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    a = li.join(orders, li.l_orderkey == orders.o_orderkey, "anti").agg(
+        F.count(F.lit(1)).alias("orphan_lineitems"))
+    b = orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey, "anti").agg(
+        F.count(F.lit(1)).alias("orphan_orders"))
+    c = li.join(F.broadcast(part),
+                li.l_partkey == part.p_partkey, "anti").agg(
+        F.count(F.lit(1)).alias("dangling_part_refs"))
+    d = li.join(F.broadcast(supp),
+                li.l_suppkey == supp.s_suppkey, "anti").agg(
+        F.count(F.lit(1)).alias("dangling_supplier_refs"))
+    return a.crossJoin(b).crossJoin(c).crossJoin(d)
