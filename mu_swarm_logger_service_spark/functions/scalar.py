@@ -435,3 +435,32 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("event_id").alias("e")) > mark).alias("after_mark"),
         nested.getField("inner").getField("e").alias("nested_id"),
     )
+
+
+@query("q_fn_encode", oracle="""
+SELECT event_id,
+       base64(encode(event_type)) AS b64,
+       decode(from_base64(base64(encode(event_type)))) = event_type
+         AS roundtrips,
+       to_hex(event_id) AS id_hex,
+       encode(event_type) AS raw_bytes
+FROM events
+WHERE event_id % 89 = 0
+""")
+def q_fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encode/decode family: utf-8 encode to BinaryType, base64
+    text transport with a proven decode roundtrip, and hex rendering of
+    integer ids — the blob-handling layer the multimodal columns
+    (llm.multimodal) build on.  ASCII payloads make the byte-level
+    comparison engine-neutral (the canonical compare hexes binary
+    cells)."""
+    ev = load(spark, sf_dir, "events").filter(F.expr("event_id % 89 = 0"))
+    raw = F.encode("event_type", "utf-8")
+    return ev.select(
+        "event_id",
+        F.base64(raw).alias("b64"),
+        (F.decode(F.unbase64(F.base64(raw)), "utf-8")
+         == F.col("event_type")).alias("roundtrips"),
+        F.hex("event_id").alias("id_hex"),
+        raw.alias("raw_bytes"),
+    )

@@ -364,3 +364,44 @@ def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("ever_purchased"))
     )
+
+
+@query("q_agg_winsorize", oracle=f"""
+WITH b AS (
+  SELECT event_type,
+         ROUND(percentile_cont(0.05) WITHIN GROUP (ORDER BY value), 6) AS lo,
+         ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(CASE WHEN e.value < b.lo THEN 1 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(COUNT(CASE WHEN e.value > b.hi THEN 1 END) AS BIGINT)
+         AS n_clipped_high,
+       {dsum_sql('LEAST(GREATEST(e.value, b.lo), b.hi)')} AS sum_winsorized
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type
+""")
+def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — outlier capping at the exact per-type 5th/95th
+    percentiles, the feature-cleaning step that precedes any training on
+    heavy-tailed measures.  The tiny per-type threshold table broadcasts
+    back onto the fact (no second fact shuffle); thresholds are ROUNDED
+    on both engines before clipping so every comparison sees identical
+    bits, and the winsorized sum goes through the decimal path.  Reports
+    clip counts per side — the audit trail for how much the cap bit."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") < F.col("lo")).alias("n_clipped_low"),
+            F.count_if(F.col("value") > F.col("hi")).alias("n_clipped_high"),
+            dsum(w).alias("sum_winsorized"),
+        )
+    )
