@@ -654,3 +654,88 @@ def q_llm_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ls").cast("long").alias("n_langs"),
         (F.round(h, 6) + 0.0).alias("entropy_bits"),
     )
+
+
+_DSIR_TARGET = "en"  # the target distribution: English docs
+
+
+@query("q_llm_dsir_weights", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+  FROM documents
+), scal AS (
+  SELECT COUNT(DISTINCT token) AS v,
+         COUNT(*) AS t_r,
+         COUNT(*) FILTER (WHERE lang = '{_DSIR_TARGET}') AS t_t
+  FROM tok
+), cr AS (
+  SELECT token, COUNT(*) AS cr FROM tok GROUP BY token
+), ct AS (
+  SELECT token, COUNT(*) AS ct FROM tok
+  WHERE lang = '{_DSIR_TARGET}' GROUP BY token
+), vocab AS (
+  SELECT cr.token,
+         ln(CAST((COALESCE(ct.ct, 0) + 1) * (s.t_r + s.v) AS DOUBLE)
+            / CAST((cr.cr + 1) * (s.t_t + s.v) AS DOUBLE)) AS lr
+  FROM cr LEFT JOIN ct ON ct.token = cr.token CROSS JOIN scal s
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(CAST(v.lr AS DECIMAL(27,6))) AS DOUBLE), 6) + 0.0
+         AS log_weight
+FROM tok t JOIN vocab v ON v.token = t.token
+GROUP BY t.doc_id
+""")
+def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection: each document's
+    log-likelihood ratio between a target distribution (English docs)
+    and the raw corpus under an add-1-smoothed unigram model — rank by
+    weight, keep the top slice, and the raw corpus is reshaped toward
+    the target domain.
+
+    Numeric discipline: each token's ratio is built from exact INTEGER
+    products with ONE division and ONE ln() (libm output can differ by
+    an ulp across engines, so per-token terms go through the decimal
+    cast before the per-doc sum — order-free); the final rounded weight
+    carries the -0.0 guard since weights cross zero.  Scale shape: the
+    vocab table (bounded by vocabulary, not corpus) broadcasts; the
+    corpus explodes once and shuffles once on doc_id.  At 100 TB swap
+    the BIGINT count products for the decimal path (they stay exact
+    here: max count * corpus-size products < 2^53)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    scal = tok.agg(
+        F.count_distinct("token").alias("v"),
+        F.count(F.lit(1)).alias("t_r"),
+        F.count_if(F.col("lang") == _DSIR_TARGET).alias("t_t"),
+    )
+    cr = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cr"))
+    ct = (
+        tok.filter(F.col("lang") == _DSIR_TARGET)
+        .groupBy("token").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    vocab = (
+        cr.join(ct, "token", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "token",
+            F.log(
+                ((F.coalesce("ct", F.lit(0)) + 1) * (F.col("t_r") + F.col("v")))
+                .cast("double")
+                / ((F.col("cr") + 1) * (F.col("t_t") + F.col("v")))
+                .cast("double")
+            ).alias("lr"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.round(
+                F.sum(F.col("lr").cast("decimal(27,6)")).cast("double"), 6
+            ) + 0.0).alias("log_weight"),
+        )
+    )
