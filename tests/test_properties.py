@@ -191,3 +191,41 @@ def test_delete_where_removes_all_view_triples(spark, sf_dir):
         .filter(F.col("event_type") == "view").count()
     )
     assert subj_counts.pop() == n_events - n_views
+
+
+def test_encode_roundtrips_everywhere(spark, sf_dir):
+    rows = QUERIES["q_fn_encode"](spark, sf_dir).collect()
+    assert rows and all(r.roundtrips for r in rows)
+
+
+def test_winsorize_clips_at_most_10pct(spark, sf_dir):
+    """5th/95th percentile caps can clip at most ~5% per side (exact
+    percentile interpolation admits boundary slack on tiny groups)."""
+    ev = load(spark, sf_dir, "events")
+    n = {r.event_type: r.n for r in
+         ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in QUERIES["q_agg_winsorize"](spark, sf_dir).collect():
+        assert r.n_clipped_low <= 0.06 * n[r.event_type] + 1
+        assert r.n_clipped_high <= 0.06 * n[r.event_type] + 1
+
+
+def test_audit_clean_on_driver_testdata(spark, sf_dir):
+    r = QUERIES["q_audit_referential"](spark, sf_dir).collect()[0]
+    assert (r.orphan_lineitems, r.orphan_orders,
+            r.dangling_part_refs, r.dangling_supplier_refs) == (0, 0, 0, 0)
+
+
+def test_dsir_weights_cover_corpus_with_finite_scores(spark, sf_dir):
+    """Every document gets exactly one weight; token counts match the
+    tokenizer; weights are finite (the add-1 smoothing guarantees no
+    zero probabilities, hence no infinite ratios)."""
+    import math
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("nt"))
+    w = QUERIES["q_llm_dsir_weights"](spark, sf_dir)
+    joined = w.join(docs, "doc_id").collect()
+    assert len(joined) == docs.count()
+    for r in joined:
+        assert r.n_tokens == r.nt
+        assert math.isfinite(r.log_weight)
