@@ -487,3 +487,42 @@ def q_ts_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num.cast("double") / den.cast("double")).alias("slope_per_hour"),
         (F.col("sy").cast("double") / F.col("c")).alias("mean_rate"),
     )
+
+
+@query("q_ts_seasonality", oracle="""
+WITH cells AS (
+  SELECT event_type,
+         CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), tot AS (
+  SELECT event_type, SUM(n) AS t FROM cells GROUP BY event_type
+)
+SELECT c.event_type, c.dow, c.hod, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / t.t AS share
+FROM cells c JOIN tot t USING (event_type)
+""")
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile — the (day-of-week x hour-of-day)
+    heatmap cell counts and within-type shares that any rate-anomaly
+    baseline normalizes against.  Spark's dayofweek is 1=Sunday
+    while DuckDB's is 0=Sunday — the oracle shifts by one (found by the
+    parity gate); shares divide exact integers (one IEEE op).  The
+    per-type totals reuse the same aggregated cells (168 rows per type)
+    — the second aggregate is driver-trivial at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type", "dow", "hod",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("t")).alias("share"),
+        )
+    )
