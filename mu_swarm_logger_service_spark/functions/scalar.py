@@ -464,3 +464,42 @@ def q_fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex("event_id").alias("id_hex"),
         raw.alias("raw_bytes"),
     )
+
+
+@query("q_fn_url", oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/' || lang || '/doc/'
+           || CAST(doc_id AS VARCHAR) || '?page='
+           || CAST(doc_id % 7 AS VARCHAR) || '&ref=' || lang AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       regexp_extract(url, '^https://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query,
+       regexp_extract(url, '[?&]page=([^&]*)', 1) AS page
+FROM urls
+""")
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family (host/path/query/named-parameter extraction) —
+    the domain-extraction primitive behind per-site corpus mixing and
+    URL-based dedup in web-crawl pipelines.  Spark side uses the native
+    parse_url expression (JVM, codegen'd); the oracle mirrors each part
+    with anchored regexes.  URLs are minted deterministically from the
+    documents table, so the family is exact cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?page="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref="), F.col("lang"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id", "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page"),
+    )

@@ -739,3 +739,169 @@ def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) + 0.0).alias("log_weight"),
         )
     )
+
+
+@query("q_llm_pack_sequences", oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(start_tok // 128 AS BIGINT) AS pack_first,
+       CAST((start_tok + n_tokens - 1) // 128 AS BIGINT) AS pack_last,
+       CAST((start_tok + n_tokens - 1) // 128 - start_tok // 128 + 1 AS BIGINT)
+         AS packs_spanned,
+       CAST(start_tok % 128 AS BIGINT) AS offset_in_pack
+FROM placed
+""")
+def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training (concat-and-chunk): per language,
+    documents are concatenated in doc_id order and split into fixed
+    128-token context windows; each doc gets its pack id range and
+    in-pack offset.  This is the GPT-style packing layout (documents may
+    straddle a boundary) — deterministic, content-addressed, and exactly
+    reproducible across runs, which greedy first-fit bin packing is not
+    under distributed reordering.  All positions are INTEGER prefix sums
+    (exact cross-engine; no float path at all).  One shuffle on lang for
+    the running-sum window; at 100 TB the partition key would be
+    (lang, shard) with shard = doc_id range, bounding per-task state
+    while keeping pack ids globally reconstructable."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    placed = toks.withColumn(
+        "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    end_tok = F.col("start_tok") + F.col("n_tokens") - 1
+    first = (F.col("start_tok") / 128).cast("long")
+    last = (end_tok / 128).cast("long")
+    return placed.select(
+        "doc_id", "lang", "n_tokens",
+        first.alias("pack_first"),
+        last.alias("pack_last"),
+        (last - first + 1).alias("packs_spanned"),
+        (F.col("start_tok") % 128).cast("long").alias("offset_in_pack"),
+    )
+
+
+@query("q_llm_quality_buckets", oracle="""
+WITH feat AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('a', 'the', 'of', 'and'))) AS BIGINT)
+           AS n_stop
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(n_stop AS DOUBLE) / n_tokens AS score
+  FROM feat WHERE n_tokens > 0
+), bucketed AS (
+  SELECT lang, n_tokens, score,
+         ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
+           AS tier
+  FROM scored
+)
+SELECT lang,
+       CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       MIN(score) AS min_score,
+       MAX(score) AS max_score
+FROM bucketed GROUP BY 1, 2
+""")
+def q_llm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality tiers: per language, docs are
+    ranked by a naturalness score (stopword density here, standing in for
+    the LM-perplexity ranking CCNet uses) and cut into tertiles with
+    ntile(3); downstream pipelines keep 'head', sample 'middle', drop
+    'tail'.  The score is one IEEE division of two exact integers
+    (bit-identical cross-engine); the tie order (score DESC, doc_id) is
+    total, so ntile is deterministic.  One shuffle on lang for the
+    ranking window; the tier aggregate reuses the same partitioning."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.filter(toks, lambda t: t.isin("a", "the", "of", "and"))
+    feat = docs.select(
+        "doc_id", "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(stop).cast("long").alias("n_stop"),
+    )
+    scored = feat.filter(F.col("n_tokens") > 0).select(
+        "doc_id", "lang", "n_tokens",
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
+    bucketed = scored.withColumn("tier", F.ntile(3).over(w))
+    return (
+        bucketed.groupBy(
+            "lang",
+            F.when(F.col("tier") == 1, "head")
+            .when(F.col("tier") == 2, "middle")
+            .otherwise("tail").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1)))
+            .alias("avg_tokens"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+@query("q_llm_bpe_pairs", oracle="""
+WITH words AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+), pairs AS (
+  SELECT lang,
+         unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, CAST(i AS INT), 2))) AS pair
+  FROM words WHERE length(w) >= 2
+), counts AS (
+  SELECT lang, pair, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY 1, 2
+)
+SELECT lang, pair, n
+FROM counts
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, pair) <= 8
+""")
+def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: count adjacent symbol (character) pairs
+    within words and rank the top-8 merge candidates per language — the
+    inner statistic a byte-pair-encoding tokenizer trainer computes each
+    round.  Pair extraction is a higher-order array transform over a
+    character-index sequence (JVM-side, no Python); counting is one
+    shuffle on (lang, pair) with map-side partial aggregation, and the
+    top-8 window runs on the already-aggregated (small) counts.  Ranking
+    ties break on the pair string, so the cut is deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("lang", "pair").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "pair")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .select("lang", "pair", "n")
+    )

@@ -526,3 +526,78 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("t")).alias("share"),
         )
     )
+
+
+@query("q_ts_acf", oracle="""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS xi,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, l.k, a.y AS ya, b.y AS yb
+  FROM hourly a
+  JOIN (VALUES (1), (2), (3)) l(k) ON TRUE
+  JOIN hourly b ON b.event_type = a.event_type AND b.xi = a.xi + l.k
+), agg AS (
+  SELECT event_type, k, COUNT(*) AS c,
+         SUM(ya) AS sa, SUM(yb) AS sb, SUM(ya * yb) AS sab,
+         SUM(ya * ya) AS saa, SUM(yb * yb) AS sbb
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, CAST(k AS BIGINT) AS lag_hours, CAST(c AS BIGINT) AS n_pairs,
+       CAST(c * sab - sa * sb AS DOUBLE)
+         / sqrt(CAST(c * saa - sa * sa AS DOUBLE)
+                * CAST(c * sbb - sb * sb AS DOUBLE)) AS acf
+FROM agg
+WHERE (c * saa - sa * sa) > 0 AND (c * sbb - sb * sb) > 0
+""")
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the per-type hourly rate at lags 1-3 hours —
+    the periodicity detector behind seasonality-aware alerting ("is this
+    hour's count explained by the last few hours").  Lag pairing is an
+    hour-offset equi self-join of the hourly rollup (robust to silent
+    hours, unlike positional lead()); the rollup is tiny (types x hours)
+    so the pairing side is broadcast — no second shuffle at any corpus
+    age.  Pearson r comes from exact INTEGER moments; the final
+    expression is three IEEE ops (multiply, sqrt, divide) on identical
+    operands, so it is bit-identical cross-engine without rounding.
+    Degenerate constant series are filtered on both sides (zero
+    variance has no defined correlation)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("long").alias("xi"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    lags = spark.range(1, 4).select(F.col("id").alias("k"))
+    a = hourly.alias("a").crossJoin(F.broadcast(lags))
+    b = hourly.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.xi") == F.col("a.xi") + F.col("k")),
+    ).select(
+        F.col("a.event_type").alias("event_type"), "k",
+        F.col("a.y").alias("ya"), F.col("b.y").alias("yb"),
+    )
+    agg = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("ya").alias("sa"), F.sum("yb").alias("sb"),
+        F.sum(F.col("ya") * F.col("yb")).alias("sab"),
+        F.sum(F.col("ya") * F.col("ya")).alias("saa"),
+        F.sum(F.col("yb") * F.col("yb")).alias("sbb"),
+    )
+    var_a = F.col("c") * F.col("saa") - F.col("sa") * F.col("sa")
+    var_b = F.col("c") * F.col("sbb") - F.col("sb") * F.col("sb")
+    num = F.col("c") * F.col("sab") - F.col("sa") * F.col("sb")
+    return (
+        agg.filter((var_a > 0) & (var_b > 0))
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("lag_hours"),
+            F.col("c").cast("long").alias("n_pairs"),
+            (num.cast("double")
+             / F.sqrt(var_a.cast("double") * var_b.cast("double"))).alias("acf"),
+        )
+    )

@@ -229,3 +229,44 @@ def test_dsir_weights_cover_corpus_with_finite_scores(spark, sf_dir):
     for r in joined:
         assert r.n_tokens == r.nt
         assert math.isfinite(r.log_weight)
+
+
+def test_pack_sequences_layout_is_consistent(spark, sf_dir):
+    """Packs tile the concatenated token stream: offsets stay inside the
+    128-token window, spans match the id range, and per-language token
+    totals equal the last doc's end position + 1."""
+    rows = QUERIES["q_llm_pack_sequences"](spark, sf_dir).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        assert 0 <= r.offset_in_pack < 128
+        assert r.pack_last >= r.pack_first
+        assert r.packs_spanned == r.pack_last - r.pack_first + 1
+        # a doc spans exactly the windows its [start, end] interval touches
+        start = r.pack_first * 128 + r.offset_in_pack
+        assert (start + r.n_tokens - 1) // 128 == r.pack_last
+        by_lang.setdefault(r.lang, []).append((start, r.n_tokens))
+    for lang, spans in by_lang.items():
+        spans.sort()
+        pos = 0
+        for start, n in spans:
+            assert start == pos, f"{lang}: gap or overlap at {start} != {pos}"
+            pos += n
+
+
+def test_acf_within_pearson_bounds(spark, sf_dir):
+    rows = QUERIES["q_ts_acf"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.acf <= 1.0
+        assert r.n_pairs > 1
+
+
+def test_quality_buckets_partition_docs(spark, sf_dir):
+    """head+middle+tail counts per language = all docs with tokens."""
+    docs = load(spark, sf_dir, "documents")
+    total = docs.filter(F.size(F.split("text", " ")) > 0).count()
+    rows = QUERIES["q_llm_quality_buckets"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == total
+    for r in rows:
+        assert r.min_score <= r.max_score
