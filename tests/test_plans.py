@@ -179,3 +179,27 @@ def test_banded_range_join_is_not_nested_loop(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_join_banded")
     assert "BroadcastNestedLoopJoin" not in p
     assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
+
+
+def test_acf_lag_pairing_broadcasts(spark, sf_dir):
+    """The hourly rollup is tiny (types x hours) — pairing it against
+    itself must be broadcast hash joins, never SMJ/BNLJ over exchanges."""
+    p = _plan(spark, sf_dir, "q_ts_acf")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """Packing = one running-sum window over one exchange on lang; the
+    projection math adds no further shuffle."""
+    p = _plan(spark, sf_dir, "q_llm_pack_sequences")
+    assert len(re.findall(r"\+- Exchange ", p)) == 1
+
+
+def test_bpe_pairs_partial_aggregates(spark, sf_dir):
+    """Pair counting must map-side combine before the (lang, pair)
+    shuffle — at 100 TB the pre-aggregation is what bounds shuffle bytes
+    by vocabulary size rather than corpus size."""
+    p = _plan(spark, sf_dir, "q_llm_bpe_pairs")
+    assert p.count("HashAggregate") >= 2
+    assert "WindowGroupLimit" in p
