@@ -267,3 +267,75 @@ def q_llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.round(cos, 6) >= 0.7)  # rounded: threshold can't straddle ulp noise
         .select("vec_a", "vec_b", (F.round(cos, 6) + 0.0).alias("cos_sim"))
     )
+
+
+@query("q_llm_quantize_int8", oracle="""
+WITH scaled AS (
+  SELECT vec_id, label, embedding,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list_transform(embedding,
+                                                 x -> CAST(abs(x) AS DOUBLE))),
+                     (a, x) -> greatest(a, x)) AS scale
+  FROM embeddings
+), quant AS (
+  SELECT vec_id, label, embedding, scale,
+         list_transform(embedding,
+           x -> CASE WHEN scale = 0 THEN 0
+                     ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+                               AS BIGINT) END) AS q
+  FROM scaled
+)
+SELECT vec_id, label, scale,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), q),
+                        (a, x) -> a + x) AS BIGINT) AS sum_q,
+       CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(embedding) + 1),
+             i -> (CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                     - q[CAST(i AS INT)] * scale / 127.0)
+                  * (CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                     - q[CAST(i AS INT)] * scale / 127.0))),
+         (a, x) -> a + x) / len(embedding) AS mse
+FROM quant
+""")
+def q_llm_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4x memory compression that makes billion-vector ANN indexes fit in
+    executor memory at 100 TB.  Per vector: scale = max|x| (a selection,
+    no float arithmetic), q_i = floor(x*127/scale + 0.5) (explicit
+    half-up via floor — both engines' round() disagree in the last ulp,
+    floor on identical doubles cannot), saturation count, and the
+    reconstruction MSE via a SEQUENTIAL left-fold (identical addition
+    order cross-engine; DuckDB's list_reduce is seeded by list_prepend
+    to mirror Spark's aggregate(initial, ...)).  Everything is a
+    higher-order array expression on the JVM/native side — zero Python,
+    zero shuffle: the whole query is a narrow map over the scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        "vec_id", "label", "embedding",
+        F.expr("aggregate(embedding, CAST(0.0 AS DOUBLE),"
+               " (a, x) -> greatest(a, CAST(abs(x) AS DOUBLE)))").alias("scale"),
+    )
+    quant = scaled.withColumn(
+        "q",
+        F.expr("transform(embedding,"
+               " x -> IF(scale = 0D, 0L,"
+               "  CAST(floor(CAST(x AS DOUBLE) * 127.0D / scale + 0.5D)"
+               "       AS BIGINT)))"),
+    )
+    err2 = (
+        "transform(sequence(1, size(embedding)),"
+        " i -> (CAST(element_at(embedding, i) AS DOUBLE)"
+        "         - element_at(q, i) * scale / 127.0D)"
+        "      * (CAST(element_at(embedding, i) AS DOUBLE)"
+        "         - element_at(q, i) * scale / 127.0D))"
+    )
+    return quant.select(
+        "vec_id", "label", "scale",
+        F.expr("aggregate(q, 0L, (a, x) -> a + x)").alias("sum_q"),
+        F.expr("CAST(size(filter(q, x -> abs(x) = 127)) AS BIGINT)")
+        .alias("n_sat"),
+        (F.expr(f"aggregate({err2}, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+         / F.size("embedding")).alias("mse"),
+    )

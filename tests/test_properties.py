@@ -270,3 +270,16 @@ def test_quality_buckets_partition_docs(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == total
     for r in rows:
         assert r.min_score <= r.max_score
+
+
+def test_quantize_int8_saturates_max_and_bounds_error(spark, sf_dir):
+    """The max-|x| element quantizes to exactly +/-127 (so n_sat >= 1
+    for nonzero vectors), and per-element reconstruction error is at
+    most half a quantization step, so mse <= (scale/127/2)^2."""
+    rows = QUERIES["q_llm_quantize_int8"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.scale > 0:
+            assert r.n_sat >= 1
+            step = r.scale / 127.0
+            assert r.mse <= (step / 2.0) ** 2 * 1.0000001
