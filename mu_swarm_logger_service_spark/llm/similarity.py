@@ -339,3 +339,81 @@ def q_llm_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(f"aggregate({err2}, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
          / F.size("embedding")).alias("mse"),
     )
+
+
+@query("q_llm_ann_int8", oracle=f"""
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list_transform(embedding,
+                                                 x -> CAST(abs(x) AS DOUBLE))),
+                     (a, x) -> greatest(a, x)) AS scale
+  FROM embeddings
+), codes AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           x -> CASE WHEN scale = 0 THEN 0
+                     ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+                               AS BIGINT) END) AS q
+  FROM scaled
+), qs AS (
+  SELECT vec_id AS q_id, scale AS q_scale, q AS qq
+  FROM codes WHERE {_QUERY_FILTER.replace('vec_id', 'vec_id')}
+), s AS (
+  SELECT q_id, c.vec_id AS c_id,
+         CAST(list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, len(qq) + 1),
+                                 i -> qq[CAST(i AS INT)]
+                                      * c.q[CAST(i AS INT)])),
+                (a, x) -> a + x) AS DOUBLE)
+           * q_scale * c.scale / 16129.0 AS approx_dot
+  FROM qs, codes c WHERE c.vec_id != q_id
+)
+SELECT q_id, c_id, approx_dot FROM s
+QUALIFY row_number() OVER (PARTITION BY q_id
+                           ORDER BY approx_dot DESC, c_id) <= {TOPK}
+""")
+def q_llm_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search over int8-quantized embeddings: the scan side keeps
+    only 64 bytes + one scale per vector (4x smaller than float32), and
+    the scoring inner loop is an INTEGER dot product — exactly what a
+    SIMD-friendly billion-vector index does at 100 TB; the float rescale
+    (idp * scale_q * scale_c / 127^2) happens once per pair.  Integer
+    products make the score bit-identical cross-engine with no rounding.
+    The quantized query set is broadcast (corpus scanned once, no
+    shuffle); ranking shuffles only (q_id, k) survivors.  Recall vs the
+    exact float ranking is asserted in tests/test_llm.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id", "embedding",
+        F.expr("aggregate(embedding, CAST(0.0 AS DOUBLE),"
+               " (a, x) -> greatest(a, CAST(abs(x) AS DOUBLE)))").alias("scale"),
+    ).select(
+        "vec_id", "scale",
+        F.expr("transform(embedding,"
+               " x -> IF(scale = 0D, 0L,"
+               "  CAST(floor(CAST(x AS DOUBLE) * 127.0D / scale + 0.5D)"
+               "       AS BIGINT)))").alias("q"),
+    )
+    qs = codes.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("q_id"), F.col("scale").alias("q_scale"),
+        F.col("q").alias("qq"),
+    )
+    idp = F.expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), 0L,"
+                 " (a, x) -> a + x)")
+    scored = (
+        codes.select(F.col("vec_id").alias("c_id"),
+                     F.col("scale").alias("c_scale"), F.col("q").alias("cq"))
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id",
+                (idp.cast("double") * F.col("q_scale") * F.col("c_scale")
+                 / F.lit(16129.0)).alias("approx_dot"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_dot").desc(), "c_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("q_id", "c_id", "approx_dot")
+    )

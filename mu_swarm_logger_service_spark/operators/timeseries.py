@@ -601,3 +601,46 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.sqrt(var_a.cast("double") * var_b.cast("double"))).alias("acf"),
         )
     )
+
+
+@query("q_ts_m4_downsample", oracle="""
+WITH px AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 900) AS BIGINT) AS bucket,
+         epoch_us(ts) AS k, event_id, value
+  FROM events
+)
+SELECT event_type, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max,
+       min({'k': k, 'id': event_id, 'v': value}).v AS v_first,
+       max({'k': k, 'id': event_id, 'v': value}).v AS v_last
+FROM px GROUP BY 1, 2
+""")
+def q_ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling — the lossless line-chart reduction (min, max,
+    first, last per pixel bucket) that lets a dashboard render a 100 TB
+    event stream from ~4 points per pixel instead of every row.  One
+    groupBy on (type, 15-min bucket): first/last ride the same shuffle
+    as min/max via single-pass min/max-STRUCT aggregates keyed on
+    (epoch_us, event_id) — a total order (event_id is unique), so no
+    window pass and no second exchange.  All outputs are selections of
+    input doubles — no float arithmetic, exact cross-engine; the bucket
+    anchor floors DuckDB's fractional epoch() to match Spark's
+    truncating unix_timestamp."""
+    ev = load(spark, sf_dir, "events")
+    px = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") / 900).cast("long").alias("bucket"),
+        F.unix_micros("ts").alias("k"), "event_id", "value",
+    )
+    key = lambda: F.struct(F.col("k"), F.col("event_id").alias("id"),
+                           F.col("value").alias("v"))
+    return px.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.min(key()).getField("v").alias("v_first"),
+        F.max(key()).getField("v").alias("v_last"),
+    )

@@ -121,3 +121,44 @@ def test_dedup_groups_cover_pairs(spark, sf_dir):
         assert c == min(ds), f"component {c} not labeled by min member"
     n_docs = load(spark, sf_dir, "documents").count()
     assert len(comp) == n_docs
+
+
+def test_ann_int8_recall_vs_exact_dot(spark, sf_dir):
+    """int8 quantization must preserve the exact float dot-product
+    ranking almost perfectly (8-bit codes on 64-dim data: quantization
+    noise is far below typical score gaps)."""
+    import numpy as np
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    exact = set()
+    for qid in ids:
+        if qid % 100 != 0:
+            continue
+        dots = mat @ vecs[qid]
+        order = sorted(
+            (i for i in ids if i != qid),
+            key=lambda i: (-dots[ids.index(i)], i),
+        )[:5]
+        exact.update((qid, c) for c in order)
+    got = {(r.q_id, r.c_id)
+           for r in QUERIES["q_llm_ann_int8"](spark, sf_dir).collect()}
+    assert all(q != c for q, c in got)
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, f"int8 recall {recall:.2f} too low"
+
+
+def test_m4_envelope_contains_endpoints(spark, sf_dir):
+    """Per pixel bucket: min <= first/last <= max, and buckets cover
+    every event exactly once."""
+    from mu_swarm_logger_service_spark.core.tables import load as _load
+
+    rows = QUERIES["q_ts_m4_downsample"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.v_min <= r.v_first <= r.v_max
+        assert r.v_min <= r.v_last <= r.v_max
+    assert sum(r.n for r in rows) == _load(spark, sf_dir, "events").count()
