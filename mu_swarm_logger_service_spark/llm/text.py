@@ -905,3 +905,59 @@ def q_llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 8)
         .select("lang", "pair", "n")
     )
+
+
+PACK_CAPACITY = 128
+
+
+def _next_fit_pack(pdf):
+    """Per-language greedy next-fit scan (runs inside applyInPandas):
+    docs in doc_id order accumulate into the current pack until the next
+    doc would overflow PACK_CAPACITY; oversized docs get a pack alone."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    pack_ids, offsets = [], []
+    pack, fill = 0, 0
+    for n in pdf["n_tokens"]:
+        n = int(n)
+        if fill > 0 and fill + n > PACK_CAPACITY:
+            pack += 1
+            fill = 0
+        pack_ids.append(pack)
+        offsets.append(fill)
+        fill += n
+        if fill >= PACK_CAPACITY:
+            pack += 1
+            fill = 0
+    return pd.DataFrame({
+        "doc_id": pdf["doc_id"], "lang": pdf["lang"],
+        "n_tokens": pdf["n_tokens"], "pack_id": pack_ids,
+        "offset_in_pack": offsets,
+    })
+
+
+@query("q_llm_pack_next_fit")
+def q_llm_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split sequence packing (greedy next-fit): unlike the
+    concat-and-chunk layout (q_llm_pack_sequences), documents are never
+    cut across a context-window boundary — the padding-minimizing policy
+    used when truncation would corrupt examples.  The restart-on-overflow
+    scan is inherently sequential per stream, so it runs as an
+    applyInPandas stateful pass per language (Arrow-batched, one shuffle
+    on lang); at 100 TB the group key would be (lang, shard) so each
+    task scans a bounded stream while pack ids stay reconstructable from
+    (shard, pack_id).  Deterministic (doc_id order) but not
+    SQL-expressible — registered rows-only; the greedy-maximality,
+    capacity, and coverage invariants are pinned in
+    tests/test_properties.py."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return toks.groupBy("lang").applyInPandas(
+        _next_fit_pack,
+        "doc_id long, lang string, n_tokens long, pack_id long, "
+        "offset_in_pack long",
+    )

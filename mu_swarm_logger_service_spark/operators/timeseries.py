@@ -644,3 +644,92 @@ def q_ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(key()).getField("v").alias("v_first"),
         F.max(key()).getField("v").alias("v_last"),
     )
+
+
+@query("q_ts_interpolate", oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
+), errs AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events WHERE event_type = 'error' GROUP BY 1
+), series AS (
+  SELECT CAST(floor(epoch(s.hour) / 3600) AS BIGINT) AS xi, s.hour, e.n
+  FROM spine s LEFT JOIN errs e ON s.hour = e.hour
+), fenced AS (
+  SELECT xi, hour, n,
+         last_value(CASE WHEN n IS NOT NULL THEN {'x': xi, 'v': n} END
+                    IGNORE NULLS)
+           OVER (ORDER BY xi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS p,
+         first_value(CASE WHEN n IS NOT NULL THEN {'x': xi, 'v': n} END
+                     IGNORE NULLS)
+           OVER (ORDER BY xi ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS nx
+  FROM series
+)
+SELECT hour, (n IS NOT NULL) AS observed,
+       CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+            WHEN p IS NULL OR nx IS NULL THEN NULL
+            ELSE CAST(p.v AS DOUBLE)
+                 + CAST(nx.v - p.v AS DOUBLE)
+                   * (CAST(xi - p.x AS DOUBLE) / CAST(nx.x - p.x AS DOUBLE))
+       END AS v_interp
+FROM fenced
+""")
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of silent hours in the error-rate series —
+    the dashboard smoothing step between zero-fill (q_ts_gapfill) and
+    carry-forward (q_ts_locf): each gap hour gets the line between its
+    bracketing observations; edge gaps (before the first / after the
+    last observation) stay NULL.  Neighbor positions ride IGNORE-NULLS
+    last/first_value windows over (hour-index, value) structs.  The
+    window is global but runs on the POST-AGGREGATION hourly series
+    (~10^4 rows/year at any corpus size) — the heavy lifting is the
+    one groupBy shuffle on the raw stream, as in gapfill.  The interp
+    expression is integer-derived with a fixed IEEE op order, so it is
+    bit-identical cross-engine."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour")
+    )
+    errs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    series = (
+        F.broadcast(spine).join(errs, "hour", "left")
+        .select((F.unix_timestamp("hour") / 3600).cast("long").alias("xi"),
+                "hour", "n")
+    )
+    obs = F.when(F.col("n").isNotNull(),
+                 F.struct(F.col("xi").alias("x"), F.col("n").alias("v")))
+    w_prev = (Window.orderBy("xi")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_next = (Window.orderBy("xi")
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    fenced = series.select(
+        "xi", "hour", "n",
+        F.last(obs, ignorenulls=True).over(w_prev).alias("p"),
+        F.first(obs, ignorenulls=True).over(w_next).alias("nx"),
+    )
+    ratio = (F.col("xi") - F.col("p.x")).cast("double") \
+        / (F.col("nx.x") - F.col("p.x")).cast("double")
+    interp = (
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(F.col("p").isNull() | F.col("nx").isNull(), F.lit(None))
+        .otherwise(F.col("p.v").cast("double")
+                   + (F.col("nx.v") - F.col("p.v")).cast("double") * ratio)
+    )
+    return fenced.select(
+        "hour",
+        F.col("n").isNotNull().alias("observed"),
+        interp.alias("v_interp"),
+    )

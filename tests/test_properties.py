@@ -283,3 +283,36 @@ def test_quantize_int8_saturates_max_and_bounds_error(spark, sf_dir):
             assert r.n_sat >= 1
             step = r.scale / 127.0
             assert r.mse <= (step / 2.0) ** 2 * 1.0000001
+
+
+def test_pack_next_fit_capacity_and_greedy_maximality(spark, sf_dir):
+    """Next-fit invariants: (a) every doc fits entirely in its pack
+    unless it alone exceeds capacity; (b) offsets are the running fill
+    in doc_id order; (c) greedy: the first doc of pack k+1 would have
+    overflowed pack k; (d) every doc packed exactly once."""
+    from mu_swarm_logger_service_spark.llm.text import PACK_CAPACITY
+
+    rows = QUERIES["q_llm_pack_next_fit"](spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        fill = {}
+        for r in rs:
+            assert r.offset_in_pack == fill.get(r.pack_id, 0)
+            fill[r.pack_id] = r.offset_in_pack + r.n_tokens
+        for pid, f in fill.items():
+            members = [r for r in rs if r.pack_id == pid]
+            if len(members) > 1:
+                assert f <= PACK_CAPACITY, f"{lang} pack {pid} overflows: {f}"
+        prev = None
+        for r in rs:
+            if prev is not None and r.pack_id == prev.pack_id + 1 \
+                    and prev.offset_in_pack + prev.n_tokens < PACK_CAPACITY:
+                # pack advanced though space remained: doc must not have fit
+                assert (prev.offset_in_pack + prev.n_tokens + r.n_tokens
+                        > PACK_CAPACITY)
+            prev = r
