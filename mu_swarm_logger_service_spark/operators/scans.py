@@ -247,3 +247,61 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_quantity")).alias("sum_qty"),
         dsum(F.col("l_tax")).alias("sum_tax"),
     )
+
+
+@query("q_cdc_snapshot_diff", oracle="""
+WITH snap_a AS (
+  SELECT event_id, event_type, user_id, value
+  FROM events WHERE event_id % 11 != 0
+), snap_b AS (
+  SELECT event_id, event_type, user_id,
+         CASE WHEN user_id % 97 = 0 THEN value + 1.0 ELSE value END AS value
+  FROM events WHERE event_id % 13 != 0
+)
+SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+       CASE WHEN a.event_id IS NULL THEN 'insert'
+            WHEN b.event_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       a.value AS old_value, b.value AS new_value
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.event_id = b.event_id
+WHERE a.event_id IS NULL OR b.event_id IS NULL
+   OR a.value != b.value OR a.event_type != b.event_type
+   OR a.user_id != b.user_id
+""")
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC derivation): classify every key across two
+    table versions as insert / update / delete — the primitive behind
+    incremental re-processing when the upstream gives you full dumps
+    instead of a changelog.  The two snapshots here are deterministic
+    views of the events fixture (dropped ids simulate deletes/inserts,
+    a perturbed value simulates updates).  Physically: one FULL OUTER
+    sort-merge join on the key — the honest large-large shape; at
+    100 TB both snapshots would be bucketed by key on write, turning
+    the diff into a zero-shuffle zipper per bucket.  Unchanged rows are
+    filtered out so the output is change-proportional, not
+    snapshot-proportional.  The value perturbation (+1.0) is one IEEE
+    op — bit-identical cross-engine."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value")
+    snap_a = ev.filter(F.col("event_id") % 11 != 0)
+    snap_b = ev.filter(F.col("event_id") % 13 != 0).withColumn(
+        "value",
+        F.when(F.col("user_id") % 97 == 0, F.col("value") + 1.0)
+        .otherwise(F.col("value")))
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    joined = a.join(b, F.col("a.event_id") == F.col("b.event_id"), "full_outer")
+    changed = (
+        F.col("a.event_id").isNull() | F.col("b.event_id").isNull()
+        | (F.col("a.value") != F.col("b.value"))
+        | (F.col("a.event_type") != F.col("b.event_type"))
+        | (F.col("a.user_id") != F.col("b.user_id"))
+    )
+    return joined.filter(changed).select(
+        F.coalesce(F.col("a.event_id"), F.col("b.event_id")).alias("event_id"),
+        F.when(F.col("a.event_id").isNull(), "insert")
+        .when(F.col("b.event_id").isNull(), "delete")
+        .otherwise("update").alias("change_type"),
+        F.col("a.value").alias("old_value"),
+        F.col("b.value").alias("new_value"),
+    )

@@ -203,3 +203,13 @@ def test_bpe_pairs_partial_aggregates(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_llm_bpe_pairs")
     assert p.count("HashAggregate") >= 2
     assert "WindowGroupLimit" in p
+
+
+def test_cdc_diff_is_full_outer_smj(spark, sf_dir):
+    """Snapshot diff must plan as ONE sort-merge FullOuter join of the
+    two snapshot scans — the shape that stays a per-bucket zipper when
+    the snapshots are bucketed by key at real scale."""
+    p = _plan(spark, sf_dir, "q_cdc_snapshot_diff")
+    assert "SortMergeJoin FullOuter" in p or (
+        "SortMergeJoin" in p and "FullOuter" in p)
+    assert "BroadcastNestedLoop" not in p

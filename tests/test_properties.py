@@ -316,3 +316,25 @@ def test_pack_next_fit_capacity_and_greedy_maximality(spark, sf_dir):
                 assert (prev.offset_in_pack + prev.n_tokens + r.n_tokens
                         > PACK_CAPACITY)
             prev = r
+
+
+def test_cdc_diff_classes_match_construction(spark, sf_dir):
+    """The synthetic snapshots make every class predictable: inserts are
+    exactly the ids dropped from A but kept in B, deletes the reverse,
+    updates the perturbed-user rows present in both."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id").collect()
+    expect = {"insert": set(), "delete": set(), "update": set()}
+    for r in ev:
+        in_a, in_b = r.event_id % 11 != 0, r.event_id % 13 != 0
+        if not in_a and in_b:
+            expect["insert"].add(r.event_id)
+        elif in_a and not in_b:
+            expect["delete"].add(r.event_id)
+        elif in_a and in_b and r.user_id % 97 == 0:
+            expect["update"].add(r.event_id)
+    got = {"insert": set(), "delete": set(), "update": set()}
+    for r in QUERIES["q_cdc_snapshot_diff"](spark, sf_dir).collect():
+        got[r.change_type].add(r.event_id)
+        if r.change_type == "update":
+            assert r.new_value == r.old_value + 1.0
+    assert got == expect
