@@ -429,3 +429,71 @@ def q_llm_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shared").isNotNull().alias("is_contaminated"),
         )
     )
+
+
+@query("q_llm_fuzzy_token_join", oracle="""
+WITH vocab AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+), typos AS (
+  SELECT DISTINCT substr(tok, 1, 1) || substr(tok, 3, length(tok)) AS typo
+  FROM vocab WHERE length(tok) >= 4
+), dict_keys AS (
+  SELECT tok,
+         unnest(list_prepend(tok,
+           list_transform(range(1, length(tok) + 1),
+             i -> substr(tok, 1, CAST(i AS INT) - 1)
+                  || substr(tok, CAST(i AS INT) + 1, length(tok))))) AS v
+  FROM vocab WHERE length(tok) >= 3
+), typo_keys AS (
+  SELECT typo,
+         unnest(list_prepend(typo,
+           list_transform(range(1, length(typo) + 1),
+             i -> substr(typo, 1, CAST(i AS INT) - 1)
+                  || substr(typo, CAST(i AS INT) + 1, length(typo))))) AS v
+  FROM typos
+)
+SELECT DISTINCT t.typo, d.tok AS correction
+FROM typo_keys t JOIN dict_keys d ON t.v = d.v
+WHERE levenshtein(t.typo, d.tok) = 1
+""")
+def q_llm_fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance-1) dictionary correction via
+    symmetric-deletion blocking — the SymSpell scheme: both the noisy
+    token stream (here a deterministic second-character deletion per
+    vocab word, standing in for OCR/typo noise) and the dictionary emit
+    themselves plus every single-character deletion as blocking keys, so
+    candidates come from an EQUI join on the shared variant instead of
+    an O(T x V) cross join; the exact levenshtein==1 check runs only on
+    blocked candidates.  Complete for distance 1: any one-edit pair
+    shares a deletion variant.  At 100 TB the variant join shuffles on
+    the variant string over pre-distinct'ed tokens — work is bounded by
+    vocabulary size, not corpus size (and the dictionary side would
+    broadcast).  All string ops and the distance are integer-exact
+    cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    typos = (
+        vocab.filter(F.length("tok") >= 4)
+        .select(F.concat(F.substring("tok", 1, 1),
+                         F.expr("substring(tok, 3, length(tok))"))
+                .alias("typo"))
+        .distinct()
+    )
+    del_keys = (
+        "concat(array({w}), transform(sequence(1, length({w})),"
+        " i -> concat(substring({w}, 1, i - 1),"
+        "             substring({w}, i + 1, length({w})))))"
+    )
+    dict_keys = vocab.filter(F.length("tok") >= 3).select(
+        "tok", F.explode(F.expr(del_keys.format(w="tok"))).alias("v"))
+    typo_keys = typos.select(
+        "typo", F.explode(F.expr(del_keys.format(w="typo"))).alias("v"))
+    return (
+        typo_keys.join(F.broadcast(dict_keys), "v")
+        .filter(F.levenshtein(F.col("typo"), F.col("tok")) == 1)
+        .select("typo", F.col("tok").alias("correction"))
+        .distinct()
+    )

@@ -338,3 +338,23 @@ def test_cdc_diff_classes_match_construction(spark, sf_dir):
         if r.change_type == "update":
             assert r.new_value == r.old_value + 1.0
     assert got == expect
+
+
+def test_fuzzy_join_recovers_every_typo(spark, sf_dir):
+    """Symmetric-delete blocking is COMPLETE for distance 1: every
+    injected typo must map back to its source word, and every emitted
+    pair must truly be one edit apart."""
+    rows = QUERIES["q_llm_fuzzy_token_join"](spark, sf_dir).collect()
+    assert rows
+    vocab = {
+        r.tok for r in load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .distinct().collect()
+    }
+    got = {(r.typo, r.correction) for r in rows}
+    for w in vocab:
+        if len(w) >= 4:
+            typo = w[0] + w[2:]
+            assert (typo, w) in got, f"missed {typo} -> {w}"
+    for typo, corr in got:
+        assert corr in vocab
