@@ -961,3 +961,71 @@ def q_llm_pack_next_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, lang string, n_tokens long, pack_id long, "
         "offset_in_pack long",
     )
+
+
+# target mixture (percent of the rebalanced epoch) per language; the
+# epoch budget is half the corpus, so quota_l = total * share_l // 200
+MIX_TARGET = {"en": 40, "es": 20, "de": 15, "fr": 15, "zh": 10}
+
+
+@query("q_llm_rebalance", oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         md5(CAST(doc_id AS VARCHAR) || '|' || lang) AS h
+  FROM documents
+), tot AS (
+  SELECT COUNT(*) AS n FROM t
+), shares (lang, share) AS (
+  VALUES {", ".join(f"('{k}', {v})" for k, v in
+                    sorted(MIX_TARGET.items()))}
+), quota AS (
+  SELECT s.lang, CAST((tot.n * s.share) // 200 AS BIGINT) AS quota
+  FROM shares s CROSS JOIN tot
+), ranked AS (
+  SELECT lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM t
+)
+SELECT r.lang, q.quota,
+       CAST(COUNT(*) AS BIGINT) AS n_avail,
+       CAST(SUM(CASE WHEN r.rn <= q.quota THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM ranked r JOIN quota q ON r.lang = q.lang
+GROUP BY r.lang, q.quota
+""")
+def q_llm_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to a TARGET language mixture with exact
+    per-language quotas — the epoch-construction step after mixture
+    *rates* (q_llm_mixture) are chosen: quota_l = total x share_l over
+    a half-corpus budget, filled in content-addressed md5-hash order
+    (an unbiased, reproducible shuffle — identical membership on every
+    run and engine, unlike rand()).  Underfull languages keep all they
+    have (n_kept < quota shows the shortfall the mixture designer must
+    re-weight around).  One shuffle on lang for the ranking window; the
+    1-row total and 5-row quota table broadcast.  All counts and quotas
+    are integers — exact cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                       F.col("lang"))).alias("h"),
+    )
+    tot = t.agg(F.count(F.lit(1)).alias("n"))
+    shares = spark.createDataFrame(
+        sorted(MIX_TARGET.items()), "lang string, share long")
+    quota = (
+        F.broadcast(shares).crossJoin(F.broadcast(tot))
+        .select("lang", ((F.col("n") * F.col("share")) / 200)
+                .cast("long").alias("quota"))
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = t.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .groupBy("lang", "quota")
+        .agg(
+            F.count(F.lit(1)).alias("n_avail"),
+            F.sum(F.when(F.col("rn") <= F.col("quota"), 1).otherwise(0))
+            .cast("long").alias("n_kept"),
+        )
+    )

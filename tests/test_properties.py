@@ -358,3 +358,16 @@ def test_fuzzy_join_recovers_every_typo(spark, sf_dir):
             assert (typo, w) in got, f"missed {typo} -> {w}"
     for typo, corr in got:
         assert corr in vocab
+
+
+def test_rebalance_quotas_filled_or_exhausted(spark, sf_dir):
+    """Every language fills its quota exactly unless the corpus runs
+    out, and quotas follow the declared target shares."""
+    from mu_swarm_logger_service_spark.llm.text import MIX_TARGET
+
+    rows = QUERIES["q_llm_rebalance"](spark, sf_dir).collect()
+    assert {r.lang for r in rows} == set(MIX_TARGET)
+    total = load(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r.quota == total * MIX_TARGET[r.lang] // 200
+        assert r.n_kept == min(r.quota, r.n_avail)
