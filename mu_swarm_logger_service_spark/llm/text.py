@@ -1029,3 +1029,78 @@ def q_llm_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("n_kept"),
         )
     )
+
+
+@query("q_llm_gopher_rules", oracle="""
+WITH feat AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(text, ' '),
+                               w -> CAST(length(w) AS BIGINT))),
+              (a, x) -> a + x) AS BIGINT) AS sum_wlen,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('a', 'the', 'of', 'and')))
+              AS BIGINT) AS n_stop
+  FROM documents
+), rules AS (
+  SELECT lang,
+         (n_tok < 10) AS r_short,
+         (n_tok > 500) AS r_long,
+         (CAST(sum_wlen AS DOUBLE) / n_tok < 3.0
+          OR CAST(sum_wlen AS DOUBLE) / n_tok > 10.0) AS r_wlen,
+         (CAST(n_stop AS DOUBLE) / n_tok < 0.01) AS r_stop
+  FROM feat
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN r_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+       CAST(SUM(CASE WHEN r_long THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
+       CAST(SUM(CASE WHEN r_wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_wordlen,
+       CAST(SUM(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stopword,
+       CAST(SUM(CASE WHEN NOT (r_short OR r_long OR r_wlen OR r_stop)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM rules GROUP BY lang
+""")
+def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate with per-rule rejection
+    accounting: document length bounds, mean-word-length window, and
+    minimum stopword density (the four-rule core of the Gopher/Dolma
+    repetition-free filters), evaluated in ONE narrow pass — every rule
+    is a JVM-side array expression, the per-language report is a single
+    groupBy, and each rule's rejection count is surfaced separately so
+    the pipeline owner sees WHY documents die, not just how many.  Word
+    lengths sum through a sequential integer fold (exact); the two
+    ratio thresholds compare single-IEEE-op quotients of exact
+    integers — bit-identical cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feat = docs.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.expr("aggregate(transform(split(text, ' '),"
+               " w -> CAST(length(w) AS BIGINT)), 0L, (a, x) -> a + x)")
+        .alias("sum_wlen"),
+        F.size(F.filter(toks, lambda t: t.isin("a", "the", "of", "and")))
+        .cast("long").alias("n_stop"),
+    )
+    mean_wlen = F.col("sum_wlen").cast("double") / F.col("n_tok")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tok")
+    rules = feat.select(
+        "lang",
+        (F.col("n_tok") < 10).alias("r_short"),
+        (F.col("n_tok") > 500).alias("r_long"),
+        ((mean_wlen < 3.0) | (mean_wlen > 10.0)).alias("r_wlen"),
+        (stop_ratio < 0.01).alias("r_stop"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")
+    return rules.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt("r_short").alias("n_too_short"),
+        cnt("r_long").alias("n_too_long"),
+        cnt("r_wlen").alias("n_bad_wordlen"),
+        cnt("r_stop").alias("n_low_stopword"),
+        F.sum(F.when(~(F.col("r_short") | F.col("r_long") | F.col("r_wlen")
+                       | F.col("r_stop")), 1).otherwise(0))
+        .cast("long").alias("n_kept"),
+    )
