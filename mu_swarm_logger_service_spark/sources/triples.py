@@ -323,3 +323,44 @@ def q_sparql_path_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("created_o").alias("first_created"),
         )
     )
+
+
+@query("q_sparql_negated_propset", oracle=f"""
+WITH t AS (
+  SELECT 'http://swarmui.semte.ch/resources/events/'
+           || sha256(CAST(event_id AS VARCHAR)) AS s,
+         event_type, user_id, ts
+  FROM events
+), triples AS (
+  SELECT s, '{RDF_TYPE}' AS p, '{SWARMUI}Event' AS o FROM t
+  UNION ALL
+  SELECT s, '{SWARMUI}eventType', event_type FROM t
+  UNION ALL
+  SELECT s, '{SWARMUI}container', 'c' || CAST(user_id AS VARCHAR) FROM t
+  UNION ALL
+  SELECT s, '{DCT}created', strftime(ts, '%Y-%m-%dT%H:%M:%SZ') FROM t
+)
+SELECT p, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(DISTINCT o) AS BIGINT) AS n_objects
+FROM triples
+WHERE p NOT IN ('{RDF_TYPE}', '{DCT}created')
+GROUP BY p
+""")
+def q_sparql_negated_propset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL negated property set `?s !(rdf:type|dct:created) ?o`
+    [spec:SPARQL 1.1 §9.1 NPS: any edge whose predicate is NOT in the
+    set] — the last property-path feature beyond +/inverse/sequence/
+    alternation (q_sparql_path, q_sparql_path_features).  Relationally
+    it is a predicate anti-membership filter before a per-predicate
+    rollup; on the partitioned sink layout (partitionBy p) the NOT IN
+    prunes whole predicate partitions at plan time — the scan never
+    reads the excluded edges."""
+    triples = events_to_triples(load(spark, sf_dir, "events"))
+    return (
+        triples.filter(~F.col("p").isin(RDF_TYPE, DCT + "created"))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.count_distinct("o").alias("n_objects"),
+        )
+    )
