@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..core.numeric import dsum
 from ..core.registry import query
 from ..core.tables import load
 from .similarity import cosine
@@ -402,3 +403,76 @@ def q_llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return r.select("node", F.round("rank", 9).alias("rank"))
+
+
+@query("q_llm_kmeans_step", oracle=f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id % {CENT_MOD} = 3
+), assign AS (
+  SELECT vec_id, cell, e FROM (
+    SELECT emb.vec_id, cent.cell, emb.e,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY round(list_cosine_similarity(emb.e, cent.ce), 6) DESC,
+                      cent.cell) AS r
+    FROM emb, cent
+  ) WHERE r = 1
+), dims AS (
+  SELECT cell, generate_subscripts(e, 1) AS pos, unnest(e) AS val
+  FROM assign
+), agg AS (
+  SELECT cell, pos,
+         CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+           AS mean_val,
+         COUNT(*) AS cnt
+  FROM dims GROUP BY 1, 2
+)
+SELECT cell, CAST(MAX(cnt) AS BIGINT) AS n_members,
+       list(mean_val ORDER BY pos) AS centroid
+FROM agg GROUP BY cell
+""")
+def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration's centroid UPDATE — with q_llm_ann_ivf's
+    coarse assignment this closes the k-means loop the IVF index is
+    (re)trained with: per cell, the element-wise mean of all member
+    vectors.  Assignment reuses the broadcast argmax (one shuffle of
+    (vector, cell) rows); the update pos-explodes members into
+    (cell, dim, value) — a narrow 64x fan-out with NO extra shuffle
+    beyond the (cell, dim) aggregate, whose exact-DECIMAL sums make the
+    means order-independent and bit-identical cross-engine; the final
+    per-cell regroup carries K x 64 rows (driver-trivial at any corpus
+    size), reassembling dimension order via sort-by-position, never
+    collect_list insertion order."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
+    )
+    cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
+    assign = (
+        emb.join(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(
+            cos_r.alias("cs"),
+            (-F.col("cell")).alias("nc"),
+            F.col("embedding").alias("e"),
+        )).alias("best"))
+        .select("vec_id", (-F.col("best.nc")).alias("cell"),
+                F.col("best.e").alias("e"))
+    )
+    dims = assign.select(
+        "cell",
+        F.posexplode(F.expr("transform(e, x -> CAST(x AS DOUBLE))"))
+        .alias("pos0", "val"),
+    ).select("cell", (F.col("pos0") + 1).alias("pos"), "val")
+    agg = dims.groupBy("cell", "pos").agg(
+        (dsum(F.col("val")) / F.count(F.lit(1))).alias("mean_val"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return agg.groupBy("cell").agg(
+        F.max("cnt").cast("long").alias("n_members"),
+        F.expr("transform(sort_array(collect_list(struct(pos, mean_val))),"
+               " s -> s.mean_val)").alias("centroid"),
+    )

