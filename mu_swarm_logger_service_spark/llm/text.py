@@ -1104,3 +1104,57 @@ def q_llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                        | F.col("r_stop")), 1).otherwise(0))
         .cast("long").alias("n_kept"),
     )
+
+
+VOCAB_TOP_N = 20  # "tokenizer vocabulary" = the N globally most frequent tokens
+
+
+@query("q_llm_vocab_coverage", oracle=f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+  ) QUALIFY row_number() OVER (ORDER BY n DESC, token) <= {VOCAB_TOP_N}
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_vocab,
+       CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS coverage
+FROM tok t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY lang
+""")
+def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage / OOV rate per language: fix the
+    "vocabulary" to the N globally most frequent tokens (the greedy
+    frequency vocabulary a unigram tokenizer trainer would pick) and
+    measure what fraction of each language's token stream it covers —
+    the metric that decides whether a shared tokenizer starves a
+    language.  The vocabulary is a two-stage aggregate ending in a
+    global top-N taken with orderBy+limit — TakeOrderedAndProject keeps
+    a size-N heap per partition instead of sorting (or single-partition
+    windowing) the full distinct-token set, so it survives a
+    billion-token vocabulary candidate pool — and BROADCASTS into the
+    membership probe, so the token stream shuffles once for the
+    per-lang counts and never for the vocab join.  Coverage is one IEEE
+    division of exact integers."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(VOCAB_TOP_N)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    hit = F.sum(F.when(F.col("in_vocab").isNotNull(), 1).otherwise(0))
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            hit.cast("long").alias("n_in_vocab"),
+            (hit.cast("double") / F.count(F.lit(1))).alias("coverage"),
+        )
+    )

@@ -733,3 +733,62 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").isNotNull().alias("observed"),
         interp.alias("v_interp"),
     )
+
+
+VOL_WINDOW = 24  # trailing hours in the volatility frame
+
+
+@query("q_ts_volatility", oracle=f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS xi,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), framed AS (
+  SELECT event_type, xi, y,
+         COUNT(*) OVER w AS c,
+         SUM(y) OVER w AS sx,
+         SUM(y * y) OVER w AS sxx
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY xi
+               ROWS BETWEEN {VOL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, xi, CAST(y AS BIGINT) AS y, CAST(c AS BIGINT) AS n_hours,
+       CAST(sx AS DOUBLE) / c AS mean_rate,
+       CASE WHEN c > 1
+            THEN CAST(c * sxx - sx * sx AS DOUBLE) / (CAST(c AS DOUBLE) * (c - 1))
+            ELSE NULL END AS variance
+FROM framed
+""")
+def q_ts_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling volatility of the hourly rate — trailing 24-hour mean and
+    sample variance per event type, the band an adaptive alert threshold
+    tracks (vs q_ts_anomaly's GLOBAL z-score).  The frame sums are
+    INTEGER window sums (any addition order is exact, dodging the
+    segment-tree-vs-running-sum double divergence); mean and variance
+    convert the integer moments to double in one fixed expression each
+    — bit-identical cross-engine with no decimal cast.  One shuffle on
+    event_type feeds the hourly rollup AND both frames; rows are
+    hours x types, so the window state is trivial at any corpus age."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.repartition("event_type").groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+        .cast("long").alias("xi"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = (Window.partitionBy("event_type").orderBy("xi")
+         .rowsBetween(-(VOL_WINDOW - 1), Window.currentRow))
+    framed = hourly.select(
+        "event_type", "xi", "y",
+        F.count(F.lit(1)).over(w).alias("c"),
+        F.sum("y").over(w).alias("sx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("sxx"),
+    )
+    var = (F.col("c") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") \
+        / (F.col("c").cast("double") * (F.col("c") - 1))
+    return framed.select(
+        "event_type", "xi", F.col("y").cast("long").alias("y"),
+        F.col("c").cast("long").alias("n_hours"),
+        (F.col("sx").cast("double") / F.col("c")).alias("mean_rate"),
+        F.when(F.col("c") > 1, var).otherwise(F.lit(None)).alias("variance"),
+    )

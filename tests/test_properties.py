@@ -383,3 +383,21 @@ def test_kmeans_step_covers_corpus_and_dims(spark, sf_dir):
     for r in rows:
         assert len(r.centroid) == dim
         assert all(-1.0 <= v <= 1.0 for v in r.centroid)
+
+
+def test_volatility_variance_nonnegative_and_mean_bounded(spark, sf_dir):
+    rows = QUERIES["q_ts_volatility"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_hours <= 24
+        assert r.mean_rate > 0
+        if r.variance is not None:
+            assert r.variance >= 0.0
+
+
+def test_vocab_coverage_in_unit_interval(spark, sf_dir):
+    rows = QUERIES["q_llm_vocab_coverage"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.coverage <= 1.0
+        assert r.n_in_vocab <= r.n_tokens
