@@ -476,3 +476,75 @@ def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(sort_array(collect_list(struct(pos, mean_val))),"
                " s -> s.mean_val)").alias("centroid"),
     )
+
+
+SEM_TAU = 0.7  # within-cell cosine threshold for a semantic duplicate
+
+
+@query("q_llm_semdedup", oracle=f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id % {CENT_MOD} = 3
+), assign AS (
+  SELECT vec_id, cell, e FROM (
+    SELECT emb.vec_id, cent.cell, emb.e,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY round(list_cosine_similarity(emb.e, cent.ce), 6) DESC,
+                      cent.cell) AS r
+    FROM emb, cent
+  ) WHERE r = 1
+), dup AS (
+  SELECT DISTINCT a.vec_id
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {SEM_TAU}
+)
+SELECT a.vec_id, a.cell, d.vec_id IS NULL AS is_kept
+FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id
+""")
+def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    corpus with the IVF coarse quantizer, then WITHIN each cluster drop
+    every vector that has a lower-id member above the cosine threshold —
+    the one-pass priority rule the reference SemDeDup implementations
+    use, with id order standing in for the distance-to-centroid
+    priority so the policy is deterministic and oracle-checkable.
+
+    Scale shape: assignment reuses the broadcast-argmax pass (corpus
+    scanned once, shuffle carries one (vector, cell) row each); the
+    quadratic pairing is confined to a cell-local equi self-join —
+    O(Σ cell_size²) instead of O(n²), the whole point of clustering
+    first — and the dup set flows back through one equi join on vec_id.
+    No crossJoin, no window over the full corpus."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
+    )
+    cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
+    assign = (
+        emb.join(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(
+            cos_r.alias("cs"),
+            (-F.col("cell")).alias("nc"),
+            F.col("embedding").alias("e"),
+        )).alias("best"))
+        .select("vec_id", (-F.col("best.nc")).alias("cell"),
+                F.col("best.e").alias("e"))
+    )
+    b = assign.select(F.col("vec_id").alias("b_id"), "cell",
+                      F.col("e").alias("eb"))
+    dup = (
+        assign.join(b, "cell")
+        .where((F.col("b_id") < F.col("vec_id"))
+               & (F.round(cosine(F.col("e"), F.col("eb")), 6) >= SEM_TAU))
+        .select("vec_id").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        assign.join(dup, "vec_id", "left")
+        .select("vec_id", "cell", F.col("hit").isNull().alias("is_kept"))
+    )

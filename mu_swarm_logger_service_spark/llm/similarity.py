@@ -417,3 +417,74 @@ def q_llm_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOPK)
         .select("q_id", "c_id", "approx_dot")
     )
+
+
+@query("q_llm_hard_negatives", oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, label AS q_label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE {_QUERY_FILTER}
+), c AS (
+  SELECT vec_id AS c_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings
+), s AS (
+  SELECT q_id, q_label, c_id, label,
+         round(list_cosine_similarity(qe, ce), 6) + 0.0 AS cos_sim
+  FROM q, c WHERE q_id != c_id
+), pos AS (
+  SELECT q_id, q_label, c_id AS pos_id, cos_sim AS pos_sim FROM s
+  WHERE label = q_label
+  QUALIFY row_number() OVER (PARTITION BY q_id
+                             ORDER BY cos_sim DESC, c_id) = 1
+), neg AS (
+  SELECT q_id, c_id AS neg_id, cos_sim AS neg_sim FROM s
+  WHERE label != q_label
+  QUALIFY row_number() OVER (PARTITION BY q_id
+                             ORDER BY cos_sim DESC, c_id) = 1
+)
+SELECT p.q_id, p.q_label AS label, p.pos_id, p.pos_sim,
+       n.neg_id, n.neg_sim, p.pos_sim - n.neg_sim + 0.0 AS margin
+FROM pos p JOIN neg n ON p.q_id = n.q_id
+""")
+def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding training: per anchor, the
+    nearest SAME-label vector (positive) and the nearest OTHER-label
+    vector (the hard negative — the pair that produces gradient), plus
+    the margin between them; anchors with no candidate on either side
+    drop out (inner-join contract).
+
+    One corpus scan: anchors broadcast against the corpus, and BOTH
+    argmaxes fold into a single groupBy(q_id) with two conditional
+    struct-max aggregates — map-side partials do the heavy lifting, the
+    shuffle carries two structs per (partition, anchor), and there is
+    no full-corpus window.  Ties break on lowest candidate id via the
+    (cos, -id) struct order, mirroring the oracle's ORDER BY.  The
+    margin is one IEEE subtraction of identically-rounded doubles
+    (+0.0 normalizes a potential -0.0)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), "label",
+                   F.col("embedding").alias("ce"))
+    cos_r = F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0
+    same = F.col("label") == F.col("q_label")
+    cand = F.struct(cos_r.alias("cs"), (-F.col("c_id")).alias("nc"))
+    best = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "q_label")
+        .agg(
+            F.max(F.when(same, cand)).alias("p"),
+            F.max(F.when(~same, cand)).alias("n"),
+        )
+        .where(F.col("p").isNotNull() & F.col("n").isNotNull())
+    )
+    return best.select(
+        "q_id", F.col("q_label").alias("label"),
+        (-F.col("p.nc")).alias("pos_id"), F.col("p.cs").alias("pos_sim"),
+        (-F.col("n.nc")).alias("neg_id"), F.col("n.cs").alias("neg_sim"),
+        (F.col("p.cs") - F.col("n.cs") + 0.0).alias("margin"),
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..core.numeric import dsum
 from ..core.registry import query
 from ..core.tables import load
 
@@ -1156,5 +1157,76 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             hit.cast("long").alias("n_in_vocab"),
             (hit.cast("double") / F.count(F.lit(1))).alias("coverage"),
+        )
+    )
+
+
+@query("q_llm_perplexity", oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), bgf AS (
+  SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(toks)),
+             i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+    FROM tok
+  )
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS n2 FROM bgf GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, COUNT(*) AS n1 FROM bgf GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT t.token) AS vsz
+  FROM (SELECT unnest(toks) AS token FROM tok) t
+)
+SELECT g.doc_id, g.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(
+           ln(CAST(c1.n1 + v.vsz AS DOUBLE) / CAST(c2.n2 + 1 AS DOUBLE))
+           AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_nll
+FROM bgf g
+JOIN c2 ON g.w1 = c2.w1 AND g.w2 = c2.w2
+JOIN c1 ON g.w1 = c1.w1
+CROSS JOIN v
+GROUP BY g.doc_id, g.lang
+""")
+def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the KenLM-style
+    quality signal: train add-one-smoothed bigram counts over the whole
+    corpus, then score every document by its average negative
+    log-likelihood (low = fluent/common phrasing, high = noise), the
+    filter that ranks crawl text for training mixtures.
+
+    nll per bigram is ONE ln of a quotient of exact integers (identical
+    bits cross-engine, the q_llm_dsir_weights precedent), summed through
+    the exact decimal path so shuffle order can't move the last ulp.
+    Scale shape: bigram counts are corpus-wide aggregates with map-side
+    partials; the scoring joins are equi joins on (w1,w2) / w1 — the
+    count tables are vocabulary-sized, NOT broadcast — and the vocab
+    size rides in as a broadcast 1-row cross join.  Docs with < 2
+    tokens have no bigrams and drop out (documented contract)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    bgf = tok.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(slice(toks, 1, size(toks) - 1),"
+            " (w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))"
+        )).alias("b"),
+    ).select("doc_id", "lang", "b.w1", "b.w2")
+    c2 = bgf.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bgf.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = tok.select(F.explode("toks").alias("token")).agg(
+        F.countDistinct("token").alias("vsz"))
+    nll = F.log((F.col("n1") + F.col("vsz")).cast("double")
+                / (F.col("n2") + F.lit(1)).cast("double"))
+    return (
+        bgf.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (dsum(nll) / F.count(F.lit(1))).alias("avg_nll"),
         )
     )
