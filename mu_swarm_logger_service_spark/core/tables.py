@@ -58,15 +58,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ship_package(spark)
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md) which Spark 4
-        # rejects outright; read nanos as long and truncate to µs — exactly
-        # what DuckDB's ns→µs view cast does, so the oracle agrees.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        )
+        return _normalize_events_ts(_read_events(spark, sf_dir))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    # generations (Spark 4 rejects it outright without the legacy flag) and
+    # TIMESTAMP(MICROS) in others; enable the legacy nanos-as-long read so
+    # both load, then normalize in _normalize_events_ts.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-zone TIMESTAMP (µs) regardless of
+    how the parquet writer encoded it: int64 nanos (legacy flag), NTZ micros,
+    or already LTZ.  DuckDB's view of the same file agrees under UTC."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

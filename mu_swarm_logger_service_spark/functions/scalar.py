@@ -228,8 +228,10 @@ SELECT
   round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS e1,
   round(CAST(list_max(embedding) AS DOUBLE), 6) + 0.0 AS e_max,
   round(CAST(list_min(embedding) AS DOUBLE), 6) + 0.0 AS e_min,
-  list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 4) + 0.0)
-    AS head4_r,
+  round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS h1,
+  round(CAST(embedding[2] AS DOUBLE), 4) + 0.0 AS h2,
+  round(CAST(embedding[3] AS DOUBLE), 4) + 0.0 AS h3,
+  round(CAST(embedding[4] AS DOUBLE), 4) + 0.0 AS h4,
   len(list_filter(embedding, x -> x > 0)) AS n_pos,
   round(list_reduce(
           list_prepend(CAST(0 AS DOUBLE),
@@ -254,9 +256,13 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.element_at(e, 1).cast("double"), 6) + 0.0).alias("e1"),
         (F.round(F.array_max(e).cast("double"), 6) + 0.0).alias("e_max"),
         (F.round(F.array_min(e).cast("double"), 6) + 0.0).alias("e_min"),
-        F.transform(F.slice(e, 1, 4),
-                    lambda x: F.round(x.cast("double"), 4) + 0.0)
-        .alias("head4_r"),
+        # slice → per-position scalars: driver output columns must stay
+        # atomic (pandas sort_values in the compare crashes on list cells)
+        *[
+            (F.round(F.element_at(F.slice(e, 1, 4), i).cast("double"), 4)
+             + 0.0).alias(f"h{i}")
+            for i in (1, 2, 3, 4)
+        ],
         F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
         F.round(
             F.aggregate(ed, F.lit(0.0), lambda acc, x: acc + x * x), 4

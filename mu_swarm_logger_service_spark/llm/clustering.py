@@ -423,16 +423,12 @@ WITH emb AS (
 ), dims AS (
   SELECT cell, generate_subscripts(e, 1) AS pos, unnest(e) AS val
   FROM assign
-), agg AS (
-  SELECT cell, pos,
-         CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
-           AS mean_val,
-         COUNT(*) AS cnt
-  FROM dims GROUP BY 1, 2
 )
-SELECT cell, CAST(MAX(cnt) AS BIGINT) AS n_members,
-       list(mean_val ORDER BY pos) AS centroid
-FROM agg GROUP BY cell
+SELECT cell, CAST(pos AS BIGINT) AS pos,
+       CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+         AS mean_val,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM dims GROUP BY cell, pos
 """)
 def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration's centroid UPDATE — with q_llm_ann_ivf's
@@ -466,15 +462,14 @@ def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.posexplode(F.expr("transform(e, x -> CAST(x AS DOUBLE))"))
         .alias("pos0", "val"),
-    ).select("cell", (F.col("pos0") + 1).alias("pos"), "val")
-    agg = dims.groupBy("cell", "pos").agg(
+    ).select("cell", (F.col("pos0") + 1).cast("long").alias("pos"), "val")
+    # Output is per-dimension rows (cell, pos, mean_val) rather than an
+    # assembled array column: driver output columns must stay atomic
+    # (pandas sort_values in the compare crashes on list cells), and the
+    # per-dim form drops the final per-cell regroup shuffle entirely.
+    return dims.groupBy("cell", "pos").agg(
         (dsum(F.col("val")) / F.count(F.lit(1))).alias("mean_val"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-    return agg.groupBy("cell").agg(
-        F.max("cnt").cast("long").alias("n_members"),
-        F.expr("transform(sort_array(collect_list(struct(pos, mean_val))),"
-               " s -> s.mean_val)").alias("centroid"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
     )
 
 

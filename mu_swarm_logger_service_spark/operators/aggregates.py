@@ -325,10 +325,15 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch is one pass, mergeable, and bounded-memory.  Rows-only for the
     driver (sketch internals differ across engines); the compensating
     test asserts each approximate quantile lands within the rank-error
-    bound of the exact value."""
+    bound of the exact value.  Quantiles come back as scalar columns, not
+    one array column — driver output must stay atomic (pandas
+    sort_values in its compare crashes on list cells, CORRECTNESS_r01)."""
     ev = load(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.95, 0.99], 10000)
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+        F.element_at(pcts, 1).alias("p50"),
+        F.element_at(pcts, 2).alias("p95"),
+        F.element_at(pcts, 3).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -25,11 +25,12 @@ def stream_events(spark: SparkSession, sf_dir: str,
     main.py]; a replayable file source gives the fault tolerance the
     reference lacks (SURVEY.md §4.1: missed events while down).
 
-    Parquet ns-timestamps are read as long (same conf as core.tables.load)
-    and truncated to µs, so batch and stream see identical values.
+    ``ts`` is normalized exactly as in core.tables.load (ns-as-long /
+    NTZ-µs / LTZ all accepted), so batch and stream see identical values.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from ..core.tables import _normalize_events_ts, _read_events
+
+    schema = _read_events(spark, sf_dir).schema
     # File stream sources need a DIRECTORY; stage one with a symlink to the
     # (read-only) testdata file.
     staged = os.path.join(
@@ -43,10 +44,7 @@ def stream_events(spark: SparkSession, sf_dir: str,
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return (
-        reader.parquet(staged)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    return _normalize_events_ts(reader.parquet(staged))
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:

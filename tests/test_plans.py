@@ -213,3 +213,19 @@ def test_cdc_diff_is_full_outer_smj(spark, sf_dir):
     assert "SortMergeJoin FullOuter" in p or (
         "SortMergeJoin" in p and "FullOuter" in p)
     assert "BroadcastNestedLoop" not in p
+
+
+def test_all_query_outputs_are_atomic_columns(spark, sf_dir):
+    """Driver-contract invariant (CORRECTNESS_r01): the driver canonicalizes
+    results with pandas sort_values, which raises `unhashable type` on any
+    array/map/struct cell — so EVERY registered query must project compound
+    values down to atomic columns before returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders

@@ -112,7 +112,7 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
 
     Q = entrymod.queries()
     approx = {
-        r.event_type: (r.pcts, r.n)
+        r.event_type: ([r.p50, r.p95, r.p99], r.n)
         for r in Q["q_agg_approx_percentile"](spark, sf_dir).collect()
     }
     vals: dict[str, list[float]] = {}
@@ -378,11 +378,16 @@ def test_kmeans_step_covers_corpus_and_dims(spark, sf_dir):
     dimensionality; means stay inside the per-dim member envelope."""
     rows = QUERIES["q_llm_kmeans_step"](spark, sf_dir).collect()
     emb = load(spark, sf_dir, "embeddings")
-    assert sum(r.n_members for r in rows) == emb.count()
     dim = len(emb.select("embedding").first().embedding)
+    by_cell: dict[int, dict[int, float]] = {}
+    members: dict[int, int] = {}
     for r in rows:
-        assert len(r.centroid) == dim
-        assert all(-1.0 <= v <= 1.0 for v in r.centroid)
+        by_cell.setdefault(r.cell, {})[r.pos] = r.mean_val
+        members[r.cell] = r.n_members
+    assert sum(members.values()) == emb.count()
+    for cell, dims in by_cell.items():
+        assert sorted(dims) == list(range(1, dim + 1)), cell
+        assert all(-1.0 <= v <= 1.0 for v in dims.values()), cell
 
 
 def test_volatility_variance_nonnegative_and_mean_bounded(spark, sf_dir):
