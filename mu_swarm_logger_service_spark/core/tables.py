@@ -66,9 +66,22 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
     # generations (Spark 4 rejects it outright without the legacy flag) and
     # TIMESTAMP(MICROS) in others; enable the legacy nanos-as-long read so
-    # both load, then normalize in _normalize_events_ts.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    # both load, then normalize in _normalize_events_ts.  The flag is scoped
+    # to this read: it is restored afterwards so an unrelated parquet read of
+    # a NANOS column elsewhere in the session still fails loudly instead of
+    # silently yielding int64.
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        df.schema  # force analysis (and the footer read) under the flag
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return df
 
 
 def _normalize_events_ts(df: DataFrame) -> DataFrame:

@@ -256,11 +256,11 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.element_at(e, 1).cast("double"), 6) + 0.0).alias("e1"),
         (F.round(F.array_max(e).cast("double"), 6) + 0.0).alias("e_max"),
         (F.round(F.array_min(e).cast("double"), 6) + 0.0).alias("e_min"),
-        # slice → per-position scalars: driver output columns must stay
-        # atomic (pandas sort_values in the compare crashes on list cells)
+        # per-position scalars: driver output columns must stay atomic
+        # (pandas sort_values in the compare crashes on list cells)
         *[
-            (F.round(F.element_at(F.slice(e, 1, 4), i).cast("double"), 4)
-             + 0.0).alias(f"h{i}")
+            (F.round(F.element_at(e, i).cast("double"), 4) + 0.0)
+            .alias(f"h{i}")
             for i in (1, 2, 3, 4)
         ],
         F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
