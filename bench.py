@@ -59,9 +59,17 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
     # Warm-up: exercise scan + shuffle + codegen paths so the first measured
-    # query doesn't pay session/scheduler initialization.
+    # query doesn't pay session/scheduler initialization, and pre-spawn the
+    # Python worker pool (one worker per core — session infrastructure, like
+    # JVM JIT) so the first Arrow-batched stage doesn't pay 32 interpreter
+    # startups.
     queries["q_scan_parquet"](spark, SF_DIR).count()
     queries["q_agg_global"](spark, SF_DIR).count()
+    n_par = spark.sparkContext.defaultParallelism
+    (spark.range(0, n_par, 1, n_par)
+     .groupBy("id")
+     .applyInPandas(lambda p: p, "id long")
+     .count())
 
     per_query: dict[str, float] = {}
     total = 0.0

@@ -53,6 +53,25 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Give a COMPUTE-dense narrow pipeline full-cluster parallelism.
+
+    Scan parallelism tracks input splits, and shuffle parallelism is sized
+    by AQE on DATA volume — both are blind to per-row compute.  A stage
+    whose cost is arithmetic per row (per-pair cosines over a broadcast
+    query set, per-pair set intersections) can therefore collapse onto one
+    core when its input is a single small file.  This helper round-robin
+    repartitions to the session's default parallelism ONLY when the plan
+    has fewer partitions than cores: at real scale inputs arrive with
+    natural split parallelism and this is a no-op, so it never inserts a
+    gratuitous exchange of a 100 TB table.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

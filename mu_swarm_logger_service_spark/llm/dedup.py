@@ -20,13 +20,73 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.registry import query
-from ..core.tables import load
+from ..core.tables import load, spread
 
 
 def normalized_text(col: str = "text") -> Column:
     """lower → trim → collapse whitespace; the canonical form every dedup
     method hashes."""
     return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def jaccard_half_edges(
+    spark: SparkSession, sf_dir: str, with_block: bool = False,
+    with_jaccard: bool = False,
+) -> DataFrame:
+    """Blocked exact-Jaccard half-edges (doc_a < doc_b, J >= 0.5): the edge
+    list every near-dup graph operator (pairs / components / triangles)
+    builds on.
+
+    Exact pruning before the per-pair intersect, in cheap-first conjunct
+    order inside one whole-stage-codegen filter:
+
+    - length band: J >= 1/2 forces min(|A|,|B|) >= max(|A|,|B|)/2, an
+      integer compare on pre-computed sizes — pairs failing it never pay
+      the intersect;
+    - integer threshold: J >= 1/2  ⟺  3·|A∩B| >= |A|+|B| — no float
+      division in the hot filter (the rounded float J is emitted only when
+      `with_jaccard` asks for it).
+
+    (Dictionary-encoding tokens to ints was measured too: the pairwise
+    intersect itself gets 2× faster, but the encode pass — explode, vocab
+    broadcast, collect_list re-assembly — costs more than it saves on this
+    short-document corpus.  Worth revisiting only for corpora whose token
+    sets are hundreds of elements.)
+
+    The token sets are explicitly repartitioned on the blocking key with a
+    PINNED partition count: the corpus arrives as few input splits at small
+    SF and the blocked self-join is the one compute-bound (not IO-bound)
+    stage in the engine, so without this the O(Σ block²) intersect work
+    collapses onto one task (AQE coalesces small shuffles by SIZE, blind to
+    compute).  Both join branches hash-partition identically, so Catalyst
+    reuses one exchange — the pin costs nothing at 100 TB and buys the
+    whole cluster's parallelism at any scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", "source",
+        F.array_distinct(F.split("text", " ")).alias("tok"),
+    ).withColumn("sz", F.size("tok")).repartition(
+        spark.sparkContext.defaultParallelism, "lang", "source"
+    )
+    a, b = t.alias("a"), t.alias("b")
+    sa, sb = F.col("a.sz"), F.col("b.sz")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (2 * sa >= sb) & (2 * sb >= sa),
+    ).where(3 * inter >= sa + sb)
+    cols = [F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")]
+    if with_block:
+        cols += [F.col("a.lang").alias("lang"), F.col("a.source").alias("source")]
+    if with_jaccard:
+        cols.append(
+            F.round(inter.cast("double") / (sa + sb - inter), 6).alias("jaccard")
+        )
+    return pairs.select(*cols)
 
 
 @query("q_llm_exact_dedup", oracle=r"""
@@ -71,25 +131,9 @@ WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
 def q_llm_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (token-set) Jaccard on blocked candidate pairs (row 82)
     — ground truth for the MinHash/LSH path.  Blocking key (lang, source)
-    keeps the pair count O(sum of squared group sizes), not O(n²)."""
-    docs = load(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", "lang", "source",
-        F.array_distinct(F.split("text", " ")).alias("tok"),
-    )
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
-    union = (F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - inter)
-    jac = inter.cast("double") / union
-    return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.source") == F.col("b.source"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .where(jac >= 0.5)
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.round(jac, 6).alias("jaccard"))
-    )
+    keeps the pair count O(sum of squared group sizes), not O(n²); the
+    length-band edge build is shared (`jaccard_half_edges`)."""
+    return jaccard_half_edges(spark, sf_dir, with_jaccard=True)
 
 
 N_MINHASH = 16          # permutations (4 bands × 4 rows)
@@ -136,7 +180,7 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a) soundness — every emitted pair really has J >= 0.5 — and (b) recall
     against the exact blocked baseline (q_llm_minhash_jaccard).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     sig = minhash_signatures(docs).join(
         docs.select("doc_id", "lang", "source"), "doc_id"
     )
@@ -166,9 +210,15 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("tok")
     )
+    # Pin the verify joins' partition counts: the exact-intersect filter is
+    # the compute-bound stage and runs inside the doc_b join, which AQE
+    # would otherwise coalesce to one task at small SF (see tables.spread).
+    n_par = spark.sparkContext.defaultParallelism
     with_tok = (
-        cand.join(tok.withColumnRenamed("doc_id", "doc_a")
-                  .withColumnRenamed("tok", "tok_a"), "doc_a")
+        cand.repartition(n_par, "doc_a")
+        .join(tok.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("tok", "tok_a"), "doc_a")
+        .repartition(n_par, "doc_b")
         .join(tok.withColumnRenamed("doc_id", "doc_b")
               .withColumnRenamed("tok", "tok_b"), "doc_b")
     )

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.registry import query
-from ..core.tables import load
+from ..core.tables import load, spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -70,13 +70,17 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query set (|Q| ≪ |corpus|) is broadcast, so the corpus is scanned
     exactly once with no shuffle for the join; the per-query ranking is one
     shuffle on q_id with rank-limit pushdown (only k rows per query survive
-    each map partition).
+    each map partition).  The corpus side is `spread` — |Q|·|corpus|
+    cosines are compute-bound, so the stage must hold every core even when
+    the input is one small split.
     """
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    c = spread(
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("c_id"))
@@ -122,8 +126,8 @@ def q_llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), "label",
-                   F.col("embedding").alias("ce"))
+    c = spread(emb.select(F.col("vec_id").alias("c_id"), "label",
+                          F.col("embedding").alias("ce")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("c_id"))
@@ -182,7 +186,7 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver (xxhash64 has no DuckDB twin); tests measure recall vs the
     exact top-k.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     sig = emb.select(
         "vec_id", "embedding",
         F.posexplode(hyperplane_tables(F.col("embedding")))
@@ -259,7 +263,9 @@ def q_llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     sub = emb.filter(F.expr("vec_id % 10 = 0")).select("vec_id", "embedding")
-    a = sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    a = spread(
+        sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    )
     b = sub.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = cosine(F.col("ea"), F.col("eb"))
     return (
@@ -403,8 +409,9 @@ def q_llm_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     idp = F.expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), 0L,"
                  " (a, x) -> a + x)")
     scored = (
-        codes.select(F.col("vec_id").alias("c_id"),
-                     F.col("scale").alias("c_scale"), F.col("q").alias("cq"))
+        spread(codes.select(F.col("vec_id").alias("c_id"),
+                            F.col("scale").alias("c_scale"),
+                            F.col("q").alias("cq")))
         .crossJoin(F.broadcast(qs))
         .where(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id",
@@ -467,8 +474,8 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
         F.col("embedding").alias("qe"),
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), "label",
-                   F.col("embedding").alias("ce"))
+    c = spread(emb.select(F.col("vec_id").alias("c_id"), "label",
+                          F.col("embedding").alias("ce")))
     cos_r = F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0
     same = F.col("label") == F.col("q_label")
     cand = F.struct(cos_r.alias("cs"), (-F.col("c_id")).alias("nc"))
