@@ -1230,3 +1230,67 @@ def q_llm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsum(nll) / F.count(F.lit(1))).alias("avg_nll"),
         )
     )
+
+
+@query("q_llm_dpo_pairs", oracle="""
+WITH feat AS (
+  SELECT doc_id, lang, source,
+         CAST((len(list_filter(string_split(text, ' '),
+                               t -> t IN ('a', 'the', 'of', 'and'))) * 1000000)
+              // len(string_split(text, ' ')) AS BIGINT) AS noise_ppm
+  FROM documents
+), chosen AS (
+  SELECT lang, source, doc_id AS chosen_doc_id, noise_ppm AS chosen_ppm
+  FROM feat
+  QUALIFY row_number() OVER (PARTITION BY lang, source
+                             ORDER BY noise_ppm, doc_id) = 1
+), rejected AS (
+  SELECT lang, source, doc_id AS rejected_doc_id, noise_ppm AS rejected_ppm
+  FROM feat
+  QUALIFY row_number() OVER (PARTITION BY lang, source
+                             ORDER BY noise_ppm DESC, doc_id DESC) = 1
+)
+SELECT c.lang, c.source, c.chosen_doc_id, c.chosen_ppm,
+       r.rejected_doc_id, r.rejected_ppm,
+       r.rejected_ppm - c.chosen_ppm AS margin
+FROM chosen c JOIN rejected r USING (lang, source)
+WHERE r.rejected_ppm > c.chosen_ppm
+""")
+def q_llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for DPO/RLHF-style training: within every
+    (lang, source) domain bucket, pair the cleanest document (lowest
+    stopword-noise, the *chosen* response) against the noisiest (the
+    *rejected* one) — the weak-supervision recipe for bootstrapping
+    preference data from quality signals when no human labels exist.
+
+    The noise score is integer parts-per-million (exact integer division,
+    no float ties), and BOTH argmin and argmax ride one ``min/max(struct)``
+    aggregate in a single groupBy — one shuffle carrying two structs per
+    group, where the oracle's two-window formulation would sort the corpus
+    twice and re-join.  Ties break on doc_id (lowest for chosen, highest
+    for rejected) through the struct order; degenerate buckets (all docs
+    equally noisy) emit no pair."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    noise = (
+        (F.size(F.filter(toks, lambda t: t.isin("a", "the", "of", "and")))
+         * F.lit(1000000) / F.size(toks)).cast("long")
+    )
+    feat = docs.select(
+        "doc_id", "lang", "source", noise.alias("noise_ppm")
+    )
+    agg = feat.groupBy("lang", "source").agg(
+        F.min(F.struct(F.col("noise_ppm"), F.col("doc_id"))).alias("c"),
+        F.max(F.struct(F.col("noise_ppm"), F.col("doc_id"))).alias("r"),
+    )
+    return (
+        agg.filter(F.col("r.noise_ppm") > F.col("c.noise_ppm"))
+        .select(
+            "lang", "source",
+            F.col("c.doc_id").alias("chosen_doc_id"),
+            F.col("c.noise_ppm").alias("chosen_ppm"),
+            F.col("r.doc_id").alias("rejected_doc_id"),
+            F.col("r.noise_ppm").alias("rejected_ppm"),
+            (F.col("r.noise_ppm") - F.col("c.noise_ppm")).alias("margin"),
+        )
+    )

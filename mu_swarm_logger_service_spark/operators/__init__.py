@@ -5,7 +5,7 @@ from . import aggregates  # noqa: F401
 _MODULES = ["aggregates"]
 
 for _m in ("scans", "filters", "joins", "windows", "sorts", "setops",
-           "analytics", "timeseries"):
+           "analytics", "timeseries", "sketches"):
     try:  # modules land incrementally during the build
         __import__(f"{__name__}.{_m}")
         _MODULES.append(_m)

@@ -1,0 +1,360 @@
+"""Sketches & deterministic sampling (SURVEY.md §2 extras; the probabilistic
+data-structure tier a 100 TB pipeline leans on when exact state is too big).
+
+Spark ships HLL (`q_agg_approx_distinct`) and KLL (`q_agg_approx_percentile`)
+natively; this module adds the two other canonical sketches — **Bloom
+filter** membership and **count-min** frequency — plus deterministic
+**reservoir-style sampling** and a **TABLESAMPLE-shaped hash gate**, all
+built from plain integer arithmetic so every one of them is bit-exact
+cross-engine (unlike engine-native sketch internals, which can only be
+rows-only checked; see COVERAGE.md).
+
+Determinism design: the hash family is multiplicative-affine,
+``h_i(x) = ((x * A_i + B_i) mod P) mod m`` with 64-bit-safe constants —
+both Spark and DuckDB evaluate it exactly, so sketch contents, membership
+answers, false positives, and over-estimates are value-identical and the
+DuckDB oracle checks them EXACTLY.  Real deployments would swap in xxhash64
+(same plan shape, cheaper mixing); the arithmetic family is what makes the
+sketch *auditable* here.
+
+Scale notes per operator are on the docstrings; the common theme: a sketch
+is a tiny associative aggregate — map-side partials do nearly all the work,
+the shuffle carries O(sketch) not O(data), and the finished sketch
+broadcasts for probe-side joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.numeric import dsum, dsum_sql
+from ..core.registry import query
+from ..core.tables import load
+
+_P = 1000003  # prime modulus for the affine hash family
+
+# (A, B) per hash function — small enough that key*A stays far below 2^63.
+_HASHES = ((823117, 12289), (653189, 32771), (945137, 65537))
+
+BLOOM_WORDS = 16          # 16 × 60 usable bits = 960-bit filter
+BLOOM_BITS_PER_WORD = 60  # stay off the sign bit: 1<<59 max
+CMS_WIDTH = 256           # count-min: 3 rows × 256 counters
+
+
+def _h(key, a: int, b: int, m: int):
+    """Affine hash h(key) = ((key*a + b) % P) % m as a Column (exact in
+    64-bit integer arithmetic on both engines)."""
+    return ((key * F.lit(a) + F.lit(b)) % F.lit(_P)) % F.lit(m)
+
+
+def _h_sql(key: str, a: int, b: int, m: int) -> str:
+    return f"((({key}) * {a} + {b}) % {_P}) % {m}"
+
+
+_BLOOM_BITS = BLOOM_WORDS * BLOOM_BITS_PER_WORD
+
+_BLOOM_SQL = f"""
+WITH eval_keys AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'P'
+), build_pos AS (
+  SELECT DISTINCT CASE h.i {' '.join(f"WHEN {i} THEN {_h_sql('k', a, b, _BLOOM_BITS)}" for i, (a, b) in enumerate(_HASHES))} END AS pos
+  FROM eval_keys, (VALUES {', '.join(f"({i})" for i in range(len(_HASHES)))}) h(i)
+), sketch AS (
+  SELECT CAST(pos // {BLOOM_BITS_PER_WORD} AS BIGINT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_BITS_PER_WORD} AS INT)) AS bits
+  FROM build_pos GROUP BY 1
+), probe_keys AS (
+  SELECT DISTINCT l_orderkey AS k FROM lineitem
+), probe_pos AS (
+  SELECT k, h.i,
+         CASE h.i {' '.join(f"WHEN {i} THEN {_h_sql('k', a, b, _BLOOM_BITS)}" for i, (a, b) in enumerate(_HASHES))} END AS pos
+  FROM probe_keys, (VALUES {', '.join(f"({i})" for i in range(len(_HASHES)))}) h(i)
+), probe_hits AS (
+  SELECT p.k,
+         MIN(CASE WHEN (COALESCE(s.bits, 0) >> CAST(p.pos % {BLOOM_BITS_PER_WORD} AS INT)) & 1 = 1
+                  THEN 1 ELSE 0 END) AS maybe
+  FROM probe_pos p
+  LEFT JOIN sketch s ON s.word = CAST(p.pos // {BLOOM_BITS_PER_WORD} AS BIGINT)
+  GROUP BY p.k
+), labeled AS (
+  SELECT ph.k, ph.maybe,
+         CASE WHEN e.k IS NULL THEN 0 ELSE 1 END AS exact_member
+  FROM probe_hits ph LEFT JOIN eval_keys e ON e.k = ph.k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(exact_member) AS BIGINT) AS n_member,
+       CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+       CAST(SUM(CASE WHEN maybe = 1 AND exact_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos
+FROM labeled
+"""
+
+
+@query("q_sketch_bloom", oracle=_BLOOM_SQL)
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch, end to end: build a 960-bit / 3-hash
+    filter over the 'P'-status order keys, probe every distinct lineitem
+    order key through it, and report the confusion counts (n_maybe ≥
+    n_member always; the gap is the measured false-positive cost).
+
+    Build = explode each eval key into its 3 bit positions, groupBy WORD
+    with a ``bit_or(1<<bit)`` aggregate — the filter materializes as 16
+    (word, bits) rows, i.e. the shuffle carries the SKETCH, not the keys,
+    and map-side bit_or partials do the folding.  Probe = broadcast those
+    16 rows against the probe keys' positions; min-over-hashes decides
+    membership.  At 100 TB this is the manual form of a runtime semi-join
+    filter: build on the small/filtered side, broadcast, drop fact rows
+    before the real join (Spark's own
+    spark.sql.optimizer.runtime.bloomFilter.enabled injects exactly this
+    plan); keeping it explicit makes the FP rate observable."""
+    eval_keys = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_orderkey").alias("k")).distinct()
+    )
+    i_col = F.explode(F.array(*[F.lit(i) for i in range(len(_HASHES))])).alias("i")
+
+    def pos_col(key):
+        c = F.lit(None).cast("long")
+        for i, (a, b) in enumerate(_HASHES):
+            c = F.when(F.col("i") == i, _h(key, a, b, _BLOOM_BITS)).otherwise(c)
+        return c
+
+    word = F.expr(f"pos div {BLOOM_BITS_PER_WORD}").cast("long")
+    sketch = (
+        eval_keys.select("k", i_col)
+        .select(pos_col(F.col("k")).alias("pos"))
+        .distinct()
+        .select(
+            word.alias("word"),
+            F.expr(f"shiftleft(1L, int(pos % {BLOOM_BITS_PER_WORD}))")
+            .alias("w_bit"),
+        )
+        .groupBy("word").agg(F.bit_or("w_bit").alias("bits"))
+    )
+    probe = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k")).distinct()
+        .select("k", i_col)
+        .select("k", pos_col(F.col("k")).alias("pos"))
+        .join(F.broadcast(sketch), word == F.col("word"), "left")
+        .select(
+            "k",
+            F.when(
+                F.expr(
+                    f"shiftright(coalesce(bits, 0L),"
+                    f" int(pos % {BLOOM_BITS_PER_WORD})) & 1"
+                ) == 1, 1
+            ).otherwise(0).alias("hit"),
+        )
+        .groupBy("k").agg(F.min("hit").alias("maybe"))
+    )
+    labeled = probe.join(
+        F.broadcast(eval_keys.withColumn("exact_member", F.lit(1))), "k", "left"
+    ).select("k", "maybe", F.coalesce("exact_member", F.lit(0)).alias("exact_member"))
+    return labeled.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("exact_member").alias("n_member"),
+        F.sum("maybe").alias("n_maybe"),
+        F.sum(F.when((F.col("maybe") == 1) & (F.col("exact_member") == 0), 1)
+              .otherwise(0)).alias("n_false_pos"),
+    )
+
+
+_CMS_SQL = f"""
+WITH cells AS (
+  SELECT h.i,
+         CASE h.i {' '.join(f"WHEN {i} THEN {_h_sql('user_id', a, b, CMS_WIDTH)}" for i, (a, b) in enumerate(_HASHES))} END AS col,
+         COUNT(*) AS cnt
+  FROM events, (VALUES {', '.join(f"({i})" for i in range(len(_HASHES)))}) h(i)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+), probe AS (
+  SELECT e.user_id, e.exact_cnt, MIN(c.cnt) AS cms_cnt
+  FROM exact e, (VALUES {', '.join(f"({i})" for i in range(len(_HASHES)))}) h(i)
+  JOIN cells c
+    ON c.i = h.i
+   AND c.col = CASE h.i {' '.join(f"WHEN {i} THEN {_h_sql('e.user_id', a, b, CMS_WIDTH)}" for i, (a, b) in enumerate(_HASHES))} END
+  GROUP BY e.user_id, e.exact_cnt
+)
+SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_cnt AS BIGINT) AS cms_cnt
+FROM probe
+"""
+
+
+@query("q_sketch_countmin", oracle=_CMS_SQL)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (3 × 256 counters) over the events
+    stream, probed for every user: ``cms_cnt = min_i sketch[i][h_i(u)]``
+    next to the exact count (CMS never under-counts; the over-estimate is
+    the collision cost, here made observable and oracle-checked exactly).
+
+    Build = one groupBy over (row, cell): 768 counters regardless of
+    stream size — the canonical "heavy state won't fit" aggregate; the
+    shuffle carries O(sketch), map-side partials absorb the stream.  The
+    768-row sketch then broadcasts against the (already tiny) per-user
+    probe.  At 100 TB the same plan serves streaming heavy-hitters:
+    `q_stream_*`-style micro-batches bit_or/add into the same cell grid
+    (associative, so partial sketches merge)."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    i_col = F.explode(F.array(*[F.lit(i) for i in range(len(_HASHES))])).alias("i")
+
+    def col_col(key):
+        c = F.lit(None).cast("long")
+        for i, (a, b) in enumerate(_HASHES):
+            c = F.when(F.col("i") == i, _h(key, a, b, CMS_WIDTH)).otherwise(c)
+        return c
+
+    cells = (
+        ev.select("user_id", i_col)
+        .select("i", col_col(F.col("user_id")).alias("col"))
+        .groupBy("i", "col").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        exact.select("user_id", "exact_cnt", i_col)
+        .select("user_id", "exact_cnt", "i",
+                col_col(F.col("user_id")).alias("col"))
+        .join(F.broadcast(cells), ["i", "col"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_cnt"))
+    )
+
+
+RESERVOIR_K = 50
+_RES_MULT = 2654435761  # Knuth multiplicative constant; exact in 64-bit
+
+
+_RESERVOIR_SQL = f"""
+WITH pri AS (
+  SELECT doc_id, lang,
+         (doc_id * {_RES_MULT}) % 4294967296 AS priority
+  FROM documents
+)
+SELECT doc_id, lang, priority,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY priority, doc_id) AS BIGINT) AS r
+FROM pri
+QUALIFY r <= {RESERVOIR_K}
+"""
+
+
+@query("q_sketch_reservoir", oracle=_RESERVOIR_SQL)
+def q_sketch_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir sampling, k=50 per language:
+    every row gets a hash priority, the k smallest priorities per group
+    win — the "bottom-k by random tag" formulation of reservoir sampling
+    (uniform when the tag is uniform; a fixed multiplicative tag here so
+    the sample — and the oracle — is reproducible).
+
+    The per-group bottom-k compiles to WindowGroupLimit: each map
+    partition keeps only k rows per group before the shuffle, so at
+    100 TB the exchange carries O(groups × k) rows, not the corpus —
+    identical to the distributed-reservoir merge (union partial
+    reservoirs, keep the k best tags)."""
+    docs = load(spark, sf_dir, "documents")
+    pri = docs.select(
+        "doc_id", "lang",
+        ((F.col("doc_id") * _RES_MULT) % F.lit(4294967296)).alias("priority"),
+    )
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("r", F.row_number().over(w).cast("long"))
+        .filter(F.col("r") <= RESERVOIR_K)
+    )
+
+
+_SAMPLE_PCT = 5
+
+_SAMPLE_SQL = f"""
+WITH gated AS (
+  SELECT l_returnflag, l_quantity
+  FROM lineitem
+  WHERE (l_orderkey * {_RES_MULT} + l_linenumber * 97) % 100 < {_SAMPLE_PCT}
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       CAST(COUNT(*) * {100 // _SAMPLE_PCT} AS BIGINT) AS est_total_rows
+FROM gated
+GROUP BY l_returnflag
+"""
+
+
+@query("q_sketch_sample", oracle=_SAMPLE_SQL)
+def q_sketch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE-shaped deterministic gate: keep 5% of
+    lineitem by key hash, then aggregate the sample and scale up — the
+    cheap-estimate pattern for interactive exploration over 100 TB
+    (Spark's own TABLESAMPLE(BERNOULLI) is seed-dependent per partition
+    split, so it cannot be oracle-checked; the hash gate is the
+    reproducible equivalent and additionally SAMPLES BY KEY, surviving
+    joins on l_orderkey — both sides of a key-sampled join stay
+    consistent).  The gate is a scan-stage filter: rows drop before any
+    shuffle, so downstream cost scales with the sample, not the table."""
+    li = load(spark, sf_dir, "lineitem")
+    gate = ((F.col("l_orderkey") * _RES_MULT
+             + F.col("l_linenumber") * 97) % 100 < _SAMPLE_PCT)
+    return (
+        li.filter(gate)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            (F.count(F.lit(1)) * (100 // _SAMPLE_PCT)).alias("est_total_rows"),
+        )
+    )
+
+
+_BITMAP_SQL = """
+WITH words AS (
+  SELECT event_type, CAST(user_id // 60 AS BIGINT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT)) AS bits
+  FROM events GROUP BY 1, 2
+), bm AS (
+  SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct_bitmap
+  FROM words GROUP BY event_type
+), ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_distinct_bitmap, n_distinct_exact
+FROM bm JOIN ex USING (event_type)
+"""
+
+
+@query("q_sketch_bitmap_distinct", oracle=_BITMAP_SQL)
+def q_sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap OR-aggregation (the roaring-
+    bitmap pattern): pack each user id into (word, bit), ``bit_or`` the
+    words per group, popcount at the end — next to the expanding
+    ``COUNT(DISTINCT)`` for an oracle-checked equality.
+
+    Why it matters at 100 TB: COUNT(DISTINCT) expands to a two-phase
+    aggregate whose first shuffle carries every DISTINCT (group, key)
+    pair; the bitmap form's shuffle carries ≤ one 8-byte word per 60 keys
+    per group — and bitmap partials merge with a single OR, so map-side
+    combining stays effective no matter how many rows repeat a key.  The
+    same (word, bits) layout is incrementally mergeable across days /
+    micro-batches (OR is idempotent), which COUNT(DISTINCT) results are
+    not."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr("user_id div 60").cast("long").alias("word"),
+            F.expr("shiftleft(1L, int(user_id % 60))").alias("w_bit"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("w_bit").alias("bits"))
+    )
+    bm = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_distinct_bitmap")
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_distinct_exact")
+    )
+    return bm.join(ex, "event_type")
