@@ -509,3 +509,32 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page"),
     )
+
+
+@query("q_fn_variant", oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract(props, '$.k') AS BIGINT)
+         * CAST(json_extract(props, '$.k') AS BIGINT) AS k_sq,
+       json_extract(props, '$.missing') IS NULL AS no_extra
+FROM events
+""")
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via the VARIANT type (new in Spark 4): parse
+    once with ``parse_json``, then typed path extraction with
+    ``variant_get`` / ``try_variant_get`` — the successor to
+    get_json_object string re-parsing (q_fn_json): the binary-encoded
+    variant parses the text ONCE and every subsequent path access is a
+    cheap binary traversal, the right cost model when one payload feeds
+    many extractions at 100 TB.  ``try_variant_get`` returns NULL on a
+    missing path instead of erroring — mirrored by the oracle's
+    json_extract IS NULL."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        (F.variant_get(v, "$.k", "long")
+         * F.variant_get(v, "$.k", "long")).alias("k_sq"),
+        F.try_variant_get(v, "$.missing", "long").isNull().alias("no_extra"),
+    )

@@ -717,53 +717,40 @@ LIMIT 10
 def q_analytics_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q21 shape: suppliers whose line was the LAST to ship on
     finished multi-supplier orders (no receipt/commit dates in the
-    testdata, so "kept waiting" = latest l_shipdate).
+    testdata, so "kept waiting" = latest l_shipdate).  EXISTS → left-semi
+    self join, NOT EXISTS → left-anti self join; both are equi joins on
+    l_orderkey with a residual predicate, so they hash-partition on the
+    order key instead of exploding into a cross product.
 
-    Decorrelated to ONE lineitem shuffle (the semi/anti self-join form
-    shuffles lineitem three times): per (order, supplier) keep max
-    shipdate, then two unbounded windows over the order derive, for every
-    supplier, the latest shipdate among the OTHER suppliers —
-    ``other_max`` = overall max if someone else attains it (or it's tied),
-    else the second-distinct max.  A line qualifies iff the order has >1
-    supplier (EXISTS) and its shipdate >= other_max (NOT EXISTS).  The
-    explicit repartition on l_orderkey is shared by the groupBy, both
-    windows, and the lines join (hash(l_orderkey) satisfies every
-    downstream clustering) — the shared-exchange pattern of SCALE.md."""
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    ).repartition("l_orderkey")
+    (A decorrelated rewrite — per-(order, supplier) max-shipdate plus
+    per-order windows deriving every supplier's other-suppliers-max, so
+    lineitem shuffles ONCE instead of three times — was built and
+    measured at sf0.1: the window sorts and the join-back cost more than
+    the straight self-joins, 1.9 s vs 1.3 s warm, so the simpler form
+    stays.  On a real cluster where lineitem is 100 TB and shuffle IO
+    dominates compute, re-measure: the one-shuffle form is the likely
+    winner there, and the semantics-preserving derivation is in git
+    history.)"""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = load(spark, sf_dir, "supplier")
-    orders = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderstatus") == "F"
-    ).select("o_orderkey")
-
-    ps = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("s_max")
-    )
-    w = Window.partitionBy("l_orderkey")
-    ps = ps.select(
-        "*",
-        F.count(F.lit(1)).over(w).alias("n_supp"),
-        F.max("s_max").over(w).alias("m1"),
-    ).select(
-        "*",
-        F.sum((F.col("s_max") == F.col("m1")).cast("int")).over(w)
-        .alias("cnt_max"),
-        F.max(F.when(F.col("s_max") < F.col("m1"), F.col("s_max"))).over(w)
-        .alias("m2"),
-    )
-    enriched = ps.select(
-        "l_orderkey", "l_suppkey", "n_supp",
-        F.when(F.col("s_max") < F.col("m1"), F.col("m1"))
-        .when(F.col("cnt_max") > 1, F.col("m1"))
-        .otherwise(F.col("m2")).alias("other_max"),
-    )
+    l1, l2, l3 = li.alias("l1"), li.alias("l2"), li.alias("l3")
     return (
-        li.join(enriched, ["l_orderkey", "l_suppkey"])
-        .filter((F.col("n_supp") > 1)
-                & (F.col("l_shipdate") >= F.col("other_max")))
-        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+            "anti",
+        )
+        .join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))

@@ -210,3 +210,51 @@ def q_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
             triple(DCT + "modified", F.col("last_seen")),
         )).alias("po"),
     ).select("s", F.col("po.p").alias("p"), F.col("po.o").alias("o"))
+
+
+@query("q_sql_recursive_cte", oracle="""
+WITH RECURSIVE ids AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS uid FROM events
+), edges AS (
+  SELECT 'c' || CAST(uid AS VARCHAR) AS child,
+         'c' || CAST(uid // 2 AS VARCHAR) AS parent
+  FROM ids WHERE uid >= 1
+), paths AS (
+  SELECT child AS src, parent AS dst, 1 AS depth FROM edges
+  UNION ALL
+  SELECT p.src, e.parent, p.depth + 1
+  FROM paths p JOIN edges e ON p.dst = e.child
+)
+SELECT src, dst, CAST(depth AS BIGINT) AS depth FROM paths
+""")
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same `dependsOn+` transitive closure as q_sparql_path, but as a
+    DECLARATIVE `WITH RECURSIVE` CTE (new in Spark 4): the engine runs the
+    fixpoint — driver code never loops, checkpoints, or tests a frontier.
+    Catalyst plans each recursion step as a self-join on the working
+    relation, terminating when the step produces zero rows, i.e. the
+    semi-naive evaluation the hand-written loop implements manually.
+
+    Both forms stay registered on purpose: the CTE is the right API for a
+    SQL user; the explicit loop (q_sparql_path) remains the template for
+    iterations whose step is NOT pure SQL (PageRank's decimal re-ranking,
+    label propagation) or that need per-round control (early exit on a
+    driver-side metric).  Identical output, same DuckDB oracle shape."""
+    from ..core.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH RECURSIVE ids AS (
+          SELECT DISTINCT CAST(user_id AS BIGINT) AS uid FROM events
+        ), edges AS (
+          SELECT concat('c', CAST(uid AS STRING)) AS child,
+                 concat('c', CAST(uid div 2 AS STRING)) AS parent
+          FROM ids WHERE uid >= 1
+        ), paths AS (
+          SELECT child AS src, parent AS dst, 1 AS depth FROM edges
+          UNION ALL
+          SELECT p.src, e.parent, p.depth + 1
+          FROM paths p JOIN edges e ON p.dst = e.child
+        )
+        SELECT src, dst, CAST(depth AS BIGINT) AS depth FROM paths
+    """)

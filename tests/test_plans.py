@@ -229,3 +229,37 @@ def test_all_query_outputs_are_atomic_columns(spark, sf_dir):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 offenders.append((name, f.name, f.dataType.simpleString()))
     assert not offenders, offenders
+
+
+def test_reservoir_sample_gets_window_group_limit(spark, sf_dir):
+    """Bottom-k-by-hash-tag sampling must keep only k rows per group on
+    the map side (WindowGroupLimit) — the exchange carries O(groups*k),
+    not the corpus."""
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "q_sketch_reservoir")
+
+
+def test_bloom_sketch_broadcasts_and_partial_aggregates(spark, sf_dir):
+    """The 16-row filter must broadcast to the probe side, and the bit_or
+    build must partial-aggregate map-side (shuffle carries the sketch)."""
+    p = _plan(spark, sf_dir, "q_sketch_bloom")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_sample_gate_filters_at_scan_stage(spark, sf_dir):
+    """The hash gate must sit below the aggregate (scan-stage Filter), so
+    downstream cost scales with the sample, not the table."""
+    p = _plan(spark, sf_dir, "q_sketch_sample")
+    filter_pos = p.find("Filter")
+    agg_pos = p.find("HashAggregate")
+    assert filter_pos != -1 and agg_pos != -1
+    # formatted explain lists operators leaves-last; the Filter must be
+    # numbered deeper (appear later) than the final aggregate
+    assert filter_pos > agg_pos
+
+
+def test_bitmap_distinct_partial_aggregates(spark, sf_dir):
+    """Both the word-level bit_or and the popcount rollup must run
+    partial+final — the whole point is O(words) shuffle."""
+    p = _plan(spark, sf_dir, "q_sketch_bitmap_distinct")
+    assert p.count("HashAggregate") >= 4
