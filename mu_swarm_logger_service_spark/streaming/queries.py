@@ -12,6 +12,14 @@ Two execution shapes:
    sink) the oracle still checks it exactly; the watermark query is
    rows-only (drop set depends on batch boundaries; the replay harness in
    tests/test_streaming.py pins it down).
+
+Spark 4's ``transformWithStateInPandas`` (the successor to
+applyInPandasWithState: named typed state, timers) was evaluated for the
+stateful row: the API exists here but its state-server protocol requires
+``google.protobuf``, which this container lacks (and installs are off) —
+the driver worker crashes in StateMessage_pb2.  The
+``applyInPandasWithState`` twin (streaming/stateful.py) covers arbitrary
+per-key state; swap APIs when the dependency is available.
 """
 
 from __future__ import annotations
@@ -317,3 +325,4 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (src, store, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     return out
+

@@ -406,3 +406,41 @@ def test_vocab_coverage_in_unit_interval(spark, sf_dir):
     for r in rows:
         assert 0.0 < r.coverage <= 1.0
         assert r.n_in_vocab <= r.n_tokens
+
+
+def test_bloom_filter_no_false_negatives(spark, sf_dir):
+    """A Bloom filter can over-approximate but NEVER under-approximate:
+    every true member must probe positive, so n_maybe >= n_member and the
+    false-positive count is exactly the gap."""
+    r = QUERIES["q_sketch_bloom"](spark, sf_dir).collect()[0]
+    assert r.n_probed > 0
+    assert r.n_maybe >= r.n_member
+    assert r.n_false_pos == r.n_maybe - r.n_member
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    """CMS estimates are exact counts plus non-negative collision mass."""
+    rows = QUERIES["q_sketch_countmin"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.cms_cnt >= r.exact_cnt for r in rows)
+
+
+def test_reservoir_sample_sizes_and_determinism(spark, sf_dir):
+    """Each language yields min(k, group size) rows, and the sample is
+    identical across runs (the priority tag is a fixed hash)."""
+    from mu_swarm_logger_service_spark.operators.sketches import RESERVOIR_K
+
+    docs = load(spark, sf_dir, "documents")
+    sizes = {r.lang: r.cnt for r in
+             docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    got1 = {(r.lang, r.doc_id) for r in
+            QUERIES["q_sketch_reservoir"](spark, sf_dir).collect()}
+    got2 = {(r.lang, r.doc_id) for r in
+            QUERIES["q_sketch_reservoir"](spark, sf_dir).collect()}
+    assert got1 == got2
+    per_lang: dict[str, int] = {}
+    for lang, _ in got1:
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+    assert per_lang == {
+        lang: min(RESERVOIR_K, n) for lang, n in sizes.items()
+    }
