@@ -1294,3 +1294,72 @@ def q_llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r.noise_ppm") - F.col("c.noise_ppm")).alias("margin"),
         )
     )
+
+
+_ENT_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+
+
+def _ent_terms_sql() -> str:
+    counts = ", ".join(
+        f"length(text) - length(replace(text, '{c}', '')) AS n_{i}"
+        for i, c in enumerate(_ENT_ALPHABET)
+    )
+    total = " + ".join(f"n_{i}" for i in range(len(_ENT_ALPHABET)))
+    terms = " + ".join(
+        f"CASE WHEN n_{i} > 0 THEN (CAST(n_{i} AS DOUBLE) / n_total)"
+        f" * ln(CAST(n_total AS DOUBLE) / n_{i}) ELSE 0.0 END"
+        for i in range(len(_ENT_ALPHABET))
+    )
+    return counts, total, terms
+
+
+_ENT_COUNTS, _ENT_TOTAL, _ENT_TERMS = _ent_terms_sql()
+
+
+@query("q_llm_char_entropy", oracle=f"""
+WITH c AS (
+  SELECT doc_id, {_ENT_COUNTS} FROM documents
+), t AS (
+  SELECT doc_id, *, {_ENT_TOTAL} AS n_total FROM c
+)
+SELECT doc_id, CAST(n_total AS BIGINT) AS n_counted,
+       round({_ENT_TERMS}, 6) + 0.0 AS char_entropy
+FROM t
+""")
+def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy (nats) over [a-z ] — the
+    classic cheap gibberish/boilerplate detector: natural prose sits in a
+    narrow entropy band, key-mash and base64 blobs sit high, repeated
+    boilerplate sits low.  Char counts come from the
+    ``length - length(replace(...))`` identity — 27 substring-free passes
+    that both engines compute exactly (splitting into char arrays has
+    engine-specific empty-string edge cases; this avoids them).  The
+    entropy sum runs in fixed alphabet order with each term one IEEE
+    quotient/log of exact integers, so Spark and DuckDB agree bitwise
+    before the defensive round(6).  Pure narrow map — zero shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        *[
+            (F.length("text")
+             - F.length(F.replace(F.col("text"), F.lit(c)))).alias(f"n_{i}")
+            for i, c in enumerate(_ENT_ALPHABET)
+        ],
+    )
+    n_total = sum(F.col(f"n_{i}") for i in range(1, len(_ENT_ALPHABET)))
+    n_total = (F.col("n_0") + n_total).alias("n_total")
+    t = counts.select("doc_id", "*", n_total)
+    ent = None
+    for i in range(len(_ENT_ALPHABET)):
+        n_i = F.col(f"n_{i}")
+        term = F.when(
+            n_i > 0,
+            (n_i.cast("double") / F.col("n_total"))
+            * F.log(F.col("n_total").cast("double") / n_i),
+        ).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    return t.select(
+        "doc_id",
+        F.col("n_total").cast("long").alias("n_counted"),
+        (F.round(ent, 6) + 0.0).alias("char_entropy"),
+    )

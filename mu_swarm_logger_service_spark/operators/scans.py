@@ -305,3 +305,68 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.value").alias("old_value"),
         F.col("b.value").alias("new_value"),
     )
+
+
+_ZBITS = 8     # bits per dimension (16-bit z-values)
+_ZTILE = 256   # rows land in 256 z-tiles of 256 z-values each
+
+
+def _z_terms_sql(x: str, y: str) -> str:
+    terms = []
+    for b in range(_ZBITS):
+        terms.append(f"(({x} >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"(({y} >> {b}) & 1) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+@query("q_layout_zorder", oracle=f"""
+WITH q AS (
+  SELECT l_orderkey, l_partkey % 256 AS x, l_suppkey % 256 AS y
+  FROM lineitem
+), z AS (
+  SELECT l_orderkey, x, y, {_z_terms_sql('x', 'y')} AS zval
+  FROM q
+)
+SELECT CAST(zval // {_ZTILE} AS BIGINT) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max,
+       CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT)
+         AS bbox_area
+FROM z GROUP BY 1
+""")
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout clustering — the multi-dimensional
+    data-skipping technique behind Delta/Iceberg OPTIMIZE ZORDER: bit-
+    interleave two quantized dimensions into one sort key, tile the curve,
+    and report each tile's bounding box.  Because the curve is space-
+    filling, every tile's (x, y) bounding box is a small fraction of the
+    domain — so per-file min/max stats prune scans on EITHER dimension,
+    which no single-column sort gives you.  bbox_area quantifies exactly
+    that locality (≪ 256² per tile) and the oracle checks it value-exact:
+    the interleave is pure integer bit arithmetic on both engines.
+
+    At 100 TB this is a WRITE-side op: `df.repartitionByRange(F.col
+    ("zval")).sortWithinPartitions("zval").write...` lays files out along
+    the curve; the tile census here is the audit query a layout job emits.
+    One scan, one aggregate, map-side partials."""
+    li = load(spark, sf_dir, "lineitem")
+    x = (F.col("l_partkey") % 256).alias("x")
+    y = (F.col("l_suppkey") % 256).alias("y")
+    q = li.select("l_orderkey", x, y)
+    zval = None
+    for b in range(_ZBITS):
+        xt = F.shiftright("x", b).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * b))
+        yt = F.shiftright("y", b).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * b + 1))
+        zval = xt + yt if zval is None else zval + xt + yt
+    z = q.select("l_orderkey", "x", "y", zval.alias("zval"))
+    return (
+        z.groupBy(F.expr(f"zval div {_ZTILE}").cast("long").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+            ((F.max("x") - F.min("x") + 1) * (F.max("y") - F.min("y") + 1))
+            .cast("long").alias("bbox_area"),
+        )
+    )

@@ -444,3 +444,23 @@ def test_reservoir_sample_sizes_and_determinism(spark, sf_dir):
     assert per_lang == {
         lang: min(RESERVOIR_K, n) for lang, n in sizes.items()
     }
+
+
+def test_zorder_tiles_are_spatially_local(spark, sf_dir):
+    """Morton-curve property: a tile of 256 consecutive z-values covers at
+    most a 16x16 (x, y) box — the locality that makes per-file min/max
+    stats prune on BOTH dimensions."""
+    rows = QUERIES["q_layout_zorder"](spark, sf_dir).collect()
+    assert rows
+    assert all(r.bbox_area <= 256 for r in rows)
+    assert sum(r.n_rows for r in rows) == load(spark, sf_dir, "lineitem").count()
+
+
+def test_char_entropy_bounds(spark, sf_dir):
+    """Shannon entropy over a 27-symbol alphabet is bounded by ln(27),
+    and word-soup text should be comfortably interior."""
+    import math
+
+    rows = QUERIES["q_llm_char_entropy"](spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 <= r.char_entropy <= math.log(27) + 1e-9 for r in rows)
