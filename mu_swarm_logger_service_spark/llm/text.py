@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..core.numeric import dsum
 from ..core.registry import query
-from ..core.tables import load
+from ..core.tables import load, spread
 
 
 @query("q_llm_text_stats", oracle="""
@@ -500,8 +500,9 @@ def q_llm_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumes.  Bigrams materialize as one JVM higher-order transform over
     the token array (no self-join of adjacent tokens), then one explode +
     groupBy + WindowGroupLimit rank; counts shuffle once on
-    (lang, bigram)."""
-    docs = load(spark, sf_dir, "documents")
+    (lang, bigram).  `spread` keeps the transform+explode+partial-agg
+    stage on all cores (compute-dense, single input split at small SF)."""
+    docs = spread(load(spark, sf_dir, "documents"))
     arr = F.split("text", " ")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(arr) - 1),

@@ -154,6 +154,32 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_agg_cube", oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  GROUPING(l_returnflag) AS g_flag,
+  GROUPING(l_linestatus) AS g_status,
+  {dsum_sql('l_quantity')} AS sum_qty,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (row 30's third variant beyond GROUPING SETS/ROLLUP): all 2^k
+    grouping combinations in one pass — Catalyst expands to a single
+    Expand + aggregate, so the input is scanned once and each row feeds
+    every combination map-side.  GROUPING() markers disambiguate real
+    NULL keys from subtotal rows, exactly as in the oracle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Row 31 — GROUP_CONCAT (SPARQL) — sorted for determinism.
 # ---------------------------------------------------------------------------
@@ -408,5 +434,39 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("value") < F.col("lo")).alias("n_clipped_low"),
             F.count_if(F.col("value") > F.col("hi")).alias("n_clipped_high"),
             dsum(w).alias("sum_winsorized"),
+        )
+    )
+
+
+@query("q_agg_mode", oracle="""
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id AS mode_user, CAST(n AS BIGINT) AS n_events
+FROM c
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY n DESC, user_id) = 1
+""")
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group (most frequent user per event type,
+    ties to the lowest id).  Spark's built-in ``mode()`` breaks ties
+    arbitrarily — useless under an exact oracle — so the argmax rides a
+    ``min(struct(-n, user_id))``: minus-count ascending is count
+    descending, and the struct order resolves ties deterministically.
+    Two aggregates, both with map-side partials; the second shuffles one
+    row per (type, user), not per event."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.groupBy("event_type")
+        .agg(F.min(F.struct((-F.col("n")).alias("neg_n"),
+                            F.col("user_id").alias("u"))).alias("m"))
+        .select(
+            "event_type",
+            F.col("m.u").alias("mode_user"),
+            (-F.col("m.neg_n")).cast("long").alias("n_events"),
         )
     )
