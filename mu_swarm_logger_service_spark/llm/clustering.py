@@ -537,3 +537,52 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign.join(dup, "vec_id", "left")
         .select("vec_id", "cell", F.col("hit").isNull().alias("is_kept"))
     )
+
+
+def _recall_sql() -> str:
+    from .similarity import _COSINE_TOPK_SQL
+
+    return f"""
+WITH exact AS (
+  SELECT q_id, c_id FROM ({_COSINE_TOPK_SQL})
+), approx AS (
+  SELECT q_id, c_id, 1 AS hit FROM ({_IVF_SQL})
+)
+SELECT e.q_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS n_hit,
+       CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE) / COUNT(*) AS recall
+FROM exact e
+LEFT JOIN approx a ON a.q_id = e.q_id AND a.c_id = e.c_id
+GROUP BY e.q_id
+"""
+
+
+@query("q_llm_ann_recall", oracle=_recall_sql())
+def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit AS A QUERY: recall@5 of the IVF index
+    (q_llm_ann_ivf) against the exact brute-force top-5
+    (q_llm_cosine_topk), per query vector — the evaluation loop an
+    embedding pipeline runs after every index build, expressed in the
+    same engine so it scales with the corpus (both sides are the
+    already-optimized operators; the comparison is one equi join on
+    (q_id, c_id) + one aggregate).  recall = hits/5 is an exact binary
+    fraction, so the oracle matches bitwise."""
+    from .similarity import q_llm_cosine_topk
+
+    exact = q_llm_cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    approx = q_llm_ann_ivf(spark, sf_dir).select(
+        "q_id", "c_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "q_id", "n_exact", "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+    )
