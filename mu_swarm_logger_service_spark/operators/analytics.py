@@ -927,3 +927,47 @@ def q_audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
                 li.l_suppkey == supp.s_suppkey, "anti").agg(
         F.count(F.lit(1)).alias("dangling_supplier_refs"))
     return a.crossJoin(b).crossJoin(c).crossJoin(d)
+
+
+@query("q_analytics_yoy_growth", oracle=f"""
+WITH yearly AS (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+         {dsum_sql('o.o_totalprice')} AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, CAST(yr AS BIGINT) AS yr, revenue,
+       lag(revenue) OVER w AS prev_revenue,
+       revenue / lag(revenue) OVER w AS growth
+FROM yearly
+WINDOW w AS (PARTITION BY nation ORDER BY yr)
+""")
+def q_analytics_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the standard
+    BI trend shape: dimension joins broadcast (the fact never shuffles
+    for them), one groupBy on (nation, year) with the exact decimal sum,
+    then a lag window over the TINY yearly rollup (|nations| × |years|
+    rows — the window costs nothing regardless of fact size).  The growth
+    ratio is emitted as the RAW quotient: both operands are decimal-sum-
+    derived doubles, so the single IEEE division matches DuckDB bitwise
+    (round() itself would be the only divergence risk — SKILL.md gotcha).
+    The ORDER BY key (yr) is unique per nation, so lag is deterministic."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "nation", "yr", "revenue",
+        prev.alias("prev_revenue"),
+        (F.col("revenue") / prev).alias("growth"),
+    )
