@@ -566,8 +566,10 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding pipeline runs after every index build, expressed in the
     same engine so it scales with the corpus (both sides are the
     already-optimized operators; the comparison is one equi join on
-    (q_id, c_id) + one aggregate).  recall = hits/5 is an exact binary
-    fraction, so the oracle matches bitwise."""
+    (q_id, c_id) + one aggregate).  recall = hits/n_exact matches the
+    oracle bitwise because both engines perform the identical single IEEE
+    division of the same small integers (one rounding step on identical
+    operands — not because 1/5 is exactly representable; it isn't)."""
     from .similarity import q_llm_cosine_topk
 
     exact = q_llm_cosine_topk(spark, sf_dir).select("q_id", "c_id")

@@ -1264,8 +1264,11 @@ def q_llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     *rejected* one) — the weak-supervision recipe for bootstrapping
     preference data from quality signals when no human labels exist.
 
-    The noise score is integer parts-per-million (exact integer division,
-    no float ties), and BOTH argmin and argmax ride one ``min/max(struct)``
+    The noise score is integer parts-per-million: a 64-bit multiply
+    followed by double division and a floor cast — exact for any realistic
+    token count (counts ≤ 2^52/1e6), and computed in 64-bit on both
+    engines so documents with >2147 stopword tokens don't wrap int32 on
+    the Spark side.  BOTH argmin and argmax ride one ``min/max(struct)``
     aggregate in a single groupBy — one shuffle carrying two structs per
     group, where the oracle's two-window formulation would sort the corpus
     twice and re-join.  Ties break on doc_id (lowest for chosen, highest
@@ -1275,7 +1278,7 @@ def q_llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     noise = (
         (F.size(F.filter(toks, lambda t: t.isin("a", "the", "of", "and")))
-         * F.lit(1000000) / F.size(toks)).cast("long")
+         .cast("long") * F.lit(1000000) / F.size(toks)).cast("long")
     )
     feat = docs.select(
         "doc_id", "lang", "source", noise.alias("noise_ppm")

@@ -225,13 +225,18 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RESERVOIR_K = 50
-_RES_MULT = 2654435761  # Knuth multiplicative constant; exact in 64-bit
+_RES_MULT = 2654435761  # Knuth multiplicative constant
+# Keys are reduced mod 2^31 BEFORE the multiply: (2^31-1) * 2654435761
+# ≈ 5.7e18 stays inside signed 64-bit, so Spark (wrapping) and DuckDB
+# (raising on BIGINT overflow) compute the same value even for keys past
+# ~3.5e9 — e.g. l_orderkey beyond ~sf580 at the 100 TB posture.
+_RES_PREMOD = 2147483648
 
 
 _RESERVOIR_SQL = f"""
 WITH pri AS (
   SELECT doc_id, lang,
-         (doc_id * {_RES_MULT}) % 4294967296 AS priority
+         ((doc_id % {_RES_PREMOD}) * {_RES_MULT}) % 4294967296 AS priority
   FROM documents
 )
 SELECT doc_id, lang, priority,
@@ -258,7 +263,8 @@ def q_sketch_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pri = docs.select(
         "doc_id", "lang",
-        ((F.col("doc_id") * _RES_MULT) % F.lit(4294967296)).alias("priority"),
+        (((F.col("doc_id") % _RES_PREMOD) * _RES_MULT)
+         % F.lit(4294967296)).alias("priority"),
     )
     w = Window.partitionBy("lang").orderBy("priority", "doc_id")
     return (
@@ -273,7 +279,7 @@ _SAMPLE_SQL = f"""
 WITH gated AS (
   SELECT l_returnflag, l_quantity
   FROM lineitem
-  WHERE (l_orderkey * {_RES_MULT} + l_linenumber * 97) % 100 < {_SAMPLE_PCT}
+  WHERE ((l_orderkey % {_RES_PREMOD}) * {_RES_MULT} + l_linenumber * 97) % 100 < {_SAMPLE_PCT}
 )
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_sampled,
@@ -296,7 +302,7 @@ def q_sketch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     consistent).  The gate is a scan-stage filter: rows drop before any
     shuffle, so downstream cost scales with the sample, not the table."""
     li = load(spark, sf_dir, "lineitem")
-    gate = ((F.col("l_orderkey") * _RES_MULT
+    gate = (((F.col("l_orderkey") % _RES_PREMOD) * _RES_MULT
              + F.col("l_linenumber") * 97) % 100 < _SAMPLE_PCT)
     return (
         li.filter(gate)
