@@ -236,9 +236,29 @@ def rollup_upsert(spark: SparkSession, store: str):
     partial counts carry their batch_id, and an upsert first drops any
     prior rows of the SAME batch_id in the day-partitions it touches —
     so a retried batch converges instead of double-counting (directly
-    exercised by tests/test_streaming.py's replay-retry test)."""
+    exercised by tests/test_streaming.py's replay-retry test).
+
+    HARD REQUIREMENT enforced here, not at the call site: the session must
+    have ``spark.sql.sources.partitionOverwriteMode=dynamic``.  Under the
+    default (static) mode the ``mode("overwrite")`` below would wipe EVERY
+    ``event_date`` partition of the store, not just the days in the batch —
+    silently deleting untouched days.  Each upsert call re-checks the conf
+    (it is session-mutable) and refuses to write rather than corrupt."""
+
+    def _require_dynamic_overwrite() -> None:
+        mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        if mode.lower() != "dynamic":
+            raise RuntimeError(
+                "rollup_upsert requires "
+                "spark.sql.sources.partitionOverwriteMode=dynamic "
+                f"(got {mode!r}); refusing to overwrite the rollup store — "
+                "static mode would delete day-partitions the batch didn't "
+                "touch."
+            )
 
     def upsert(bdf: DataFrame, batch_id: int) -> None:
+        _require_dynamic_overwrite()
         part = (
             bdf.groupBy(
                 F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")

@@ -354,3 +354,24 @@ def test_rollup_upsert_is_idempotent_under_retry(spark, sf_dir):
     }
     shutil.rmtree(store, ignore_errors=True)
     assert got == want
+
+
+def test_rollup_upsert_refuses_static_overwrite_mode(spark, sf_dir):
+    """Without partitionOverwriteMode=dynamic the upsert's
+    mode("overwrite") would wipe untouched day-partitions; the upsert
+    must detect the misconfigured session and refuse instead of writing."""
+    from mu_swarm_logger_service_spark.streaming.queries import rollup_upsert
+
+    store = os.path.join(
+        tempfile.gettempdir(), f"rollup_static_{uuid.uuid4().hex[:8]}")
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(key, "static")
+    spark.conf.set(key, "static")
+    try:
+        up = rollup_upsert(spark, store)
+        with pytest.raises(RuntimeError, match="partitionOverwriteMode"):
+            up(load(spark, sf_dir, "events").limit(10), 0)
+        assert not os.path.exists(store), "refusal must not create the store"
+    finally:
+        spark.conf.set(key, prior)
+        shutil.rmtree(store, ignore_errors=True)
