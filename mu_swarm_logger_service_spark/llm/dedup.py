@@ -134,25 +134,44 @@ def q_llm_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_half_edges(spark, sf_dir, with_jaccard=True)
 
 
-N_MINHASH = 16          # permutations (4 bands × 4 rows)
-N_BANDS = 4
-ROWS_PER_BAND = N_MINHASH // N_BANDS
+N_MINHASH = 16          # default permutations (demo scale)
+N_BANDS = 4             # default bands (N_MINHASH // N_BANDS rows per band)
+
+# Session-conf overrides — production MinHash runs 64-128 permutations;
+# the defaults keep the gate-SF demo cheap.  Set e.g.
+#   spark.conf.set("spark.mu_swarm_logger.minhash.permutations", "64")
+#   spark.conf.set("spark.mu_swarm_logger.minhash.bands", "16")
+# before calling q_llm_near_dedup.  Recall/soundness property tests run
+# the matrix {16/4, 64/16} (tests/test_llm.py).
+_CONF_PERMS = "spark.mu_swarm_logger.minhash.permutations"
+_CONF_BANDS = "spark.mu_swarm_logger.minhash.bands"
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig: array<long>[N_MINHASH]) — MinHash over distinct tokens.
+def minhash_params(spark: SparkSession) -> tuple[int, int, int]:
+    """(n_perm, n_bands, rows_per_band) from session conf, validated."""
+    n_perm = int(spark.conf.get(_CONF_PERMS, str(N_MINHASH)))
+    n_bands = int(spark.conf.get(_CONF_BANDS, str(N_BANDS)))
+    if n_perm <= 0 or n_bands <= 0 or n_perm % n_bands:
+        raise ValueError(
+            f"minhash permutations ({n_perm}) must be a positive multiple "
+            f"of bands ({n_bands})")
+    return n_perm, n_bands, n_perm // n_bands
+
+
+def minhash_signatures(docs: DataFrame, n_perm: int = N_MINHASH) -> DataFrame:
+    """(doc_id, sig: array<long>[n_perm]) — MinHash over distinct tokens.
 
     Each permutation i is simulated by xxhash64(token, i) (64-bit, JVM-side,
     deterministic); the signature entry is the min over the doc's tokens.
     Computed as ONE narrow higher-order array expression per row —
-    ``transform(0..15, i -> array_min(transform(tokens, t -> xxhash64(t, i))))``
-    — zero shuffle and no 16-column aggregate codegen (the explode +
-    16-way min-agg formulation was measured 4× slower cold at sf0.1 and
+    ``transform(0..n-1, i -> array_min(transform(tokens, t -> xxhash64(t, i))))``
+    — zero shuffle and no n-column aggregate codegen (the explode +
+    n-way min-agg formulation was measured 4× slower cold at sf0.1 and
     shuffles the whole token stream; signatures are embarrassingly
     per-document, so the map form is also the right 100 TB shape)."""
     toks = F.array_distinct(F.split("text", " "))
     sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+        F.sequence(F.lit(0), F.lit(n_perm - 1)),
         lambda i: F.array_min(F.transform(toks, lambda t: F.xxhash64(t, i))),
     )
     return docs.select("doc_id", sig.alias("sig"))
@@ -176,8 +195,9 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a) soundness — every emitted pair really has J >= 0.5 — and (b) recall
     against the exact blocked baseline (q_llm_minhash_jaccard).
     """
+    n_perm, n_bands, rows_per_band = minhash_params(spark)
     docs = spread(load(spark, sf_dir, "documents"))
-    sig = minhash_signatures(docs).join(
+    sig = minhash_signatures(docs, n_perm).join(
         docs.select("doc_id", "lang", "source"), "doc_id"
     )
     bands = sig.select(
@@ -185,10 +205,10 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col("sig").getItem(b * ROWS_PER_BAND + r)
-                             for r in range(ROWS_PER_BAND)]).alias("bucket"),
+                F.xxhash64(*[F.col("sig").getItem(b * rows_per_band + r)
+                             for r in range(rows_per_band)]).alias("bucket"),
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ])).alias("bb"),
     ).select("doc_id", "lang", "source", "bb.band", "bb.bucket")
     cand = (
@@ -206,14 +226,17 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("tok")
     )
-    # Pin the verify joins' partition counts: the exact-intersect filter is
-    # the compute-bound stage and runs inside the doc_b join, which AQE
-    # would otherwise coalesce to one task at small SF (see tables.spread).
+    # Pin ONLY the second (compute-bearing) join's partition count: the
+    # exact-intersect filter runs in the stage fed by the doc_b join, which
+    # AQE would otherwise coalesce to one task at small SF (see
+    # tables.spread).  The doc_a attach join stays unpinned — it carries no
+    # per-row compute, so AQE is free to size it by bytes; pinning it too
+    # (rounds 1-3) forced a second full-width exchange of the candidate set
+    # for no parallelism benefit.
     n_par = spark.sparkContext.defaultParallelism
     with_tok = (
-        cand.repartition(n_par, "doc_a")
-        .join(tok.withColumnRenamed("doc_id", "doc_a")
-              .withColumnRenamed("tok", "tok_a"), "doc_a")
+        cand.join(tok.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("tok", "tok_a"), "doc_a")
         .repartition(n_par, "doc_b")
         .join(tok.withColumnRenamed("doc_id", "doc_b")
               .withColumnRenamed("tok", "tok_b"), "doc_b")

@@ -14,17 +14,47 @@ from mu_swarm_logger_service_spark.llm import multimodal
 from mu_swarm_logger_service_spark.llm.dedup import simhash
 
 
-def test_near_dedup_sound_and_recall(spark, sf_dir):
+@pytest.mark.parametrize("n_perm,n_bands", [(16, 4), (64, 16)])
+def test_near_dedup_sound_and_recall(spark, sf_dir, n_perm, n_bands):
     """Every LSH-confirmed pair has J>=0.5 by construction; recall vs the
-    exact blocked baseline must be high for strong pairs (J>=0.8)."""
-    lsh = QUERIES["q_llm_near_dedup"](spark, sf_dir)
-    exact = QUERIES["q_llm_minhash_jaccard"](spark, sf_dir)
-    lsh_pairs = {(r.doc_a, r.doc_b) for r in lsh.collect()}
-    assert all(r.jaccard >= 0.5 for r in lsh.collect())
-    strong = {(r.doc_a, r.doc_b) for r in exact.filter(F.col("jaccard") >= 0.8).collect()}
-    if strong:
-        recall = len(strong & lsh_pairs) / len(strong)
-        assert recall >= 0.8, f"LSH recall {recall:.2f} on {len(strong)} strong pairs"
+    exact blocked baseline must be high for strong pairs (J>=0.8).  Runs
+    the parameter matrix: 16/4 (demo default) and 64/16 (production-scale
+    permutation count via the session conf knobs)."""
+    from mu_swarm_logger_service_spark.llm.dedup import _CONF_BANDS, _CONF_PERMS
+
+    spark.conf.set(_CONF_PERMS, str(n_perm))
+    spark.conf.set(_CONF_BANDS, str(n_bands))
+    try:
+        lsh = QUERIES["q_llm_near_dedup"](spark, sf_dir)
+        exact = QUERIES["q_llm_minhash_jaccard"](spark, sf_dir)
+        lsh_pairs = {(r.doc_a, r.doc_b) for r in lsh.collect()}
+        assert all(r.jaccard >= 0.5 for r in lsh.collect())
+        strong = {(r.doc_a, r.doc_b)
+                  for r in exact.filter(F.col("jaccard") >= 0.8).collect()}
+        if strong:
+            recall = len(strong & lsh_pairs) / len(strong)
+            assert recall >= 0.8, \
+                f"LSH recall {recall:.2f} on {len(strong)} strong pairs " \
+                f"at {n_perm} perms / {n_bands} bands"
+    finally:
+        spark.conf.unset(_CONF_PERMS)
+        spark.conf.unset(_CONF_BANDS)
+
+
+def test_minhash_params_validation(spark):
+    """Bad conf (perms not a multiple of bands) must raise, not silently
+    truncate the signature."""
+    from mu_swarm_logger_service_spark.llm.dedup import (
+        _CONF_BANDS, _CONF_PERMS, minhash_params)
+
+    spark.conf.set(_CONF_PERMS, "30")
+    spark.conf.set(_CONF_BANDS, "4")
+    try:
+        with pytest.raises(ValueError, match="multiple"):
+            minhash_params(spark)
+    finally:
+        spark.conf.unset(_CONF_PERMS)
+        spark.conf.unset(_CONF_BANDS)
 
 
 def test_simhash_identical_text_collides(spark, sf_dir):
