@@ -14,7 +14,7 @@ documents —
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.registry import query
@@ -105,6 +105,64 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keeper_doc_id"),
              F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query("q_llm_incremental_dedup", oracle=r"""
+WITH hashed AS (
+  SELECT doc_id,
+         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           AS content_hash
+  FROM documents
+), corpus AS (
+  SELECT DISTINCT content_hash FROM hashed WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT doc_id, content_hash FROM hashed WHERE doc_id % 2 = 1
+), ranked AS (
+  SELECT b.doc_id, b.content_hash,
+         c.content_hash IS NOT NULL AS in_corpus,
+         row_number() OVER (PARTITION BY b.content_hash
+                            ORDER BY b.doc_id) AS rn
+  FROM batch b LEFT JOIN corpus c ON b.content_hash = c.content_hash
+)
+SELECT doc_id, content_hash,
+       CASE WHEN in_corpus THEN 'dup_of_corpus'
+            WHEN rn > 1 THEN 'dup_in_batch'
+            ELSE 'novel' END AS status
+FROM ranked
+""")
+def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (online) exact dedup: classify each document of an
+    INCOMING batch against an already-ingested corpus — the shape every
+    continuously-fed training pipeline actually runs (full-corpus re-dedup
+    per delivery is a non-starter at 100 TB).  Even doc_ids play the
+    existing corpus, odd the new batch; each new doc is 'dup_of_corpus'
+    (hash already ingested), 'dup_in_batch' (first occurrence wins within
+    the delivery, min doc_id), or 'novel'.
+
+    Physically: one equi join on content_hash (corpus side reduced to its
+    distinct hash set — the "hash index") + one window for the
+    within-batch keeper.  At 100 TB the corpus hash set is stored
+    bucketed by content_hash, so only the (small) batch shuffles; the
+    probe is a per-bucket zipper against the index, and the window's
+    partition key is the same hash — one exchange for both steps."""
+    docs = load(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.sha2(normalized_text(), 256).alias("content_hash"))
+    corpus = (hashed.filter(F.col("doc_id") % 2 == 0)
+              .select("content_hash").distinct()
+              .withColumn("in_corpus", F.lit(True)))
+    batch = hashed.filter(F.col("doc_id") % 2 == 1)
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        batch.join(corpus, "content_hash", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id", "content_hash",
+            F.when(F.col("in_corpus"), "dup_of_corpus")
+            .when(F.col("rn") > 1, "dup_in_batch")
+            .otherwise("novel").alias("status"),
+        )
     )
 
 
@@ -250,22 +308,36 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 32       # default width (demo scale; production uses 64)
+_CONF_SIMHASH_BITS = "spark.mu_swarm_logger.simhash.bits"
 
 
-def simhash(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
-    """(doc_id, *keep, simhash: long) — 32-bit SimHash over token multiset.
+def simhash_bits(spark: SparkSession) -> int:
+    """SimHash width from session conf (1..64; signature lives in a long)."""
+    bits = int(spark.conf.get(_CONF_SIMHASH_BITS, str(SIMHASH_BITS)))
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash bits must be in 1..64, got {bits}")
+    return bits
+
+
+def simhash(docs: DataFrame, keep: tuple[str, ...] = (),
+            n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, *keep, simhash: long) — n_bits-wide SimHash over the token
+    multiset.
 
     bit b of the signature = sign of sum over tokens of ±1 according to
     bit b of xxhash64(token).  One narrow higher-order expression per row
-    (tokens hashed once into an array, then 32 per-bit lambda sums) —
-    zero shuffle, no 32-column aggregate codegen, per-document = the
-    right 100 TB shape (same rationale as minhash_signatures).  ``keep``
-    carries blocking columns through so callers need no join-back."""
+    (tokens hashed once into an array, then n_bits per-bit lambda sums) —
+    zero shuffle, no wide aggregate codegen, per-document = the right
+    100 TB shape (same rationale as minhash_signatures).  ``keep`` carries
+    blocking columns through so callers need no join-back.  Note bit 63
+    of a 64-bit signature lands in the long's sign bit — hamming distance
+    via bit_count(a XOR b) is sign-agnostic, so pairing logic is
+    unchanged at any width."""
     hashes = F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
     sh = F.expr(f"""
       aggregate(
-        transform(sequence(0, {SIMHASH_BITS - 1}), b ->
+        transform(sequence(0, {n_bits - 1}), b ->
           IF(aggregate(hashes, 0L,
                        (acc, h) -> acc + IF((h >> b) & 1 = 1, 1L, -1L)) > 0,
              shiftleft(1L, b), 0L)),
@@ -281,9 +353,13 @@ def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup signatures (row 75 family): signature per doc plus
     hamming distance pairs <= 6 within the (lang, source) blocking group.
     Rows-only (xxhash64); tests assert exact-duplicate texts collide and
-    hamming correlates with Jaccard."""
+    hamming correlates with Jaccard.  Signature width follows the
+    session conf knob (default 32; 64 for production realism — the
+    hamming threshold stays 6, so wider signatures emit fewer, more
+    precise pairs)."""
     docs = spread(load(spark, sf_dir, "documents"))
-    sh = simhash(docs, keep=("lang", "source")).repartition(
+    sh = simhash(docs, keep=("lang", "source"),
+                 n_bits=simhash_bits(spark)).repartition(
         spark.sparkContext.defaultParallelism, "lang", "source"
     )
     a, b = sh.alias("a"), sh.alias("b")

@@ -146,6 +146,88 @@ def q_llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_DIM = 16   # truncated prefix length (full embeddings are 64-d)
+
+
+@query("q_llm_matryoshka", oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE {_QUERY_FILTER}
+), c AS (
+  SELECT vec_id AS c_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings
+), s AS (
+  SELECT q_id, c_id,
+         round(list_cosine_similarity(qe, ce), 6) + 0.0 AS cos_full,
+         round(list_cosine_similarity(qe[1:{_MRL_DIM}], ce[1:{_MRL_DIM}]), 6)
+           + 0.0 AS cos_trunc
+  FROM q, c WHERE q_id != c_id
+), ranked AS (
+  SELECT q_id, c_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_full DESC, c_id) AS rf,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_trunc DESC, c_id) AS rt
+  FROM s
+)
+SELECT q_id,
+       CAST(SUM(CASE WHEN rt <= {TOPK} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap,
+       CAST(SUM(CASE WHEN rt <= {TOPK} THEN 1 ELSE 0 END) AS DOUBLE)
+         / {TOPK} AS recall
+FROM ranked WHERE rf <= {TOPK}
+GROUP BY q_id
+""")
+def q_llm_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: rank the corpus by cosine on the
+    first 16 of 64 dimensions and measure top-k agreement with the
+    full-dimension ranking, per query — the evaluation an embedding
+    pipeline runs before committing to truncated vectors for the cheap
+    first-pass retrieval tier (4× less memory/bandwidth per vector).
+
+    One corpus scan computes BOTH cosines per candidate pair (the
+    truncated one over a `slice` of the same array — no second scan or
+    re-join), then both rankings ride one exchange on q_id: the two
+    row_numbers share the partition key, differing only in sort order.
+    recall = overlap/k is one IEEE division of identical small integers —
+    exact cross-engine (same-operand rule)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = spread(
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            (F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0)
+            .alias("cos_full"),
+            (F.round(cosine(F.slice("qe", 1, _MRL_DIM),
+                            F.slice("ce", 1, _MRL_DIM)), 6) + 0.0)
+            .alias("cos_trunc"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("cos_full").desc(), "c_id")
+    wt = Window.partitionBy("q_id").orderBy(F.col("cos_trunc").desc(), "c_id")
+    return (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rt", F.row_number().over(wt))
+        .filter(F.col("rf") <= TOPK)
+        .groupBy("q_id")
+        .agg(F.sum(F.when(F.col("rt") <= TOPK, 1).otherwise(0))
+             .alias("n_overlap"))
+        .select(
+            "q_id", "n_overlap",
+            (F.col("n_overlap").cast("double") / TOPK).alias("recall"),
+        )
+    )
+
+
 N_TABLES = 4        # independent hash tables (OR-amplification)
 BITS_PER_TABLE = 6  # 64 buckets per table
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.numeric import dsum, dsum_sql
@@ -304,6 +304,57 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update").alias("change_type"),
         F.col("a.value").alias("old_value"),
         F.col("b.value").alias("new_value"),
+    )
+
+
+@query("q_cdc_scd2", oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_type IS NULL OR event_type != prev_type
+)
+SELECT user_id, event_type AS status, ts AS effective_from,
+       lead(ts) OVER w2 AS effective_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a changelog: each
+    event sets its user's current status (event_type); the history table
+    keeps one row per STATUS RUN with [effective_from, effective_to)
+    validity and an is_current flag — the standard warehouse companion to
+    q_cdc_snapshot_diff (diff derives the changelog; SCD2 materializes
+    queryable history from it).
+
+    Two windows over one user-keyed sort: lag() collapses consecutive
+    duplicates (a re-asserted unchanged status opens no new version —
+    idempotent under redelivery), lead() closes each version with the
+    next change's timestamp.  Physically a single shuffle on user_id;
+    both window functions share the partitioning AND ordering, so
+    Catalyst evaluates them in one Window operator over one sort.  At
+    100 TB the changelog is date-partitioned and the rebuild is
+    incremental per partition; ties on ts break on event_id in both
+    engines, so the version chain is deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull()
+                | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w2).alias("effective_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
     )
 
 

@@ -315,6 +315,62 @@ def q_sketch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-stratum keep rates in permille: downsample the dominant language,
+# keep most of the tail — the standard move when rebalancing a crawl where
+# one language would otherwise swamp the mixture.
+_STRATA_PERMILLE = {"en": 200}
+_DEFAULT_PERMILLE = 800
+
+_STRATified_CASE = "CASE WHEN lang = 'en' THEN 200 ELSE 800 END"
+
+_STRAT_SQL = f"""
+WITH gated AS (
+  SELECT lang,
+         {_STRATified_CASE} AS keep_permille,
+         ((doc_id % {_RES_PREMOD}) * {_RES_MULT}) % 1000 AS gate
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN gate < keep_permille THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       keep_permille
+FROM gated
+GROUP BY lang, keep_permille
+"""
+
+
+@query("q_sketch_stratified", oracle=_STRAT_SQL)
+def q_sketch_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: each language stratum gets its
+    OWN keep rate (en 20%, tail languages 80%) through the same
+    reproducible hash gate as q_sketch_sample — the per-stratum variant a
+    training pipeline uses to downsample the dominant language without
+    touching the tail (cheaper than full rebalancing when quotas are
+    rate-shaped rather than count-shaped; q_llm_rebalance covers the
+    count-shaped case).
+
+    The gate is a scan-stage filter expression with NO per-stratum pass:
+    one scan, rate looked up per row from the (broadcast-sized, here
+    inline CASE) rate table, rows drop before any shuffle.  The audit
+    output (kept vs total per stratum) is one aggregate; at 100 TB the
+    sampled WRITE would replace the audit but the gate is identical."""
+    docs = load(spark, sf_dir, "documents")
+    rate = (F.when(F.col("lang") == "en", _STRATA_PERMILLE["en"])
+            .otherwise(_DEFAULT_PERMILLE))
+    gate = ((F.col("doc_id") % _RES_PREMOD) * _RES_MULT) % 1000
+    return (
+        docs.select("lang", rate.alias("keep_permille"), gate.alias("gate"))
+        .groupBy("lang", "keep_permille")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("gate") < F.col("keep_permille"), 1)
+                  .otherwise(0)).alias("n_kept"),
+        )
+        .select("lang", "n_total", "n_kept", "keep_permille")
+    )
+
+
 _BITMAP_SQL = """
 WITH words AS (
   SELECT event_type, CAST(user_id // 60 AS BIGINT) AS word,

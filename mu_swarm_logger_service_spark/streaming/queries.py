@@ -140,6 +140,35 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.purchase_click_attribution(load(spark, sf_dir, "events"))
 
 
+@query("q_stream_static_join", oracle=f"""
+SELECT c.c_nationkey AS nationkey, COUNT(*) AS n_events,
+       {dsum_sql('e.value')} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""")
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the reference's per-event container
+    inspect [pub:muswarmlogger/events.py event.container] as a streaming
+    DataFrame op: the event stream joins a static broadcast dimension
+    (customer stands in for the container table), then rolls up per
+    nation.  Executed as a REAL micro-batch job (AvailableNow → complete
+    mode memory sink), so the stream-static join path — static side
+    re-planned per trigger, no state store, no watermark required — is
+    what actually runs; the oracle checks the batch-equivalent join
+    exactly.  The stream side never shuffles before the aggregate: the
+    dimension broadcasts, so enrichment is map-side at any scale."""
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    stream = X.stream_events(spark, sf_dir)
+    agg = (
+        X.enrich_with_dimension(stream, dim)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+             .alias("sum_value"))
+    )
+    return _run_to_memory(agg, "complete")
+
+
 # ---------------------------------------------------------------------------
 # Streaming-executed queries: real micro-batch jobs inside the query fn.
 # ---------------------------------------------------------------------------

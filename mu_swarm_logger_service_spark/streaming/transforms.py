@@ -132,6 +132,21 @@ def running_user_counters(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_dimension(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to each
+    event — the engine's form of the reference lazily inspecting the
+    container behind each Docker event (`event.container`
+    [pub:muswarmlogger/events.py]): there the dimension is fetched per
+    event over the Docker socket; here it is one broadcast hash join, and
+    the static side is re-scanned per micro-batch so dimension updates
+    between triggers are picked up (Structured Streaming's stream-static
+    join contract).  Broadcast keeps the stream side shuffle-free — at
+    100 TB of events the dimension (containers/customers) is still tiny."""
+    return events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+    )
+
+
 def purchase_click_attribution(events: DataFrame) -> DataFrame:
     """Row 64 batch shape of the watermarked stream-stream join: purchases
     joined to same-user clicks in the preceding hour (inner: attributable

@@ -41,6 +41,30 @@ def test_near_dedup_sound_and_recall(spark, sf_dir, n_perm, n_bands):
         spark.conf.unset(_CONF_BANDS)
 
 
+def test_simhash_64bit_conf(spark, sf_dir):
+    """At the production width (64 bits, via session conf) identical texts
+    must still collide and the signature must differ from the 32-bit one
+    (the extra bits are really computed, sign bit included)."""
+    from mu_swarm_logger_service_spark.llm.dedup import (
+        _CONF_SIMHASH_BITS, simhash)
+
+    docs = load(spark, sf_dir, "documents").limit(50)
+    sig32 = {r.doc_id: r.simhash for r in simhash(docs, n_bits=32).collect()}
+    sig64 = {r.doc_id: r.simhash for r in simhash(docs, n_bits=64).collect()}
+    assert sig32.keys() == sig64.keys()
+    # low 32 bits agree (same per-bit construction); some doc uses the
+    # upper bits, so the widths genuinely differ
+    mask = (1 << 32) - 1
+    assert all(sig64[d] & mask == sig32[d] & mask for d in sig32)
+    assert any(sig64[d] != sig32[d] for d in sig32)
+    # the registered query honors the conf knob end-to-end
+    spark.conf.set(_CONF_SIMHASH_BITS, "64")
+    try:
+        QUERIES["q_llm_simhash"](spark, sf_dir).collect()
+    finally:
+        spark.conf.unset(_CONF_SIMHASH_BITS)
+
+
 def test_minhash_params_validation(spark):
     """Bad conf (perms not a multiple of bands) must raise, not silently
     truncate the signature."""

@@ -263,3 +263,42 @@ def test_bitmap_distinct_partial_aggregates(spark, sf_dir):
     partial+final — the whole point is O(words) shuffle."""
     p = _plan(spark, sf_dir, "q_sketch_bitmap_distinct")
     assert p.count("HashAggregate") >= 4
+
+
+def test_scd2_windows_share_one_sort(spark, sf_dir):
+    """Both window passes (lag to collapse runs, lead to close versions)
+    key and order identically, so the plan must carry exactly ONE
+    user_id exchange — the history rebuild is a single shuffle."""
+    p = _plan(spark, sf_dir, "q_cdc_scd2")
+    assert len(re.findall(r"hashpartitioning\(user_id", p)) == 1
+
+
+def test_incremental_dedup_single_hash_exchange(spark, sf_dir):
+    """The corpus-probe join and the within-batch keeper window both key
+    on content_hash: the batch side must shuffle once, with the window
+    reusing the join's partitioning (no second batch-side exchange)."""
+    p = _plan(spark, sf_dir, "q_llm_incremental_dedup")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # exactly two content_hash exchanges: one for the corpus-build distinct
+    # branch, one shared by the batch side's join AND keeper window.
+    assert len(re.findall(r"hashpartitioning\(content_hash", p)) == 2
+
+
+def test_matryoshka_broadcasts_queries_single_ranking_exchange(spark, sf_dir):
+    """The query set must broadcast (the broadcast nested-loop with the
+    tiny query side IS the intended shape, same as q_llm_cosine_topk —
+    corpus scanned once, never shuffled for the pairing) and both
+    rankings must ride ONE q_id exchange — the truncated cosine adds no
+    pass over the corpus."""
+    p = _plan(spark, sf_dir, "q_llm_matryoshka")
+    assert "BroadcastExchange" in p
+    assert len(re.findall(r"hashpartitioning\(q_id", p)) == 1
+
+
+def test_stratified_gate_is_scan_stage_filterless_single_agg(spark, sf_dir):
+    """Per-stratum sampling must stay one scan + partial/final aggregate:
+    the rate lookup is an inline expression, never a per-stratum pass or
+    join."""
+    p = _plan(spark, sf_dir, "q_sketch_stratified")
+    assert p.count("HashAggregate") >= 2
+    assert "Join" not in p
