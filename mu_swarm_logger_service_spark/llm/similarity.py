@@ -228,6 +228,96 @@ def q_llm_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60     # standard reciprocal-rank-fusion damping constant
+
+
+@query("q_llm_rrf_fusion", oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE {_QUERY_FILTER}
+), c AS (
+  SELECT vec_id AS c_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings
+), s AS (
+  SELECT q_id, c_id,
+         round(list_cosine_similarity(qe, ce), 6) + 0.0 AS cos_full,
+         round(list_cosine_similarity(qe[1:{_MRL_DIM}], ce[1:{_MRL_DIM}]), 6)
+           + 0.0 AS cos_trunc
+  FROM q, c WHERE q_id != c_id
+), ranked AS (
+  SELECT q_id, c_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_full DESC, c_id) AS rank_full,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_trunc DESC, c_id) AS rank_trunc
+  FROM s
+), fused AS (
+  SELECT q_id, c_id, rank_full, rank_trunc,
+         CAST(1.0 AS DOUBLE) / ({_RRF_K} + rank_full)
+           + CAST(1.0 AS DOUBLE) / ({_RRF_K} + rank_trunc) AS rrf
+  FROM ranked
+)
+SELECT q_id, c_id, rank_full, rank_trunc,
+       round(rrf, 6) + 0.0 AS rrf_score,
+       row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rn
+FROM fused
+QUALIFY rn <= {TOPK}
+""")
+def q_llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers — the standard hybrid-
+    retrieval combiner (RRF: score = Σ 1/(k + rank_i), k=60): here the
+    expensive full-dimension ranking fused with the cheap 16-dim
+    Matryoshka ranking (q_llm_matryoshka's two views of one corpus scan).
+    Fusing on RANKS rather than scores needs no score calibration between
+    retrievers — which is why RRF is the default in hybrid search.
+
+    Same physical shape as q_llm_matryoshka: both cosines in one corpus
+    scan against the broadcast query set, all three row_numbers (two
+    input rankings + the fused one) on ONE q_id exchange.  The RRF sum is
+    two IEEE divisions of identical small integers plus one addition —
+    identical operands in both engines, so ordering and the rounded score
+    are exact cross-engine."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    c = spread(
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("ce"))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            (F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0)
+            .alias("cos_full"),
+            (F.round(cosine(F.slice("qe", 1, _MRL_DIM),
+                            F.slice("ce", 1, _MRL_DIM)), 6) + 0.0)
+            .alias("cos_trunc"),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("cos_full").desc(), "c_id")
+    wt = Window.partitionBy("q_id").orderBy(F.col("cos_trunc").desc(), "c_id")
+    ranked = (
+        scored.withColumn("rank_full", F.row_number().over(wf))
+        .withColumn("rank_trunc", F.row_number().over(wt))
+        .withColumn(
+            "rrf",
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_full"))
+            + F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_trunc")),
+        )
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), "c_id")
+    return (
+        ranked.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOPK)
+        .select("q_id", "c_id", "rank_full", "rank_trunc",
+                (F.round("rrf", 6) + 0.0).alias("rrf_score"), "rn")
+    )
+
+
 N_TABLES = 4        # independent hash tables (OR-amplification)
 BITS_PER_TABLE = 6  # 64 buckets per table
 

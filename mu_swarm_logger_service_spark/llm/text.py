@@ -1367,3 +1367,63 @@ def q_llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_total").cast("long").alias("n_counted"),
         (F.round(ent, 6) + 0.0).alias("char_entropy"),
     )
+
+
+@query("q_llm_quality_cascade", oracle="""
+WITH t AS (
+  SELECT n_chars,
+         string_split(text, ' ') AS tok,
+         length(replace(text, ' ', '')) AS letters
+  FROM documents
+), flags AS (
+  SELECT (n_chars BETWEEN 100 AND 10000) AS p1,
+         len(list_filter(tok, x -> x IN ('a', 'the', 'of', 'and'))) >= 1 AS p2,
+         3 * len(list_distinct(tok)) >= len(tok) AS p3,
+         4 * len(tok) <= letters AND letters <= 10 * len(tok) AS p4
+  FROM t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_length,
+  CAST(SUM(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_after_lang,
+  CAST(SUM(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_after_repetition,
+  CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_after_quality
+FROM flags
+""")
+def q_llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascaded quality filtering with per-stage attrition — the funnel
+    audit every cleaning pipeline publishes (how many documents each
+    stage removed): length gate → language-evidence gate (stopword hit)
+    → repetition gate (distinct-token ratio ≥ 1/3) → word-shape gate
+    (mean token length in [4, 10]).  Stages are ordered cheap-first, the
+    production rule for cascades: later (more expensive) predicates are
+    only conceptually evaluated on earlier survivors, and the attrition
+    counts are what justify that ordering quantitatively.
+
+    All four flags come from ONE scan as a single whole-stage-codegen
+    projection; the funnel is one global aggregate of cumulative-AND
+    conditional sums (no per-stage pass, no shuffle of the corpus — the
+    exchange carries one partial-sum row per task).  Every gate is
+    integer arithmetic (ratio thresholds cross-multiplied), so counts
+    are exact cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    letters = F.length(F.regexp_replace("text", " ", ""))
+    t = docs.select(
+        (F.col("n_chars").between(100, 10000)).alias("p1"),
+        (F.size(F.filter(tok, lambda x: x.isin("a", "the", "of", "and")))
+         >= 1).alias("p2"),
+        (3 * F.size(F.array_distinct(tok)) >= F.size(tok)).alias("p3"),
+        ((4 * F.size(tok) <= letters)
+         & (letters <= 10 * F.size(tok))).alias("p4"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return t.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        cnt(F.col("p1")).alias("n_after_length"),
+        cnt(F.col("p1") & F.col("p2")).alias("n_after_lang"),
+        cnt(F.col("p1") & F.col("p2") & F.col("p3")).alias("n_after_repetition"),
+        cnt(F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4"))
+        .alias("n_after_quality"),
+    )

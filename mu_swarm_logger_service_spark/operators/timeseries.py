@@ -792,3 +792,33 @@ def q_ts_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sx").cast("double") / F.col("c")).alias("mean_rate"),
         F.when(F.col("c") > 1, var).otherwise(F.lit(None)).alias("variance"),
     )
+
+
+@query("q_ts_sliding_distinct", oracle="""
+SELECT
+  make_timestamp(((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900)
+                 * 1000000) AS window_start,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events, unnest([0, 1, 2, 3]) AS t(k)
+GROUP BY 1
+""")
+def q_ts_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per sliding hour window (15-minute slide) — the
+    "concurrent actives" dashboard series.  DISTINCT inside overlapping
+    windows is the operationally interesting part: unlike the count in
+    q_stream_sliding, per-window distinct can't be composed from
+    per-slide partials, so Spark plans it as Expand (4 window copies per
+    event, same as the oracle's unnest) into a two-phase aggregate whose
+    FIRST phase dedups (window, user) pairs map-side — the shuffle
+    carries one row per (window, user), never per event.  At 100 TB the
+    exact form is for daily reconciliation; the streaming dashboard path
+    swaps COUNT(DISTINCT) for approx_count_distinct (q_agg_approx_distinct)
+    and keeps this query as its audit."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
+    )

@@ -140,6 +140,29 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.purchase_click_attribution(load(spark, sf_dir, "events"))
 
 
+@query("q_stream_join_outer", oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts < p.ts
+""")
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join (row 64's other half): every purchase
+    is emitted, unattributed ones with a NULL click_id — the variant that
+    distinguishes "no click happened" from "still waiting".  In streaming
+    execution the outer row is emitted only when BOTH watermarks pass the
+    purchase's band (state eviction proves no match can still arrive) —
+    Spark's two-watermark outer-join semantics; this batch shape is the
+    end-state twin the oracle can check exactly.  Same plan as the inner
+    form: equi join on user_id with the time band as residual, never a
+    cartesian."""
+    return X.purchase_click_attribution(
+        load(spark, sf_dir, "events"), how="left")
+
+
 @query("q_stream_static_join", oracle=f"""
 SELECT c.c_nationkey AS nationkey, COUNT(*) AS n_events,
        {dsum_sql('e.value')} AS sum_value

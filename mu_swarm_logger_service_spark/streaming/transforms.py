@@ -147,10 +147,14 @@ def enrich_with_dimension(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
-def purchase_click_attribution(events: DataFrame) -> DataFrame:
+def purchase_click_attribution(events: DataFrame, how: str = "inner") -> DataFrame:
     """Row 64 batch shape of the watermarked stream-stream join: purchases
-    joined to same-user clicks in the preceding hour (inner: attributable
-    purchases only).  Equi key (user_id) + time-band residual."""
+    joined to same-user clicks in the preceding hour.  Equi key (user_id)
+    + time-band residual.  ``how='inner'`` keeps attributable purchases
+    only; ``how='left'`` is the outer variant — every purchase emitted,
+    unattributed ones with a NULL click (in the streaming twin, outer
+    rows are emitted when the watermark evicts the purchase's state, i.e.
+    once no matching click can still arrive)."""
     p = events.filter(F.col("event_type") == "purchase").alias("p")
     c = events.filter(F.col("event_type") == "click").alias("c")
     cond = (
@@ -158,7 +162,7 @@ def purchase_click_attribution(events: DataFrame) -> DataFrame:
         & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("c.ts") < F.col("p.ts"))
     )
-    return p.join(c, cond, "inner").select(
+    return p.join(c, cond, how).select(
         F.col("p.event_id").alias("purchase_id"),
         F.col("c.event_id").alias("click_id"),
         F.col("p.user_id").alias("user_id"),
