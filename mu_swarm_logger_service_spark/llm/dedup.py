@@ -644,3 +644,52 @@ def q_llm_fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("typo", F.col("tok").alias("correction"))
         .distinct()
     )
+
+
+_PREFIX_TOKENS = 5
+
+
+@query("q_llm_prefix_dedup", oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         array_to_string(string_split(text, ' ')[1:{_PREFIX_TOKENS}], ' ')
+           AS prefix
+  FROM documents
+)
+SELECT prefix,
+       MIN(doc_id) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_instances,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM s
+GROUP BY prefix
+HAVING COUNT(*) > 1
+""")
+def q_llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix dedup: documents OPENING with the same first
+    five tokens form a template family (shared headers, scraped
+    boilerplate, form letters) — the structural near-dup class that
+    exact hashing misses entirely (this corpus has zero exact duplicate
+    texts, yet dozens of shared-prefix families) and that MinHash
+    underweights when the shared span is a small fraction of the
+    document.  Production pipelines run exactly this as the cheap first
+    tier of boilerplate removal (prefix → suffix → paragraph hashes).
+
+    One shuffle on the prefix (at 100 TB: on xxhash64 of the prefix so
+    the shuffle key is 8 bytes, with the prefix string carried as
+    payload — same grouping, fixed-width key); map-side partial
+    aggregation reduces each task to one row per family before the
+    exchange.  HAVING keeps output proportional to boilerplate, not the
+    corpus."""
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split("text", " "), 1, _PREFIX_TOKENS), " ")
+    return (
+        docs.select(prefix.alias("prefix"), "doc_id", "lang")
+        .groupBy("prefix")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_instances"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .filter(F.col("n_instances") > 1)
+    )
