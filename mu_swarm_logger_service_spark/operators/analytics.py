@@ -971,3 +971,71 @@ def q_analytics_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         (F.col("revenue") / prev).alias("growth"),
     )
+
+
+@query("q_analytics_market_basket", oracle="""
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), n AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1
+), p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both, sa.n AS n_a, sb.n AS n_b,
+       round(CAST(n_both AS DOUBLE) * n_users
+             / (CAST(sa.n AS DOUBLE) * sb.n), 6) + 0.0 AS lift,
+       round(CAST(n_both AS DOUBLE) / sa.n, 6) + 0.0 AS confidence_a_b
+FROM p
+JOIN s sa ON sa.event_type = p.type_a
+JOIN s sb ON sb.event_type = p.type_b
+CROSS JOIN n
+""")
+def q_analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over user behavior (market-basket on the event
+    stream): for every pair of event types, co-occurrence support across
+    users, LIFT (co-occurrence vs independence) and directed confidence
+    P(b|a) — the "users who did X also did Y" primitive behind feature
+    correlation and funnel-hypothesis discovery.
+
+    Shape: one distinct pass builds the (user, type) incidence; the pair
+    join is keyed on user_id, so each user contributes only pairs of ITS
+    OWN types (bounded by the tiny type domain — never a corpus-wide
+    cross join); per-type supports and the user total are scalar/broadcast
+    side inputs.  All counts are integers; lift and confidence are
+    single same-operand IEEE expressions — exact cross-engine.  At 100 TB
+    the incidence distinct is the only event-proportional shuffle; pairs
+    are O(users × types²) at worst, types being a small domain."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(
+        F.countDistinct("user_id").alias("n_users"))
+    s = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    p = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("type_a"),
+                 F.col("b.event_type").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = s.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = s.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        p.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            (F.round(F.col("n_both").cast("double") * F.col("n_users")
+                     / (F.col("n_a").cast("double") * F.col("n_b")), 6)
+             + 0.0).alias("lift"),
+            (F.round(F.col("n_both").cast("double") / F.col("n_a"), 6)
+             + 0.0).alias("confidence_a_b"),
+        )
+    )

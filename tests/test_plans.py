@@ -302,3 +302,12 @@ def test_stratified_gate_is_scan_stage_filterless_single_agg(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_sketch_stratified")
     assert p.count("HashAggregate") >= 2
     assert "Join" not in p
+
+
+def test_prefix_filter_join_is_equi_not_quadratic(spark, sf_dir):
+    """The PPJoin-style candidate build must be an equi join on the
+    exploded prefix token — never a nested-loop/cartesian pairing — and
+    the verify stage keeps the pinned-parallelism exchange."""
+    p = _plan(spark, sf_dir, "q_llm_prefix_filter_join")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "REPARTITION_BY_NUM" in p
