@@ -1427,3 +1427,69 @@ def q_llm_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4"))
         .alias("n_after_quality"),
     )
+
+
+@query("q_llm_quantile_normalize", oracle="""
+WITH src AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n_s
+  FROM documents
+), g AS (
+  SELECT n_chars AS norm_score,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS gr
+  FROM documents
+), n AS (
+  SELECT COUNT(*) AS n_total FROM documents
+), idx AS (
+  SELECT doc_id, source, n_chars,
+         CASE WHEN n_s > 1
+              THEN CAST(((r - 1) * (n_total - 1)) // (n_s - 1) AS BIGINT) + 1
+              ELSE CAST(1 AS BIGINT) END AS gidx
+  FROM src CROSS JOIN n
+)
+SELECT i.doc_id, i.source, i.n_chars, g.norm_score
+FROM idx i JOIN g ON g.gr = i.gidx
+""")
+def q_llm_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-document score across heterogeneous
+    sources: each document's length score is replaced by the GLOBAL
+    distribution's value at the document's within-source quantile — the
+    calibration that makes "top 10% of source A" comparable to "top 10%
+    of source B" before mixing quality-filtered corpora (per-source
+    scoring models drift; ranks don't).
+
+    Entirely integer arithmetic: within-source rank r of n_s maps to
+    global index ((r-1)(N-1)) // (n_s-1) + 1 — floor division on
+    integers, no float quantile interpolation to diverge cross-engine.
+    The exact form needs one total order of the REFERENCE distribution
+    (the global row_number; fine for a reference sample); at 100 TB the
+    reference becomes a broadcast quantile-sketch grid probed the same
+    way, and only the per-source windows — shuffled on source — touch
+    the full corpus."""
+    docs = load(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = docs.select(
+        "doc_id", "source", "n_chars",
+        F.row_number().over(w_src).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_s"),
+    )
+    w_g = Window.orderBy("n_chars", "doc_id")
+    g = docs.select(
+        F.col("n_chars").alias("norm_score"),
+        F.row_number().over(w_g).alias("gr"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    idx = src.crossJoin(F.broadcast(n)).select(
+        "doc_id", "source", "n_chars",
+        F.when(
+            F.col("n_s") > 1,
+            F.expr("(CAST(r - 1 AS BIGINT) * (n_total - 1))"
+                   " div (n_s - 1) + 1"),
+        ).otherwise(F.lit(1).cast("long")).alias("gidx"),
+    )
+    return (
+        idx.join(g, idx.gidx == g.gr)
+        .select("doc_id", "source", "n_chars", "norm_score")
+    )

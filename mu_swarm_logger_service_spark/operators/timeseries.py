@@ -822,3 +822,54 @@ def q_ts_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_users", "n_events")
     )
+
+
+@query("q_ts_multi_touch", oracle="""
+WITH attributed AS (
+  SELECT p.event_id AS purchase_id, p.value AS purchase_value,
+         c.event_id AS click_id,
+         COUNT(*) OVER (PARTITION BY p.event_id) AS n_touches
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id
+   AND c.ts >= p.ts - INTERVAL 1 HOUR
+   AND c.ts < p.ts
+)
+SELECT purchase_id, click_id, CAST(n_touches AS BIGINT) AS n_touches,
+       round(purchase_value / n_touches, 6) + 0.0 AS credit
+FROM attributed
+""")
+def q_ts_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: a purchase's value is split EQUALLY
+    across every same-user click in the preceding hour — the credit model
+    one step past last-touch (q_join_asof picks exactly one winner; here
+    all touches share).  Built on the same banded user-keyed join as the
+    attribution family; the per-purchase touch count is an unordered
+    COUNT window over the join output partitioned on purchase_id, and
+    credit = value / n is one same-operand IEEE division (round + +0.0
+    for the cross-engine -0.0 rule).  At 100 TB: the join shuffles on
+    user_id, the window on purchase_id — two exchanges, both
+    key-parallel; the credit rows are join-output-proportional."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    cond = (
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c.ts") < F.col("p.ts"))
+    )
+    joined = p.join(c, cond).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.value").alias("purchase_value"),
+        F.col("c.event_id").alias("click_id"),
+    )
+    w = Window.partitionBy("purchase_id")
+    return (
+        joined.withColumn("n_touches", F.count(F.lit(1)).over(w))
+        .select(
+            "purchase_id", "click_id",
+            F.col("n_touches").cast("long").alias("n_touches"),
+            (F.round(F.col("purchase_value") / F.col("n_touches"), 6) + 0.0)
+            .alias("credit"),
+        )
+    )
