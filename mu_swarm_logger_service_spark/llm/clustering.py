@@ -588,3 +588,73 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
         )
     )
+
+
+@query("q_llm_embedding_drift", oracle="""
+WITH emb AS (
+  SELECT vec_id, label, vec_id % 2 AS half,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), d AS (
+  SELECT label, half, generate_subscripts(e, 1) AS pos, unnest(e) AS val
+  FROM emb
+)
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       CAST(SUM(CASE WHEN half = 0 THEN CAST(val AS DECIMAL(27,6)) END)
+            AS DOUBLE)
+         / SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS mean_a,
+       CAST(SUM(CASE WHEN half = 1 THEN CAST(val AS DECIMAL(27,6)) END)
+            AS DOUBLE)
+         / SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS mean_b,
+       CAST(SUM(CASE WHEN half = 0 THEN CAST(val AS DECIMAL(27,6)) END)
+            AS DOUBLE)
+         / SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+       - CAST(SUM(CASE WHEN half = 1 THEN CAST(val AS DECIMAL(27,6)) END)
+              AS DOUBLE)
+         / SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS delta,
+       CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+FROM d
+GROUP BY label, pos
+HAVING SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) > 0
+   AND SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) > 0
+""")
+def q_llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per (label, dimension), the exact centroid
+    of one corpus half against the other (vec_id parity stands in for
+    snapshot A vs snapshot B / train vs validation) with the signed
+    per-dimension delta — the audit a pipeline runs after re-embedding or
+    re-crawling to detect encoder or distribution shift BEFORE indexes
+    and thresholds silently degrade.
+
+    One pos-explode fan-out, ONE (label, pos) aggregate computing both
+    halves' means as conditional decimal sums — no self-join of the two
+    halves, no second scan.  Means ride the exact-DECIMAL path
+    (order-independent, bit-identical cross-engine); delta is one IEEE
+    subtraction of identical doubles.  Output is K x 64 rows — tiny at
+    any corpus scale; the only event-proportional cost is the explode,
+    which stays map-side."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label", (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .alias("pos0", "val"),
+    ).select("label", "half", (F.col("pos0") + 1).cast("long").alias("pos"),
+             "val")
+    mean_a = (dsum(F.when(F.col("half") == 0, F.col("val")))
+              / F.sum(F.when(F.col("half") == 0, 1).otherwise(0)))
+    mean_b = (dsum(F.when(F.col("half") == 1, F.col("val")))
+              / F.sum(F.when(F.col("half") == 1, 1).otherwise(0)))
+    return (
+        d.groupBy("label", "pos")
+        .agg(
+            mean_a.alias("mean_a"),
+            mean_b.alias("mean_b"),
+            (mean_a - mean_b).alias("delta"),
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("long").alias("n_a"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long").alias("n_b"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )

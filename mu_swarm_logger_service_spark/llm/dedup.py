@@ -730,7 +730,14 @@ def q_llm_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabularies, rare-token prefixes under frequency order) — which is
     exactly the 100 TB regime; the baseline's O(block²) is the one that
     cannot survive there."""
-    docs = load(spark, sf_dir, "documents")
+    return prefix_filter_pairs(spark, load(spark, sf_dir, "documents"))
+
+
+def prefix_filter_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Prefix-filtered exact J >= 1/2 pairs over any documents-shaped
+    frame (doc_id, lang, source, text) — the q_llm_prefix_filter_join
+    core, separated so the randomized completeness test can drive it
+    with adversarial corpora (tests/test_properties.py)."""
     t = docs.select(
         "doc_id", "lang", "source",
         F.array_sort(F.array_distinct(F.split("text", " "))).alias("tok"),

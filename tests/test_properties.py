@@ -464,3 +464,46 @@ def test_char_entropy_bounds(spark, sf_dir):
     rows = QUERIES["q_llm_char_entropy"](spark, sf_dir).collect()
     assert rows
     assert all(0.0 <= r.char_entropy <= math.log(27) + 1e-9 for r in rows)
+
+
+def test_prefix_filter_join_complete_on_random_corpus(spark):
+    """Prefix filtering must be RECALL-LOSSLESS: on a seeded random corpus
+    (small vocab to force collisions, planted near-dup pairs, skewed set
+    sizes) the pair set must equal the brute-force J >= 1/2 ground truth
+    computed independently in Python — not just on the driver fixture's
+    distribution."""
+    import itertools
+    import random
+
+    from mu_swarm_logger_service_spark.llm.dedup import prefix_filter_pairs
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(120):
+        n = rng.randint(2, 12)
+        docs.append((i, "xx", "src", " ".join(rng.sample(vocab, n))))
+    # planted near-dups: copy with one token changed / one appended
+    for i in range(120, 160):
+        base = docs[rng.randrange(120)][3].split()
+        if len(base) > 2 and rng.random() < 0.5:
+            base[rng.randrange(len(base))] = rng.choice(vocab)
+        else:
+            base.append(rng.choice(vocab))
+        docs.append((i, "xx", "src", " ".join(base)))
+
+    sets = {d[0]: frozenset(d[3].split()) for d in docs}
+    expected = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if 2 * inter >= union:  # J >= 1/2, integer-exact
+            expected.add((a, b))
+
+    df = spark.createDataFrame(docs, "doc_id long, lang string, "
+                                     "source string, text string")
+    got = {(r.doc_a, r.doc_b)
+           for r in prefix_filter_pairs(spark, df).collect()}
+    assert got == expected, (
+        f"missed={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}")
+    assert expected, "degenerate fixture: no qualifying pairs planted"
