@@ -311,3 +311,47 @@ def test_prefix_filter_join_is_equi_not_quadratic(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_llm_prefix_filter_join")
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "REPARTITION_BY_NUM" in p
+
+
+def test_market_basket_no_cartesian_pairing(spark, sf_dir):
+    """Pairs come from the user_id-keyed self join (bounded by each
+    user's own type set); the only nested-loop allowed is the 1-row
+    scalar n_users attach — never a cartesian of the incidence."""
+    p = _plan(spark, sf_dir, "q_analytics_market_basket")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # supports attach by broadcast
+
+
+def test_multi_touch_keeps_equi_anchor_and_window(spark, sf_dir):
+    """The banded attribution join must anchor on user_id (residual time
+    band, no nested loop over both streams); credit needs exactly one
+    purchase_id count window."""
+    p = _plan(spark, sf_dir, "q_ts_multi_touch")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "Window" in p
+
+
+def test_embedding_drift_single_aggregate_no_join(spark, sf_dir):
+    """Both halves' means ride ONE conditional aggregate over the
+    pos-explode — no self-join of the halves, no second scan."""
+    p = _plan(spark, sf_dir, "q_llm_embedding_drift")
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_sliding_distinct_expands_then_two_phase(spark, sf_dir):
+    """Windowed DISTINCT must plan as Expand (4 window copies) into a
+    two-phase aggregate whose first phase dedups (window, user) pairs
+    map-side — the shuffle carries pairs, not events."""
+    p = _plan(spark, sf_dir, "q_ts_sliding_distinct")
+    assert "Expand" in p
+    assert p.count("HashAggregate") >= 4  # dedup phase + count phase
+
+
+def test_rrf_fusion_broadcasts_and_single_ranking_exchange(spark, sf_dir):
+    """Same contract as matryoshka: query set broadcast (corpus never
+    shuffles for the pairing), all three rankings on ONE q_id exchange."""
+    p = _plan(spark, sf_dir, "q_llm_rrf_fusion")
+    assert "BroadcastExchange" in p
+    assert len(re.findall(r"hashpartitioning\(q_id", p)) == 1
