@@ -1493,3 +1493,64 @@ def q_llm_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.join(g, idx.gidx == g.gr)
         .select("doc_id", "source", "n_chars", "norm_score")
     )
+
+
+_TOKEN_BUDGET = 2000  # per-language token budget for the training cut
+
+
+@query("q_llm_token_budget", oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST((len(list_filter(string_split(text, ' '),
+                               t -> t IN ('a', 'the', 'of', 'and')))
+               * 1000000) // len(string_split(text, ' ')) AS BIGINT)
+           AS noise_ppm
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                                  ORDER BY noise_ppm, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, cum_tokens
+FROM ranked WHERE cum_tokens <= {_TOKEN_BUDGET}
+""")
+def q_llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-shaped corpus selection: fill a FIXED per-language token
+    budget with the cleanest documents first (lowest stopword-noise,
+    doc_id tiebreak) — the cut a training run makes when the constraint
+    is "N tokens of language X", not a document count (q_llm_rebalance)
+    or a mixture rate (q_llm_mixture).  Greedy-by-quality under a
+    cumulative cap = the knapsack relaxation every data-budget pipeline
+    actually ships.
+
+    One shuffle on lang; the running total is an INTEGER cumulative-sum
+    window (any addition order is exact, the cross-engine rule for
+    prefix sums), and the noise score reuses the 64-bit ppm arithmetic
+    from q_llm_dpo_pairs.  The cap filter keeps output
+    budget-proportional; at 100 TB key the window by (lang, shard) with
+    per-shard sub-budgets — the greedy cut composes because token counts
+    are additive."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    noise = F.expr(
+        "CAST((size(filter(split(text, ' '), "
+        "t -> t IN ('a', 'the', 'of', 'and'))) * CAST(1000000 AS BIGINT))"
+        " div size(split(text, ' ')) AS BIGINT)")
+    scored = docs.select(
+        "doc_id", "lang", F.size(toks).cast("long").alias("n_tokens"),
+        noise.alias("noise_ppm"),
+    )
+    w = (Window.partitionBy("lang").orderBy("noise_ppm", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        scored.select(
+            "doc_id", "lang", "n_tokens",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+    )
