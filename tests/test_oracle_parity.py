@@ -41,6 +41,10 @@ def test_export_window_is_complete_and_first():
 
     missing = [k for k in EXPORT_FIRST if k not in QUERIES]
     assert not missing, f"EXPORT_FIRST names unregistered keys: {missing}"
+    # The driver records exactly 50 rows; a 51st entry would silently push
+    # the last key out of the evidence window while everything stays green.
+    assert len(EXPORT_FIRST) <= 50
+    assert len(set(EXPORT_FIRST)) == len(EXPORT_FIRST)
     exported = list(all_queries())
     assert exported[: len(EXPORT_FIRST)] == list(EXPORT_FIRST)
     assert len(exported) == len(set(exported)) == len(QUERIES)
