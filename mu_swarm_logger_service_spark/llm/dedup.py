@@ -27,6 +27,46 @@ def normalized_text(col: str = "text") -> Column:
     return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
 
 
+# Quadratic-family quarantine (r4 verdict task 6).  The blocked exact
+# Jaccard below is O(Σ block²) BY DESIGN — it is the oracle twin / ground
+# truth for the LSH and prefix-filter paths, never the production path.  On
+# a corpus whose blocking key is degenerate (one lang, one source) "the
+# block" is the whole corpus and the baseline becomes all-pairs, so it
+# refuses to run once any single (lang, source) block exceeds this many
+# documents.  Production-scale near-dup must go through q_llm_near_dedup
+# (MinHash/LSH banding) or q_llm_prefix_filter_join (PPJoin-style exact
+# prefix blocking) — both handle the single-block corpus with sub-quadratic
+# candidate generation.  Raise the ceiling explicitly (e.g. for a one-off
+# ground-truth audit on a mid-size block) via the session conf.
+MAX_QUADRATIC_BLOCK = 5_000
+_CONF_MAX_BLOCK = "spark.mu_swarm_logger.jaccard.max_block"
+_block_guard_ok: set[tuple[str, int]] = set()
+
+
+def _guard_quadratic_block(spark: SparkSession, sf_dir: str) -> None:
+    """Admission check: one tiny 2-column aggregate before a potentially
+    O(n²) self-join.  Cached per (sf_dir, ceiling): repeated calls (bench
+    reps, shared edge builds) pay it once per session."""
+    ceiling = int(spark.conf.get(_CONF_MAX_BLOCK, str(MAX_QUADRATIC_BLOCK)))
+    key = (sf_dir, ceiling)
+    if key in _block_guard_ok:
+        return
+    top = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source").count()
+        .orderBy(F.desc("count")).first()
+    )
+    if top is not None and top["count"] > ceiling:
+        raise ValueError(
+            f"blocked exact-Jaccard baseline refused: largest (lang, source) "
+            f"block has {top['count']} documents (> {ceiling}); this path is "
+            f"O(block²) ground truth for oracle-scale audits only. Use "
+            f"q_llm_near_dedup (MinHash/LSH) or q_llm_prefix_filter_join "
+            f"(prefix blocking) at production scale, or raise "
+            f"{_CONF_MAX_BLOCK!r} explicitly.")
+    _block_guard_ok.add(key)
+
+
 def jaccard_half_edges(
     spark: SparkSession, sf_dir: str, with_block: bool = False,
     with_jaccard: bool = False,
@@ -60,6 +100,7 @@ def jaccard_half_edges(
     reuses one exchange — the pin costs nothing at 100 TB and buys the
     whole cluster's parallelism at any scale.
     """
+    _guard_quadratic_block(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "lang", "source",
@@ -192,13 +233,16 @@ def q_llm_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_half_edges(spark, sf_dir, with_jaccard=True)
 
 
-N_MINHASH = 16          # default permutations (demo scale)
-N_BANDS = 4             # default bands (N_MINHASH // N_BANDS rows per band)
+N_MINHASH = 64          # default permutations (production scale)
+N_BANDS = 16            # default bands (N_MINHASH // N_BANDS rows per band)
 
-# Session-conf overrides — production MinHash runs 64-128 permutations;
-# the defaults keep the gate-SF demo cheap.  Set e.g.
-#   spark.conf.set("spark.mu_swarm_logger.minhash.permutations", "64")
-#   spark.conf.set("spark.mu_swarm_logger.minhash.bands", "16")
+# Session-conf overrides — the DEFAULT is the production configuration
+# (64 permutations / 16 bands of 4 rows: candidate threshold s where
+# 1-(1-s^4)^16 = 0.5 is s ≈ 0.55, matched to the J >= 0.5 verify gate), so
+# a user calling q_llm_near_dedup cold gets production recall (r4 verdict
+# task 5).  Downshift for cheap demos with e.g.
+#   spark.conf.set("spark.mu_swarm_logger.minhash.permutations", "16")
+#   spark.conf.set("spark.mu_swarm_logger.minhash.bands", "4")
 # before calling q_llm_near_dedup.  Recall/soundness property tests run
 # the matrix {16/4, 64/16} (tests/test_llm.py).
 _CONF_PERMS = "spark.mu_swarm_logger.minhash.permutations"
@@ -438,7 +482,11 @@ def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     one — quotes, excerpts, supersets — which symmetric Jaccard dilutes
     below threshold.  Same (lang, source) blocking as the Jaccard
     baseline; the smaller-side convention (|A| <= |B|, id tiebreak on
-    equal size) emits each pair once with a deterministic orientation."""
+    equal size) emits each pair once with a deterministic orientation.
+    Quadratic per block like the Jaccard baseline → same admission guard
+    (oracle-scale ground truth only; production containment goes through
+    the prefix-filter path)."""
+    _guard_quadratic_block(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "lang", "source",

@@ -18,8 +18,8 @@ from mu_swarm_logger_service_spark.llm.dedup import simhash
 def test_near_dedup_sound_and_recall(spark, sf_dir, n_perm, n_bands):
     """Every LSH-confirmed pair has J>=0.5 by construction; recall vs the
     exact blocked baseline must be high for strong pairs (J>=0.8).  Runs
-    the parameter matrix: 16/4 (demo default) and 64/16 (production-scale
-    permutation count via the session conf knobs)."""
+    the parameter matrix: 16/4 (demo downshift) and 64/16 (the production
+    default since round 5), both via the session conf knobs."""
     from mu_swarm_logger_service_spark.llm.dedup import _CONF_BANDS, _CONF_PERMS
 
     spark.conf.set(_CONF_PERMS, str(n_perm))
@@ -216,3 +216,29 @@ def test_m4_envelope_contains_endpoints(spark, sf_dir):
         assert r.v_min <= r.v_first <= r.v_max
         assert r.v_min <= r.v_last <= r.v_max
     assert sum(r.n for r in rows) == _load(spark, sf_dir, "events").count()
+
+
+def test_quadratic_baseline_quarantined(spark, sf_dir):
+    """The blocked exact-Jaccard/containment family is O(block²) ground
+    truth for oracle scale only: on a corpus where a single (lang, source)
+    block exceeds the admission ceiling (e.g. a one-lang/one-source corpus,
+    where "the block" is the whole corpus) it must REFUSE to run and point
+    at the sub-quadratic production paths (LSH / prefix-filter)."""
+    from mu_swarm_logger_service_spark.llm.dedup import (
+        _CONF_MAX_BLOCK, _block_guard_ok, jaccard_half_edges)
+
+    # Force the ceiling below the corpus's largest block to simulate the
+    # degenerate-blocking corpus without writing new testdata.
+    spark.conf.set(_CONF_MAX_BLOCK, "1")
+    try:
+        with pytest.raises(ValueError, match="near_dedup|prefix_filter"):
+            jaccard_half_edges(spark, sf_dir)
+        with pytest.raises(ValueError, match="O\\(block"):
+            QUERIES["q_llm_containment"](spark, sf_dir)
+    finally:
+        spark.conf.unset(_CONF_MAX_BLOCK)
+    # At the default ceiling the oracle-scale corpus is admitted (cached
+    # thereafter: one tiny aggregate per (sf_dir, ceiling) per session).
+    jaccard_half_edges(spark, sf_dir)
+    from mu_swarm_logger_service_spark.llm.dedup import MAX_QUADRATIC_BLOCK
+    assert (sf_dir, MAX_QUADRATIC_BLOCK) in _block_guard_ok
