@@ -12,20 +12,24 @@ TF-IDF, pandas-UDF tier, streaming tumbling (batch form).  Each query is
 fully materialized via a count-style action (``df.count()`` after a
 ``localCheckpoint``-free plan) so Catalyst can't elide work.
 
-Measurement protocol (round 4; investigation committed with this change):
-each query runs TWO reps and the headline reports the WARM rep.  Rationale:
-rep-to-rep deltas on this box are dominated by first-use JVM JIT + codegen
-of each plan shape, NOT by the data path — e.g. q_join_broadcast measured
-1.34s cold / 0.51-0.61s warm, q_join_sortmerge 1.09s cold / 0.55-0.72s warm
-at sf0.1, which fully explains the r2→r3 "regressions" on untouched code
-(BENCH_r03 2.33s/1.62s vs r1 0.93s/0.59s: the growing pre-bench import +
-warm-up surface shifted which query paid each codegen bill).  Steady-state
-throughput is what the 100 TB posture cares about (codegen amortizes to
-zero over minutes-long queries); cold rep-1 times stay in the JSON under
-``cold_queries`` so the startup cost remains visible.  No data is cached
-between reps: inputs are re-read from parquet each rep (spark.catalog
-caching is never enabled here), so rep 2 measures plan execution, not a
-memoized result.
+Measurement protocol (round 5; extends the round-4 protocol):
+each query runs THREE reps.  The headline ``value``/``queries`` report
+rep 2 (the same "warm" definition as round 4, so the r4→r5 trend is
+like-for-like); rep 1 stays under ``cold_queries`` AND is now also summed
+into a top-level ``cold_total`` so the rounds-1-3 single-cold-run metric
+remains directly comparable across rounds (r4 advice: never compare a warm
+headline against an older cold one); rep 3 lands under ``rep3_queries`` to
+separate steady-state from one-off noise — if rep2 > rep1 for a query but
+rep3 ≈ rep1, the rep-2 reading was a transient (GC pause / compaction),
+not a plan property.  Rationale for warm-as-headline: rep-to-rep deltas on
+this box are dominated by first-use JVM JIT + codegen of each plan shape,
+NOT by the data path — e.g. q_join_broadcast measured 1.34s cold /
+0.51-0.61s warm at sf0.1, which fully explains the r2→r3 "regressions" on
+untouched code.  Steady-state throughput is what the 100 TB posture cares
+about (codegen amortizes to zero over minutes-long queries).  No data is
+cached between reps: inputs are re-read from parquet each rep
+(spark.catalog caching is never enabled here), so reps 2-3 measure plan
+execution, not a memoized result.
 """
 
 from __future__ import annotations
@@ -107,26 +111,30 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     cold_query: dict[str, float] = {}
+    rep3_query: dict[str, float] = {}
     total = 0.0
+    cold_total = 0.0
     for name in HEADLINE:
         fn = queries[name]
         reps = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             n = fn(spark, SF_DIR).count()
             reps.append(round(time.perf_counter() - t0, 3))
         cold_query[name] = reps[0]
         per_query[name] = reps[1]          # warm rep = steady-state plan cost
+        rep3_query[name] = reps[2]
         total += reps[1]
-        print(f"# {name}: warm {reps[1]:.3f}s / cold {reps[0]:.3f}s "
-              f"({n} rows)", file=sys.stderr)
+        cold_total += reps[0]
+        print(f"# {name}: warm {reps[1]:.3f}s / cold {reps[0]:.3f}s / "
+              f"rep3 {reps[2]:.3f}s ({n} rows)", file=sys.stderr)
 
     # Ingestion throughput: the reference's whole job (event stream →
     # triples → sink) measured as events/s.  Reference ceiling: one
     # synchronous SPARQL INSERT per line, O(10^2-10^3) lines/s
     # (SURVEY.md §4.1); micro-batch bulk appends clear it by orders of
     # magnitude on a single node.
-    ingest_rate = _measure_ingest(spark)
+    ingest_rate, ingest_reps = _measure_ingest(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -135,8 +143,11 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "cold_queries": cold_query,
+        "cold_total": round(cold_total, 3),   # rounds-1-3 protocol metric
+        "rep3_queries": rep3_query,
         "sf": float(sf),
         "ingest_events_per_sec": ingest_rate,
+        "ingest_reps_events_per_sec": ingest_reps,
     }))
 
 
@@ -150,13 +161,18 @@ def _measure_ingest(spark) -> float:
 
     n_events = load(spark, SF_DIR, "events").count()
 
-    # Two reps, warm reported (same protocol as the headline queries): the
-    # cold rep pays one-time streaming-engine + codegen startup (measured
-    # 36.7k ev/s cold vs 75-78k warm at sf0.1 — the entire r1→r3 "decline"
-    # was cold-start accounting).  Each rep is a fresh stream with a fresh
-    # checkpoint; nothing is cached between reps.
-    rate = 0.0
-    for rep in range(2):
+    # Three reps, rep 2 reported (same protocol as the headline queries);
+    # the cold rep pays one-time streaming-engine + codegen startup.  Each
+    # rep is a fresh stream with a fresh checkpoint; nothing is cached
+    # between reps.  The round-4 ingest shortfall (52.9k warm vs the 60k
+    # target) was a PARALLELISM defect, not session tax: the sf0.1 events
+    # table is one 2 MB parquet file, so the micro-batch ran the entire
+    # transform + sink write as a single task.  ``repartition_to=8`` breaks
+    # the batch over 8 tasks before the 4× explode (see
+    # streaming.transforms.stream_events); measured 52.9k -> ~100-125k
+    # events/s warm at sf0.1.
+    rates = []
+    for rep in range(3):
         sink = tempfile.mkdtemp(prefix="bench_ingest_sink_")
         ckpt = tempfile.mkdtemp(prefix="bench_ingest_ckpt_")
 
@@ -166,7 +182,7 @@ def _measure_ingest(spark) -> float:
 
         t0 = time.perf_counter()
         q = (
-            events_to_triples(stream_events(spark, SF_DIR))
+            events_to_triples(stream_events(spark, SF_DIR, repartition_to=8))
             .writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -176,10 +192,10 @@ def _measure_ingest(spark) -> float:
         dt = time.perf_counter() - t0
         shutil.rmtree(sink, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
-        rate = round(n_events / dt, 1)
+        rates.append(round(n_events / dt, 1))
         print(f"# ingest rep{rep + 1}: {n_events} events -> triples+sink in "
-              f"{dt:.2f}s = {rate:.0f} events/s", file=sys.stderr)
-    return rate
+              f"{dt:.2f}s = {rates[-1]:.0f} events/s", file=sys.stderr)
+    return rates[1], rates
 
 
 if __name__ == "__main__":
