@@ -667,3 +667,168 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("n.nc")).alias("neg_id"), F.col("n.cs").alias("neg_sim"),
         (F.col("p.cs") - F.col("n.cs") + 0.0).alias("margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the codebook-compression side of billion-scale
+# ANN (IVF-PQ).  M subspaces of DSUB dims, K centroids per subspace: a
+# 64-dim float32 vector (256 B) compresses to M 4-bit codes (4 B here) plus
+# one shared codebook.  The codebook is DETERMINISTIC — the sub-vectors of
+# the K lowest-vec_id vectors, i.e. "training by sampling" with a pinned
+# sample — so both engines derive byte-identical codes and the pair is
+# exactly oracle-checkable (seeded k-means refinement would drop in via
+# q_llm_kmeans_step without changing any plan shape).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces
+PQ_DSUB = 8       # dims per subspace (M * DSUB = 64, the embedding dim)
+PQ_K = 16         # centroids per subspace (codebook anchors: vec_id < K)
+
+# Per (vector, subspace j): squared L2 distance to each codebook centroid,
+# as a sequential left-fold (identical addition order cross-engine).
+_PQ_DISTS = (
+    "transform(cb, c -> aggregate(transform(sequence(1, {d}), i -> "
+    "(CAST(element_at(e, j*{d}+i) AS DOUBLE) - element_at(c, j*{d}+i)) * "
+    "(CAST(element_at(e, j*{d}+i) AS DOUBLE) - element_at(c, j*{d}+i))), "
+    "CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+).format(d=PQ_DSUB)
+
+# argmin per subspace: first index of the minimum (ties -> lowest centroid
+# id in BOTH engines: array_position and list_indexof are first-match).
+_PQ_CODES = (
+    f"transform(sequence(0, {PQ_M - 1}), j -> "
+    f"array_position({_PQ_DISTS}, array_min({_PQ_DISTS})) - 1)"
+)
+
+_PQ_DDISTS = (
+    "list_transform(cb, c -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, {d1}), i -> "
+    "(e[CAST(j*{d}+i AS INT)] - c[CAST(j*{d}+i AS INT)]) * "
+    "(e[CAST(j*{d}+i AS INT)] - c[CAST(j*{d}+i AS INT)]))), (a, x) -> a + x))"
+).format(d=PQ_DSUB, d1=PQ_DSUB + 1)
+
+_PQ_CB_SQL = f"""
+  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE))
+              ORDER BY vec_id) AS cb
+  FROM embeddings WHERE vec_id < {PQ_K}
+"""
+
+_PQ_CODED_SQL = f"""
+  SELECT vec_id,
+         list_transform(range(0, {PQ_M}), j ->
+           list_indexof({_PQ_DDISTS}, list_aggregate({_PQ_DDISTS}, 'min')) - 1
+         ) AS code
+  FROM (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings) v, cbt
+"""
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """One-row DF holding the K×64 codebook (array of double-arrays,
+    ordered by anchor vec_id) — broadcast wherever codes are derived."""
+    return (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "embedding")))
+             .alias("cbs"))
+        .select(F.expr("transform(cbs, s -> transform(s.embedding,"
+                       " x -> CAST(x AS DOUBLE)))").alias("cb"))
+    )
+
+
+def _pq_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, code: array<long>[M]) — per-subspace argmin centroid ids.
+    A narrow map over the corpus scan (the codebook is a broadcast scalar):
+    zero shuffle, embarrassingly parallel at any scale."""
+    return (
+        emb.select("vec_id", F.expr("transform(embedding, x -> x)").alias("e"))
+        .crossJoin(F.broadcast(_pq_codebook(emb)))
+        .select("vec_id", F.expr(_PQ_CODES).alias("code"))
+    )
+
+
+@query("q_llm_pq_encode", oracle=f"""
+WITH cbt AS ({_PQ_CB_SQL}), coded AS ({_PQ_CODED_SQL})
+SELECT vec_id, code FROM coded
+""")
+def q_llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: each embedding becomes 8 codes of
+    4 bits (M=8 subspaces, K=16 centroids) — 64× smaller than float32 (4 B + shared codebook vs
+    256 B), the compression that lets a billion-vector index live in
+    executor memory next to IVF cells.  Per vector the encode is a pure
+    higher-order expression (distances to 16 broadcast centroids per
+    subspace, first-min argmin); no shuffle anywhere — the whole query is
+    a narrow map over the scan, so it pipelines into any downstream
+    operator.  Distances are sequential left-folds of identical doubles,
+    and both engines take the FIRST minimal centroid, so codes are
+    bit-deterministic cross-engine (exact oracle)."""
+    return _pq_codes(load(spark, sf_dir, "embeddings"))
+
+
+@query("q_llm_ann_pq", oracle=f"""
+WITH cbt AS ({_PQ_CB_SQL}), coded AS ({_PQ_CODED_SQL}),
+q AS (
+  SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE {_QUERY_FILTER}
+), s AS (
+  SELECT q_id, coded.vec_id AS c_id,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(0, {PQ_M}), j ->
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, {PQ_DSUB + 1}), i ->
+                 (qe[CAST(j*{PQ_DSUB}+i AS INT)]
+                    - cb[CAST(code[CAST(j+1 AS INT)] + 1 AS INT)]
+                        [CAST(j*{PQ_DSUB}+i AS INT)]) *
+                 (qe[CAST(j*{PQ_DSUB}+i AS INT)]
+                    - cb[CAST(code[CAST(j+1 AS INT)] + 1 AS INT)]
+                        [CAST(j*{PQ_DSUB}+i AS INT)]))),
+               (a, x) -> a + x))),
+           (a, x) -> a + x), 6) + 0.0 AS adc_dist
+  FROM q, coded, cbt WHERE q_id != coded.vec_id
+)
+SELECT q_id, c_id, adc_dist FROM s
+QUALIFY row_number() OVER (PARTITION BY q_id
+                           ORDER BY adc_dist ASC, c_id) <= {TOPK}
+""")
+def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search over PQ codes via asymmetric distance computation (ADC):
+    queries stay full-precision, the corpus is its 8-code compression,
+    and the approximate distance is the sum of per-subspace squared L2 from
+    the query sub-vector to the centroid each code names.  The corpus side
+    carries ONLY (vec_id, code) — this is the memory shape that scans a
+    billion-vector index from RAM; at real scale the per-query 8×16
+    lookup table is precomputed once (O(K·dim) per query) so scoring is
+    8 table lookups per pair, and the same codes ride inside IVF cells
+    (IVF-PQ) so only probed cells are scanned at all.  Here the LUT inlines
+    into one fold expression — same arithmetic, same result.  Ranking uses
+    the ROUNDED distance with a c_id tiebreak (determinism rules);
+    broadcast queries + WindowGroupLimit rank pushdown keep the corpus
+    scan single-pass, shuffle = (q_id, k) survivors only."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = (emb.filter(F.expr(_QUERY_FILTER))
+          .select(F.col("vec_id").alias("q_id"),
+                  F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+                  .alias("qe")))
+    adist = (
+        f"aggregate(sequence(0, {PQ_M - 1}), CAST(0.0 AS DOUBLE), (acc, j) -> "
+        f"acc + aggregate(transform(sequence(1, {PQ_DSUB}), i -> "
+        "(element_at(qe, j*8+i) - element_at(element_at(cb,"
+        " CAST(element_at(code, j+1) + 1 AS INT)), j*8+i)) * "
+        "(element_at(qe, j*8+i) - element_at(element_at(cb,"
+        " CAST(element_at(code, j+1) + 1 AS INT)), j*8+i))), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+    )
+    pairs = (
+        spread(_pq_codes(emb).withColumnRenamed("vec_id", "c_id"))
+        .crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(_pq_codebook(emb)))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id",
+                (F.round(F.expr(adist), 6) + F.lit(0.0)).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), "c_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("q_id", "c_id", "adc_dist")
+    )

@@ -470,3 +470,46 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("m.neg_n")).cast("long").alias("n_events"),
         )
     )
+
+
+@query("q_agg_observed", oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+         AS n_purchase,
+       CAST(MIN(user_id) AS BIGINT) AS min_user,
+       CAST(MAX(user_id) AS BIGINT) AS max_user,
+       {dsum_sql('value')} AS sum_value
+FROM events
+""")
+def q_agg_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation-API metrics: data-quality aggregates PIGGYBACKED on a
+    pass that is already running (``df.observe(...)`` + an action), not a
+    second scan.  At 100 TB this is the difference between free pipeline
+    telemetry (row counts, domain bounds, conditional tallies collected by
+    the same tasks that do the real work) and doubling the IO bill with a
+    separate audit job; the identical call works on a streaming DataFrame,
+    where the metrics surface per micro-batch in QueryProgress events.
+    The observed pass here is a count() over the events scan; the metric
+    values then round-trip through a 1-row DataFrame so the oracle checks
+    them exactly (the decimal-path sum keeps the double bit-identical)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("dq_metrics")
+    ev = load(spark, sf_dir, "events")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .alias("n_purchase"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+    observed.count()  # the "real" pass the metrics ride on
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_purchase"], m["min_user"], m["max_user"],
+          m["sum_value"])],
+        "n_rows long, n_purchase long, min_user long, max_user long, "
+        "sum_value double",
+    )

@@ -420,3 +420,75 @@ def q_sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_distinct_exact")
     )
     return bm.join(ex, "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: the deterministic-guarantee frequent-items
+# sketch (Misra & Gries 1982; the SpaceSaving/top-k family).  Unlike
+# count-min (random over-estimates) MG gives hard bounds from k counters:
+# every estimate UNDER-counts by at most n/(k+1), so any item with true
+# frequency above n/(k+1) is guaranteed to survive.  Training pipelines use
+# it for hot-key / vocab-head detection where the candidate set must be
+# provably complete.
+# ---------------------------------------------------------------------------
+
+MG_COUNTERS = 32   # k counters per shard summary
+MG_SHARDS = 16     # deterministic shards (hash of the row key, not splits)
+
+
+@query("q_sketch_heavy_hitters")
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over events.user_id via sharded Misra-Gries.
+
+    Stage 1 shards rows by ``pmod(xxhash64(event_id), 16)`` — a DATA hash,
+    not physical splits, so shard contents (and therefore the whole result)
+    are deterministic regardless of file layout — and runs the k-counter
+    MG scan per shard in one Arrow-batched ``applyInPandas`` pass over rows
+    ordered by (ts, event_id).  The sequential counter algorithm is the one
+    thing here Catalyst cannot express; its state is O(k) per shard.
+    Stage 2 merges relationally: sum per-item counter values, then apply
+    the standard merged-MG decrement (the (k+1)-largest combined weight)
+    and keep positives — plain aggregates, one shuffle of ≤ k·shards rows.
+    At 100 TB the shuffle carries 512 rows total: the sketch IS the
+    communication bound.  Per-shard error ≤ n_shard/(k+1) and the merge
+    decrement sum to ≤ 2n/(k+1) under-count overall, never over-count —
+    registered rows-only (sequential MG has no DuckDB twin); the guarantee
+    is asserted against exact counts in
+    tests/test_properties.py::test_heavy_hitters_mg_guarantees."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        F.pmod(F.xxhash64("event_id"), F.lit(MG_SHARDS)).alias("shard"),
+        "event_id", "ts", F.col("user_id").alias("item"),
+    )
+
+    def mg_partial(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        counters: dict[int, int] = {}
+        for item in pdf.sort_values(["ts", "event_id"])["item"]:
+            if item in counters:
+                counters[item] += 1
+            elif len(counters) < MG_COUNTERS:
+                counters[item] = 1
+            else:
+                counters = {i: c - 1 for i, c in counters.items() if c > 1}
+        return pd.DataFrame(
+            {"item": list(counters), "est": list(counters.values())})
+
+    partials = ev.groupBy("shard").applyInPandas(
+        mg_partial, "item long, est long")
+    summed = partials.groupBy("item").agg(F.sum("est").alias("est"))
+    w = Window.orderBy(F.desc("est"), "item")
+    dec = (
+        summed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == MG_COUNTERS + 1)
+        .select(F.col("est").alias("dec"))
+    )
+    return (
+        summed.crossJoin(
+            F.broadcast(dec.unionByName(
+                summed.sparkSession.range(1).select(F.lit(0).alias("dec"))
+            ).agg(F.max("dec").alias("dec"))))
+        .select(F.col("item").alias("user_id"),
+                (F.col("est") - F.col("dec")).alias("est_count"))
+        .filter(F.col("est_count") > 0)
+    )

@@ -507,3 +507,30 @@ def test_prefix_filter_join_complete_on_random_corpus(spark):
     assert got == expected, (
         f"missed={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}")
     assert expected, "degenerate fixture: no qualifying pairs planted"
+
+
+def test_heavy_hitters_mg_guarantees(spark, sf_dir):
+    """Misra-Gries hard bounds vs exact counts: (a) estimates never
+    over-count, (b) under-count is within the sharded-merge bound
+    2n/(k+1), (c) every item frequent beyond that bound survives the
+    sketch, (d) the summary respects the k-counter budget, and (e) the
+    result is deterministic across runs (data-hash sharding, not
+    physical splits)."""
+    from mu_swarm_logger_service_spark.operators.sketches import MG_COUNTERS
+
+    q = entrymod.queries()["q_sketch_heavy_hitters"]
+    est = {r.user_id: r.est_count for r in q(spark, sf_dir).collect()}
+    assert est and len(est) <= MG_COUNTERS
+    ev = load(spark, sf_dir, "events")
+    true = {r.user_id: r.n for r in
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(true.values())
+    bound = 2 * n / (MG_COUNTERS + 1)
+    for item, e in est.items():
+        assert e <= true[item], f"over-count on {item}"
+        assert true[item] - e <= bound, f"under-count beyond bound on {item}"
+    for item, t in true.items():
+        if t > bound:
+            assert item in est, f"guaranteed heavy hitter {item} missing"
+    est2 = {r.user_id: r.est_count for r in q(spark, sf_dir).collect()}
+    assert est == est2, "MG result not deterministic"
