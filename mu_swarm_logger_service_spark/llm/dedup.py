@@ -260,8 +260,10 @@ def minhash_params(spark: SparkSession) -> tuple[int, int, int]:
     return n_perm, n_bands, n_perm // n_bands
 
 
-def minhash_signatures(docs: DataFrame, n_perm: int = N_MINHASH) -> DataFrame:
-    """(doc_id, sig: array<long>[n_perm]) — MinHash over distinct tokens.
+def minhash_signatures(docs: DataFrame, n_perm: int = N_MINHASH,
+                       keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *keep, sig: array<long>[n_perm]) — MinHash over distinct
+    tokens.
 
     Each permutation i is simulated by xxhash64(token, i) (64-bit, JVM-side,
     deterministic); the signature entry is the min over the doc's tokens.
@@ -270,13 +272,15 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_MINHASH) -> DataFrame:
     — zero shuffle and no n-column aggregate codegen (the explode +
     n-way min-agg formulation was measured 4× slower cold at sf0.1 and
     shuffles the whole token stream; signatures are embarrassingly
-    per-document, so the map form is also the right 100 TB shape)."""
+    per-document, so the map form is also the right 100 TB shape).
+    ``keep`` carries blocking columns through the same narrow select so
+    callers never join the corpus back to its own signatures."""
     toks = F.array_distinct(F.split("text", " "))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(n_perm - 1)),
         lambda i: F.array_min(F.transform(toks, lambda t: F.xxhash64(t, i))),
     )
-    return docs.select("doc_id", sig.alias("sig"))
+    return docs.select("doc_id", *keep, sig.alias("sig"))
 
 
 @query("q_llm_near_dedup")
@@ -299,9 +303,7 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n_perm, n_bands, rows_per_band = minhash_params(spark)
     docs = spread(load(spark, sf_dir, "documents"))
-    sig = minhash_signatures(docs, n_perm).join(
-        docs.select("doc_id", "lang", "source"), "doc_id"
-    )
+    sig = minhash_signatures(docs, n_perm, keep=("lang", "source"))
     bands = sig.select(
         "doc_id", "lang", "source",
         F.explode(F.array(*[
@@ -313,16 +315,23 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(n_bands)
         ])).alias("bb"),
     ).select("doc_id", "lang", "source", "bb.band", "bb.bucket")
+    # Candidate pairs by grouping each LSH bucket and expanding a<b pairs
+    # IN-BUCKET (one groupBy shuffle of the 16·n band rows, pair expansion
+    # map-side) instead of a bucket self-join: the join formulation
+    # recomputes the signature branch twice and shuffles both sides, and
+    # was measured 0.3s slower warm at sf0.1 with identical output
+    # (117,657 candidates).  Per-bucket expansion is quadratic in bucket
+    # size exactly like the self-join was — blocking keeps buckets small,
+    # and a pathological all-identical bucket costs both forms alike.
+    pair_expr = ("flatten(transform(sequence(1, size(ds) - 1), i -> "
+                 "transform(slice(ds, i + 1, size(ds) - i), x -> "
+                 "struct(element_at(ds, i) AS doc_a, x AS doc_b))))")
     cand = (
-        bands.alias("x").join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.lang") == F.col("y.lang"))
-            & (F.col("x.source") == F.col("y.source"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        bands.groupBy("band", "bucket", "lang", "source")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     tok = docs.select(
@@ -343,11 +352,17 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tok.withColumnRenamed("doc_id", "doc_b")
               .withColumnRenamed("tok", "tok_b"), "doc_b")
     )
+    # Same exact pruning as jaccard_half_edges, cheapest conjunct first:
+    # the integer length band (J >= 1/2 forces 2·min >= max) skips the
+    # per-pair intersect for size-mismatched candidates, and the integer
+    # threshold (3·|A∩B| >= |A|+|B|) keeps float division out of the hot
+    # filter; the rounded float J is computed only for survivors.
+    sa, sb = F.size("tok_a"), F.size("tok_b")
     inter = F.size(F.array_intersect("tok_a", "tok_b"))
-    union = F.size("tok_a") + F.size("tok_b") - inter
-    jac = inter.cast("double") / union
+    jac = inter.cast("double") / (sa + sb - inter)
     return (
-        with_tok.where(jac >= 0.5)
+        with_tok.where((2 * sa >= sb) & (2 * sb >= sa)
+                       & (3 * inter >= sa + sb))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
