@@ -21,7 +21,14 @@ remains directly comparable across rounds (r4 advice: never compare a warm
 headline against an older cold one); rep 3 lands under ``rep3_queries`` to
 separate steady-state from one-off noise — if rep2 > rep1 for a query but
 rep3 ≈ rep1, the rep-2 reading was a transient (GC pause / compaction),
-not a plan property.  Rationale for warm-as-headline: rep-to-rep deltas on
+not a plan property.  Investigated for BENCH_r04's one inverted query
+(q_stream_tumbling 0.42s cold / 0.63s warm): six back-to-back reps at
+sf0.1 show a clean monotone warm-up (0.66, 0.44, 0.37, 0.38, 0.33,
+0.34s) — no state leaks between reps (each streaming rep uses a fresh
+checkpoint + uniquely-named memory sink), so the r4 reading was a
+transient, most plausibly a GC pause from accumulated
+localCheckpoint partitions.  The third rep exists to make that class of
+artifact self-diagnosing in the recorded JSON.  Rationale for warm-as-headline: rep-to-rep deltas on
 this box are dominated by first-use JVM JIT + codegen of each plan shape,
 NOT by the data path — e.g. q_join_broadcast measured 1.34s cold /
 0.51-0.61s warm at sf0.1, which fully explains the r2→r3 "regressions" on
