@@ -355,3 +355,34 @@ def test_rrf_fusion_broadcasts_and_single_ranking_exchange(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_llm_rrf_fusion")
     assert "BroadcastExchange" in p
     assert len(re.findall(r"hashpartitioning\(q_id", p)) == 1
+
+
+def test_pq_encode_is_narrow_map(spark, sf_dir):
+    """PQ encode must be a zero-shuffle narrow map over the corpus scan:
+    the only exchange allowed is the broadcast of the 1-row codebook.
+    Any other Exchange means the encode stopped pipelining — at 100 TB
+    that is the difference between a free pass and a full shuffle."""
+    p = _plan(spark, sf_dir, "q_llm_pq_encode")
+    assert "BroadcastExchange" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_ann_pq_broadcasts_queries_and_limits_rank(spark, sf_dir):
+    """ADC search: query set + codebook broadcast (corpus scanned once,
+    never shuffled pre-rank) and the per-query top-k must get the
+    WindowGroupLimit pushdown so only k rows per query survive the map
+    side of the rank shuffle."""
+    p = _plan(spark, sf_dir, "q_llm_ann_pq")
+    assert p.count("BroadcastExchange") >= 2
+    assert "WindowGroupLimit" in p
+
+
+def test_heavy_hitters_shuffle_is_sketch_sized(spark, sf_dir):
+    """The MG merge must aggregate partials (map-side combine) and the
+    final decrement must ride a broadcast, not shuffle the corpus: the
+    only hash exchanges allowed are the deterministic shard groupBy and
+    the per-item merge."""
+    p = _plan(spark, sf_dir, "q_sketch_heavy_hitters")
+    assert "BroadcastExchange" in p
+    assert p.count("Exchange hashpartitioning") <= 3
