@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..core.numeric import dsum
 from ..core.registry import query
 from ..core.tables import load, spread
-from .similarity import cosine
+from .similarity import _PQ_CB_SQL, _PQ_CODED_SQL, cosine
 
 CENT_MOD = 71       # centroids = vectors with vec_id % 71 == 3  (~n/71 cells)
 NPROBE = 3          # cells probed per query
@@ -657,4 +657,122 @@ def q_llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("n_b"),
         )
         .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+
+
+# DuckDB ADC distance for the IVF-PQ oracle: same fold as q_llm_ann_pq's
+# (columns qe / code / cb come from the probe, coded, and cbt CTEs).
+_ADC_DSQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, 8),"
+    " j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(range(1, 9), i ->"
+    " (qe[CAST(j*8+i AS INT)] - cb[CAST(code[CAST(j+1 AS INT)] + 1 AS INT)]"
+    "[CAST(j*8+i AS INT)]) *"
+    " (qe[CAST(j*8+i AS INT)] - cb[CAST(code[CAST(j+1 AS INT)] + 1 AS INT)]"
+    "[CAST(j*8+i AS INT)]))), (a, x) -> a + x))), (a, x) -> a + x)"
+)
+
+
+@query("q_llm_ann_ivf_pq", oracle=f"""
+WITH cbt AS ({{PQ_CB}}), coded AS ({{PQ_CODED}}),
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id % {CENT_MOD} = 3
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT emb.vec_id, cent.cell,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY round(list_cosine_similarity(emb.e, cent.ce), 6) DESC,
+                      cent.cell) AS r
+    FROM emb, cent
+  ) WHERE r = 1
+), probe AS (
+  SELECT q_id, cell, qe FROM (
+    SELECT emb.vec_id AS q_id, cent.cell, emb.e AS qe,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY round(list_cosine_similarity(emb.e, cent.ce), 6) DESC,
+                      cent.cell) AS r
+    FROM emb, cent WHERE emb.vec_id % 100 = 0
+  ) WHERE r <= {NPROBE}
+), s AS (
+  SELECT p.q_id, a.vec_id AS c_id,
+         round({{ADC}}, 6) + 0.0 AS adc_dist
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN coded ON coded.vec_id = a.vec_id
+  CROSS JOIN cbt
+  WHERE a.vec_id != p.q_id
+)
+SELECT q_id, c_id, adc_dist FROM s
+QUALIFY row_number() OVER (PARTITION BY q_id
+                           ORDER BY adc_dist ASC, c_id) <= {IVF_TOPK}
+""".format(PQ_CB=_PQ_CB_SQL, PQ_CODED=_PQ_CODED_SQL, ADC=_ADC_DSQL))
+def q_llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the composed billion-scale ANN shape — coarse cells prune
+    WHICH vectors are scored, PQ codes shrink WHAT is scored.  The probe
+    fetches candidates by cell equi join exactly as q_llm_ann_ivf, but the
+    fetched side carries only (vec_id, cell, 8 PQ codes) — the 64×-compressed
+    index — and scoring is the asymmetric PQ distance of q_llm_ann_pq
+    rather than the exact cosine.  (Codes quantize the raw vector, i.e.
+    FAISS's by_residual=false flavor; the corpus is unit-norm, so L2-ADC
+    ranking and cosine ranking are monotonically equivalent.)  At 100 TB:
+    centroids + codebook broadcast, the (cell, codes) index partitions BY
+    cell so probes are shuffle-local, and the scan reads 4 B/vector
+    instead of 256 B.  All three pieces (assignment argmax, codes, ADC
+    ranking) are individually bit-deterministic, so the composition keeps
+    an exact oracle."""
+    from .similarity import _pq_codebook, _pq_codes
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
+    )
+    cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
+    assign = (
+        spread(emb).join(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(cos_r.alias("cs"),
+                            (-F.col("cell")).alias("nc"))).alias("best"))
+        .select("vec_id", (-F.col("best.nc")).alias("cell"))
+    )
+    index = _pq_codes(emb).join(assign, "vec_id")
+
+    q = emb.filter(F.expr("vec_id % 100 = 0")).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("qe"),
+    )
+    probe_cos = F.round(cosine(F.col("qe"), F.col("ce")), 6)
+    wp = Window.partitionBy("q_id").orderBy(probe_cos.desc(), F.col("cell"))
+    probe = (
+        q.join(F.broadcast(cent))
+        .withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= NPROBE)
+        .select("q_id", "qe", "cell")
+    )
+
+    adist = (
+        "aggregate(sequence(0, 7), CAST(0.0 AS DOUBLE), (acc, j) -> "
+        "acc + aggregate(transform(sequence(1, 8), i -> "
+        "(element_at(qe, j*8+i) - element_at(element_at(cb,"
+        " CAST(element_at(code, j+1) + 1 AS INT)), j*8+i)) * "
+        "(element_at(qe, j*8+i) - element_at(element_at(cb,"
+        " CAST(element_at(code, j+1) + 1 AS INT)), j*8+i))), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+    )
+    scored = (
+        index.join(F.broadcast(probe), "cell")
+        .crossJoin(F.broadcast(_pq_codebook(emb)))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"),
+                (F.round(F.expr(adist), 6) + F.lit(0.0)).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), "c_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOPK)
+        .select("q_id", "c_id", "adc_dist")
     )

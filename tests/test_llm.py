@@ -242,3 +242,18 @@ def test_quadratic_baseline_quarantined(spark, sf_dir):
     jaccard_half_edges(spark, sf_dir)
     from mu_swarm_logger_service_spark.llm.dedup import MAX_QUADRATIC_BLOCK
     assert (sf_dir, MAX_QUADRATIC_BLOCK) in _block_guard_ok
+
+
+def test_ann_ivf_pq_recall_vs_exact(spark, sf_dir):
+    """The composed IVF-PQ path (coarse cell pruning + 4-bit PQ scoring)
+    must still recover a solid fraction of the exact cosine top-5 (the
+    corpus is unit-norm, so L2-ADC and cosine rank equivalently) and
+    never emit self-pairs."""
+    exact = QUERIES["q_llm_cosine_topk"](spark, sf_dir)
+    ivfpq = QUERIES["q_llm_ann_ivf_pq"](spark, sf_dir)
+    e = {(r.q_id, r.c_id) for r in exact.collect()}
+    a = {(r.q_id, r.c_id) for r in ivfpq.collect()}
+    assert a, "IVF-PQ produced no candidates"
+    assert all(q != c for q, c in a)
+    recall = len(e & a) / len(e)
+    assert recall > 0.15, f"IVF-PQ recall {recall:.2f} suspiciously low"
