@@ -749,20 +749,32 @@ def _pq_codes(emb: DataFrame) -> DataFrame:
 
 @query("q_llm_pq_encode", oracle=f"""
 WITH cbt AS ({_PQ_CB_SQL}), coded AS ({_PQ_CODED_SQL})
-SELECT vec_id, code FROM coded
+SELECT vec_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), code),
+                   (a, c) -> a * {PQ_K} + c) AS code_packed
+FROM coded
 """)
 def q_llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode: each embedding becomes 8 codes of
-    4 bits (M=8 subspaces, K=16 centroids) — 64× smaller than float32 (4 B + shared codebook vs
-    256 B), the compression that lets a billion-vector index live in
-    executor memory next to IVF cells.  Per vector the encode is a pure
-    higher-order expression (distances to 16 broadcast centroids per
-    subspace, first-min argmin); no shuffle anywhere — the whole query is
-    a narrow map over the scan, so it pipelines into any downstream
-    operator.  Distances are sequential left-folds of identical doubles,
-    and both engines take the FIRST minimal centroid, so codes are
-    bit-deterministic cross-engine (exact oracle)."""
-    return _pq_codes(load(spark, sf_dir, "embeddings"))
+    4 bits (M=8 subspaces, K=16 centroids) — 64× smaller than float32
+    (4 B + shared codebook vs 256 B), the compression that lets a
+    billion-vector index live in executor memory next to IVF cells.  Per
+    vector the encode is a pure higher-order expression (distances to 16
+    broadcast centroids per subspace, first-min argmin); no shuffle
+    anywhere — the whole query is a narrow map over the scan, so it
+    pipelines into any downstream operator.  Distances are sequential
+    left-folds of identical doubles, and both engines take the FIRST
+    minimal centroid, so codes are bit-deterministic cross-engine (exact
+    oracle).  The 8 codes are emitted PACKED big-endian into one BIGINT
+    (code_0 highest nibble) — both the storage format a real PQ index
+    uses and an atomic column for the driver contract (the driver's
+    pandas canonicalization cannot hash array cells; q_llm_ann_pq /
+    q_llm_ann_ivf_pq consume the unpacked codes via _pq_codes)."""
+    return _pq_codes(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.expr(f"aggregate(code, 0L, (a, c) -> a * {PQ_K} + c)")
+        .alias("code_packed"),
+    )
 
 
 @query("q_llm_ann_pq", oracle=f"""
