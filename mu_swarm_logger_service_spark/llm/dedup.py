@@ -841,3 +841,95 @@ def prefix_filter_pairs(spark: SparkSession, docs: DataFrame) -> DataFrame:
         with_tok.where(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+_REP_N = 5  # repeated-span window (tokens); Lee et al. use 50 BPE tokens
+
+
+@query("q_llm_repeated_ngrams", oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+), g AS (
+  SELECT doc_id, unnest(range(1, greatest(len(tok) - {_REP_N - 2}, 1))) AS pos
+  FROM t
+), g2 AS (
+  SELECT g.doc_id, g.pos,
+         array_to_string(t.tok[g.pos : g.pos + {_REP_N - 1}], ' ') AS gram
+  FROM g JOIN t USING (doc_id)
+), rep AS (
+  SELECT gram FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g2.doc_id, g2.pos FROM g2 JOIN rep USING (gram)
+), nr AS (
+  SELECT doc_id, COUNT(*) AS n_rep_grams FROM hits GROUP BY doc_id
+), cov AS (
+  SELECT doc_id, COUNT(DISTINCT p) AS n_cov FROM (
+    SELECT doc_id, unnest(range(pos, pos + {_REP_N})) AS p FROM hits
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.tok) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(nr.n_rep_grams, 0) AS BIGINT) AS n_rep_grams,
+       CAST(COALESCE(cov.n_cov, 0) AS BIGINT) AS n_cov_tokens,
+       CAST(COALESCE(cov.n_cov, 0) AS DOUBLE) / len(t.tok) AS dup_frac
+FROM t LEFT JOIN nr USING (doc_id) LEFT JOIN cov USING (doc_id)
+""")
+def q_llm_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-corpus repeated-span detection — the span-level dedup signal
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): for every document, how many of its token {_REP_N}-grams
+    also occur in at least one OTHER document, and what fraction of its
+    tokens sits inside such a repeated span (the interval-union coverage,
+    not the naive gram count).  Whole-document dedup
+    (q_llm_exact_dedup / near_dedup) misses exactly this — boilerplate
+    headers, licence blocks, quoted chunks embedded in otherwise-unique
+    documents; dup_frac is the per-document trim/drop signal.
+
+    Scale shape: shingling is a narrow higher-order transform + explode
+    (no shuffle before the gram aggregate); the repeated-gram set falls
+    out of ONE groupBy(gram) with a 2-distinct-docs HAVING (map-side
+    partials absorb within-doc repeats); hits join back on gram; coverage
+    is a bounded explode ({_REP_N} positions per hit) + per-doc distinct.
+    At 100 TB the gram shuffle is the honest cost of span-level dedup —
+    partition by a gram-hash prefix, and replace the raw gram string with
+    its 128-bit hash in the shuffle key (same plan, smaller rows;
+    plain-string grams kept here for bit-exact cross-engine checking).
+    dup_frac is one IEEE division of exact integers — no rounding needed.
+    Documents shorter than {_REP_N} tokens contribute no grams on either
+    engine."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = (
+        spread(docs).select("doc_id", toks.alias("tok"))
+        .select("doc_id", F.explode(F.when(
+            F.size("tok") >= _REP_N,
+            F.expr(f"transform(sequence(1, size(tok) - {_REP_N - 1}), i -> "
+                   f"struct(i AS pos, concat_ws(' ', slice(tok, i, {_REP_N}))"
+                   f" AS gram))"),
+        ).otherwise(F.array())).alias("g"))
+        .select("doc_id", "g.pos", "g.gram")
+    )
+    rep = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(rep, "gram")
+    n_rep = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rep_grams"))
+    cov = (
+        hits.select("doc_id",
+                    F.explode(F.expr(f"sequence(pos, pos + {_REP_N - 1})"))
+                    .alias("p"))
+        .groupBy("doc_id").agg(F.countDistinct("p").alias("n_cov"))
+    )
+    spine = docs.select("doc_id", F.size(toks).alias("n_tokens"))
+    return (
+        spine.join(n_rep, "doc_id", "left").join(cov, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("n_rep_grams", F.lit(0)).alias("n_rep_grams"),
+            F.coalesce("n_cov", F.lit(0)).alias("n_cov_tokens"),
+            (F.coalesce("n_cov", F.lit(0)).cast("double") / F.col("n_tokens"))
+            .alias("dup_frac"),
+        )
+    )
