@@ -2,11 +2,16 @@
 
 Model: media is an opaque ``BinaryType`` payload + a typed metadata struct;
 decode / feature-extraction runs as Arrow-batched ``mapInPandas`` (the only
-layer where real codec libraries would live).  The container has no
-image/audio libraries, so the real decoder is a clearly-marked stub
-(NotImplementedError) and a DETERMINISTIC fake decoder exercises the full
-Spark-side plumbing — schema, batching, partitioning — with arithmetic
-simple enough that the DuckDB oracle checks it exactly.
+layer where codec work lives).  Since round 5 the codec layer is REAL for
+the formats the standard library can carry (codecs.py: full PNG pixel
+decode via zlib + the five scanline filters; dimension probing for
+PNG/GIF/BMP/PPM/JPEG from their public header formats) —
+``q_llm_png_roundtrip`` synthesizes genuinely zlib-compressed PNGs and
+decodes them back pixel-exact inside mapInPandas.  JPEG/WebP PIXEL decode
+(DCT / VP8) is the one remaining env-limited seam and raises
+NotImplementedError naming the missing piece.  The DETERMINISTIC fake
+decoder remains for the text-payload queries whose oracles replay its
+arithmetic exactly (documents.text is not an image container).
 """
 
 from __future__ import annotations
@@ -25,16 +30,27 @@ FEATURE_SCHEMA = (
     "doc_id long, width int, height int, n_pixels long, payload_len long"
 )
 
-USE_REAL_CODEC = False  # the container ships no image/audio libs
+# The text-payload queries keep the fake decoder (their payloads are not
+# image containers and their oracles replay the fake arithmetic exactly);
+# q_llm_png_roundtrip drives the real codec end-to-end.
+USE_REAL_CODEC = False
 
 
 def _decode_real(payload: bytes) -> tuple[int, int]:
-    """Real image decode — requires a codec library (PIL / ffmpeg) that is
-    not available in this environment."""
-    raise NotImplementedError(
-        "real media decoding needs an image/audio codec library; "
-        "install one and flip USE_REAL_CODEC"
-    )
+    """Real image dimension decode via header parsing (codecs.probe_dims):
+    PNG / GIF / BMP / binary PPM-PGM / JPEG, from the public container
+    specs, standard library only.  Payloads in other formats (or whose
+    pixel data would need a DCT/VP8 decoder we cannot implement from the
+    stdlib) raise NotImplementedError naming the gap."""
+    from .codecs import probe_dims
+
+    try:
+        _, width, height = probe_dims(payload)
+    except ValueError as e:
+        raise NotImplementedError(
+            f"unsupported media container ({e}); pixel decode for "
+            "JPEG/WebP-class codecs needs an external library") from e
+    return width, height
 
 
 def _decode_fake(payload: bytes) -> tuple[int, int]:
@@ -227,3 +243,71 @@ def q_llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return sample_frames(media)
+
+
+PNG_RT_SCHEMA = ("doc_id long, width int, height int, n_pixels long, "
+                 "pixel_sum long, filter_type int")
+
+
+@query("q_llm_png_roundtrip", oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(n_chars % 16 + 1 AS INT) AS width,
+         CAST(doc_id % 8 + 1 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       CAST(list_aggregate(
+              list_transform(range(0, width * height),
+                             k -> (doc_id * 7 + k) % 256), 'sum')
+            AS BIGINT) AS pixel_sum,
+       CAST(doc_id % 2 * 2 AS INT) AS filter_type
+FROM m
+""")
+def q_llm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end: per document, synthesize an
+    8-bit grayscale PNG (width from n_chars, height from doc_id, pixel k =
+    (doc_id·7 + k) mod 256) with a standards-compliant encoder — zlib
+    deflate, CRC-checked chunks, scanline filter None for even doc_ids and
+    Up for odd ones — then DECODE the compressed bytes back with the pure
+    stdlib+numpy PNG decoder (codecs.decode_png: chunk walk, zlib inflate,
+    per-row unfilter) inside the same Arrow-batched mapInPandas stage, and
+    emit the decoded geometry plus the decoded-pixel sum.  The oracle
+    recomputes every value from the generating formulas, so a single
+    wrong filter reconstruction, stride, or inflate boundary breaks the
+    hash.  This is the round-4 "real codec" gap made real for the formats
+    the standard library can carry; the mapInPandas shape (batch-iterator,
+    constant memory per batch, one Python crossing) is exactly the 100 TB
+    decode topology."""
+    from .codecs import decode_png, encode_png_gray
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, nps, sums, fts = [], [], [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 16 + 1
+                h = int(doc_id) % 8 + 1
+                ft = int(doc_id) % 2 * 2
+                pix = bytes((int(doc_id) * 7 + k) % 256
+                            for k in range(w * h))
+                png = encode_png_gray(w, h, pix, filter_type=ft)
+                arr = decode_png(png)           # the REAL decode
+                ids.append(doc_id)
+                ws.append(arr.shape[1])
+                hs.append(arr.shape[0])
+                nps.append(arr.shape[0] * arr.shape[1])
+                sums.append(int(arr.sum()))
+                fts.append(ft)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "n_pixels": pd.Series(nps, dtype="int64"),
+                "pixel_sum": pd.Series(sums, dtype="int64"),
+                "filter_type": pd.Series(fts, dtype="int32"),
+            })
+
+    return docs.mapInPandas(roundtrip, schema=PNG_RT_SCHEMA)

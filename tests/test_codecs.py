@@ -1,0 +1,142 @@
+"""Unit tests for the stdlib-only image codecs (llm/codecs.py): real PNG
+pixel decode (all five scanline filters), dimension probing for every
+supported container, and precise failures for the genuinely env-limited
+formats.  Pure Python/numpy — no SparkSession needed."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from mu_swarm_logger_service_spark.llm.codecs import (
+    _PNG_SIG, decode_png, encode_png_gray, probe_dims)
+
+
+def _png_rgb(width, height, pixels, filters):
+    """Hand-assemble an RGB PNG applying the given forward filter per row
+    (PNG spec §6) so decode_png's unfilter paths are each exercised."""
+    ch, stride = 3, width * 3
+    rows = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride:(y + 1) * stride]
+        f = filters[y]
+        out = bytearray()
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((row[x] - pred) % 256)
+        rows += bytes([f]) + bytes(out)
+        prev = row
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(rows)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_gray_roundtrip_both_encoder_filters():
+    w, h = 13, 7
+    pix = bytes((i * 37 + 11) % 256 for i in range(w * h))
+    for ft in (0, 2):
+        arr = decode_png(encode_png_gray(w, h, pix, filter_type=ft))
+        assert arr.shape == (h, w, 1)
+        assert bytes(arr.reshape(-1)) == pix
+
+
+def test_png_rgb_all_five_filters_decode_exactly():
+    w, h = 5, 5
+    pix = bytes((i * 73 + 29) % 256 for i in range(w * h * 3))
+    png = _png_rgb(w, h, pix, filters=[0, 1, 2, 3, 4])
+    arr = decode_png(png)
+    assert arr.shape == (h, w, 3)
+    assert bytes(arr.reshape(-1)) == pix
+
+
+def test_png_multiple_idat_chunks():
+    """The spec allows the zlib stream split across IDAT chunks."""
+    w, h = 4, 3
+    pix = bytes(range(12))
+    png = encode_png_gray(w, h, pix)
+    # split the single IDAT into two chunks
+    i = png.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", png[i:i + 4])
+    data = png[i + 8:i + 8 + length]
+    d1, d2 = data[:3], data[3:]
+
+    def chunk(tag, d):
+        return (struct.pack(">I", len(d)) + tag + d
+                + struct.pack(">I", zlib.crc32(tag + d) & 0xFFFFFFFF))
+
+    rebuilt = (png[:i] + chunk(b"IDAT", d1) + chunk(b"IDAT", d2)
+               + png[i + 12 + length:])
+    assert bytes(decode_png(rebuilt).reshape(-1)) == pix
+
+
+def test_probe_dims_every_container():
+    png = encode_png_gray(9, 4, bytes(36))
+    assert probe_dims(png) == ("png", 9, 4)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    assert probe_dims(gif) == ("gif", 320, 200)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 4
+    assert probe_dims(bmp) == ("bmp", 640, 480)  # top-down DIB: abs height
+    ppm = b"P6\n# a comment\n 12\t34\n255\n" + bytes(12 * 34 * 3)
+    assert probe_dims(ppm) == ("ppm", 12, 34)
+    pgm = b"P5 7 8 255\n" + bytes(56)
+    assert probe_dims(pgm) == ("pgm", 7, 8)
+    jpeg = (b"\xff\xd8"                                   # SOI
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"  # APP0 segment
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 480, 640) + b"\x03\x00\x00\x00")
+    assert probe_dims(jpeg) == ("jpeg", 640, 480)
+
+
+def test_unsupported_paths_fail_precisely():
+    with pytest.raises(ValueError, match="unrecognized"):
+        probe_dims(b"RIFF....WEBPVP8 ")
+    # palette PNG: real container, pixel decode needs PLTE support
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    with pytest.raises(NotImplementedError, match="color type 3"):
+        decode_png(_PNG_SIG + chunk)
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    chunk16 = (struct.pack(">I", len(ihdr16)) + b"IHDR" + ihdr16
+               + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr16) & 0xFFFFFFFF))
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
+        decode_png(_PNG_SIG + chunk16)
+
+
+def test_decode_real_dispatches_to_probe():
+    from mu_swarm_logger_service_spark.llm.multimodal import _decode_real
+
+    assert _decode_real(encode_png_gray(6, 2, bytes(12))) == (6, 2)
+    with pytest.raises(NotImplementedError, match="external library"):
+        _decode_real(b"not an image at all")
+
+
+def test_decoded_array_is_uint8_and_copies():
+    png = encode_png_gray(3, 2, bytes([250, 251, 252, 253, 254, 255]))
+    arr = decode_png(png)
+    assert arr.dtype == np.uint8
+    arr[0, 0, 0] = 0  # must be writable (a copy, not a frombuffer view)
