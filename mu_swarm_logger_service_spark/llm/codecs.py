@@ -187,3 +187,58 @@ def encode_png_gray(width: int, height: int, pixels: bytes,
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(rows)))
             + chunk(b"IEND", b""))
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real PCM WAV decode → (samples int16 array of shape (n, channels),
+    sample_rate).  RIFF chunk walk from the public WAVE format: 'fmt '
+    gives layout (PCM 8- or 16-bit, any channel count), 'data' gives the
+    interleaved frames.  Compressed WAVE formats (ADPCM, float, mp3-in-
+    RIFF) raise NotImplementedError naming the format tag."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)            # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt / data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"WAVE format tag {audio_format} "
+                                  "(only PCM=1)")
+    if bits == 16:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=len(data) // 2).astype(np.int16)
+    elif bits == 8:                              # 8-bit PCM is unsigned
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+                   - 128)
+    else:
+        raise NotImplementedError(f"PCM bit depth {bits} (8 or 16)")
+    n = len(samples) // channels
+    return samples[:n * channels].reshape(n, channels), rate
+
+
+def encode_wav_pcm16(samples: "np.ndarray", rate: int) -> bytes:
+    """Minimal compliant PCM-16 WAV encoder (mono or interleaved) — used
+    by tests and the audio round-trip query to synthesize real RIFF
+    payloads that decode_wav must then really parse."""
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    channels = arr.shape[1]
+    data = arr.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -311,3 +311,70 @@ def q_llm_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return docs.mapInPandas(roundtrip, schema=PNG_RT_SCHEMA)
+
+
+WAV_RT_SCHEMA = ("doc_id long, n_frames long, sample_rate int, "
+                 "channels int, sum_sq long")
+
+
+@query("q_llm_wav_roundtrip", oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(n_chars % 64 + 8 AS BIGINT) AS n_frames,
+         CAST(8000 + doc_id % 4 * 4000 AS INT) AS sample_rate,
+         CAST(doc_id % 2 + 1 AS INT) AS channels
+  FROM documents
+)
+SELECT doc_id, n_frames, sample_rate, channels,
+       CAST(list_aggregate(
+              list_transform(range(0, n_frames * channels),
+                k -> ((doc_id * 31 + k * 7) % 65536 - 32768)
+                     * ((doc_id * 31 + k * 7) % 65536 - 32768)), 'sum')
+            AS BIGINT) AS sum_sq
+FROM m
+""")
+def q_llm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (the audio leg of the multimodal
+    mandate): per document, synthesize a PCM-16 WAV (frame count from
+    n_chars, mono/stereo and sample rate from doc_id, sample k =
+    (doc_id·31 + k·7) mod 65536 − 32768) with a compliant RIFF encoder,
+    then DECODE the container back with the stdlib-only WAV parser
+    (codecs.decode_wav: chunk walk, fmt layout, int16 frame deinterleave)
+    inside Arrow-batched mapInPandas, emitting the decoded frame count,
+    rate, channel count, and the integer sum of squared samples (the
+    energy statistic a real audio-quality filter computes) — every value
+    recomputed by the oracle from the generating formulas.  Compressed
+    audio (ADPCM/MP3/AAC) remains the env-limited seam, raising with the
+    format tag named."""
+    from .codecs import decode_wav, encode_wav_pcm16
+
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, rates, chans, sums = [], [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                nf = int(n_chars) % 64 + 8
+                rate = 8000 + int(doc_id) % 4 * 4000
+                ch = int(doc_id) % 2 + 1
+                k = np.arange(nf * ch, dtype=np.int64)
+                vals = ((int(doc_id) * 31 + k * 7) % 65536 - 32768)
+                wav = encode_wav_pcm16(
+                    vals.astype("<i2").reshape(nf, ch), rate)
+                samples, dec_rate = decode_wav(wav)     # the REAL decode
+                ids.append(doc_id)
+                frames.append(samples.shape[0])
+                rates.append(dec_rate)
+                chans.append(samples.shape[1])
+                sums.append(int((samples.astype(np.int64) ** 2).sum()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_frames": pd.Series(frames, dtype="int64"),
+                "sample_rate": pd.Series(rates, dtype="int32"),
+                "channels": pd.Series(chans, dtype="int32"),
+                "sum_sq": pd.Series(sums, dtype="int64"),
+            })
+
+    return docs.mapInPandas(roundtrip, schema=WAV_RT_SCHEMA)

@@ -140,3 +140,33 @@ def test_decoded_array_is_uint8_and_copies():
     arr = decode_png(png)
     assert arr.dtype == np.uint8
     arr[0, 0, 0] = 0  # must be writable (a copy, not a frombuffer view)
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        decode_wav, encode_wav_pcm16)
+
+    mono = np.array([0, 100, -100, 32767, -32768], dtype=np.int16)
+    s, rate = decode_wav(encode_wav_pcm16(mono, 8000))
+    assert rate == 8000 and s.shape == (5, 1)
+    assert np.array_equal(s.reshape(-1), mono)
+    stereo = np.arange(12, dtype=np.int16).reshape(6, 2) * 1000
+    s2, rate2 = decode_wav(encode_wav_pcm16(stereo, 44100))
+    assert rate2 == 44100 and s2.shape == (6, 2)
+    assert np.array_equal(s2, stereo)
+
+
+def test_wav_failures_are_precise():
+    import struct as _struct
+
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        decode_wav, encode_wav_pcm16)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + bytes(40))
+    # non-PCM format tag must name itself
+    wav = bytearray(encode_wav_pcm16(np.zeros(4, dtype=np.int16), 8000))
+    fmt_at = bytes(wav).index(b"fmt ") + 8
+    wav[fmt_at:fmt_at + 2] = _struct.pack("<H", 85)  # MP3-in-RIFF
+    with pytest.raises(NotImplementedError, match="format tag 85"):
+        decode_wav(bytes(wav))
