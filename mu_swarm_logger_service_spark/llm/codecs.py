@@ -242,3 +242,77 @@ def encode_wav_pcm16(samples: "np.ndarray", rate: int) -> bytes:
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Real binary PNM pixel decode → uint8 array (h, w, channels): P6
+    (RGB) and P5 (gray), maxval ≤ 255.  The header parser is shared with
+    probe_dims; pixels are the raw bytes that follow the single
+    whitespace byte after maxval."""
+    fmt, width, height = probe_dims(payload)
+    if fmt not in ("ppm", "pgm"):
+        raise ValueError("not a binary PNM stream")
+    ch = 3 if fmt == "ppm" else 1
+    # find maxval end: after the 3rd header field, one whitespace byte
+    fields = 0
+    i = 2
+    while fields < 3 and i < len(payload):
+        c = payload[i:i + 1]
+        if c == b"#":
+            i = payload.find(b"\n", i)
+        elif c.isspace():
+            i += 1
+        else:
+            while i < len(payload) and payload[i:i + 1].isdigit():
+                i += 1
+            fields += 1
+    i += 1                                       # the single ws after maxval
+    need = width * height * ch
+    pix = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
+    return pix.reshape(height, width, ch).copy()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Real uncompressed 24-bit BMP pixel decode → uint8 (h, w, 3) in RGB
+    order.  Handles the 4-byte row padding and both bottom-up (positive
+    height) and top-down (negative height) DIBs; compressed or non-24-bit
+    BMPs raise NotImplementedError naming the field."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    width, height = struct.unpack("<ii", payload[18:26])
+    (bits,) = struct.unpack("<H", payload[28:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bits != 24:
+        raise NotImplementedError(f"BMP bit depth {bits} (only 24)")
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} (only 0)")
+    top_down = height < 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3                # rows pad to 4 bytes
+    out = np.empty((height, width, 3), dtype=np.uint8)
+    for y in range(height):
+        row = np.frombuffer(payload, dtype=np.uint8, count=width * 3,
+                            offset=data_off + y * stride).reshape(width, 3)
+        dst = y if top_down else height - 1 - y
+        out[dst] = row[:, ::-1]                  # BGR -> RGB
+    return out
+
+
+def encode_bmp_24(pixels: np.ndarray) -> bytes:
+    """Minimal 24-bit bottom-up BMP encoder (pixels (h, w, 3) RGB,
+    coerced to uint8) — synthesizes real padded-stride DIBs for the
+    decoder tests/queries."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = pixels[y, :, ::-1].tobytes()       # RGB -> BGR
+        body += row + bytes(stride - w * 3)
+    header_size = 14 + 40
+    total = header_size + len(body)
+    return (b"BM" + struct.pack("<IHHI", total, 0, 0, header_size)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                          2835, 2835, 0, 0)
+            + bytes(body))

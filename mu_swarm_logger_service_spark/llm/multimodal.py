@@ -378,3 +378,72 @@ def q_llm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return docs.mapInPandas(roundtrip, schema=WAV_RT_SCHEMA)
+
+
+MEDIA_DIMS_SCHEMA = "doc_id long, fmt string, width int, height int"
+
+
+@query("q_llm_media_dims", oracle="""
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            WHEN 2 THEN 'bmp' WHEN 3 THEN 'ppm' ELSE 'jpeg' END AS fmt,
+       CAST(n_chars % 32 + 1 AS INT) AS width,
+       CAST(doc_id % 16 + 1 AS INT) AS height
+FROM documents
+""")
+def q_llm_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous media metadata extraction: each document synthesizes
+    a REAL container in one of five formats (round-robin by doc_id — a
+    compliant PNG, a GIF89a logical-screen header, a 24-bit padded-stride
+    BMP, a binary PPM, a JPEG SOI/APP0/SOF0 marker stream), and the
+    engine recovers (format, width, height) through the real probing
+    decoder (codecs.probe_dims) inside one Arrow-batched mapInPandas pass
+    — the mixed-corpus metadata scan a multimodal ingest pipeline runs
+    before routing payloads to per-format decode stages.  The oracle
+    recomputes every value from the generating formulas, so a single
+    endianness slip, stride error, or marker-walk bug in any of the five
+    header parsers breaks the hash."""
+    import struct as _struct
+
+    import numpy as np
+
+    from .codecs import encode_bmp_24, encode_png_gray
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(doc_id: int, w: int, h: int) -> bytes:
+        kind = doc_id % 5
+        if kind == 0:
+            return encode_png_gray(w, h, bytes(w * h))
+        if kind == 1:
+            return b"GIF89a" + _struct.pack("<HH", w, h) + b"\x00" * 4
+        if kind == 2:
+            return encode_bmp_24(np.zeros((h, w, 3), dtype=np.uint8))
+        if kind == 3:
+            return (f"P6\n{w} {h}\n255\n".encode() + bytes(w * h * 3))
+        return (b"\xff\xd8"
+                + b"\xff\xe0" + _struct.pack(">H", 4) + b"JF"
+                + b"\xff\xc0" + _struct.pack(">H", 11) + b"\x08"
+                + _struct.pack(">HH", h, w) + b"\x03\x00\x00\x00")
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import probe_dims
+
+        for pdf in batches:
+            ids, fmts, ws, hs = [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 32 + 1
+                h = int(doc_id) % 16 + 1
+                fmt, dw, dh = probe_dims(synth(int(doc_id), w, h))
+                ids.append(doc_id)
+                fmts.append(fmt)
+                ws.append(dw)
+                hs.append(dh)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "fmt": pd.Series(fmts, dtype="object"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+            })
+
+    return docs.mapInPandas(probe, schema=MEDIA_DIMS_SCHEMA)

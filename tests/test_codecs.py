@@ -170,3 +170,30 @@ def test_wav_failures_are_precise():
     wav[fmt_at:fmt_at + 2] = _struct.pack("<H", 85)  # MP3-in-RIFF
     with pytest.raises(NotImplementedError, match="format tag 85"):
         decode_wav(bytes(wav))
+
+
+def test_bmp_ppm_pixel_roundtrips():
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        decode_bmp, decode_ppm, encode_bmp_24)
+
+    px = ((np.arange(5 * 3 * 3).reshape(3, 5, 3) * 7) % 256).astype(np.uint8)
+    bmp = encode_bmp_24(px)          # w=5 -> 16-byte padded stride
+    assert probe_dims(bmp) == ("bmp", 5, 3)
+    assert np.array_equal(decode_bmp(bmp), px)
+    ppm = b"P6\n# c\n4 2\n255\n" + bytes(range(24))
+    assert np.array_equal(decode_ppm(ppm).reshape(-1),
+                          np.arange(24, dtype=np.uint8))
+    pgm = b"P5 3 2 255\n" + bytes([9, 8, 7, 6, 5, 4])
+    assert np.array_equal(decode_ppm(pgm).reshape(-1),
+                          np.array([9, 8, 7, 6, 5, 4], dtype=np.uint8))
+
+
+def test_bmp_unsupported_fields_named():
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        decode_bmp, encode_bmp_24)
+    import struct as _struct
+
+    bmp = bytearray(encode_bmp_24(np.zeros((2, 2, 3), dtype=np.uint8)))
+    bmp[28:30] = _struct.pack("<H", 8)
+    with pytest.raises(NotImplementedError, match="bit depth 8"):
+        decode_bmp(bytes(bmp))
