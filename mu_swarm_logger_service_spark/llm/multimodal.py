@@ -447,3 +447,70 @@ def q_llm_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return docs.mapInPandas(probe, schema=MEDIA_DIMS_SCHEMA)
+
+
+AUDIO_FEAT_SCHEMA = ("doc_id long, n_frames long, zero_crossings long, "
+                     "peak int, energy long")
+
+
+@query("q_llm_audio_features", oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(n_chars % 64 + 8 AS BIGINT) AS n_frames
+  FROM documents
+), s AS (
+  SELECT doc_id, n_frames,
+         list_transform(range(0, n_frames),
+                        k -> (doc_id * 31 + k * 7) % 65536 - 32768) AS v
+  FROM m
+)
+SELECT doc_id, n_frames,
+       CAST(len(list_filter(range(1, CAST(n_frames AS INT)),
+              k -> (v[CAST(k AS INT)] >= 0) != (v[CAST(k + 1 AS INT)] >= 0)))
+            AS BIGINT) AS zero_crossings,
+       CAST(list_aggregate(list_transform(v, x -> abs(x)), 'max') AS INT)
+         AS peak,
+       CAST(list_aggregate(list_transform(v, x -> x * x), 'sum') AS BIGINT)
+         AS energy
+FROM s
+""")
+def q_llm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over decoded PCM (the audio analog of the
+    image feature stage): per document, synthesize a mono PCM-16 WAV
+    (same generator as q_llm_wav_roundtrip), REALLY decode it
+    (codecs.decode_wav), then compute the quality-filter features an
+    audio-curation pipeline uses — zero-crossing count (noisiness proxy),
+    peak amplitude (clipping detector), and integer energy — vectorized
+    numpy over the decoded frames inside one Arrow-batched mapInPandas
+    pass.  All three features are integer-exact, so the oracle recomputes
+    them from the generating formulas with no float tolerance anywhere."""
+    import numpy as np
+
+    from .codecs import decode_wav, encode_wav_pcm16
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, zcs, peaks, energies = [], [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                nf = int(n_chars) % 64 + 8
+                k = np.arange(nf, dtype=np.int64)
+                vals = ((int(doc_id) * 31 + k * 7) % 65536 - 32768)
+                wav = encode_wav_pcm16(vals.astype("<i2"), 16000)
+                v, _ = decode_wav(wav)           # the REAL decode
+                v = v.reshape(-1).astype(np.int64)
+                ids.append(doc_id)
+                frames.append(len(v))
+                zcs.append(int(((v[:-1] >= 0) != (v[1:] >= 0)).sum()))
+                peaks.append(int(np.abs(v).max()))
+                energies.append(int((v * v).sum()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_frames": pd.Series(frames, dtype="int64"),
+                "zero_crossings": pd.Series(zcs, dtype="int64"),
+                "peak": pd.Series(peaks, dtype="int32"),
+                "energy": pd.Series(energies, dtype="int64"),
+            })
+
+    return docs.mapInPandas(feats, schema=AUDIO_FEAT_SCHEMA)
