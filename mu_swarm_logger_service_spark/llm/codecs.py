@@ -8,14 +8,20 @@ large slice of real decode needs only the standard library:
   zlib (stdlib) over per-row filtered scanlines; implementing the five
   filters + chunk walk gives a REAL decoder for non-interlaced 8-bit
   gray/RGB/gray+alpha/RGBA images — the overwhelmingly common case.
+- **GIF pixel decode**: a real LZW codec (variable 9→12-bit codes,
+  CLEAR/EOI, dictionary reset, the KwKwK case) + screen/color-table walk.
+- **BMP (24-bit uncompressed) and binary PPM/PGM pixel decode**: stride
+  padding, bottom-up/top-down DIBs, BGR order.
+- **PCM WAV decode**: RIFF chunk walk, 8/16-bit frames, any channel count.
 - **Dimension probing** for PNG / GIF / BMP / binary PPM-PGM / JPEG:
   header parsing only (JPEG dims live in the SOF marker; no DCT needed) —
   exactly what metadata extractors do at scale.
 
 Everything here is pure bytes + numpy; the mapInPandas operators in
-multimodal.py call these per Arrow batch.  Compressed-pixel formats other
-than PNG (JPEG/WebP pixel data) remain the one genuinely env-limited seam
-and still raise NotImplementedError with a precise message.
+multimodal.py call these per Arrow batch.  Pixel decode for DCT/VP8-class
+formats (JPEG/WebP) and compressed audio remains the one genuinely
+env-limited seam and still raises NotImplementedError with a precise
+message.
 """
 
 from __future__ import annotations
@@ -316,3 +322,167 @@ def encode_bmp_24(pixels: np.ndarray) -> bytes:
             + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
                           2835, 2835, 0, 0)
             + bytes(body))
+
+
+def _lzw_compress_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    """Real GIF-flavor LZW compression (variable code width 9→12 bits,
+    LSB-first bit packing, CLEAR/EOI codes, dictionary reset at 4096) —
+    the encoder half used to synthesize genuinely compressed GIF streams
+    for the decoder to prove itself against."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table: dict[bytes, int] = {bytes([c]): c for c in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    buf = b""
+    for byte in data:
+        cand = buf + bytes([byte])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([c]): c for c in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_gif(stream: bytes, min_code_size: int = 8) -> bytes:
+    """GIF LZW decompression (the decoder half): variable width, CLEAR
+    resets, and the KwKwK just-assigned-code case."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([c]) for c in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = n_bits = pos = 0
+    while True:
+        while n_bits < width:
+            if pos >= len(stream):
+                return bytes(out)                # truncated: emit what we have
+            acc |= stream[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]              # KwKwK
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Real GIF pixel decode → uint8 (h, w, 3) RGB of the FIRST image:
+    header + logical screen, global/local color table, extension skip,
+    and genuine LZW decompression of the image data.  Interlaced images
+    and animations beyond the first frame raise NotImplementedError."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:                            # extension: skip sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:                          # image descriptor
+            _, _, w, h = struct.unpack("<HHHH", payload[pos + 1:pos + 9])
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, dtype=np.uint8, count=3 * n,
+                                   offset=pos).reshape(n, 3)
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF")
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _lzw_decompress_gif(bytes(data), min_code),
+                dtype=np.uint8, count=w * h)
+            return ct[idx].reshape(h, w, 3).copy()
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF stream contains no image data")
+
+
+def encode_gif_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal compliant GIF89a encoder (256-entry grayscale palette,
+    real LZW compression) — synthesizes genuinely compressed GIFs for
+    decode_gif to prove itself against."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    gct = bytes(v for c in range(256) for v in (c, c, c))
+    lzw = _lzw_compress_gif(pixels, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i:i + 255]
+        blocks += bytes([len(part)]) + part
+    return (b"GIF89a" + struct.pack("<HH", width, height)
+            + bytes([0xF7, 0, 0]) + gct        # GCT present, 256 entries
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+            + b"\x00" + bytes([8]) + bytes(blocks) + b"\x00" + b"\x3b")

@@ -514,3 +514,64 @@ def q_llm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return docs.mapInPandas(feats, schema=AUDIO_FEAT_SCHEMA)
+
+
+GIF_RT_SCHEMA = ("doc_id long, width int, height int, n_pixels long, "
+                 "pixel_sum long")
+
+
+@query("q_llm_gif_roundtrip", oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(n_chars % 24 + 1 AS INT) AS width,
+         CAST(doc_id % 6 + 1 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       CAST(list_aggregate(
+              list_transform(range(0, width * height),
+                             k -> (doc_id * 11 + k) % 256), 'sum')
+            AS BIGINT) AS pixel_sum
+FROM m
+""")
+def q_llm_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-compressed image decode end-to-end: per document,
+    synthesize a 256-color grayscale GIF89a (pixel k = (doc_id·11 + k)
+    mod 256) with a real LZW compressor (variable 9→12-bit codes,
+    CLEAR/EOI, dictionary reset at 4096), then DECODE the compressed
+    stream back (codecs.decode_gif: screen descriptor, color table,
+    sub-block reassembly, LZW decompression incl. the KwKwK case) inside
+    Arrow-batched mapInPandas and emit the decoded geometry + pixel sum,
+    each recomputed by the oracle from the generating formulas.  With PNG
+    (zlib) and GIF (LZW) both genuinely round-tripping, the env-limited
+    codec seam shrinks to DCT/VP8-class formats only."""
+    import numpy as np
+
+    from .codecs import decode_gif, encode_gif_gray
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, nps, sums = [], [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 24 + 1
+                h = int(doc_id) % 6 + 1
+                pix = bytes((int(doc_id) * 11 + k) % 256
+                            for k in range(w * h))
+                arr = decode_gif(encode_gif_gray(w, h, pix))  # REAL decode
+                ids.append(doc_id)
+                ws.append(arr.shape[1])
+                hs.append(arr.shape[0])
+                nps.append(arr.shape[0] * arr.shape[1])
+                sums.append(int(arr[:, :, 0].astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "n_pixels": pd.Series(nps, dtype="int64"),
+                "pixel_sum": pd.Series(sums, dtype="int64"),
+            })
+
+    return docs.mapInPandas(roundtrip, schema=GIF_RT_SCHEMA)

@@ -197,3 +197,45 @@ def test_bmp_unsupported_fields_named():
     bmp[28:30] = _struct.pack("<H", 8)
     with pytest.raises(NotImplementedError, match="bit depth 8"):
         decode_bmp(bytes(bmp))
+
+
+def test_gif_lzw_roundtrips_exercise_growth_reset_and_kwkwk():
+    import random
+
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        _lzw_compress_gif, _lzw_decompress_gif, decode_gif, encode_gif_gray)
+
+    rng = random.Random(7)
+    cases = {
+        "random": bytes(rng.randrange(256) for _ in range(1000)),
+        "repeat": b"abcabcabc" * 300,             # dictionary growth
+        "kwkwk": b"a" * 160,                      # just-assigned-code case
+        "long": bytes((i * 7 + i // 3) % 256      # forces the 4096 reset
+                      for i in range(30000)),
+    }
+    for tag, data in cases.items():
+        got = _lzw_decompress_gif(_lzw_compress_gif(data))
+        assert got == data, tag
+    w, h = 21, 13
+    pix = bytes((i * 5 + 3) % 256 for i in range(w * h))
+    arr = decode_gif(encode_gif_gray(w, h, pix))
+    assert arr.shape == (h, w, 3)
+    assert bytes(arr[:, :, 0].reshape(-1)) == pix  # gray GCT: R == index
+    assert np.array_equal(arr[:, :, 0], arr[:, :, 2])
+
+
+def test_gif_failures_are_precise():
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        decode_gif, encode_gif_gray)
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG??")
+    gif = bytearray(encode_gif_gray(4, 2, bytes(8)))
+    # image descriptor sits right after header(6) + LSD(7) + 256-GCT(768);
+    # flip the interlace bit in its packed byte (index() would false-hit
+    # the 0x2c GRAY palette entry inside the GCT)
+    idesc = 6 + 7 + 768
+    assert gif[idesc] == 0x2C
+    gif[idesc + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_gif(bytes(gif))
