@@ -486,3 +486,73 @@ def encode_gif_gray(width: int, height: int, pixels: bytes) -> bytes:
             + bytes([0xF7, 0, 0]) + gct        # GCT present, 256 entries
             + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
             + b"\x00" + bytes([8]) + bytes(blocks) + b"\x00" + b"\x3b")
+
+
+def probe_mp4(payload: bytes) -> tuple[int, int, int, int]:
+    """Real MP4/ISO-BMFF metadata probe → (width, height, duration_ms,
+    timescale) from the box tree: ftyp sanity, moov→mvhd for
+    duration/timescale, moov→trak→tkhd for the track's presentation
+    size.  Box walking only — no sample decode (that is codec-specific
+    and env-limited); this is what a video-curation pipeline reads to
+    bucket/filter clips before ever touching frames."""
+    def boxes(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos:pos + 4])
+            tag = buf[pos + 4:pos + 8]
+            body_off = pos + 8
+            if size == 1:                        # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+                body_off = pos + 16
+            if size < 8 or pos + size > end:
+                break
+            yield tag, body_off, pos + size
+            pos += size
+
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF/MP4 stream")
+    width = height = duration_ms = timescale = -1
+    for tag, off, end in boxes(payload, 0, len(payload)):
+        if tag != b"moov":
+            continue
+        for tag2, off2, end2 in boxes(payload, off, end):
+            if tag2 == b"mvhd":
+                version = payload[off2]
+                if version == 1:
+                    timescale, dur = struct.unpack(
+                        ">IQ", payload[off2 + 20:off2 + 32])
+                else:
+                    timescale, dur = struct.unpack(
+                        ">II", payload[off2 + 12:off2 + 20])
+                duration_ms = dur * 1000 // timescale
+            elif tag2 == b"trak":
+                for tag3, off3, _ in boxes(payload, off2, end2):
+                    if tag3 == b"tkhd":
+                        version = payload[off3]
+                        wh_off = off3 + (88 if version == 1 else 76)
+                        w_fp, h_fp = struct.unpack(
+                            ">II", payload[wh_off:wh_off + 8])
+                        if w_fp and h_fp:        # audio tracks carry 0x0
+                            width, height = w_fp >> 16, h_fp >> 16
+    if width < 0 or timescale < 0:
+        raise ValueError("moov/tkhd metadata not found")
+    return width, height, duration_ms, timescale
+
+
+def encode_mp4_skeleton(width: int, height: int, duration_ms: int,
+                        timescale: int = 1000) -> bytes:
+    """Minimal structurally-valid MP4 metadata skeleton (ftyp + moov with
+    mvhd and one video trak/tkhd, 16.16 fixed-point presentation size) —
+    synthesizes real box trees for probe_mp4 to parse."""
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    duration = duration_ms * timescale // 1000
+    mvhd = (b"\x00" + b"\x00" * 3 + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, duration) + bytes(80))
+    tkhd = (b"\x00" + b"\x00" * 3 + bytes(72)
+            + struct.pack(">II", width << 16, height << 16))
+    trak = box(b"trak", box(b"tkhd", tkhd))
+    moov = box(b"moov", box(b"mvhd", mvhd) + trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov

@@ -575,3 +575,60 @@ def q_llm_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return docs.mapInPandas(roundtrip, schema=GIF_RT_SCHEMA)
+
+
+VIDEO_META_SCHEMA = ("doc_id long, width int, height int, "
+                     "duration_ms long, timescale int")
+
+
+@query("q_llm_video_meta", oracle="""
+SELECT doc_id,
+       CAST(n_chars % 128 + 16 AS INT) AS width,
+       CAST(doc_id % 64 + 16 AS INT) AS height,
+       CAST(n_chars * 100 + doc_id % 1000 AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 90000 END AS INT)
+         AS timescale
+FROM documents
+""")
+def q_llm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video metadata extraction (the video leg of the multimodal
+    mandate): per document, synthesize a structurally-valid MP4/ISO-BMFF
+    box tree (ftyp + moov with mvhd duration/timescale and a video
+    trak/tkhd carrying the 16.16 fixed-point presentation size; movie
+    timescale 1000 or 90000 by parity) and recover (width, height,
+    duration_ms, timescale) through the REAL box-walking probe
+    (codecs.probe_mp4) inside one Arrow-batched mapInPandas pass — the
+    clip bucketing/filter scan a video-curation pipeline runs before any
+    frame is touched.  Every value is recomputed by the oracle from the
+    generating formulas, so a box-size slip, version-offset error, or
+    fixed-point shift breaks the hash.  Sample (frame) decode is
+    codec-specific and stays env-limited; frame-level plumbing is
+    exercised by q_llm_frame_sample."""
+    from .codecs import encode_mp4_skeleton, probe_mp4
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, durs, tss = [], [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 128 + 16
+                h = int(doc_id) % 64 + 16
+                dur = int(n_chars) * 100 + int(doc_id) % 1000
+                ts = 1000 if int(doc_id) % 2 == 0 else 90000
+                mp4 = encode_mp4_skeleton(w, h, dur, timescale=ts)
+                dw, dh, ddur, dts = probe_mp4(mp4)   # the REAL box walk
+                ids.append(doc_id)
+                ws.append(dw)
+                hs.append(dh)
+                durs.append(ddur)
+                tss.append(dts)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "duration_ms": pd.Series(durs, dtype="int64"),
+                "timescale": pd.Series(tss, dtype="int32"),
+            })
+
+    return docs.mapInPandas(meta, schema=VIDEO_META_SCHEMA)

@@ -239,3 +239,18 @@ def test_gif_failures_are_precise():
     gif[idesc + 9] |= 0x40
     with pytest.raises(NotImplementedError, match="interlaced"):
         decode_gif(bytes(gif))
+
+
+def test_mp4_probe_box_walk():
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        encode_mp4_skeleton, probe_mp4)
+
+    assert probe_mp4(encode_mp4_skeleton(1920, 1080, 61_000)) == (
+        1920, 1080, 61_000, 1000)
+    # 90 kHz movie timescale round-trips exactly through the ms conversion
+    assert probe_mp4(encode_mp4_skeleton(640, 360, 125, timescale=90000)) == (
+        640, 360, 125, 90000)
+    with pytest.raises(ValueError, match="ISO-BMFF"):
+        probe_mp4(b"RIFF....AVI LIST")
+    with pytest.raises(ValueError, match="not found"):
+        probe_mp4(struct.pack(">I", 16) + b"ftypisom" + bytes(4))
