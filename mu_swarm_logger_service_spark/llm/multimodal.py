@@ -632,3 +632,68 @@ def q_llm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return docs.mapInPandas(meta, schema=VIDEO_META_SCHEMA)
+
+
+JPEG_RT_SCHEMA = ("doc_id long, width int, height int, n_pixels long, "
+                  "max_err_le_3 boolean")
+
+
+@query("q_llm_jpeg_roundtrip", oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(n_chars % 32 + 9 AS INT) AS width,
+         CAST(doc_id % 12 + 9 AS INT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       TRUE AS max_err_le_3
+FROM m
+""")
+def q_llm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy DCT codec end-to-end: per document, a smooth grayscale
+    ramp (pixel(x, y) = doc_id mod 100 + x + y, never clipping) is
+    baseline-JPEG encoded — 8×8 DCT-II, quantization, zigzag, DC-diff +
+    AC run-length, canonical Huffman declared in the stream's own DHT —
+    and decoded back (codecs.decode_jpeg_gray) inside Arrow-batched
+    mapInPandas.  Lossy quantization means decoded PIXELS can never be
+    oracle-hashed cross-engine; what IS deterministic and checked exactly
+    is the geometry and the bounded-reconstruction flag (max abs error
+    ≤ 3 on smooth content — our quantization table keeps ramps
+    near-exact; at these tiny oracle-scale images the self-describing
+    table overhead dominates the stream size, so no size claim is
+    made).  Unit tests pin the
+    tighter numeric bounds (tests/test_codecs.py)."""
+    import numpy as np
+
+    from .codecs import decode_jpeg_gray, encode_jpeg_gray
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, nps, bounded = [], [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 32 + 9
+                h = int(doc_id) % 12 + 9
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                src = (int(doc_id) % 100 + x + y).astype(np.uint8)
+                jp = encode_jpeg_gray(w, h, src.tobytes())
+                dec = decode_jpeg_gray(jp)       # the REAL lossy decode
+                err = np.abs(dec.reshape(h, w).astype(np.int64)
+                             - src.astype(np.int64)).max()
+                ids.append(doc_id)
+                ws.append(dec.shape[1])
+                hs.append(dec.shape[0])
+                nps.append(dec.shape[0] * dec.shape[1])
+                bounded.append(bool(err <= 3))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "n_pixels": pd.Series(nps, dtype="int64"),
+                "max_err_le_3": pd.Series(bounded, dtype="bool"),
+            })
+
+    return docs.mapInPandas(roundtrip, schema=JPEG_RT_SCHEMA)

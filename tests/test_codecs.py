@@ -254,3 +254,61 @@ def test_mp4_probe_box_walk():
         probe_mp4(b"RIFF....AVI LIST")
     with pytest.raises(ValueError, match="not found"):
         probe_mp4(struct.pack(">I", 16) + b"ftypisom" + bytes(4))
+
+
+def test_jpeg_baseline_roundtrip_bounds():
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        decode_jpeg_gray, encode_jpeg_gray)
+
+    w, h = 37, 23
+    # smooth ramp: near-exact reconstruction
+    ramp = bytes(min(255, x + y) for y in range(h) for x in range(w))
+    dec = decode_jpeg_gray(encode_jpeg_gray(w, h, ramp))
+    assert dec.shape == (h, w, 1)
+    src = np.frombuffer(ramp, np.uint8).reshape(h, w).astype(float)
+    assert np.abs(dec.reshape(h, w) - src).max() <= 3
+    # flat image: exact
+    flat = decode_jpeg_gray(encode_jpeg_gray(16, 16, bytes([77] * 256)))
+    assert np.all(flat == 77)
+    # white noise: bounded by the quantization scale, image intact
+    import random
+    rng = random.Random(3)
+    noise = bytes(rng.randrange(256) for _ in range(w * h))
+    dn = decode_jpeg_gray(encode_jpeg_gray(w, h, noise))
+    srcn = np.frombuffer(noise, np.uint8).reshape(h, w).astype(float)
+    assert np.abs(dn.reshape(h, w) - srcn).mean() < 12
+    # determinism (same bytes, same pixels)
+    assert encode_jpeg_gray(w, h, ramp) == encode_jpeg_gray(w, h, ramp)
+
+
+def test_jpeg_zrl_long_zero_runs():
+    """A single high-zigzag-index coefficient forces >15-zero AC runs,
+    exercising the ZRL (0xF0) encode and decode paths."""
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        _DCT_M, _QTABLE, _ZIGZAG, decode_jpeg_gray, encode_jpeg_gray)
+
+    zz = np.zeros(64)
+    zz[0] = 4.0
+    zz[40] = 9.0                     # 39 zeros before it: two ZRLs + code
+    coef = np.zeros(64)
+    coef[_ZIGZAG] = zz
+    block = (_DCT_M.T @ (coef.reshape(8, 8) * _QTABLE) @ _DCT_M) + 128.0
+    pix = np.clip(np.round(block), 0, 255).astype(np.uint8).tobytes()
+    dec = decode_jpeg_gray(encode_jpeg_gray(8, 8, pix))
+    src = np.frombuffer(pix, np.uint8).reshape(8, 8).astype(float)
+    assert np.abs(dec.reshape(8, 8) - src).max() <= 3
+
+
+def test_jpeg_failures_are_precise():
+    import struct as _struct
+
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        decode_jpeg_gray, encode_jpeg_gray)
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_gray(b"\x89PNG....")
+    jp = bytearray(encode_jpeg_gray(8, 8, bytes(64)))
+    sof = bytes(jp).index(b"\xff\xc0")
+    jp[sof + 1] = 0xC2                           # rewrite SOF0 -> SOF2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg_gray(bytes(jp))
