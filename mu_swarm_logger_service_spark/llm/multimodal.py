@@ -697,3 +697,106 @@ def q_llm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return docs.mapInPandas(roundtrip, schema=JPEG_RT_SCHEMA)
+
+
+MEDIA_PIPE_SCHEMA = ("doc_id long, fmt string, width int, height int, "
+                     "pixel_sum long")
+
+
+@query("q_llm_media_pipeline", oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+              WHEN 2 THEN 'bmp' WHEN 3 THEN 'ppm' ELSE 'jpeg' END AS fmt,
+         CAST(n_chars % 16 + 1 AS INT) AS width,
+         CAST(doc_id % 8 + 1 AS INT) AS height
+  FROM documents
+)
+SELECT fmt,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(width * height) AS BIGINT) AS sum_pixels,
+       CAST(SUM(CASE WHEN fmt IN ('png', 'gif', 'bmp', 'ppm') THEN
+         list_aggregate(list_transform(range(0, width * height),
+                        k -> (doc_id * 13 + k) % 256), 'sum')
+         ELSE 0 END) AS BIGINT) AS sum_pixel_values,
+       CAST(SUM(CASE WHEN fmt IN ('png', 'gif', 'bmp', 'ppm')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pixel_decoded
+FROM m GROUP BY fmt
+""")
+def q_llm_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed multimodal ingest topology: a MIXED five-format corpus
+    is probed once (codecs.probe_dims), then ROUTED — formats with a full
+    pixel decoder here (png via zlib+filters, gif via LZW, bmp, ppm) are
+    decoded to pixels and reduced to an exact per-document checksum;
+    formats whose pixel decode is lossy or env-limited at this tier
+    (jpeg) contribute metadata only — and the per-format rollup happens
+    JVM-side after the one Arrow-batched mapInPandas pass.  This is the
+    scan shape of a real multimodal pipeline at 100 TB: probe cheaply,
+    fan decode work out by format, keep the Python boundary to a single
+    batched crossing, aggregate relationally.  Every synthesized payload
+    is genuinely encoded (deflate / LZW / padded DIB / PNM / DCT-Huffman
+    containers) and every emitted number is recomputed by the oracle
+    from the generating formulas."""
+    import numpy as np
+
+    from .codecs import (decode_bmp, decode_gif, decode_png, decode_ppm,
+                         encode_bmp_24, encode_gif_gray, encode_png_gray,
+                         probe_dims)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth_and_decode(doc_id: int, n_chars: int):
+        w = n_chars % 16 + 1
+        h = doc_id % 8 + 1
+        pix = bytes((doc_id * 13 + k) % 256 for k in range(w * h))
+        kind = doc_id % 5
+        if kind == 0:
+            payload = encode_png_gray(w, h, pix)
+        elif kind == 1:
+            payload = encode_gif_gray(w, h, pix)
+        elif kind == 2:
+            rgb = np.repeat(
+                np.frombuffer(pix, np.uint8).reshape(h, w, 1), 3, axis=2)
+            payload = encode_bmp_24(rgb)
+        elif kind == 3:
+            payload = (f"P6\n{w} {h}\n255\n".encode()
+                       + bytes(b for p in pix for b in (p, p, p)))
+        else:
+            import struct as _struct
+            payload = (b"\xff\xd8"
+                       + b"\xff\xe0" + _struct.pack(">H", 4) + b"JF"
+                       + b"\xff\xc0" + _struct.pack(">H", 11) + b"\x08"
+                       + _struct.pack(">HH", h, w) + b"\x03\x00\x00\x00")
+        fmt, dw, dh = probe_dims(payload)        # 1. probe
+        if fmt == "png":                          # 2. route + decode
+            arr = decode_png(payload)[:, :, 0]
+        elif fmt == "gif":
+            arr = decode_gif(payload)[:, :, 0]
+        elif fmt == "bmp":
+            arr = decode_bmp(payload)[:, :, 0]
+        elif fmt == "ppm":
+            arr = decode_ppm(payload)[:, :, 0]
+        else:
+            arr = None                            # metadata-only tier
+        psum = int(arr.astype(np.int64).sum()) if arr is not None else 0
+        if arr is not None:
+            assert bytes(arr.reshape(-1)) == pix  # decode really round-trips
+        return fmt, dw, dh, psum
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [(int(d), *synth_and_decode(int(d), int(n)))
+                    for d, n in zip(pdf["doc_id"], pdf["n_chars"])]
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "fmt", "width", "height", "pixel_sum"]).astype({
+                    "doc_id": "int64", "fmt": "object", "width": "int32",
+                    "height": "int32", "pixel_sum": "int64"})
+
+    per_doc = docs.mapInPandas(stage, schema=MEDIA_PIPE_SCHEMA)
+    return per_doc.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("width").cast("long") * F.col("height")).alias("sum_pixels"),
+        F.sum("pixel_sum").alias("sum_pixel_values"),
+        F.sum(F.when(F.col("fmt") != "jpeg", 1).otherwise(0)).alias(
+            "n_pixel_decoded"),
+    )
