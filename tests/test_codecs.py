@@ -312,3 +312,92 @@ def test_jpeg_failures_are_precise():
     jp[sof + 1] = 0xC2                           # rewrite SOF0 -> SOF2
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_jpeg_gray(bytes(jp))
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis property checks: the codecs must round-trip ARBITRARY inputs
+# (not just the fixtures above) — this is what makes "real codec" a claim
+# about the format, not about one lucky byte pattern.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_dims = st.tuples(st.integers(1, 24), st.integers(1, 16))
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims, st.integers(0, 2**32 - 1), st.sampled_from([0, 2]))
+def test_prop_png_roundtrip(dims, seed, filt):
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    pix = bytes(rng.integers(0, 256, w * h, dtype=np.uint8))
+    arr = decode_png(encode_png_gray(w, h, pix, filter_type=filt))
+    assert arr.shape == (h, w, 1) and bytes(arr.reshape(-1)) == pix
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims, st.integers(0, 2**32 - 1))
+def test_prop_gif_roundtrip(dims, seed):
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        decode_gif, encode_gif_gray)
+
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    pix = bytes(rng.integers(0, 256, w * h, dtype=np.uint8))
+    arr = decode_gif(encode_gif_gray(w, h, pix))
+    assert bytes(arr[:, :, 0].reshape(-1)) == pix
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+       st.integers(1, 2), st.sampled_from([8000, 16000, 44100]))
+def test_prop_wav_roundtrip(vals, channels, rate):
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        decode_wav, encode_wav_pcm16)
+
+    n = len(vals) - len(vals) % channels
+    if not n:
+        return
+    arr = np.array(vals[:n], dtype=np.int16).reshape(-1, channels)
+    dec, r = decode_wav(encode_wav_pcm16(arr, rate))
+    assert r == rate and np.array_equal(dec, arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_dims, st.integers(0, 2**32 - 1))
+def test_prop_bmp_roundtrip(dims, seed):
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        decode_bmp, encode_bmp_24)
+
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp_24(px)), px)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_dims, st.integers(0, 2**32 - 1))
+def test_prop_jpeg_bounded_error_any_input(dims, seed):
+    """JPEG is lossy, so the property is a BOUND, not identity: for any
+    input the reconstruction error stays within the quantization scale
+    (max |q| ~ 29 in our table → DCT-domain error ≤ ~q/2 per coef)."""
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        decode_jpeg_gray, encode_jpeg_gray)
+
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    pix = bytes(rng.integers(0, 256, w * h, dtype=np.uint8))
+    dec = decode_jpeg_gray(encode_jpeg_gray(w, h, pix)).reshape(h, w)
+    src = np.frombuffer(pix, np.uint8).reshape(h, w)
+    assert dec.shape == src.shape
+    mae = np.abs(dec.astype(float) - src.astype(float)).mean()
+    assert mae < 20, f"JPEG MAE {mae:.1f} beyond quantization scale"
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(min_size=0, max_size=4000))
+def test_prop_gif_lzw_roundtrip_arbitrary_bytes(data):
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        _lzw_compress_gif, _lzw_decompress_gif)
+
+    assert _lzw_decompress_gif(_lzw_compress_gif(data)) == data
