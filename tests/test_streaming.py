@@ -375,3 +375,45 @@ def test_rollup_upsert_refuses_static_overwrite_mode(spark, sf_dir):
     finally:
         spark.conf.set(key, prior)
         shutil.rmtree(store, ignore_errors=True)
+
+
+def test_observe_metrics_surface_in_streaming_progress(spark, sf_dir):
+    """q_agg_observed claims the identical df.observe(...) call works on a
+    streaming DataFrame with the metrics surfacing per micro-batch in
+    QueryProgress.observedMetrics — prove it: the streamed metrics over
+    the full events table must equal the batch aggregates exactly."""
+    import tempfile
+
+    from mu_swarm_logger_service_spark.core.tables import load
+    from mu_swarm_logger_service_spark.streaming.transforms import stream_events
+
+    ev = load(spark, sf_dir, "events")
+    expected = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .alias("n_purchase"),
+    ).first()
+
+    observed = stream_events(spark, sf_dir).observe(
+        "dq",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .alias("n_purchase"),
+    )
+    name = f"t_{uuid.uuid4().hex[:10]}"
+    q = (
+        observed.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="obs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = {"n_rows": 0, "n_purchase": 0}
+    for prog in q.recentProgress:
+        m = prog["observedMetrics"].get("dq") if prog["observedMetrics"] else None
+        if m:
+            totals["n_rows"] += m["n_rows"]
+            totals["n_purchase"] += m["n_purchase"]
+    assert totals["n_rows"] == expected["n_rows"]
+    assert totals["n_purchase"] == expected["n_purchase"]
