@@ -1554,3 +1554,105 @@ def q_llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
     )
+
+
+def _bpe_train_oracle(n_rounds: int) -> str:
+    """Unrolled DuckDB twin of the BPE merge loop: each round re-derives
+    symbol pairs from the current marked representation, takes the
+    deterministic argmax pair, and applies the literal left-to-right
+    non-overlapping replace — the same semantics as Spark's replace()."""
+    sql = r"""WITH words AS (
+  SELECT w AS word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w != '' GROUP BY w
+), s0 AS (
+  SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS s, freq FROM words)"""
+    selects = []
+    for r in range(1, n_rounds + 1):
+        sql += f""",
+sy{r} AS (
+  SELECT string_split(substr(s, 2, length(s) - 2), '><') AS syms, freq
+  FROM s{r - 1}
+), p{r} AS (
+  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i + 1 AS INT)] AS b,
+         CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM sy{r}, unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2
+), t{r} AS (
+  SELECT {r} AS merge_round, a, b, cnt FROM p{r}
+  ORDER BY cnt DESC, a, b LIMIT 1
+), s{r} AS (
+  SELECT replace(s, '<' || t.a || '><' || t.b || '>',
+                 '<' || t.a || t.b || '>') AS s, freq
+  FROM s{r - 1}, t{r} t)"""
+        selects.append(
+            f"SELECT merge_round, a AS sym_a, b AS sym_b, a || b AS merged, "
+            f"cnt AS pair_count FROM t{r}")
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
+BPE_ROUNDS = 3
+
+
+@query("q_llm_bpe_train", oracle=_bpe_train_oracle(BPE_ROUNDS))
+def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real (tiny) BPE tokenizer TRAINER: three greedy merge rounds over
+    the corpus vocabulary (Sennrich et al. 2016).  Each round counts
+    adjacent symbol pairs weighted by word frequency, picks the argmax
+    pair (count desc, then lexicographic — fully deterministic), and
+    merges it in every word via literal left-to-right non-overlapping
+    string replacement on a marker-delimited symbol encoding
+    ("<c><a><t>"), which both engines implement identically — that is
+    what makes an ITERATIVE trainer exactly oracle-checkable.
+
+    Scale shape: the one corpus-sized shuffle is the initial word-
+    frequency aggregate; every merge round then operates on the VOCAB
+    (word types × freq, bounded by language, not by corpus size) — the
+    real reason production BPE trainers scale.  Per round: one pair-count
+    aggregate over the vocab, a 1-row argmax broadcast back, a narrow
+    map.  q_llm_bpe_pairs is the single-round statistic; this is the
+    loop that consumes it.  Returns the learned merge table."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        spread(docs).select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        F.regexp_replace("word", "(.)", "<$1>").alias("s"), "freq")
+    merges = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        with_syms = cur.select(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), "><")
+            .alias("syms"), "freq")
+        pairs = (
+            with_syms
+            # size guard: Spark's sequence() counts DOWN on negative spans
+            # (single-symbol words would index out of bounds)
+            .select(F.explode(F.expr(
+                "IF(size(syms) >= 2,"
+                " transform(sequence(1, size(syms) - 1), i -> "
+                "  struct(element_at(syms, i) AS a,"
+                "   element_at(syms, i + 1) AS b)),"
+                " array())")).alias("p"), "freq")
+            .groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
+        )
+        top = (pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+               .select(F.lit(rnd).alias("merge_round"), "a", "b", "cnt"))
+        merges.append(top.select(
+            "merge_round", F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            F.concat("a", "b").alias("merged"),
+            F.col("cnt").alias("pair_count")))
+        cur = (
+            cur.crossJoin(F.broadcast(top))
+            .select(F.replace(
+                "s",
+                F.concat(F.lit("<"), "a", F.lit("><"), "b", F.lit(">")),
+                F.concat(F.lit("<"), "a", "b", F.lit(">"))).alias("s"),
+                "freq")
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
