@@ -1656,3 +1656,92 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def _bpe_apply_oracle(n_rounds: int) -> str:
+    """Extends the trainer's CTE chain: the post-merge representation
+    s{n} maps each word TYPE to its token count; per-document counts are
+    that mapping joined back onto the corpus occurrences."""
+    train = _bpe_train_oracle(n_rounds)
+    chain = train.split("\nSELECT merge_round")[0]  # CTE prefix only
+    return chain + f""",
+vocab AS (
+  SELECT substr(s, 2, length(s) - 2) AS stripped,
+         len(string_split(substr(s, 2, length(s) - 2), '><')) AS n_tokens,
+         s
+  FROM s{n_rounds}
+), word_tokens AS (
+  SELECT replace(replace(stripped, '><', ''), '>', '') AS word, n_tokens
+  FROM vocab
+), occurrences AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT o.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(w.n_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(length(o.word)) AS BIGINT) AS n_chars
+FROM occurrences o JOIN word_tokens w USING (word)
+WHERE o.word != ''
+GROUP BY o.doc_id
+"""
+
+
+@query("q_llm_bpe_apply", oracle=_bpe_apply_oracle(BPE_ROUNDS))
+def q_llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer's twin — APPLY the learned merges: after
+    q_llm_bpe_train's three greedy rounds, each vocabulary word's final
+    symbol segmentation gives its BPE token count; joining that mapping
+    back onto the corpus yields per-document word / BPE-token / char
+    totals — the sequence-length accounting (chars-per-token compression)
+    every tokenizer-aware pipeline budget runs on.  Scale shape: train on
+    the vocab (bounded), apply by broadcasting the word→token-count map
+    onto the corpus occurrence stream — the corpus is scanned once and
+    never carries symbol arrays, only the final integer."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        spread(docs).select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        "word", F.regexp_replace("word", "(.)", "<$1>").alias("s"), "freq")
+    for rnd in range(BPE_ROUNDS):
+        with_syms = cur.select(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), "><")
+            .alias("syms"), "freq")
+        pairs = (
+            with_syms
+            .select(F.explode(F.expr(
+                "IF(size(syms) >= 2,"
+                " transform(sequence(1, size(syms) - 1), i -> "
+                "  struct(element_at(syms, i) AS a,"
+                "   element_at(syms, i + 1) AS b)),"
+                " array())")).alias("p"), "freq")
+            .groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1)
+        cur = (
+            cur.crossJoin(F.broadcast(top))
+            .select("word", F.replace(
+                "s",
+                F.concat(F.lit("<"), "a", F.lit("><"), "b", F.lit(">")),
+                F.concat(F.lit("<"), "a", "b", F.lit(">"))).alias("s"),
+                "freq")
+        )
+    word_tokens = cur.select(
+        "word",
+        F.size(F.split(F.expr("substring(s, 2, length(s) - 2)"), "><"))
+        .alias("n_tokens"),
+    )
+    occ = (
+        spread(docs).select("doc_id",
+                            F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    return (
+        occ.join(F.broadcast(word_tokens), "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"),
+             F.sum("n_tokens").alias("n_bpe_tokens"),
+             F.sum(F.length("word")).alias("n_chars"))
+    )
