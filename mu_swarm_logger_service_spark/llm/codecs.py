@@ -13,10 +13,12 @@ large slice of real decode needs only the standard library:
 - **BMP (24-bit uncompressed) and binary PPM/PGM pixel decode**: stride
   padding, bottom-up/top-down DIBs, BGR order.
 - **PCM WAV decode**: RIFF chunk walk, 8/16-bit frames, any channel count.
-- **Baseline JPEG (grayscale) encode + decode**: a real lossy DCT codec —
-  8×8 DCT-II, quantization, zigzag, DC-diff + AC run-length, canonical
-  Huffman with tables declared in the stream's own DHT segments (so no
-  Annex-K constants are copied from anywhere), 0xFF byte stuffing.
+- **Baseline JPEG encode + decode (grayscale AND 4:4:4 color)**: a real
+  lossy DCT codec — BT.601 RGB↔YCbCr, 8×8 DCT-II, quantization, zigzag,
+  DC-diff + AC run-length per interleaved component with independent DC
+  predictors, canonical Huffman with tables declared in the stream's own
+  DHT segments (so no Annex-K constants are copied from anywhere), 0xFF
+  byte stuffing.
 - **MP4/ISO-BMFF metadata probing**: box-tree walk for duration,
   timescale, and track presentation size.
 - **Dimension probing** for PNG / GIF / BMP / binary PPM-PGM / JPEG:
@@ -24,8 +26,8 @@ large slice of real decode needs only the standard library:
 
 Everything here is pure bytes + numpy; the mapInPandas operators in
 multimodal.py call these per Arrow batch.  What remains env-limited is
-narrow and named at the raise site: color/progressive JPEG, WebP/VP8,
-and compressed audio (ADPCM/MP3/AAC).
+narrow and named at the raise site: progressive and chroma-subsampled
+JPEG decode, WebP/VP8, and compressed audio (ADPCM/MP3/AAC).
 """
 
 from __future__ import annotations
@@ -563,7 +565,8 @@ def encode_mp4_skeleton(width: int, height: int, duration_ms: int,
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG (ITU-T T.81), grayscale: a REAL lossy DCT codec — 8×8 block
+# Baseline JPEG (ITU-T T.81), grayscale + 4:4:4 color: a REAL lossy DCT
+# codec — 8×8 block
 # DCT-II, quantization, zigzag, DC-difference + AC run-length coding, and
 # canonical Huffman entropy coding with tables DECLARED in the stream's own
 # DHT segments (fixed-length canonical tables — spec-legal, like any
@@ -650,6 +653,69 @@ class _BitWriter:
         return bytes(self.out)
 
 
+def _pad_to_blocks(plane: np.ndarray) -> np.ndarray:
+    """Edge-replicate a (h, w) plane up to 8×8 block multiples."""
+    height, width = plane.shape
+    bh, bw = -(-height // 8) * 8, -(-width // 8) * 8
+    padded = np.empty((bh, bw), dtype=plane.dtype)
+    padded[:height, :width] = plane
+    padded[height:, :width] = plane[-1:, :]
+    padded[:, width:] = padded[:, width - 1:width]
+    return padded
+
+
+def _encode_block(w: "_BitWriter", block: np.ndarray, prev_dc: int,
+                  q: np.ndarray) -> int:
+    """DCT → quantize → zigzag → DC-diff + AC-RLE Huffman for one 8×8
+    level-shifted block; returns the new DC predictor."""
+    coef = _DCT_M @ block @ _DCT_M.T
+    quant = np.round(coef / q).astype(np.int64)
+    zz = quant.reshape(-1)[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    cat = _category(diff)
+    w.put(*_DC_CODES[cat])
+    if cat:
+        w.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.put(*_AC_CODES[0xF0])              # ZRL
+            run -= 16
+        size = _category(v)
+        w.put(*_AC_CODES[(run << 4) | size])
+        w.put(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        w.put(*_AC_CODES[0x00])                  # EOB
+    return int(zz[0])
+
+
+def _jpeg_wrap(height: int, width: int, ncomp: int, data: bytes) -> bytes:
+    """SOI + DQT + SOF0 + two DHTs + SOS markers around the entropy data
+    (components all 1×1 sampling, shared quant + Huffman tables)."""
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+
+    dqt = bytes([0]) + bytes(_QTABLE.reshape(-1)[_ZIGZAG])
+    sof = (struct.pack(">BHHB", 8, height, width, ncomp)
+           + b"".join(bytes([c + 1, 0x11, 0]) for c in range(ncomp)))
+    sos = (bytes([ncomp])
+           + b"".join(bytes([c + 1, 0x00]) for c in range(ncomp))
+           + bytes([0, 63, 0]))
+    return (b"\xff\xd8" + seg(0xFFDB, dqt) + seg(0xFFC0, sof)
+            + seg(0xFFC4, dht(0, 0, _DC_BITS, _DC_VALS))
+            + seg(0xFFC4, dht(1, 0, _AC_BITS, _AC_VALS))
+            + seg(0xFFDA, sos) + data + b"\xff\xd9")
+
+
 def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
     """Real baseline JPEG encoder (grayscale, 8-bit): level shift, 8×8
     DCT-II, quantization (DQT-declared table), zigzag, DC-difference and
@@ -658,58 +724,42 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
     read; losses come only from quantization rounding."""
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match dimensions")
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-    bh, bw = -(-height // 8) * 8, -(-width // 8) * 8
-    padded = np.empty((bh, bw), dtype=np.uint8)
-    padded[:height, :width] = img
-    padded[height:, :width] = img[-1:, :]         # edge-replicate padding
-    padded[:, width:] = padded[:, width - 1:width]
+    padded = _pad_to_blocks(
+        np.frombuffer(pixels, dtype=np.uint8).reshape(height, width))
     w = _BitWriter()
     prev_dc = 0
     q = _QTABLE.astype(np.float64)
-    for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):
+    for by in range(0, padded.shape[0], 8):
+        for bx in range(0, padded.shape[1], 8):
             block = padded[by:by + 8, bx:bx + 8].astype(np.float64) - 128.0
-            coef = _DCT_M @ block @ _DCT_M.T
-            quant = np.round(coef / q).astype(np.int64)
-            zz = quant.reshape(-1)[_ZIGZAG]
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            cat = _category(diff)
-            w.put(*_DC_CODES[cat])
-            if cat:
-                w.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    w.put(*_AC_CODES[0xF0])      # ZRL
-                    run -= 16
-                size = _category(v)
-                w.put(*_AC_CODES[(run << 4) | size])
-                w.put(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
-            if last_nz < 63:
-                w.put(*_AC_CODES[0x00])          # EOB
-    data = w.finish()
+            prev_dc = _encode_block(w, block, prev_dc, q)
+    return _jpeg_wrap(height, width, 1, w.finish())
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
 
-    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
-        return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
-
-    dqt = bytes([0]) + bytes(_QTABLE.reshape(-1)[_ZIGZAG])
-    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
-    sos = bytes([1, 1, 0x00, 0, 63, 0])
-    return (b"\xff\xd8" + seg(0xFFDB, dqt) + seg(0xFFC0, sof)
-            + seg(0xFFC4, dht(0, 0, _DC_BITS, _DC_VALS))
-            + seg(0xFFC4, dht(1, 0, _AC_BITS, _AC_VALS))
-            + seg(0xFFDA, sos) + data + b"\xff\xd9")
+def encode_jpeg_rgb(pixels: np.ndarray) -> bytes:
+    """Real baseline COLOR JPEG encoder: BT.601 RGB→YCbCr, 4:4:4 (no
+    chroma subsampling — every component 1×1), interleaved Y/Cb/Cr blocks
+    per MCU with independent DC predictors, shared quant/Huffman tables.
+    ``pixels`` is uint8 (h, w, 3) RGB."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    height, width, _ = pixels.shape
+    r = pixels[:, :, 0].astype(np.float64)
+    g = pixels[:, :, 1].astype(np.float64)
+    b = pixels[:, :, 2].astype(np.float64)
+    planes = [
+        _pad_to_blocks(0.299 * r + 0.587 * g + 0.114 * b),
+        _pad_to_blocks(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0),
+        _pad_to_blocks(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0),
+    ]
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    q = _QTABLE.astype(np.float64)
+    for by in range(0, planes[0].shape[0], 8):
+        for bx in range(0, planes[0].shape[1], 8):
+            for c, plane in enumerate(planes):
+                prev[c] = _encode_block(
+                    w, plane[by:by + 8, bx:bx + 8] - 128.0, prev[c], q)
+    return _jpeg_wrap(height, width, 3, w.finish())
 
 
 class _BitReader:
@@ -755,18 +805,22 @@ def _huff_decoder(bits: list[int], vals: list[int]):
     return table
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Real baseline JPEG decoder (grayscale, 8-bit): marker walk, DQT /
-    SOF0 / DHT / SOS parsing, canonical Huffman decode, dequantize, IDCT,
-    level shift, un-pad → uint8 (h, w, 1).  Progressive (SOF2), 12-bit,
-    and multi-component scans raise NotImplementedError."""
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Real baseline JPEG decoder: marker walk, DQT / SOF0 / DHT / SOS
+    parsing, canonical Huffman decode, dequantize, IDCT, level shift,
+    un-pad.  Grayscale → uint8 (h, w, 1); three-component 4:4:4 scans →
+    YCbCr-to-RGB (BT.601) uint8 (h, w, 3).  Progressive (SOF2), 12-bit,
+    chroma-subsampled (non-1×1), and other component counts raise
+    NotImplementedError naming the gap."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     width = height = -1
-    qsel = 0
+    comps: list[tuple[int, int]] = []            # (comp id, quant sel)
+    scan_sel: dict[int, tuple[int, int]] = {}    # comp id -> (dc, ac) ids
+    scan_order: list[int] = []
     data = b""
     while pos + 4 <= len(payload):
         marker = struct.unpack(">H", payload[pos:pos + 2])[0]
@@ -788,9 +842,14 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
-            if ncomp != 1:
-                raise NotImplementedError("multi-component (color) JPEG")
-            qsel = body[8]
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"{ncomp}-component JPEG")
+            for c in range(ncomp):
+                cid, sampling, qsel = body[6 + 3 * c:9 + 3 * c]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG (non-1x1 sampling)")
+                comps.append((cid, qsel))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise NotImplementedError("non-baseline JPEG (SOF1/2/3)")
         elif marker == 0xFFC4:
@@ -803,17 +862,19 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 htables[(cls, tid)] = _huff_decoder(bits, vals)
                 i += 17 + nvals
         elif marker == 0xFFDA:
-            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            ns = body[0]
+            for c in range(ns):
+                cid, sel = body[1 + 2 * c], body[2 + 2 * c]
+                scan_sel[cid] = (sel >> 4, sel & 0x0F)
+                scan_order.append(cid)
             data = payload[pos + 2 + seglen:]
             end = data.rfind(b"\xff\xd9")
             if end >= 0:
                 data = data[:end]
             break
         pos += 2 + seglen
-    if width < 0 or not data:
+    if width < 0 or not data or not comps:
         raise ValueError("JPEG stream missing SOF/SOS")
-    dc_tab, ac_tab = htables[(0, dc_id)], htables[(1, ac_id)]
-    q = qtables[qsel].astype(np.float64)
 
     def read_symbol(reader: _BitReader, table: dict) -> int:
         code = 0
@@ -827,37 +888,59 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     def extend(v: int, size: int) -> int:
         return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
+    qsel_by_id = dict(comps)
     bh, bw = -(-height // 8), -(-width // 8)
-    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    planes = {cid: np.empty((bh * 8, bw * 8), dtype=np.float64)
+              for cid, _ in comps}
+    prev_dc = {cid: 0 for cid, _ in comps}
     reader = _BitReader(data)
-    prev_dc = 0
     for by in range(bh):
         for bx in range(bw):
-            zz = np.zeros(64, dtype=np.int64)
-            cat = read_symbol(reader, dc_tab)
-            diff = extend(reader.bits(cat), cat) if cat else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = read_symbol(reader, ac_tab)
-                if sym == 0x00:                  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    i += 16                      # ZRL
-                    continue
-                i += run
-                if i >= 64:
-                    raise ValueError("AC index overflow")
-                zz[i] = extend(reader.bits(size), size)
-                i += 1
-            block = np.zeros(64, dtype=np.int64)
-            block[_ZIGZAG] = zz
-            coef = block.reshape(8, 8) * q
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
-                _DCT_M.T @ coef @ _DCT_M)
-    img = np.clip(np.round(out[:height, :width] + 128.0), 0, 255)
-    return img.astype(np.uint8).reshape(height, width, 1)
+            for cid in scan_order:
+                dc_tab = htables[(0, scan_sel[cid][0])]
+                ac_tab = htables[(1, scan_sel[cid][1])]
+                q = qtables[qsel_by_id[cid]].astype(np.float64)
+                zz = np.zeros(64, dtype=np.int64)
+                cat = read_symbol(reader, dc_tab)
+                diff = extend(reader.bits(cat), cat) if cat else 0
+                prev_dc[cid] += diff
+                zz[0] = prev_dc[cid]
+                i = 1
+                while i < 64:
+                    sym = read_symbol(reader, ac_tab)
+                    if sym == 0x00:              # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        i += 16                  # ZRL
+                        continue
+                    i += run
+                    if i >= 64:
+                        raise ValueError("AC index overflow")
+                    zz[i] = extend(reader.bits(size), size)
+                    i += 1
+                block = np.zeros(64, dtype=np.int64)
+                block[_ZIGZAG] = zz
+                coef = block.reshape(8, 8) * q
+                planes[cid][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    _DCT_M.T @ coef @ _DCT_M)
+    if len(comps) == 1:
+        plane = planes[comps[0][0]][:height, :width] + 128.0
+        img = np.clip(np.round(plane), 0, 255)
+        return img.astype(np.uint8).reshape(height, width, 1)
+    yy = planes[scan_order[0]][:height, :width] + 128.0
+    cb = planes[scan_order[1]][:height, :width]          # centered at 0
+    cr = planes[scan_order[2]][:height, :width]
+    rgb = np.stack([
+        yy + 1.402 * cr,
+        yy - 0.344136 * cb - 0.714136 * cr,
+        yy + 1.772 * cb,
+    ], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# Back-compat name used by the round-trip query and tests; the general
+# decoder handles grayscale identically.
+decode_jpeg_gray = decode_jpeg

@@ -401,3 +401,38 @@ def test_prop_gif_lzw_roundtrip_arbitrary_bytes(data):
         _lzw_compress_gif, _lzw_decompress_gif)
 
     assert _lzw_decompress_gif(_lzw_compress_gif(data)) == data
+
+
+def test_jpeg_color_444_roundtrip_bounds():
+    """Baseline color JPEG (4:4:4, BT.601): smooth gradients reconstruct
+    near-exactly, flat color exactly; the grayscale path is unchanged."""
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        decode_jpeg, encode_jpeg_rgb)
+
+    w, h = 37, 23
+    x = np.broadcast_to(np.arange(w)[None, :], (h, w))
+    y = np.broadcast_to(np.arange(h)[:, None], (h, w))
+    rgb = np.stack([np.minimum(255, x * 3 + y),
+                    np.minimum(255, 255 - x * 2 + 0 * y),
+                    np.minimum(255, x + y * 4)], axis=2).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_rgb(rgb))
+    assert dec.shape == (h, w, 3)
+    assert np.abs(dec.astype(float) - rgb.astype(float)).mean() < 2
+    flat = np.full((16, 16, 3), [200, 50, 120], dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_rgb(flat)), flat)
+    rng = np.random.default_rng(5)
+    noise = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    dn = decode_jpeg(encode_jpeg_rgb(noise))
+    assert np.abs(dn.astype(float) - noise.astype(float)).mean() < 20
+
+
+def test_jpeg_color_failure_modes_named():
+    from mu_swarm_logger_service_spark.llm.codecs import (
+        decode_jpeg, encode_jpeg_rgb)
+
+    jp = bytearray(encode_jpeg_rgb(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof = bytes(jp).index(b"\xff\xc0")
+    # first component's sampling byte: SOF0 body starts at sof+4
+    jp[sof + 4 + 6 + 1] = 0x22                   # claim 2x2 sampling
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(jp))
