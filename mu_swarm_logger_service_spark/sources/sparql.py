@@ -258,3 +258,271 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT src, dst, CAST(depth AS BIGINT) AS depth FROM paths
     """)
+
+
+# --------------------------------------------------------------------------
+# SPARQL 1.1 SELECT algebra remainder: aggregates/GROUP_CONCAT, UNION with
+# unbound variables, MINUS vs FILTER NOT EXISTS, VALUES+BIND, subquery
+# [spec:SPARQL 1.1 Query §8, §10.2, §11, §12, §18.5].  Together with the
+# BGP/OPTIONAL/path/negation/CONSTRUCT/ASK/DESCRIBE queries above this
+# closes the full algebra a SwarmUI-style dashboard can send the
+# reference's endpoint [pub:muswarmlogger/main.py via MU_SPARQL_ENDPOINT].
+# --------------------------------------------------------------------------
+
+
+@query("q_sparql_aggregate", oracle="""
+SELECT 'c' || CAST(user_id AS VARCHAR) AS container,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) >= 60
+""")
+def q_sparql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL aggregates [spec:SPARQL 1.1 §11]:
+
+        SELECT ?c (COUNT(*) AS ?n)
+               (GROUP_CONCAT(DISTINCT ?t; separator=",") AS ?types)
+               (SUM(?v) AS ?total)
+        WHERE { ?e swarmui:container ?c ; swarmui:eventType ?t ;
+                   swarmui:value ?v }
+        GROUP BY ?c HAVING (COUNT(*) >= 60)
+
+    GROUP_CONCAT's separator/order is engine-defined in SPARQL; pinned
+    here to sorted-distinct so the result is a set, not an ordering
+    accident (array_sort∘collect_set — both engines agree exactly).
+    SUM(?v) goes through the decimal path (core/numeric.dsum) for
+    order-independent float aggregation.  One hash aggregate with
+    map-side partial combine; no shuffle beyond the groupBy — at 100 TB
+    this is the canonical scalable shape."""
+    ev = load(spark, sf_dir, "events")
+    from ..core.numeric import dsum
+
+    return (
+        ev.groupBy(F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+            .alias("types"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .filter(F.col("n_events") >= 60)
+        .select(
+            F.concat(F.lit("c"), F.col("user_id").cast("string"))
+            .alias("container"),
+            "n_events", "types", "total_value",
+        )
+    )
+
+
+@query("q_sparql_union", oracle="""
+WITH sols AS (
+  SELECT 'c' || CAST(user_id AS VARCHAR) AS container,
+         CAST(NULL AS DOUBLE) AS v
+  FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT 'c' || CAST(user_id AS VARCHAR), value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT container,
+       CAST(COUNT(*) AS BIGINT) AS n_solutions,
+       CAST(COUNT(v) AS BIGINT) AS n_bound,
+       CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+FROM sols GROUP BY container
+""")
+def q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION with differently-bound variables [spec:SPARQL 1.1 §8.2]:
+
+        SELECT ?c ?v WHERE {
+          { ?e swarmui:eventType "error" ; swarmui:container ?c }
+          UNION
+          { ?e swarmui:eventType "purchase" ; swarmui:container ?c ;
+               swarmui:value ?v } }
+
+    The left branch leaves ?v UNBOUND — in the solution multiset that is
+    a hole, not a value; engine-side unionByName(allowMissingColumns)
+    pads the missing column with NULL, and COUNT(?v) counts only bound
+    solutions (exactly SPARQL's aggregate-over-unbound rule, same rule
+    q_triples_optional exercises for OPTIONAL).  Both branch scans push
+    their event_type filter into the parquet scan; the union is a
+    zero-cost plan node (no shuffle until the groupBy)."""
+    ev = load(spark, sf_dir, "events")
+    c = F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("container")
+    errors = ev.filter(F.col("event_type") == "error").select(c)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        c, F.col("value").alias("v")
+    )
+    sols = errors.unionByName(purchases, allowMissingColumns=True)
+    from ..core.numeric import dsum
+
+    return sols.groupBy("container").agg(
+        F.count(F.lit(1)).alias("n_solutions"),
+        F.count("v").alias("n_bound"),
+        dsum(F.col("v")).alias("sum_value"),
+    )
+
+
+@query("q_sparql_minus", oracle="""
+WITH sols AS (
+  SELECT event_id AS e, 'c' || CAST(user_id AS VARCHAR) AS container
+  FROM events WHERE event_type = 'signup'
+), shared_inner AS (
+  SELECT event_id AS e FROM events WHERE value > 100
+), click_exists AS (
+  SELECT COUNT(*) > 0 AS hit FROM events WHERE event_type = 'click'
+)
+SELECT 'minus_shared' AS op,
+       CAST((SELECT COUNT(*) FROM sols
+             WHERE e NOT IN (SELECT e FROM shared_inner)) AS BIGINT) AS n
+UNION ALL
+SELECT 'not_exists_shared',
+       CAST((SELECT COUNT(*) FROM sols s
+             WHERE NOT EXISTS (SELECT 1 FROM shared_inner i
+                               WHERE i.e = s.e)) AS BIGINT)
+UNION ALL
+SELECT 'minus_disjoint', CAST((SELECT COUNT(*) FROM sols) AS BIGINT)
+UNION ALL
+SELECT 'not_exists_disjoint',
+       CAST((SELECT CASE WHEN (SELECT hit FROM click_exists)
+                         THEN 0 ELSE (SELECT COUNT(*) FROM sols) END)
+            AS BIGINT)
+""")
+def q_sparql_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINUS vs FILTER NOT EXISTS [spec:SPARQL 1.1 §8.3] — the spec's own
+    subtlety, exercised both ways:
+
+      solutions: { ?e swarmui:eventType "signup" ; swarmui:container ?c }
+      shared inner  { ?e swarmui:value ?v . FILTER(?v > 100) } — shares ?e:
+          MINUS and NOT EXISTS agree (drop signups with value > 100);
+          engine-side both are ONE left-anti join on e.
+      disjoint inner { ?x swarmui:eventType "click" } — shares NO variable:
+          MINUS removes nothing (no shared domain ⇒ solutions are never
+          compatible-and-overlapping), while FILTER NOT EXISTS removes
+          EVERYTHING whenever any click event exists.
+
+    The disjoint-case existence flag is a one-row global aggregate
+    crossJoin(broadcast(...))-ed onto the count — no driver-side collect,
+    so the same plan runs unchanged on a cluster."""
+    ev = load(spark, sf_dir, "events")
+    sols = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("e"),
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("container"),
+    )
+    inner = ev.filter(F.col("value") > 100).select(F.col("event_id").alias("e"))
+    anti_n = (
+        sols.join(inner, "e", "anti").agg(F.count(F.lit(1)).alias("n"))
+    )
+    shared_minus = anti_n.select(F.lit("minus_shared").alias("op"), "n")
+    shared_ne = anti_n.select(F.lit("not_exists_shared").alias("op"), "n")
+    all_n = sols.agg(F.count(F.lit(1)).alias("n"))
+    disjoint_minus = all_n.select(F.lit("minus_disjoint").alias("op"), "n")
+    click_hit = ev.filter(F.col("event_type") == "click").agg(
+        (F.count(F.lit(1)) > 0).alias("hit")
+    )
+    disjoint_ne = (
+        all_n.crossJoin(F.broadcast(click_hit))
+        .select(
+            F.lit("not_exists_disjoint").alias("op"),
+            F.when(F.col("hit"), F.lit(0).cast("long"))
+            .otherwise(F.col("n")).alias("n"),
+        )
+    )
+    return (
+        shared_minus.unionByName(shared_ne)
+        .unionByName(disjoint_minus)
+        .unionByName(disjoint_ne)
+    )
+
+
+@query("q_sparql_values_bind", oracle="""
+WITH sev(t, severity) AS (
+  VALUES ('error', 'high'), ('signup', 'medium'), ('view', 'low')
+)
+SELECT s.severity,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN('c' || CAST(e.user_id AS VARCHAR) || '/' || s.severity) AS first_key
+FROM events e JOIN sev s ON e.event_type = s.t
+GROUP BY s.severity
+""")
+def q_sparql_values_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES inline data + BIND computed variable [spec:SPARQL 1.1 §10.2,
+    §11.5]:
+
+        SELECT ?severity (COUNT(*) AS ?n) (MIN(?key) AS ?first_key)
+        WHERE { ?e swarmui:eventType ?t ; swarmui:container ?c .
+                VALUES (?t ?severity)
+                  { ("error" "high") ("signup" "medium") ("view" "low") }
+                BIND(CONCAT(?c, "/", ?severity) AS ?key) }
+        GROUP BY ?severity
+
+    VALUES is an inline solution multiset joined into the pattern — the
+    textbook broadcast join (3 rows vs the fact scan; no shuffle of the
+    events side).  BIND is a pure projection.  MIN over the BIND'd key is
+    deterministic (string min)."""
+    ev = load(spark, sf_dir, "events")
+    sev = spark.createDataFrame(
+        [("error", "high"), ("signup", "medium"), ("view", "low")],
+        "t string, severity string",
+    )
+    return (
+        ev.join(F.broadcast(sev), ev.event_type == sev.t)
+        .withColumn(
+            "key",
+            F.concat(F.lit("c"), F.col("user_id").cast("string"),
+                     F.lit("/"), F.col("severity")),
+        )
+        .groupBy("severity")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("key").alias("first_key"))
+    )
+
+
+@query("q_sparql_subquery", oracle="""
+WITH created AS (
+  SELECT event_id, 'c' || CAST(user_id AS VARCHAR) AS container,
+         strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS created, event_type
+  FROM events
+), latest AS (
+  SELECT container, MAX(created) AS last FROM created GROUP BY container
+)
+SELECT l.container, l.last, MIN(c.event_type) AS first_type
+FROM latest l JOIN created c
+  ON c.container = l.container AND c.created = l.last
+GROUP BY l.container, l.last
+""")
+def q_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL subquery [spec:SPARQL 1.1 §12] — inner SELECT computes each
+    container's latest dct:created, the outer pattern joins back to fetch
+    what happened then:
+
+        SELECT ?c ?last (MIN(?t) AS ?first_type) WHERE {
+          { SELECT ?c (MAX(?created) AS ?last)
+            WHERE { ?e swarmui:container ?c ; dct:created ?created }
+            GROUP BY ?c }
+          ?e2 swarmui:container ?c ; dct:created ?last ;
+              swarmui:eventType ?t }
+        GROUP BY ?c ?last
+
+    Second-granularity timestamps can tie, so the outer level aggregates
+    MIN(?t) — deterministic under ties.  Engine-side this is the classic
+    agg → self-join-back shape; the join key (container, created) arrives
+    pre-partitioned from the inner groupBy, so AQE plans the probe
+    without a second full shuffle of the aggregated side."""
+    ev = load(spark, sf_dir, "events")
+    created = ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("container"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("created"),
+        "event_type",
+    )
+    latest = created.groupBy("container").agg(F.max("created").alias("last"))
+    return (
+        latest.join(
+            created,
+            (latest.container == created.container)
+            & (latest.last == created.created),
+        )
+        .groupBy(latest.container, latest.last)
+        .agg(F.min("event_type").alias("first_type"))
+        .select(latest.container.alias("container"), F.col("last"),
+                "first_type")
+    )
