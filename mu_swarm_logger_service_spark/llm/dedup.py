@@ -933,3 +933,156 @@ def q_llm_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Span-level (paragraph) dedup with document reassembly, and URL
+# canonicalization dedup — the two corpus-cleaning passes a web-scale
+# training pipeline runs BEFORE document-level dedup (C4 ran line-level
+# dedup; RefinedWeb deduplicates on canonicalized URLs before fetching).
+# --------------------------------------------------------------------------
+
+_PARA_W = 15  # words per span: the corpus is a flat word stream, so spans
+              # stand in for C4's "three-sentence" dedup unit
+
+
+@query("q_llm_paragraph_dedup", oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), spans AS (
+  SELECT doc_id, CAST(t.pidx AS BIGINT) AS pidx,
+         array_to_string(w[t.pidx * {_PARA_W} + 1 : t.pidx * {_PARA_W} + {_PARA_W}], ' ') AS span
+  FROM words, UNNEST(range(0, CAST(ceil(len(w) / {_PARA_W}.0) AS BIGINT)))
+       AS t(pidx)
+), keepers AS (
+  SELECT doc_id, pidx, span,
+         ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pidx) AS rn
+  FROM spans
+), rebuilt AS (
+  SELECT doc_id,
+         COUNT(*) AS n_kept,
+         md5(array_to_string(list(span ORDER BY pidx), ' ')) AS rebuilt_md5
+  FROM keepers WHERE rn = 1 GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COALESCE(MAX(r.n_kept), 0) AS BIGINT) AS n_kept,
+       COALESCE(MAX(r.rebuilt_md5), md5('')) AS rebuilt_md5
+FROM spans s LEFT JOIN rebuilt r ON r.doc_id = s.doc_id
+GROUP BY s.doc_id
+""")
+def q_llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup with reassembly (C4-style line dedup): split
+    every document into fixed 15-word spans, keep each distinct
+    span's FIRST occurrence corpus-wide (order = (doc_id, position) — the
+    deterministic keep-first rule), drop every later copy, and reassemble
+    each document from its retained spans in position order.
+
+    Returns per-document span accounting plus an md5 of the rebuilt text
+    (full rewritten docs would bloat the result; the hash value-checks the
+    reassembly exactly).
+
+    Scale shape: explode to one row per span (narrow map), ONE shuffle on
+    the span text for the keep-first window, one groupBy(doc_id) to
+    reassemble — never a pairwise comparison.  At 100 TB the span shuffle
+    is the cost; span text could be replaced by xxhash64(span) as the
+    shuffle key (collision-safe at 64 bits) to cut shuffle bytes ~10×,
+    kept as raw text here so the oracle is engine-exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    spans = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(w) / {_PARA_W}.0) as int) - 1),"
+                f" i -> array_join(slice(w, i * {_PARA_W} + 1, {_PARA_W}), ' '))"
+            )
+        ).alias("pidx", "span"),
+    ).withColumn("pidx", F.col("pidx").cast("long"))
+    keep_w = Window.partitionBy("span").orderBy("doc_id", "pidx")
+    keepers = (
+        spans.withColumn("rn", F.row_number().over(keep_w))
+        .filter(F.col("rn") == 1)
+    )
+    rebuilt = keepers.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pidx", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            )
+        ).alias("rebuilt_md5"),
+    )
+    n_spans = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return n_spans.join(rebuilt, "doc_id", "left").select(
+        "doc_id", "n_spans",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("rebuilt_md5", F.md5(F.lit(""))).alias("rebuilt_md5"),
+    )
+
+
+@query("q_llm_url_dedup", oracle="""
+WITH minted AS (
+  SELECT doc_id, source,
+         'https://WWW.' || source || '.Example.COM/docs/'
+           || CAST(doc_id % 40 AS VARCHAR)
+           || '?utm_source=feed&page=' || CAST(doc_id % 3 AS VARCHAR)
+           || '&utm_medium=rss#sec' || CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, source,
+         lower(source) || '.example.com/docs/'
+           || CAST(doc_id % 40 AS VARCHAR)
+           || '?page=' || CAST(doc_id % 3 AS VARCHAR) AS canonical
+  FROM minted
+)
+SELECT canonical,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM canon GROUP BY canonical HAVING COUNT(*) > 1
+""")
+def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (RefinedWeb-style): web corpora carry one
+    row per FETCH, so the same page appears under many URL spellings.
+    Canonicalize — lowercase the host, strip the `www.` prefix, drop
+    tracking parameters (`utm_*`), drop the fragment, keep semantic params
+    (`page`) — then keep-first per canonical URL.
+
+    The documents table has no URL column, so URLs are MINTED
+    deterministically from (source, doc_id) with case noise, utm params
+    and fragments baked in; Spark must recover the canonical form from
+    the full URL string via `parse_url` (HOST / PATH / QUERY:key — the
+    JVM-side URL parser, no Python in the row path), while the oracle
+    computes the expected canonical form directly from the minting rule —
+    so the check validates the entire parse→normalize path, not just the
+    group-by.
+
+    Scale shape: pure narrow projection + one groupBy(canonical) with
+    map-side partial aggregation; at 100 TB the canonical-URL shuffle is
+    the only exchange, exactly like exact dedup."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("?utm_source=feed&page="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&utm_medium=rss#sec"), (F.col("doc_id") % 7).cast("string"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    host = F.lower(F.parse_url("url", F.lit("HOST")))
+    canonical = F.concat(
+        F.regexp_replace(host, r"^www\.", ""),
+        F.parse_url("url", F.lit("PATH")),
+        F.lit("?page="),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")),
+    )
+    return (
+        with_url.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).alias("n_dups"),
+             F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
