@@ -873,3 +873,75 @@ def q_ts_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("credit"),
         )
     )
+
+
+_SESS_GAP_US = 8 * 3600 * 1_000_000  # 8h idle gap closes a session
+
+
+@query("q_ts_sessionize", oracle=f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+), b AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev IS NULL OR us - prev > {_SESS_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+), s AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM b
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS start_us,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_id
+""")
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization — the classic lag → break-flag →
+    running-sum session id assignment (an 8-hour idle gap closes a
+    session; the median per-user inter-event gap in this corpus is
+    ~7.7 h, so sessions are non-trivial at every SF).  The batch twin of
+    q_stream_session's event-time session windows: streaming
+    sessionization needs watermarked state, the batch form is two window
+    functions and a groupBy.
+
+    Determinism: timestamps are compared as INTEGER microseconds
+    (unix_micros / epoch_us — both engines exact; DuckDB's fractional
+    epoch() is the documented trap) and every window ORDER BY carries
+    event_id as the unique tiebreaker.  The running session counter is an
+    integer ROWS-frame sum — exact under any association.
+
+    Scale shape: ONE shuffle on user_id; both windows and the final
+    groupBy(user_id, session_id) reuse that partitioning (session_id is a
+    within-partition refinement of the user key, so no second exchange).
+    Per-user state is a sort — skewed power users sort within their
+    partition, never on one reducer for the whole corpus."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    wo = Window.partitionBy("user_id").orderBy(us, "event_id")
+    brk = F.when(
+        F.lag(us).over(wo).isNull()
+        | ((us - F.lag(us).over(wo)) > _SESS_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = (
+        ev.select("user_id", "event_id", us.alias("us"), brk.alias("brk"))
+        .withColumn(
+            "session_id",
+            F.sum("brk").over(
+                Window.partitionBy("user_id")
+                .orderBy("us", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
