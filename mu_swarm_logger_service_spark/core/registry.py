@@ -58,11 +58,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   r5 (this window): the analytics / timeseries / sketch / triples
 #       families, 0 driver rows in four rounds (VERDICT r4, task 1).
 # Next rotation (r6, AFTER CORRECTNESS_r05 confirms this window): the
-# ~84 still-never-checked keys — fn extras (bitwise/format/try/struct/
+# ~92 still-never-checked keys — fn extras (bitwise/format/try/struct/
 # encode/url/variant), stream extras, the sparql/triples remainder, the
 # ~45 llm extras, and the round-5 additions (PQ/ANN-PQ/IVF-PQ, heavy
-# hitters, observed metrics, repeated n-grams, codec round-trips) — in
-# two 50-key windows.  Do not rotate before the driver records r5.
+# hitters, observed metrics, repeated n-grams, codec round-trips, the
+# SPARQL SELECT-algebra remainder, paragraph/URL dedup, batch
+# sessionization) — in two 50-key windows.  Do not rotate before the driver records r5.
 # Keys not registered are skipped harmlessly; remaining keys follow in
 # registration order.  The window must never exceed the driver's 50 rows
 # (enforced below and in tests) or the tail silently loses evidence.
