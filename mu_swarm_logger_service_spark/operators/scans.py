@@ -421,3 +421,69 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("bbox_area"),
         )
     )
+
+
+@query("q_cdc_incremental_agg", oracle="""
+WITH effective AS (
+  SELECT user_id, value FROM events
+  WHERE event_id % 10 != 0 AND event_id % 7 != 0
+  UNION ALL
+  SELECT user_id, value FROM events WHERE event_id % 10 = 0
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+         AS avg_value
+FROM effective GROUP BY user_id
+""")
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (IVM): a maintained per-user aggregate
+    is updated by MERGING SIGNED PARTIAL STATES from a change batch —
+    inserts contribute (+count, +sum), retractions (−count, −sum) — and
+    groups whose maintained count reaches zero drop out of the view.
+    The fixture derives a deterministic changelog from the events table:
+    base = event_id % 10 != 0, inserts = the % 10 == 0 rows, retractions
+    = base rows with event_id % 7 == 0.
+
+    The Spark side takes the INCREMENTAL path only (three partial
+    aggregates unioned and re-merged — never a recompute over the merged
+    row set); the oracle recomputes the aggregate from scratch over the
+    effective rows.  Matching them IS the IVM correctness statement:
+    maintenance ≡ recompute.  Count and decimal sum are the retractable
+    aggregates (MAX/MIN are not — a retracted max forces a re-scan,
+    which is why production IVM keeps them out of maintained views).
+
+    Scale shape: the delta path touches ONLY the change batch (at 100 TB:
+    partial-agg the delta, shuffle delta-sized signed states, merge into
+    the stored view by key — the view itself is never re-scanned; here
+    the base state is built once from the fixture since there is no
+    stored view to start from).  All sums are exact decimals, so merge
+    order cannot change a bit; avg is one IEEE divide of exact operands
+    (raw quotient, no round — the documented cross-engine-exact form)."""
+    from ..core.numeric import DEC
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    base = ev.filter(F.col("event_id") % 10 != 0)
+    inserts = ev.filter(F.col("event_id") % 10 == 0)
+    retractions = base.filter(F.col("event_id") % 7 == 0)
+
+    def signed_state(df: DataFrame, sign: int) -> DataFrame:
+        n = F.count(F.lit(1)) if sign > 0 else -F.count(F.lit(1))
+        s = (F.sum(F.col("value").cast(DEC)) if sign > 0
+             else -F.sum(F.col("value").cast(DEC)))
+        return df.groupBy("user_id").agg(n.alias("dn"), s.alias("ds"))
+
+    merged = (
+        signed_state(base, +1)
+        .unionByName(signed_state(inserts, +1))
+        .unionByName(signed_state(retractions, -1))
+        .groupBy("user_id")
+        .agg(F.sum("dn").alias("n"), F.sum("ds").alias("s"))
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "user_id", "n",
+        F.col("s").cast("double").alias("sum_value"),
+        (F.col("s").cast("double") / F.col("n")).alias("avg_value"),
+    )
