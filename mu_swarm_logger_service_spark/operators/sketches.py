@@ -492,3 +492,83 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("est") - F.col("dec")).alias("est_count"))
         .filter(F.col("est_count") > 0)
     )
+
+
+_WS_BLOCK = 64   # docs per prefix-sum block (two-phase scan granularity)
+_WS_K = 50       # target sample size (ticks)
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang, source, n_chars AS wt FROM documents
+), c AS (
+  SELECT *, SUM(wt) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(wt) OVER () AS total
+  FROM w
+), t AS (
+  SELECT *, CAST(total // {_WS_K} AS BIGINT) AS step FROM c
+)
+SELECT doc_id, lang, source, CAST(wt AS BIGINT) AS wt,
+       CAST(cum // step - (cum - wt) // step AS BIGINT) AS n_ticks
+FROM t
+WHERE cum // step - (cum - wt) // step > 0
+"""
+
+
+@query("q_sketch_weighted_sample", oracle=_WEIGHTED_SAMPLE_SQL)
+def q_sketch_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) sampling via SYSTEMATIC
+    selection on the integer cumulative-weight line: lay all documents on
+    [0, total_weight) in doc_id order, drop a tick every ``step =
+    total // K`` units, and select every document whose weight interval
+    contains a tick — inclusion probability = weight/step, the PPS
+    property, and an item heavier than ``step`` is selected with
+    multiplicity (``n_ticks``), the honest oversized-weight semantics.
+
+    Chosen over Efraimidis-Sampling's u^(1/w) keys on purpose: that form
+    needs pow/ln, and libm differs between the JVM and DuckDB in the last
+    ulp, which makes a rank-by-float sample un-checkable cross-engine.
+    Systematic PPS is INTEGER-ONLY (cumsum + two floor divisions), so the
+    sample is bit-exact on both engines and the oracle checks membership
+    AND multiplicity exactly.
+
+    The global prefix sum — the scale hazard of any cumulative method —
+    is computed as a TWO-PHASE SCAN, never a single-partition window over
+    the data: per-block subtotals (one narrow groupBy on ``doc_id div
+    B``), a running offset over the tiny block list (the only global
+    window, sized #blocks ≈ n/B rows — KBs at 100 TB), then a
+    block-partitioned window adds local prefixes to broadcast offsets.
+    This is the textbook distributed scan; the same shape serves CDF /
+    quantile-line computations generally."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.col("n_chars").alias("wt")
+    ).withColumn("g", F.expr(f"doc_id div {_WS_BLOCK}"))
+
+    # Phase 1: per-block subtotals (scales: one small shuffle).
+    blocks = docs.groupBy("g").agg(F.sum("wt").alias("gw"))
+    # Phase 2: running offsets over the block list — #blocks rows only.
+    woff = (
+        Window.orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = blocks.select(
+        "g", F.coalesce(F.sum("gw").over(woff), F.lit(0)).alias("off")
+    )
+    total = blocks.agg(F.sum("gw").alias("total"))
+    # Phase 3: local prefix within each block + broadcast offset/total.
+    wloc = (
+        Window.partitionBy("g").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        docs.join(F.broadcast(offsets), "g")
+        .crossJoin(F.broadcast(total))
+        .withColumn("cum", F.col("off") + F.sum("wt").over(wloc))
+        .withColumn("step", F.expr(f"total div {_WS_K}"))
+    )
+    ticks = (F.expr("cum div step") - F.expr("(cum - wt) div step"))
+    return (
+        cum.withColumn("n_ticks", ticks)
+        .filter(F.col("n_ticks") > 0)
+        .select("doc_id", "lang", "source", "wt", "n_ticks")
+    )
