@@ -419,3 +419,14 @@ def test_url_dedup_is_single_aggregate(spark, sf_dir):
     assert p.count("hashpartitioning(") == 1
     assert "Join" not in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_weighted_sample_prefix_sum_is_two_phase(spark, sf_dir):
+    """The cumulative-weight line must come from the two-phase scan: the
+    phase-3 window is PARTITIONED on the block key (hashpartitioning on g)
+    and offsets/total ride broadcasts.  A naive global cumsum would show a
+    single-partition window over the corpus scan and no block
+    partitioning."""
+    p = _plan(spark, sf_dir, "q_sketch_weighted_sample")
+    assert "hashpartitioning(g" in p
+    assert p.count("BroadcastExchange") >= 2
