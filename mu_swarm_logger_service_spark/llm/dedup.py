@@ -1086,3 +1086,59 @@ def q_llm_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("doc_id").alias("keeper_doc_id"))
         .filter(F.col("n_dups") > 1)
     )
+
+
+_BLOCKED_DOMAINS = ("src3.example.com", "spam.example.org")
+
+
+@query("q_llm_domain_filter", oracle=f"""
+WITH canon AS (
+  SELECT doc_id, source, lower(source) || '.example.com' AS host
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN host = '{_BLOCKED_DOMAINS[0]}'
+                       OR host LIKE '%.{_BLOCKED_DOMAINS[0]}'
+                       OR host = '{_BLOCKED_DOMAINS[1]}'
+                       OR host LIKE '%.{_BLOCKED_DOMAINS[1]}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+FROM canon GROUP BY source
+""")
+def q_llm_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering (the URL-level quality gate web corpus
+    pipelines run before anything else): a document is blocked when its
+    host equals a blocklisted domain OR is a SUBDOMAIN of one.
+
+    The scalable trick is suffix EXPLOSION: `a.b.example.com` expands to
+    its dot-suffixes [a.b.example.com, b.example.com, example.com], and
+    subdomain matching becomes a plain equi semi-join of suffixes against
+    the (broadcast) blocklist — no LIKE-join, no per-pattern scan, and
+    the explosion factor is the label depth (≤ ~5), not the blocklist
+    size.  The oracle mirrors the SEMANTICS with direct host/LIKE
+    predicates over the deterministic minted hosts (same rule as
+    q_llm_url_dedup), so the equi-join implementation is value-checked
+    against the declarative definition."""
+    docs = load(spark, sf_dir, "documents")
+    host = F.concat(F.lower(F.col("source")), F.lit(".example.com"))
+    parts = F.split(host, r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda i: F.array_join(
+            F.slice(parts, i + 1, F.size(parts) - i), "."),
+    )
+    blocklist = docs.sparkSession.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "sfx string")
+    hits = (
+        docs.select("doc_id", F.explode(suffixes).alias("sfx"))
+        .join(F.broadcast(blocklist), "sfx", "semi")
+        .select("doc_id").distinct()
+        .withColumn("blocked", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.coalesce("blocked", F.lit(0))).alias("n_blocked"))
+    )
