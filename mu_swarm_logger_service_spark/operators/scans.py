@@ -487,3 +487,70 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("sum_value"),
         (F.col("s").cast("double") / F.col("n")).alias("avg_value"),
     )
+
+
+@query("q_sql_lateral", oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+""")
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (SQL:1999 lateral derived table; Spark 4
+    SQL surface): each customer's top-2 orders by price, expressed the
+    way a SQL user writes it — a correlated subquery with its own ORDER
+    BY + LIMIT joined laterally.
+
+    Catalyst DECORRELATES the lateral subquery: the optimized plan is
+    the same per-key rank shape as q_win_topk_group (join + window
+    rank ≤ 2), not one subquery execution per outer row — exactly the
+    rewrite that makes lateral joins usable at 100 TB, since a naive
+    re-execution per customer would be O(customers × orders-scan).
+    Tiebreak on o_orderkey keeps the LIMIT deterministic.  The raw
+    o_totalprice doubles pass through unaggregated, so both engines
+    return identical bits."""
+    from ..core.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """)
+
+
+@query("q_sql_unpivot", oracle=f"""
+WITH long AS (
+  SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+  UNION ALL SELECT 'tax', l_tax FROM lineitem
+)
+SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('val')} AS total
+FROM long GROUP BY metric
+""")
+def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long reshape; Spark 4 SQL surface): melt the four
+    lineitem measures into (metric, val) rows and aggregate per metric —
+    the inverse of q_agg_pivot.  Spark plans UNPIVOT as an Expand node:
+    ONE scan emits all four long rows per input row (column pruning
+    still applies), versus the 4-scan UNION ALL a user would hand-write
+    — the oracle deliberately uses that UNION ALL form, proving the
+    Expand plan computes the same relation.  Totals go through the
+    decimal path for order-independent float sums."""
+    from ..core.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT metric, COUNT(*) AS n,
+               CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) AS total
+        FROM lineitem
+        UNPIVOT (val FOR metric IN (
+          l_quantity AS quantity, l_extendedprice AS extendedprice,
+          l_discount AS discount, l_tax AS tax))
+        GROUP BY metric
+    """)

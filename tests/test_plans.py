@@ -430,3 +430,20 @@ def test_weighted_sample_prefix_sum_is_two_phase(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_sketch_weighted_sample")
     assert "hashpartitioning(g" in p
     assert p.count("BroadcastExchange") >= 2
+
+
+def test_lateral_join_is_decorrelated(spark, sf_dir):
+    """Catalyst must decorrelate the LATERAL top-2 subquery into a
+    join + per-key rank window — a correlated re-execution per outer row
+    would be O(outer × inner-scan) at any scale."""
+    p = _plan(spark, sf_dir, "q_sql_lateral")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_unpivot_is_single_scan_expand(spark, sf_dir):
+    """UNPIVOT must plan as ONE lineitem scan feeding an Expand node —
+    not the 4-scan UNION ALL the oracle hand-writes."""
+    p = _plan(spark, sf_dir, "q_sql_unpivot")
+    assert "Expand" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
