@@ -506,7 +506,7 @@ WITH w AS (
          SUM(wt) OVER () AS total
   FROM w
 ), t AS (
-  SELECT *, CAST(total // {_WS_K} AS BIGINT) AS step FROM c
+  SELECT *, GREATEST(CAST(total // {_WS_K} AS BIGINT), 1) AS step FROM c
 )
 SELECT doc_id, lang, source, CAST(wt AS BIGINT) AS wt,
        CAST(cum // step - (cum - wt) // step AS BIGINT) AS n_ticks
@@ -564,7 +564,7 @@ def q_sketch_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(offsets), "g")
         .crossJoin(F.broadcast(total))
         .withColumn("cum", F.col("off") + F.sum("wt").over(wloc))
-        .withColumn("step", F.expr(f"total div {_WS_K}"))
+        .withColumn("step", F.greatest(F.expr(f"total div {_WS_K}"), F.lit(1)))
     )
     ticks = (F.expr("cum div step") - F.expr("(cum - wt) div step"))
     return (
