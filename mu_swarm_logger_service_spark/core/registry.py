@@ -58,7 +58,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   r5 (this window): the analytics / timeseries / sketch / triples
 #       families, 0 driver rows in four rounds (VERDICT r4, task 1).
 # Next rotation (r6, AFTER CORRECTNESS_r05 confirms this window): the
-# ~92 still-never-checked keys — fn extras (bitwise/format/try/struct/
+# ~99 still-never-checked keys — fn extras (bitwise/format/try/struct/
 # encode/url/variant), stream extras, the sparql/triples remainder, the
 # ~45 llm extras, and the round-5 additions (PQ/ANN-PQ/IVF-PQ, heavy
 # hitters, observed metrics, repeated n-grams, codec round-trips, the
