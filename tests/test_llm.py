@@ -263,3 +263,30 @@ def test_ann_ivf_pq_recall_vs_exact(spark, sf_dir):
     assert all(q != c for q, c in a)
     recall = len(e & a) / len(e)
     assert recall > 0.15, f"IVF-PQ recall {recall:.2f} suspiciously low"
+
+
+def test_paragraph_dedup_semantics(spark, sf_dir):
+    """Semantic invariants BEYOND oracle agreement (the oracle proves
+    Spark == DuckDB of the same algorithm; this proves the algorithm does
+    what it claims): total kept spans == corpus-wide distinct spans
+    (every distinct span survives exactly once), per-doc kept <= spans,
+    and doc 0's first span (the global first occurrence of whatever it
+    says) is always kept."""
+    out = QUERIES["q_llm_paragraph_dedup"](spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    spans = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 15.0)"
+                " as int) - 1), i -> array_join(slice(split(text, ' '),"
+                " i * 15 + 1, 15), ' '))"
+            )
+        ).alias("span")
+    )
+    n_distinct = spans.select("span").distinct().count()
+    n_total = spans.count()
+    assert sum(r.n_kept for r in out) == n_distinct
+    assert sum(r.n_spans for r in out) == n_total
+    assert all(r.n_kept <= r.n_spans for r in out)
+    doc0 = next(r for r in out if r.doc_id == 0)
+    assert doc0.n_kept >= 1  # doc 0 pos 0 is the global first occurrence
