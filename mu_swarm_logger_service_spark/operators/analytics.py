@@ -1039,3 +1039,81 @@ def q_analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
              + 0.0).alias("confidence_a_b"),
         )
     )
+
+
+_SKY_BLOCKS = 32  # phase-1 partition count for local skylines
+
+
+@query("q_analytics_skyline", oracle=f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         {dsum_sql('o_totalprice')} AS spend,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+), pts AS (
+  SELECT spend, CAST(n_orders AS BIGINT) AS n_orders,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(MIN(o_custkey) AS BIGINT) AS first_custkey
+  FROM per_cust GROUP BY spend, n_orders
+), s AS (
+  SELECT *, MAX(n_orders) OVER (
+           ORDER BY spend DESC, n_orders DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+  FROM pts
+)
+SELECT spend, n_orders, n_customers, first_custkey
+FROM s WHERE runmax IS NULL OR n_orders > runmax
+""")
+def q_analytics_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) query: customers not dominated on
+    (total spend, order count) — both maximized; a point is dominated
+    when another is ≥ on both dimensions and > on at least one.  The
+    multi-criteria "best customers" primitive no single ORDER BY can
+    answer.
+
+    2-D skyline reduces to a SORT + RUNNING MAX: sweep points by spend
+    descending; a point survives iff its n_orders strictly exceeds every
+    earlier (higher-spend) point's — O(n log n), no pairwise NOT-EXISTS
+    self-join (the naive form is O(n²)).  Exact duplicate points are
+    pre-grouped (with multiplicity) so non-strict mutual domination
+    can't knock one out.
+
+    Scale shape: the sweep needs a global order, so it runs TWO-PHASE
+    exactly like skyline(S) = skyline(∪ local skylines): phase 1 sweeps
+    inside {_SKY_BLOCKS} hash blocks (partitioned window — the corpus
+    never single-partition-sorts), phase 2 sweeps the surviving
+    candidates only (frontier-sized: one point per distinct n_orders
+    level at most).  Spend stays on the decimal path; comparisons on
+    identical double bits order identically in both engines."""
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("o_totalprice")).alias("spend"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+    pts = per_cust.groupBy("spend", "n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("o_custkey").alias("first_custkey"),
+    ).withColumn("blk", F.pmod(F.xxhash64("spend", "n_orders"),
+                               F.lit(_SKY_BLOCKS)))
+
+    def sweep(df: DataFrame, partition_cols: list) -> DataFrame:
+        w = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(F.col("spend").desc(), F.col("n_orders").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+            if partition_cols else
+            Window.orderBy(F.col("spend").desc(), F.col("n_orders").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            df.withColumn("runmax", F.max("n_orders").over(w))
+            .filter(F.col("runmax").isNull()
+                    | (F.col("n_orders") > F.col("runmax")))
+            .drop("runmax")
+        )
+
+    candidates = sweep(pts, ["blk"])          # phase 1: local skylines
+    return sweep(candidates, []).select(      # phase 2: frontier-sized
+        "spend", "n_orders", "n_customers", "first_custkey"
+    )

@@ -534,3 +534,33 @@ def test_heavy_hitters_mg_guarantees(spark, sf_dir):
             assert item in est, f"guaranteed heavy hitter {item} missing"
     est2 = {r.user_id: r.est_count for r in q(spark, sf_dir).collect()}
     assert est == est2, "MG result not deterministic"
+
+
+def test_skyline_matches_declarative_definition(spark, sf_dir):
+    """The running-max sweep must equal the textbook NOT-EXISTS skyline
+    definition (checked via DuckDB's O(n²) form — affordable at test SF):
+    a point survives iff no other point is >= on both dims and > on one."""
+    import duckdb
+
+    res = {
+        (r.spend, r.n_orders)
+        for r in QUERIES["q_analytics_skyline"](spark, sf_dir).collect()
+    }
+    duck = duckdb.connect()
+    ref = duck.execute(f"""
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                   AS spend,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM read_parquet('{sf_dir}/orders.parquet') GROUP BY o_custkey
+        ), pts AS (
+          SELECT DISTINCT spend, n_orders FROM per_cust
+        )
+        SELECT spend, n_orders FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts q
+          WHERE q.spend >= p.spend AND q.n_orders >= p.n_orders
+            AND (q.spend > p.spend OR q.n_orders > p.n_orders))
+    """).fetchall()
+    assert res == set(ref)
