@@ -564,3 +564,16 @@ def test_skyline_matches_declarative_definition(spark, sf_dir):
             AND (q.spend > p.spend OR q.n_orders > p.n_orders))
     """).fetchall()
     assert res == set(ref)
+
+
+def test_hll_rollup_estimate_within_rsd(spark, sf_dir):
+    """Unioned daily sketches must estimate per-type distinct users within
+    3·rsd of exact (lgk=12 → rsd ≈ 1.04/sqrt(4096) ≈ 1.6%)."""
+    est = {r.event_type: r.est_distinct_users
+           for r in QUERIES["q_sketch_hll_rollup"](spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events")
+    exact = {r.event_type: r.x for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("x")).collect()}
+    assert set(est) == set(exact)
+    for t, e in exact.items():
+        assert abs(est[t] - e) <= max(1, 0.05 * e), (t, est[t], e)
