@@ -447,3 +447,12 @@ def test_unpivot_is_single_scan_expand(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_sql_unpivot")
     assert "Expand" in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+
+def test_skyline_phase1_is_block_partitioned(spark, sf_dir):
+    """The skyline sweep must run its first pass inside hash blocks
+    (window partitioned on blk) — the corpus never single-partition
+    sorts; only the frontier-sized phase-2 sweep may."""
+    p = _plan(spark, sf_dir, "q_analytics_skyline")
+    assert "hashpartitioning(blk" in p
+    assert p.count("SinglePartition") <= 1
