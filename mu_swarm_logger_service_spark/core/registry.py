@@ -64,6 +64,46 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # hitters, observed metrics, repeated n-grams, codec round-trips, the
 # SPARQL SELECT-algebra remainder, paragraph/URL dedup, batch
 # sessionization) — in two 50-key windows.  Do not rotate before the driver records r5.
+# Planned windows, computed 2026-08-14 against CORRECTNESS_r01-r04 (101
+# keys still never driver-checked after the r5 window; rows-only keys stay
+# in-window — their driver rows are weaker but still evidence):
+# r6 (50 keys):
+#   "q_agg_observed", "q_cdc_incremental_agg", "q_sql_lateral",
+#   "q_sql_unpivot", "q_analytics_skyline", "q_ts_sessionize",
+#   "q_sketch_heavy_hitters", "q_sketch_weighted_sample",
+#   "q_sketch_hll_rollup", "q_fn_bitwise", "q_fn_format", "q_fn_try",
+#   "q_fn_struct", "q_fn_encode", "q_fn_url", "q_fn_variant",
+#   "q_stream_join_outer", "q_stream_static_join", "q_stream_rollup",
+#   "q_sparql_delete_where", "q_sparql_path_features",
+#   "q_sparql_negated_propset", "q_sparql_construct", "q_sparql_ask",
+#   "q_sparql_describe", "q_sql_recursive_cte", "q_sparql_aggregate",
+#   "q_sparql_union", "q_sparql_minus", "q_sparql_values_bind",
+#   "q_sparql_subquery", "q_llm_matryoshka", "q_llm_rrf_fusion",
+#   "q_llm_ann_lsh", "q_llm_centroid", "q_llm_embed_near_dup",
+#   "q_llm_quantize_int8", "q_llm_ann_int8", "q_llm_hard_negatives",
+#   "q_llm_pq_encode", "q_llm_ann_pq", "q_llm_ann_ivf",
+#   "q_llm_dup_triangles", "q_llm_pagerank", "q_llm_kmeans_step",
+#   "q_llm_semdedup", "q_llm_ann_recall", "q_llm_embedding_drift",
+#   "q_llm_ann_ivf_pq", "q_llm_incremental_dedup"
+# r7 (51 keys — the remainder; drop the last 1 to r8 if over 50):
+#   "q_llm_simhash", "q_llm_containment", "q_llm_dedup_keep_best",
+#   "q_llm_decontaminate_ngram", "q_llm_fuzzy_token_join",
+#   "q_llm_prefix_dedup", "q_llm_prefix_filter_join",
+#   "q_llm_repeated_ngrams", "q_llm_paragraph_dedup", "q_llm_url_dedup",
+#   "q_llm_domain_filter", "q_llm_media_resize", "q_llm_frame_sample",
+#   "q_llm_png_roundtrip", "q_llm_wav_roundtrip", "q_llm_media_dims",
+#   "q_llm_audio_features", "q_llm_gif_roundtrip", "q_llm_video_meta",
+#   "q_llm_jpeg_roundtrip", "q_llm_media_pipeline", "q_llm_quality",
+#   "q_llm_langid", "q_llm_doc_fingerprint", "q_llm_token_count",
+#   "q_llm_chunk", "q_llm_mixture", "q_llm_boilerplate_strip",
+#   "q_llm_pii_redact", "q_llm_dataset_stats", "q_llm_ngram_stats",
+#   "q_llm_split", "q_llm_repetition", "q_llm_diversity",
+#   "q_llm_dsir_weights", "q_llm_pack_sequences", "q_llm_quality_buckets",
+#   "q_llm_bpe_pairs", "q_llm_pack_next_fit", "q_llm_rebalance",
+#   "q_llm_gopher_rules", "q_llm_vocab_coverage", "q_llm_perplexity",
+#   "q_llm_dpo_pairs", "q_llm_char_entropy", "q_llm_quality_cascade",
+#   "q_llm_quantile_normalize", "q_llm_token_budget", "q_llm_bpe_train",
+#   "q_llm_bpe_apply", "q_udtf_map_arrow"
 # Keys not registered are skipped harmlessly; remaining keys follow in
 # registration order.  The window must never exceed the driver's 50 rows
 # (enforced below and in tests) or the tail silently loses evidence.
