@@ -554,3 +554,64 @@ def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
           l_discount AS discount, l_tax AS tax))
         GROUP BY metric
     """)
+
+
+@query("q_layout_compaction", oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT event_id % 8) AS BIGINT) AS files_before,
+       CAST(1 AS BIGINT) AS files_after
+FROM events GROUP BY 1
+""")
+def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the OPTIMIZE / bin-packing maintenance pass):
+    streaming ingestion leaves every date partition fragmented into one
+    file per writing task; the compaction job reads a partition's debris
+    and rewrites it as one file per partition directory.  Small files are
+    THE classic operational failure at scale — a 100 TB table ingested in
+    minute-batches accretes millions of KB-files whose open/footer costs
+    dominate scans.
+
+    Fully deterministic fixture: the debris writer appends one
+    single-file pass PER SHARD (``event_id % 8`` — value identity, not
+    ``repartition(8, pmod(...))``, whose hash-of-shard collapses shards
+    into shared tasks and makes file counts depend on Spark's hash), so
+    the per-day "before" file count is exactly the number of distinct
+    shards holding that day's rows — which the DuckDB oracle computes
+    relationally.  The compactor repartitions on the partition column
+    (each day maps to one task → one file per directory, the "after"
+    invariant).  Both counts are AUDITED from the filesystem via
+    input_file_name(), not assumed: the query proves the fragmented dirs
+    became single-file dirs with zero row loss."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    debris = os.path.join(SINK_ROOT, f"compact_debris_{tag}")
+    packed = os.path.join(SINK_ROOT, f"compact_packed_{tag}")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+    marker = os.path.join(debris, "_SUCCESS_ALL_SHARDS")
+    if not os.path.exists(marker):
+        for s in range(8):
+            (ev.filter(F.pmod(F.col("event_id"), F.lit(8)) == s)
+             .coalesce(1)
+             .write.mode("overwrite" if s == 0 else "append")
+             .partitionBy("day").parquet(debris))
+        open(marker, "w").close()
+    before = (
+        spark.read.parquet(debris)
+        .select("day", F.input_file_name().alias("f"))
+        .groupBy("day")
+        .agg(F.countDistinct("f").alias("files_before"))
+    )
+    n_days = ev.select("day").distinct().count()
+    (spark.read.parquet(debris)
+     .repartition(n_days, "day")
+     .write.mode("overwrite").partitionBy("day").parquet(packed))
+    after = (
+        spark.read.parquet(packed)
+        .select("day", "event_id", F.input_file_name().alias("f"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.countDistinct("f").alias("files_after"))
+    )
+    return after.join(before, "day").select(
+        "day", "n_rows", "files_before", "files_after")
