@@ -103,7 +103,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   "q_llm_gopher_rules", "q_llm_vocab_coverage", "q_llm_perplexity",
 #   "q_llm_dpo_pairs", "q_llm_char_entropy", "q_llm_quality_cascade",
 #   "q_llm_quantile_normalize", "q_llm_token_budget", "q_llm_bpe_train",
-#   "q_llm_bpe_apply", "q_udtf_map_arrow"
+#   "q_llm_bpe_apply", "q_udtf_map_arrow", "q_layout_compaction"
+# (recompute this split against CORRECTNESS_r05 before activating r6)
 # Keys not registered are skipped harmlessly; remaining keys follow in
 # registration order.  The window must never exceed the driver's 50 rows
 # (enforced below and in tests) or the tail silently loses evidence.
