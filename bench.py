@@ -18,7 +18,8 @@ rep 2 (the same "warm" definition as round 4, so the r4→r5 trend is
 like-for-like); rep 1 stays under ``cold_queries`` AND is now also summed
 into a top-level ``cold_total`` so the rounds-1-3 single-cold-run metric
 remains directly comparable across rounds (r4 advice: never compare a warm
-headline against an older cold one); rep 3 lands under ``rep3_queries`` to
+headline against an older cold one); rep 3 lands in the ``# detail``
+stderr line (per-query) and as ``rep3_total`` on the contract line to
 separate steady-state from one-off noise — if rep2 > rep1 for a query but
 rep3 ≈ rep1, the rep-2 reading was a transient (GC pause / compaction),
 not a plan property.  Investigated for BENCH_r04's one inverted query
@@ -144,17 +145,26 @@ def main() -> None:
     ingest_rate, ingest_reps = _measure_ingest(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Per-rep detail goes to STDERR only: round 5 proved that packing the
+    # cold/rep3 dicts into the final stdout line grows it past the driver's
+    # tail-capture buffer, truncating the head of the line and leaving
+    # BENCH_r05.json with "parsed": null.  The machine-readable contract
+    # line below stays SHORT (one warm per-query dict + scalar summaries,
+    # ~0.8 KB at 24 queries) and is printed LAST on stdout.
+    print("# detail " + json.dumps({
+        "cold_queries": cold_query,
+        "rep3_queries": rep3_query,
+        "ingest_reps_events_per_sec": ingest_reps,
+    }), file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
-        "cold_queries": cold_query,
         "cold_total": round(cold_total, 3),   # rounds-1-3 protocol metric
-        "rep3_queries": rep3_query,
+        "rep3_total": round(sum(rep3_query.values()), 3),
         "sf": float(sf),
         "ingest_events_per_sec": ingest_rate,
-        "ingest_reps_events_per_sec": ingest_reps,
     }))
 
 

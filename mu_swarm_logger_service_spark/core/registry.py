@@ -43,8 +43,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Export ordering for the driver contract.  The grading driver writes
 # CORRECTNESS rows for the first 50 keys in ``queries()`` iteration order
-# only (observed rounds 1-4: CORRECTNESS_r{N}.json == first 50 exported
-# keys, every round).  With 221 registered queries and a 50-row window, the
+# only (observed every round so far: CORRECTNESS_r{N}.json == first 50
+# exported keys).  With far more registered queries than the 50-row window
+# (len(QUERIES) at import time is the authoritative count — do not
+# hand-write it here), the
 # only way every query can ever receive driver-side evidence is to rotate a
 # different never-checked cohort into the window each round.  That is what
 # ``EXPORT_FIRST`` does, and nothing else: no query changes, and the keys
@@ -55,85 +57,63 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   r1-r3: first 50 registration-order keys (scan/filter/join/agg/window).
 #   r4: the 47 driver-unconfirmed SURVEY-§2 keys + 3 flagship extras
 #       (47/47 went green first try — CORRECTNESS_r04.json).
-#   r5 (this window): the analytics / timeseries / sketch / triples
-#       families, 0 driver rows in four rounds (VERDICT r4, task 1).
-# Next rotation (r6, AFTER CORRECTNESS_r05 confirms this window): the
-# ~99 still-never-checked keys — fn extras (bitwise/format/try/struct/
-# encode/url/variant), stream extras, the sparql/triples remainder, the
-# ~45 llm extras, and the round-5 additions (PQ/ANN-PQ/IVF-PQ, heavy
-# hitters, observed metrics, repeated n-grams, codec round-trips, the
-# SPARQL SELECT-algebra remainder, paragraph/URL dedup, batch
-# sessionization) — in two 50-key windows.  Do not rotate before the driver records r5.
-# Planned windows, computed 2026-08-14 against CORRECTNESS_r01-r04 (101
-# keys still never driver-checked after the r5 window; rows-only keys stay
-# in-window — their driver rows are weaker but still evidence):
-# r6 (50 keys):
-#   "q_agg_observed", "q_cdc_incremental_agg", "q_sql_lateral",
-#   "q_sql_unpivot", "q_analytics_skyline", "q_ts_sessionize",
-#   "q_sketch_heavy_hitters", "q_sketch_weighted_sample",
-#   "q_sketch_hll_rollup", "q_fn_bitwise", "q_fn_format", "q_fn_try",
-#   "q_fn_struct", "q_fn_encode", "q_fn_url", "q_fn_variant",
-#   "q_stream_join_outer", "q_stream_static_join", "q_stream_rollup",
-#   "q_sparql_delete_where", "q_sparql_path_features",
-#   "q_sparql_negated_propset", "q_sparql_construct", "q_sparql_ask",
-#   "q_sparql_describe", "q_sql_recursive_cte", "q_sparql_aggregate",
-#   "q_sparql_union", "q_sparql_minus", "q_sparql_values_bind",
-#   "q_sparql_subquery", "q_llm_matryoshka", "q_llm_rrf_fusion",
-#   "q_llm_ann_lsh", "q_llm_centroid", "q_llm_embed_near_dup",
-#   "q_llm_quantize_int8", "q_llm_ann_int8", "q_llm_hard_negatives",
-#   "q_llm_pq_encode", "q_llm_ann_pq", "q_llm_ann_ivf",
-#   "q_llm_dup_triangles", "q_llm_pagerank", "q_llm_kmeans_step",
-#   "q_llm_semdedup", "q_llm_ann_recall", "q_llm_embedding_drift",
-#   "q_llm_ann_ivf_pq", "q_llm_incremental_dedup"
-# r7 (51 keys — the remainder; drop the last 1 to r8 if over 50):
-#   "q_llm_simhash", "q_llm_containment", "q_llm_dedup_keep_best",
-#   "q_llm_decontaminate_ngram", "q_llm_fuzzy_token_join",
-#   "q_llm_prefix_dedup", "q_llm_prefix_filter_join",
-#   "q_llm_repeated_ngrams", "q_llm_paragraph_dedup", "q_llm_url_dedup",
-#   "q_llm_domain_filter", "q_llm_media_resize", "q_llm_frame_sample",
-#   "q_llm_png_roundtrip", "q_llm_wav_roundtrip", "q_llm_media_dims",
-#   "q_llm_audio_features", "q_llm_gif_roundtrip", "q_llm_video_meta",
-#   "q_llm_jpeg_roundtrip", "q_llm_media_pipeline", "q_llm_quality",
-#   "q_llm_langid", "q_llm_doc_fingerprint", "q_llm_token_count",
-#   "q_llm_chunk", "q_llm_mixture", "q_llm_boilerplate_strip",
-#   "q_llm_pii_redact", "q_llm_dataset_stats", "q_llm_ngram_stats",
-#   "q_llm_split", "q_llm_repetition", "q_llm_diversity",
-#   "q_llm_dsir_weights", "q_llm_pack_sequences", "q_llm_quality_buckets",
-#   "q_llm_bpe_pairs", "q_llm_pack_next_fit", "q_llm_rebalance",
-#   "q_llm_gopher_rules", "q_llm_vocab_coverage", "q_llm_perplexity",
-#   "q_llm_dpo_pairs", "q_llm_char_entropy", "q_llm_quality_cascade",
+#   r5: analytics / timeseries / sketch / triples families (50/50 green —
+#       CORRECTNESS_r05.json; cumulative 151/253).
+#   r6 (this window): the planned 50-key cohort re-validated 2026-08-14
+#       against CORRECTNESS_r01-r05 (all 50 registered, none ever
+#       driver-checked): fn extras, stream extras, sparql algebra, sketch
+#       additions, ANN/clustering llm extras.  Cumulative target 201/253.
+# r7 (the 52-key remainder; 50 in-window, final 2 ride registration order
+# into r8 unless the window grows):
+#   "q_layout_compaction", "q_llm_simhash", "q_llm_containment",
+#   "q_llm_dedup_keep_best", "q_llm_decontaminate_ngram",
+#   "q_llm_fuzzy_token_join", "q_llm_prefix_dedup",
+#   "q_llm_prefix_filter_join", "q_llm_repeated_ngrams",
+#   "q_llm_paragraph_dedup", "q_llm_url_dedup", "q_llm_domain_filter",
+#   "q_llm_media_resize", "q_llm_frame_sample", "q_llm_png_roundtrip",
+#   "q_llm_wav_roundtrip", "q_llm_media_dims", "q_llm_audio_features",
+#   "q_llm_gif_roundtrip", "q_llm_video_meta", "q_llm_jpeg_roundtrip",
+#   "q_llm_media_pipeline", "q_llm_quality", "q_llm_langid",
+#   "q_llm_doc_fingerprint", "q_llm_token_count", "q_llm_chunk",
+#   "q_llm_mixture", "q_llm_boilerplate_strip", "q_llm_pii_redact",
+#   "q_llm_dataset_stats", "q_llm_ngram_stats", "q_llm_split",
+#   "q_llm_repetition", "q_llm_diversity", "q_llm_dsir_weights",
+#   "q_llm_pack_sequences", "q_llm_quality_buckets", "q_llm_bpe_pairs",
+#   "q_llm_pack_next_fit", "q_llm_rebalance", "q_llm_gopher_rules",
+#   "q_llm_vocab_coverage", "q_llm_perplexity", "q_llm_dpo_pairs",
+#   "q_llm_char_entropy", "q_llm_quality_cascade",
 #   "q_llm_quantile_normalize", "q_llm_token_budget", "q_llm_bpe_train",
-#   "q_llm_bpe_apply", "q_udtf_map_arrow", "q_layout_compaction"
-# (recompute this split against CORRECTNESS_r05 before activating r6)
+#   "q_llm_bpe_apply", "q_udtf_map_arrow"
+# (recompute the r7 split against CORRECTNESS_r06 before activating it)
 # Keys not registered are skipped harmlessly; remaining keys follow in
 # registration order.  The window must never exceed the driver's 50 rows
 # (enforced below and in tests) or the tail silently loses evidence.
 EXPORT_FIRST: tuple[str, ...] = (
-    # CDC + TPC-H-family analytics (operators/analytics.py)
-    "q_cdc_scd2",
-    "q_analytics_shipping_priority", "q_analytics_regional_revenue",
-    "q_analytics_promo_revenue", "q_analytics_returned_items",
-    "q_analytics_large_orders", "q_analytics_late_orders",
-    "q_analytics_small_qty_revenue", "q_analytics_disjunctive_revenue",
-    "q_analytics_volume_shipping", "q_analytics_market_share",
-    "q_analytics_idle_customers", "q_analytics_forecast_revenue",
-    "q_analytics_product_profit", "q_analytics_important_parts",
-    "q_analytics_shipmode_priority", "q_analytics_order_distribution",
-    "q_analytics_top_supplier", "q_analytics_part_supp_counts",
-    "q_analytics_blocking_supplier", "q_analytics_min_cost_supplier",
-    "q_analytics_dominant_supplier", "q_audit_referential",
-    "q_analytics_yoy_growth", "q_analytics_market_basket",
-    # Timeseries / log-analytics (operators/timeseries.py)
-    "q_ts_gapfill", "q_ts_histogram", "q_ts_anomaly", "q_ts_transitions",
-    "q_ts_funnel", "q_ts_retention", "q_ts_ewma", "q_ts_changepoint",
-    "q_ts_locf", "q_ts_trend", "q_ts_seasonality", "q_ts_acf",
-    "q_ts_m4_downsample", "q_ts_interpolate", "q_ts_volatility",
-    "q_ts_sliding_distinct", "q_ts_multi_touch",
-    # Sketches (operators/sketches.py; seeded affine hash family → exact)
-    "q_sketch_bloom", "q_sketch_countmin", "q_sketch_reservoir",
-    "q_sketch_sample", "q_sketch_stratified", "q_sketch_bitmap_distinct",
-    # Triple-pattern queries (sources/triples.py; rest of family in r6)
-    "q_triples_bgp", "q_triples_optional",
+    # SQL / aggregate / CDC extras
+    "q_agg_observed", "q_cdc_incremental_agg", "q_sql_lateral",
+    "q_sql_unpivot", "q_analytics_skyline", "q_ts_sessionize",
+    # Round-5 sketch additions (operators/sketches.py)
+    "q_sketch_heavy_hitters", "q_sketch_weighted_sample",
+    "q_sketch_hll_rollup",
+    # Scalar-function extras (functions/scalar.py)
+    "q_fn_bitwise", "q_fn_format", "q_fn_try", "q_fn_struct",
+    "q_fn_encode", "q_fn_url", "q_fn_variant",
+    # Streaming extras (streaming/queries.py)
+    "q_stream_join_outer", "q_stream_static_join", "q_stream_rollup",
+    # SPARQL algebra remainder (sources/sparql.py, sources/triples.py)
+    "q_sparql_delete_where", "q_sparql_path_features",
+    "q_sparql_negated_propset", "q_sparql_construct", "q_sparql_ask",
+    "q_sparql_describe", "q_sql_recursive_cte", "q_sparql_aggregate",
+    "q_sparql_union", "q_sparql_minus", "q_sparql_values_bind",
+    "q_sparql_subquery",
+    # Embedding / ANN / clustering extras (llm/similarity.py, llm/clustering.py)
+    "q_llm_matryoshka", "q_llm_rrf_fusion", "q_llm_ann_lsh",
+    "q_llm_centroid", "q_llm_embed_near_dup", "q_llm_quantize_int8",
+    "q_llm_ann_int8", "q_llm_hard_negatives", "q_llm_pq_encode",
+    "q_llm_ann_pq", "q_llm_ann_ivf", "q_llm_dup_triangles",
+    "q_llm_pagerank", "q_llm_kmeans_step", "q_llm_semdedup",
+    "q_llm_ann_recall", "q_llm_embedding_drift", "q_llm_ann_ivf_pq",
+    "q_llm_incremental_dedup",
 )
 
 # The driver's CORRECTNESS window is 50 rows; a 51st pin would silently push

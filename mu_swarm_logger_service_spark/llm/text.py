@@ -1745,3 +1745,50 @@ def q_llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_tokens").alias("n_bpe_tokens"),
              F.sum(F.length("word")).alias("n_chars"))
     )
+
+
+@query("q_llm_k_anonymity", oracle="""
+WITH qi AS (
+  SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_bucket
+  FROM documents
+), grouped AS (
+  SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS group_n
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT lang, source, len_bucket, group_n,
+       group_n < 5 AS at_risk,
+       CAST(CASE WHEN group_n < 5 THEN group_n ELSE 0 END AS BIGINT)
+         AS n_suppressed
+FROM grouped
+""")
+def q_llm_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data release runs before publishing: any combination of
+    quasi-identifying attributes (here lang × source × length bucket)
+    shared by fewer than k=5 documents re-identifies its members, and
+    those documents must be suppressed or generalized.  The report lists
+    every equivalence class with its size, the at-risk flag, and the
+    suppression cost (docs lost if the sub-k classes are dropped).
+
+    Physically ONE groupBy on the quasi-identifier tuple — map-side
+    partials shrink the shuffle to |distinct QI classes|, which is tiny
+    relative to the corpus at any scale (generalize the bucket width to
+    trade precision for class size).  No joins, no Python: the audit
+    costs a single aggregation pass even at 100 TB, and the same grouped
+    frame feeds the generalization loop (widen buckets until every class
+    reaches k)."""
+    docs = load(spark, sf_dir, "documents")
+    grouped = (
+        docs.select(
+            "lang", "source",
+            (F.col("n_chars") / 100).cast("long").alias("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("group_n"))
+    )
+    at_risk = F.col("group_n") < 5
+    return grouped.select(
+        "lang", "source", "len_bucket", "group_n",
+        at_risk.alias("at_risk"),
+        F.when(at_risk, F.col("group_n")).otherwise(0).cast("long")
+        .alias("n_suppressed"),
+    )

@@ -929,6 +929,82 @@ def q_audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(b).crossJoin(c).crossJoin(d)
 
 
+@query("q_audit_expectations", oracle="""
+WITH stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_custkey,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS bad_price,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+         CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_priority,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1900-01-01'
+                         OR o_orderdate >= TIMESTAMP '2100-01-01'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_date
+  FROM orders
+)
+SELECT 'not_null_custkey' AS rule, n AS n_checked,
+       null_custkey AS n_violations, null_custkey = 0 AS passed FROM stats
+UNION ALL SELECT 'unique_orderkey', n, dup_orderkey, dup_orderkey = 0
+FROM stats
+UNION ALL SELECT 'positive_totalprice', n, bad_price, bad_price = 0
+FROM stats
+UNION ALL SELECT 'status_in_set', n, bad_status, bad_status = 0 FROM stats
+UNION ALL SELECT 'priority_pattern', n, bad_priority, bad_priority = 0
+FROM stats
+UNION ALL SELECT 'orderdate_bounds', n, bad_date, bad_date = 0 FROM stats
+""")
+def q_audit_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (the Deequ / Great-
+    Expectations shape): evaluate a suite of column constraints —
+    completeness, key uniqueness, value range, set membership, regex
+    pattern, date sanity — and emit one report row per rule with its
+    violation count and pass flag.  This is the gate a training-data
+    pipeline runs on every ingest batch before the data is admitted.
+
+    The whole suite is ONE scan + ONE single-row aggregate (every rule
+    is an agg expression; uniqueness rides the same pass as a
+    count-distinct), then a 6-way stack() of that one row into report
+    form — versus the naive one-scan-per-rule form the oracle
+    deliberately uses.  At 100 TB that is 1 fact pass for N rules, with
+    map-side partials and a 1-row shuffle; adding a rule costs an
+    expression, not a scan."""
+    o = load(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .alias("dup_orderkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .alias("bad_price"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+              .otherwise(0)).alias("bad_status"),
+        F.sum(F.when(~F.col("o_orderpriority").rlike("^[1-5]-"), 1)
+              .otherwise(0)).alias("bad_priority"),
+        F.sum(F.when((F.col("o_orderdate") < F.lit("1900-01-01").cast(
+            "timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2100-01-01").cast("timestamp")),
+            1).otherwise(0)).alias("bad_date"),
+    )
+    report = stats.select(
+        "n",
+        F.expr("""stack(6,
+            'not_null_custkey', null_custkey,
+            'unique_orderkey', dup_orderkey,
+            'positive_totalprice', bad_price,
+            'status_in_set', bad_status,
+            'priority_pattern', bad_priority,
+            'orderdate_bounds', bad_date) AS (rule, n_violations)"""),
+    )
+    return report.select(
+        "rule", F.col("n").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
 @query("q_analytics_yoy_growth", oracle=f"""
 WITH yearly AS (
   SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,

@@ -489,6 +489,91 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_cdc_merge_upsert", oracle="""
+WITH base AS (
+  SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0
+), raw_changes AS (
+  SELECT event_id, user_id, value + 1.0 AS value, ts,
+         CASE WHEN user_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         1 AS seq
+  FROM events WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT event_id, user_id, value + 2.0 AS value, ts,
+         CASE WHEN user_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+         2 AS seq
+  FROM events WHERE event_id % 10 = 0
+), latest AS (
+  SELECT event_id, user_id, value, op FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_id ORDER BY seq DESC, ts DESC) AS rn
+    FROM raw_changes) WHERE rn = 1
+)
+SELECT COALESCE(c.event_id, b.event_id) AS event_id,
+       COALESCE(c.user_id, b.user_id) AS user_id,
+       COALESCE(c.value, b.value) AS value,
+       CASE WHEN c.event_id IS NULL THEN 'kept'
+            WHEN b.event_id IS NULL THEN 'inserted'
+            ELSE 'updated' END AS merge_action
+FROM base b FULL OUTER JOIN latest c ON b.event_id = c.event_id
+WHERE c.op IS NULL OR c.op != 'delete'
+""")
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (keyed upsert) — the lakehouse write primitive behind
+    Delta/Iceberg MERGE: apply a change batch (upserts + deletes, possibly
+    several changes per key) onto a base snapshot, latest change winning.
+    Semantics: WHEN MATCHED AND op='delete' THEN DELETE / WHEN MATCHED
+    THEN UPDATE / WHEN NOT MATCHED AND op!='delete' THEN INSERT — plus
+    the pre-step every real MERGE needs: collapse the batch to ONE change
+    per key (row_number over (seq, ts) desc) or the join multiplies rows.
+
+    Deterministic fixture from events: base = even event_ids; the change
+    batch carries +1.0 versions for %5 keys and later +2.0 versions for
+    %10 keys (so latest-wins is actually exercised: %10 keys must surface
+    value+2.0); user_id %7 marks deletes.  Both perturbations are single
+    IEEE adds — bit-identical cross-engine.
+
+    Physically: one window shuffle on the CHANGE BATCH (change-sized, not
+    table-sized) then one key join against base.  At 100 TB base is
+    bucketed/partitioned by key on write, so the join prunes to touched
+    partitions (copy-on-write MERGE rewrites only matched files — the
+    filter-join here is that file-pruning shape) and the window cost
+    stays proportional to the delta."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value")
+    op = (F.when(F.col("user_id") % 7 == 0, "delete")
+          .otherwise("upsert").alias("op"))
+    raw_changes = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "user_id",
+                (F.col("value") + 1.0).alias("value"), "ts", op,
+                F.lit(1).alias("seq"))
+        .unionByName(
+            ev.filter(F.col("event_id") % 10 == 0)
+            .select("event_id", "user_id",
+                    (F.col("value") + 2.0).alias("value"), "ts", op,
+                    F.lit(2).alias("seq")))
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("seq").desc(), F.col("ts").desc())
+    latest = (raw_changes.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("event_id", "user_id", "value", "op"))
+    b, c = base.alias("b"), latest.alias("c")
+    merged = b.join(c, F.col("b.event_id") == F.col("c.event_id"),
+                    "full_outer")
+    return merged.filter(
+        F.col("c.op").isNull() | (F.col("c.op") != "delete")
+    ).select(
+        F.coalesce(F.col("c.event_id"), F.col("b.event_id")).alias("event_id"),
+        F.coalesce(F.col("c.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.coalesce(F.col("c.value"), F.col("b.value")).alias("value"),
+        F.when(F.col("c.event_id").isNull(), "kept")
+        .when(F.col("b.event_id").isNull(), "inserted")
+        .otherwise("updated").alias("merge_action"),
+    )
+
+
 @query("q_sql_lateral", oracle="""
 SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
 FROM customer c, LATERAL (
@@ -541,7 +626,12 @@ def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     still applies), versus the 4-scan UNION ALL a user would hand-write
     — the oracle deliberately uses that UNION ALL form, proving the
     Expand plan computes the same relation.  Totals go through the
-    decimal path for order-independent float sums."""
+    decimal path for order-independent float sums.
+
+    INCLUDE NULLS matters: Spark's UNPIVOT drops NULL-measure rows by
+    default while the oracle's UNION ALL keeps them in COUNT(*) — the
+    fixture happens to have no NULL measures, but the two forms must
+    agree by construction, not by luck (r5 advice)."""
     from ..core.tables import register_views
 
     register_views(spark, sf_dir)
@@ -549,7 +639,7 @@ def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT metric, COUNT(*) AS n,
                CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) AS total
         FROM lineitem
-        UNPIVOT (val FOR metric IN (
+        UNPIVOT INCLUDE NULLS (val FOR metric IN (
           l_quantity AS quantity, l_extendedprice AS extendedprice,
           l_discount AS discount, l_tax AS tax))
         GROUP BY metric
@@ -588,7 +678,14 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = os.path.join(SINK_ROOT, f"compact_packed_{tag}")
     ev = load(spark, sf_dir, "events").select(
         "event_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
-    marker = os.path.join(debris, "_SUCCESS_ALL_SHARDS")
+    # Marker keyed on a fixture fingerprint (row count), not just the path:
+    # if the parquet fixtures are regenerated, or a prior run died between
+    # the s==0 overwrite and the marker write, the fingerprint mismatch
+    # forces a full rewrite (the s==0 overwrite clears all stale debris AND
+    # any stale marker, since Spark's static overwrite removes the whole
+    # sink directory).  Underscore-prefixed name keeps Spark's reader from
+    # treating the marker as data (r5 advice).
+    marker = os.path.join(debris, f"_SUCCESS_ALL_SHARDS_{ev.count()}")
     if not os.path.exists(marker):
         for s in range(8):
             (ev.filter(F.pmod(F.col("event_id"), F.lit(8)) == s)
@@ -613,5 +710,9 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"),
              F.countDistinct("f").alias("files_after"))
     )
+    # Partition-column read-back infers DATE; the repo rule is dates as
+    # STRINGS in output columns (a typed-date-aware driver hash would
+    # diverge from the oracle's VARCHAR day — r5 advice).
     return after.join(before, "day").select(
-        "day", "n_rows", "files_before", "files_after")
+        F.col("day").cast("string").alias("day"),
+        "n_rows", "files_before", "files_after")
