@@ -116,6 +116,22 @@ def main() -> None:
      .withColumn("rn", F.row_number().over(w))
      .groupBy("rn").agg(F.max(F.struct("x", "h")).alias("m"))
      .count())
+    # Nested higher-order-function family (transform∘array_min∘transform
+    # with a per-element hash): HOFs are CodegenFallback, and the FIRST
+    # evaluation of this template pays interpreted-path class loading
+    # measured at ~1-1.5 s regardless of data size.  The template is
+    # width-independent (the sequence bound is a literal datum, not
+    # expression structure), so an 8-wide 200-row pass warms the same
+    # classes the 64-perm MinHash signature stage uses.
+    (spark.range(200)
+     .select(F.split(F.concat(F.lit("w x y "), "id"), " ").alias("toks"))
+     .select(F.transform(
+         F.sequence(F.lit(0), F.lit(7)),
+         lambda i: F.array_min(
+             F.transform(F.col("toks"), lambda t: F.xxhash64(t, i))))
+      .alias("sig"))
+     .select(F.sum(F.element_at("sig", 1)).alias("s"))
+     .count())
 
     per_query: dict[str, float] = {}
     cold_query: dict[str, float] = {}

@@ -274,7 +274,21 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_MINHASH,
     shuffles the whole token stream; signatures are embarrassingly
     per-document, so the map form is also the right 100 TB shape).
     ``keep`` carries blocking columns through the same narrow select so
-    callers never join the corpus back to its own signatures."""
+    callers never join the corpus back to its own signatures.
+
+    Cheaper-family experiments (round 6, all REJECTED on measurement at
+    sf0.1/64-perm; keep unless the engine gains codegen'd higher-order
+    lambdas): (a) classic affine permutations over a single base hash —
+    ``(x·A_i + B_i) mod (2^31−1)`` — cut the cold rep 2.16→1.24 s but
+    DOUBLED the warm rep (0.51→0.98 s): HOFs are CodegenFallback, so each
+    interpreted arithmetic node pays boxing per token×perm, while
+    xxhash64 is one tight JVM call (NB if revisited: the modulus must sit
+    just above the base domain — a 2^61−1 modulus makes x·A wrap at most
+    once, the map turns piecewise-monotone, and recall collapsed
+    0.93→0.73); (b) Arrow/numpy pandas-UDF over per-token base hashes:
+    warm 0.62 s — still behind, and it adds a Python boundary.  The
+    per-(token, perm) xxhash64 form wins warm, which is what the
+    steady-state 100 TB posture prices."""
     toks = F.array_distinct(F.split("text", " "))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(n_perm - 1)),
