@@ -844,3 +844,157 @@ def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOPK)
         .select("q_id", "c_id", "adc_dist")
     )
+
+
+_EMB_DIM = 64
+
+
+def _moments_oracle() -> str:
+    from ..core.numeric import dsum_sql
+
+    x = "CAST(embedding[CAST(i AS BIGINT) + 1] AS DOUBLE)"
+    return f"""
+SELECT CAST(i AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql(x)} / COUNT(*) AS mean,
+       {dsum_sql(f'({x}) * ({x})')} / COUNT(*)
+         - ({dsum_sql(x)} / COUNT(*)) * ({dsum_sql(x)} / COUNT(*)) AS var
+FROM embeddings, UNNEST(range(0, {_EMB_DIM})) AS t(i)
+GROUP BY 1
+"""
+
+
+@query("q_llm_embed_moments", oracle=_moments_oracle())
+def q_llm_embed_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding moments (mean, population variance) — the
+    standardization / whitening-prep statistics every embedding pipeline
+    computes before normalization, PCA, or drift monitoring.
+
+    ONE corpus pass: 2·d decimal accumulators (Σx, Σx² per dimension) in
+    a single-row aggregate — map-side partials shrink the shuffle to one
+    128-value row regardless of corpus size — then a d-way stack() into
+    report rows.  The naive explode-to-(row, dim) form would shuffle
+    n·d rows; this shuffles 1.  (A full d×d Gram/covariance at scale
+    would extend the same pattern with per-partition numpy partials via
+    mapInPandas; the d diagonal moments are the exactly-oracle-checkable
+    core.)
+
+    Determinism: float32 → double casts are exact, squares of 24-bit
+    mantissas fit doubles exactly, and all sums run through the decimal
+    path (core/numeric) — order-independent, bit-identical cross-engine;
+    mean/var are then fixed-shape IEEE expressions over identical bits.
+    """
+    from ..core.numeric import DEC
+
+    emb = load(spark, sf_dir, "embeddings")
+    el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
+    aggs = []
+    for i in range(_EMB_DIM):
+        aggs.append(F.sum(el(i).cast(DEC)).cast("double").alias(f"s{i}"))
+        aggs.append(F.sum((el(i) * el(i)).cast(DEC)).cast("double")
+                    .alias(f"q{i}"))
+    stats = emb.agg(F.count(F.lit(1)).alias("n"), *aggs)
+    stacked = stats.select(
+        "n",
+        F.expr("stack(%d, %s) AS (dim, s, q)" % (
+            _EMB_DIM,
+            ", ".join(f"CAST({i} AS BIGINT), s{i}, q{i}"
+                      for i in range(_EMB_DIM)))),
+    )
+    mean = F.col("s") / F.col("n")
+    return stacked.select(
+        "dim", "n", mean.alias("mean"),
+        (F.col("q") / F.col("n") - mean * mean).alias("var"),
+    )
+
+
+_WHITEN_EPS = "1e-6"
+
+_WHITEN_SQL = f"""
+WITH per_dim AS (
+  SELECT CAST(i AS BIGINT) AS dim,
+         CAST(SUM(CAST(CAST(embedding[CAST(i AS BIGINT) + 1] AS DOUBLE)
+                       AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS mean,
+         CAST(SUM(CAST(CAST(embedding[CAST(i AS BIGINT) + 1] AS DOUBLE)
+                       * CAST(embedding[CAST(i AS BIGINT) + 1] AS DOUBLE)
+                       AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS sq
+  FROM embeddings, UNNEST(range(0, {_EMB_DIM})) AS t(i)
+  GROUP BY 1
+), stats AS (
+  SELECT list(mean ORDER BY dim) AS means,
+         list(1.0 / sqrt(sq - mean * mean + {_WHITEN_EPS}) ORDER BY dim)
+           AS isds
+  FROM per_dim
+), wh AS (
+  SELECT vec_id,
+         list_transform(range(1, {_EMB_DIM} + 1), i ->
+           (CAST(embedding[CAST(i AS BIGINT)] AS DOUBLE)
+            - means[CAST(i AS BIGINT)]) * isds[CAST(i AS BIGINT)]) AS w
+  FROM embeddings, stats
+)
+SELECT vec_id,
+       round(w[1], 6) + 0.0 AS w1,
+       round(w[2], 6) + 0.0 AS w2,
+       round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(w, x -> x * x)), (a, b) -> a + b)), 6) AS wnorm
+FROM wh
+"""
+
+
+@query("q_llm_embed_whiten", oracle=_WHITEN_SQL)
+def q_llm_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding standardization (diagonal whitening): x̂ᵢ = (xᵢ − μᵢ)/σᵢ
+    per dimension — the normalization step between raw encoder output and
+    anything distance-based (kNN, clustering, drift detection), using the
+    same one-pass moment statistics as q_llm_embed_moments.
+
+    Scale shape: the statistics reduce to ONE row (2·d decimal
+    accumulators, map-side partials), which then rides a broadcast onto a
+    second corpus pass that whitens each vector with a narrow zip_with —
+    the classic two-pass fit/transform split.  The corpus is scanned
+    twice but never shuffled; at 100 TB the fit row would be persisted
+    and reused across transform runs.
+
+    Emitted: the first two whitened coordinates (rounded, +0.0 for the
+    −0.0 gotcha) and the whitened L2 norm via the order-stable left
+    fold, so the oracle checks both a point value and a full-vector
+    reduction per row."""
+    from ..core.numeric import DEC
+
+    emb = load(spark, sf_dir, "embeddings")
+    el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(_EMB_DIM):
+        aggs.append(F.sum(el(i).cast(DEC)).cast("double").alias(f"s{i}"))
+        aggs.append(F.sum((el(i) * el(i)).cast(DEC)).cast("double")
+                    .alias(f"q{i}"))
+    stats = emb.agg(*aggs).select(
+        F.array(*[(F.col(f"s{i}") / F.col("n")).alias(f"m{i}")
+                  for i in range(_EMB_DIM)]).alias("means"),
+        F.array(*[
+            (F.lit(1.0) / F.sqrt(
+                F.col(f"q{i}") / F.col("n")
+                - (F.col(f"s{i}") / F.col("n")) * (F.col(f"s{i}") / F.col("n"))
+                + F.lit(float(_WHITEN_EPS)))).alias(f"i{i}")
+            for i in range(_EMB_DIM)]).alias("isds"),
+    )
+    wh = (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.arrays_zip("means", "isds"),
+                lambda x, mi: (x - mi["means"]) * mi["isds"],
+            ).alias("w"),
+        )
+    )
+    wnorm = F.sqrt(F.aggregate(
+        F.transform("w", lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x))
+    return wh.select(
+        "vec_id",
+        (F.round(F.element_at("w", 1), 6) + F.lit(0.0)).alias("w1"),
+        (F.round(F.element_at("w", 2), 6) + F.lit(0.0)).alias("w2"),
+        F.round(wnorm, 6).alias("wnorm"),
+    )

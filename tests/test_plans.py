@@ -456,3 +456,52 @@ def test_skyline_phase1_is_block_partitioned(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_analytics_skyline")
     assert "hashpartitioning(blk" in p
     assert p.count("SinglePartition") <= 1
+
+
+def test_merge_upsert_shuffles_change_batch_not_base(spark, sf_dir):
+    """MERGE's dedup window must partition on the CHANGE key (event_id) —
+    change-batch-sized work — and the base join must be a real hash/merge
+    join, never a nested loop (which would scan base per change row)."""
+    p = _plan(spark, sf_dir, "q_cdc_merge_upsert")
+    assert "hashpartitioning(event_id" in p
+    assert "Window" in p
+    assert ("SortMergeJoin" in p) or ("HashJoin" in p)
+    assert "NestedLoop" not in p
+
+
+def test_expectations_suite_is_one_scan(spark, sf_dir):
+    """The whole expectations suite must cost ONE orders scan + a
+    single-row aggregate (every rule an agg expression, uniqueness riding
+    the same pass), then Expand/stack into report rows — never one scan
+    per rule like the oracle's UNION ALL form."""
+    p = _plan(spark, sf_dir, "q_audit_expectations")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "HashAggregate" in p
+    assert "Join" not in p
+
+
+def test_k_anonymity_single_aggregation_no_join(spark, sf_dir):
+    """The k-anonymity audit is ONE groupBy on the quasi-identifier tuple
+    with map-side partials — one exchange, no join, no window."""
+    p = _plan(spark, sf_dir, "q_llm_k_anonymity")
+    assert p.count("hashpartitioning(") == 1
+    assert p.count("HashAggregate") >= 2
+    assert "Join" not in p
+
+
+def test_embed_moments_one_scan_one_row_shuffle(spark, sf_dir):
+    """The moment statistics must be ONE corpus scan reduced map-side to a
+    single row — no join, no key shuffle (the explode-to-(row,dim) form
+    would hashpartition n·d rows)."""
+    p = _plan(spark, sf_dir, "q_llm_embed_moments")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert p.count("hashpartitioning(") == 0
+    assert "Join" not in p
+
+
+def test_embed_whiten_broadcasts_stats_never_shuffles_corpus(spark, sf_dir):
+    """Fit/transform split: the 1-row stats side must ride a broadcast
+    onto the transform scan; the corpus itself is never hash-shuffled."""
+    p = _plan(spark, sf_dir, "q_llm_embed_whiten")
+    assert "BroadcastExchange" in p
+    assert p.count("hashpartitioning(") == 0
