@@ -513,3 +513,58 @@ def q_agg_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_purchase long, min_user long, max_user long, "
         "sum_value double",
     )
+
+
+@query("q_agg_linreg", oracle=f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {dsum_sql('CAST(user_id AS DOUBLE)')} AS sx,
+         {dsum_sql('value')} AS sy,
+         {dsum_sql('CAST(user_id AS DOUBLE) * value')} AS sxy,
+         {dsum_sql('CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)')}
+           AS sxx,
+         {dsum_sql('value * value')} AS syy
+  FROM events GROUP BY 1
+)
+SELECT event_type, n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+         AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM m
+""")
+def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped simple linear regression (the regr_slope / regr_intercept
+    / r² family) of value on user_id per event type — the trend-fitting
+    aggregate BI dashboards and drift monitors lean on, computed from the
+    five classical moment sums so it needs exactly ONE aggregation pass.
+
+    Scale shape: one groupBy shuffle with map-side partials carrying six
+    accumulators per group — the closed-form fit never re-scans and never
+    sorts, and the same moment sums serve corr/covar/stddev for free.
+
+    Determinism: every moment goes through the decimal path (products of
+    doubles are single IEEE ops on identical bits, then exact decimal
+    sums), so slope/intercept/r² are fixed-shape expressions over
+    bit-identical operands — emitted raw, no round()."""
+    ev = load(spark, sf_dir, "events")
+    x = F.col("user_id").cast("double")
+    y = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"), dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"), dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type", "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy))).alias("r2"),
+    )

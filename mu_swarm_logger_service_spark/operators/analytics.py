@@ -1193,3 +1193,129 @@ def q_analytics_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sweep(candidates, []).select(      # phase 2: frontier-sized
         "spend", "n_orders", "n_customers", "first_custkey"
     )
+
+
+@query("q_analytics_revenue_gini", oracle=f"""
+WITH rev AS (
+  SELECT n.n_name AS nation, c.c_custkey,
+         {dsum_sql('o.o_totalprice')} AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT nation, rev,
+         row_number() OVER (PARTITION BY nation
+                            ORDER BY rev, c_custkey) AS i
+  FROM rev
+), per_nation AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         {dsum_sql('rev')} AS total_revenue,
+         {dsum_sql('i * rev')} AS weighted
+  FROM ranked GROUP BY 1
+)
+SELECT nation, n_customers, total_revenue,
+       2.0 * weighted / (n_customers * total_revenue)
+         - (n_customers + 1.0) / n_customers AS gini
+FROM per_nation
+""")
+def q_analytics_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per customer nation as a Gini coefficient —
+    the inequality audit a marketplace/data-mixture pipeline runs to see
+    whether a segment's volume is spread or captured by a few accounts
+    (for corpora: whether a source's token mass concentrates in few
+    documents).  Gini via the sorted-rank identity
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-ranked revenues.
+
+    Shape: dimension joins broadcast, one fact shuffle into the
+    (nation, customer) rollup, then rank windows over the CUSTOMER-sized
+    rollup partitioned by nation — never over raw orders.  At extreme
+    per-key cardinality the rank step generalizes to a two-phase
+    range-partitioned ranking; the per-block window is the right default.
+
+    Determinism: revenues are decimal-path sums (exact doubles both
+    engines); ranks tiebreak on c_custkey; i·rev products are IEEE-exact
+    identical bits re-summed through the decimal path; the final Gini is
+    a fixed-shape expression over identical operands — emitted raw, no
+    round() (SKILL.md boundary-value gotcha)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("nation").orderBy("rev", "c_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    from ..core.numeric import DEC
+
+    per_nation = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(F.col("rev")).alias("total_revenue"),
+        F.sum((F.col("i") * F.col("rev")).cast(DEC)).cast("double")
+        .alias("weighted"),
+    )
+    return per_nation.select(
+        "nation", "n_customers", "total_revenue",
+        (F.lit(2.0) * F.col("weighted")
+         / (F.col("n_customers") * F.col("total_revenue"))
+         - (F.col("n_customers") + F.lit(1.0)) / F.col("n_customers"))
+        .alias("gini"),
+    )
+
+
+@query("q_audit_dataset_fingerprint", oracle="""
+WITH rows_h AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             string_split_regex(substr(md5(
+               CAST(event_id AS VARCHAR) || '|' ||
+               CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+               CAST(user_id AS VARCHAR) || '|' || event_type), 1, 15), ''),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           (a, b) -> a * 16 + b) AS rh
+  FROM events
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0))
+            AS VARCHAR) AS fingerprint
+FROM rows_h GROUP BY day
+""")
+def q_audit_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent dataset content fingerprint per day partition —
+    the reproducibility primitive behind snapshot audits: two pipelines
+    (or two runs, or pre-/post-migration copies) produced the same
+    partition iff the fingerprints match, with NO canonical ordering
+    required of either side.
+
+    Each row hashes to md5 over a '|'-joined canonical tuple (ids,
+    microsecond epoch — the cross-engine-exact timestamp form — and the
+    string key; float columns would join via their decimal-quantized
+    form); the top 60 bits fold to a BIGINT and the partition fingerprint
+    is their exact DECIMAL(38,0) SUM — associative and commutative, so
+    map-side partials and any shuffle order give the same value, and two
+    fingerprints are mergeable by addition (file → partition → table
+    rollups for free).  One scan, one groupBy(day) whose shuffle carries
+    one decimal per partition.  Emitted as a string (decimal-dtype
+    gotcha).  md5 prefix folding matches DuckDB's character fold exactly
+    (validated: conv(substr(md5,1,15),16,10) == the list_reduce fold)."""
+    ev = load(spark, sf_dir, "events")
+    canon = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.unix_micros("ts").cast("string"),
+        F.col("user_id").cast("string"),
+        "event_type",
+    )
+    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                  rh.alias("rh"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("rh").cast("decimal(38,0)")).cast("decimal(38,0)")
+             .cast("string").alias("fingerprint"))
+    )

@@ -505,3 +505,23 @@ def test_embed_whiten_broadcasts_stats_never_shuffles_corpus(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_llm_embed_whiten")
     assert "BroadcastExchange" in p
     assert p.count("hashpartitioning(") == 0
+
+
+def test_gini_windows_over_rollup_not_orders(spark, sf_dir):
+    """Gini's rank window must run over the (nation, customer) rollup
+    partitioned by nation — dimension joins broadcast, the fact shuffles
+    once into the rollup, and no global single-partition sort appears."""
+    p = _plan(spark, sf_dir, "q_analytics_revenue_gini")
+    assert "BroadcastHashJoin" in p
+    assert "hashpartitioning(nation" in p
+    assert "SinglePartition" not in p
+
+
+def test_linreg_is_one_pass_moment_aggregate(spark, sf_dir):
+    """The regression family must be ONE scan + ONE grouped aggregate
+    carrying the moment sums (map-side partials) — no sort, no join, no
+    second pass."""
+    p = _plan(spark, sf_dir, "q_agg_linreg")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert p.count("HashAggregate") >= 2
+    assert "Join" not in p and "Sort" not in p
