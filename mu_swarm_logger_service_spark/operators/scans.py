@@ -716,3 +716,59 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return after.join(before, "day").select(
         F.col("day").cast("string").alias("day"),
         "n_rows", "files_before", "files_after")
+
+
+@query("q_sink_bucketed", oracle=f"""
+SELECT c.c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_sql('o.o_totalprice')} AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+""")
+def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table sink + co-located join — the write-side layout
+    technique that pre-pays the shuffle: both sides are written
+    ``bucketBy(8, custkey).sortBy(custkey)``, so a later equi-join on the
+    bucket key needs NO exchange and NO sort on either side (bucket i
+    joins bucket i; within-bucket order is already the join order).  At
+    100 TB this turns every repeated fact-fact join on the bucket key
+    from a full two-sided shuffle into a zipper per bucket — the single
+    biggest recurring-cost lever a table layout owns
+    (tests/test_plans.py pins the exchange-free plan with broadcast
+    disabled; under default confs Catalyst may still elect a broadcast
+    for a small side, which also avoids the shuffle).
+
+    The tables are rewritten (mode=overwrite) on every call — no marker
+    files, per the compaction-fixture lesson (round-5 advice): an
+    idempotent rewrite can never audit stale debris.  Bucket count 8 is
+    the demo scale; production sizes buckets so one bucket ≈ one
+    executor-core's working set."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    t_orders, t_cust = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    # Managed-table hygiene: a FRESH session's in-memory catalog doesn't
+    # know about a previous session's tables, but their warehouse
+    # directories survive on disk and make saveAsTable fail with
+    # LOCATION_ALREADY_EXISTS.  Drop from the catalog AND remove any
+    # orphaned location before writing.
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (t_orders, t_cust):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    (load(spark, sf_dir, "orders")
+     .select("o_orderkey", "o_custkey", "o_totalprice")
+     .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+     .saveAsTable(t_orders))
+    (load(spark, sf_dir, "customer")
+     .select("c_custkey", "c_nationkey")
+     .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+     .saveAsTable(t_cust))
+    o, c = spark.table(t_orders), spark.table(t_cust)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             dsum(F.col("o_totalprice")).alias("revenue"))
+    )

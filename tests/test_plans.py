@@ -525,3 +525,21 @@ def test_linreg_is_one_pass_moment_aggregate(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert p.count("HashAggregate") >= 2
     assert "Join" not in p and "Sort" not in p
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir):
+    """Both sides are written bucketBy(8, custkey).sortBy(custkey), so
+    with broadcast disabled the equi-join must plan as a SortMergeJoin
+    with ZERO shuffle exchanges and no per-side Sort — the entire point
+    of paying the bucketed layout at write time.  (The final groupBy
+    rollup's exchange is allowed: assert no exchange between the scans
+    and the join by requiring exactly one hashpartitioning — the
+    rollup's.)"""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _plan(spark, sf_dir, "q_sink_bucketed")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in p
+    assert p.count("hashpartitioning(") == 1  # only the rollup shuffles
