@@ -84,11 +84,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   "q_llm_char_entropy", "q_llm_quality_cascade",
 #   "q_llm_quantile_normalize", "q_llm_token_budget", "q_llm_bpe_train",
 #   "q_llm_bpe_apply", "q_udtf_map_arrow"
-# ...plus the EIGHT round-6 additions (q_cdc_merge_upsert,
+# ...plus the NINE round-6 additions (q_cdc_merge_upsert,
 # q_audit_expectations, q_llm_k_anonymity, q_llm_embed_moments,
 # q_llm_embed_whiten, q_analytics_revenue_gini, q_agg_linreg,
-# q_audit_dataset_fingerprint) → 60 never-checked after r6: r7 takes 50,
-# r8 sweeps the last 10.
+# q_audit_dataset_fingerprint, q_sink_bucketed) → 61 never-checked after
+# r6: r7 takes 50, r8 sweeps the last 11.
 # (recompute the r7 split against CORRECTNESS_r06 before activating it)
 # Keys not registered are skipped harmlessly; remaining keys follow in
 # registration order.  The window must never exceed the driver's 50 rows
