@@ -1210,8 +1210,8 @@ WITH rev AS (
   FROM rev
 ), per_nation AS (
   SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
-         {dsum_sql('rev')} AS total_revenue,
-         {dsum_sql('i * rev')} AS weighted
+         CAST(SUM(CAST(rev AS DECIMAL(27,2))) AS DOUBLE) AS total_revenue,
+         CAST(SUM(CAST(i * rev AS DECIMAL(27,2))) AS DOUBLE) AS weighted
   FROM ranked GROUP BY 1
 )
 SELECT nation, n_customers, total_revenue,
@@ -1251,10 +1251,19 @@ def q_analytics_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = rev.withColumn("i", F.row_number().over(w))
     from ..core.numeric import DEC
 
+    # Nation-level sums carry TWO decimal places, not six: Σ i·rev at
+    # sf0.1 is ~6e11, and an exact 6-dp decimal of that magnitude needs
+    # ~59 mantissa bits — past 2^53 the final decimal→double cast must
+    # round, and Spark and DuckDB were measured rounding it differently
+    # by one ulp (sf0.1 sweep, round 6).  At 2 dp the scaled integers
+    # stay ≈6e13 < 2^53, so the cast is exact again in both engines;
+    # per-product 2-dp rounding is tie-impossible (binary doubles can't
+    # hit x.xx5) and shifts Gini by O(n·0.005/Σ) ≈ 1e-12 — nothing.
+    DEC2 = "decimal(27,2)"
     per_nation = ranked.groupBy("nation").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        dsum(F.col("rev")).alias("total_revenue"),
-        F.sum((F.col("i") * F.col("rev")).cast(DEC)).cast("double")
+        F.sum(F.col("rev").cast(DEC2)).cast("double").alias("total_revenue"),
+        F.sum((F.col("i") * F.col("rev")).cast(DEC2)).cast("double")
         .alias("weighted"),
     )
     return per_nation.select(
