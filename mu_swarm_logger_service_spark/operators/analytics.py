@@ -1312,6 +1312,23 @@ def q_audit_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     gotcha).  md5 prefix folding matches DuckDB's character fold exactly
     (validated: conv(substr(md5,1,15),16,10) == the list_reduce fold)."""
     ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                  event_row_fingerprint().alias("rh"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("rh").cast("decimal(38,0)")).cast("decimal(38,0)")
+             .cast("string").alias("fingerprint"))
+    )
+
+
+def event_row_fingerprint():
+    """60-bit row-content hash of an events row (md5 of the canonical
+    '|'-joined tuple, top 15 hex chars folded to BIGINT) — the summand of
+    the order-independent dataset fingerprint.  Shared by the batch audit
+    (q_audit_dataset_fingerprint) and the streaming incremental variant
+    (streaming/queries.q_stream_fingerprint) so both provably sum the
+    same per-row values."""
     canon = F.concat_ws(
         "|",
         F.col("event_id").cast("string"),
@@ -1319,12 +1336,4 @@ def q_audit_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string"),
         "event_type",
     )
-    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
-    return (
-        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
-                  rh.alias("rh"))
-        .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("n_rows"),
-             F.sum(F.col("rh").cast("decimal(38,0)")).cast("decimal(38,0)")
-             .cast("string").alias("fingerprint"))
-    )
+    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")

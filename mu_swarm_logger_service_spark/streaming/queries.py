@@ -398,3 +398,73 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
     return out
 
+
+
+@query("q_stream_fingerprint", oracle="""
+WITH rows_h AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             string_split_regex(substr(md5(
+               CAST(event_id AS VARCHAR) || '|' ||
+               CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+               CAST(user_id AS VARCHAR) || '|' || event_type), 1, 15), ''),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+           (a, b) -> a * 16 + b) AS rh
+  FROM events
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0))
+            AS VARCHAR) AS fingerprint
+FROM rows_h GROUP BY day
+""")
+def q_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dataset fingerprinting over micro-batches: each batch
+    reduces to per-day (count, 60-bit-hash-sum) PARTIALS written to a
+    batchId-addressed directory (idempotent under retries, like
+    q_stream_foreachbatch), and the final fingerprints are the DECIMAL
+    SUM of the partials per day.  Because the fingerprint is an
+    associative+commutative sum of per-row hashes (see
+    operators.analytics.event_row_fingerprint — the SAME expression the
+    batch audit uses), the merged streaming result must equal the
+    one-shot batch fingerprint bit-for-bit, and the oracle IS the batch
+    fingerprint SQL: the parity check proves merge-across-batches ≡
+    recompute — the property that lets a 100 TB ingest maintain
+    per-partition content checksums at micro-batch cost, merging
+    file → batch → partition → table without ever re-reading history.
+    """
+    from ..operators.analytics import event_row_fingerprint
+
+    sink = tempfile.mkdtemp(prefix="spark_graft_fpsink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_fpckpt_")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        part = (
+            bdf.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                       event_row_fingerprint().alias("rh"))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_part"),
+                 F.sum(F.col("rh").cast("decimal(38,0)")).alias("fp_part"))
+        )
+        part.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch={batch_id}"))
+
+    q = (
+        X.stream_events(spark, sf_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(os.path.join(sink, "batch=*"))
+    out = (
+        back.groupBy("day")
+        .agg(F.sum("n_part").cast("long").alias("n_rows"),
+             F.sum("fp_part").cast("decimal(38,0)").cast("string")
+             .alias("fingerprint"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return out
