@@ -84,12 +84,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   "q_llm_char_entropy", "q_llm_quality_cascade",
 #   "q_llm_quantile_normalize", "q_llm_token_budget", "q_llm_bpe_train",
 #   "q_llm_bpe_apply", "q_udtf_map_arrow"
-# ...plus the NINE round-6 additions (q_cdc_merge_upsert,
-# q_audit_expectations, q_llm_k_anonymity, q_llm_embed_moments,
-# q_llm_embed_whiten, q_analytics_revenue_gini, q_agg_linreg,
-# q_audit_dataset_fingerprint, q_sink_bucketed) → 61 never-checked after
-# r6: r7 takes 50, r8 sweeps the last 11.
-# (recompute the r7 split against CORRECTNESS_r06 before activating it)
+# ...plus every round-6 addition (merge upsert, expectations audit,
+# k-anonymity, embedding moments/whitening, Gini, linreg, batch+stream
+# dataset fingerprints, bucketed sink — see git log for the exact set).
+# Do NOT trust these comment counts at activation time: recompute the r7
+# split programmatically against CORRECTNESS_r01..r06 and the live
+# registry (the r6 activation did exactly this), r7 takes 50 of the
+# remainder, r8 sweeps the rest.
 # Keys not registered are skipped harmlessly; remaining keys follow in
 # registration order.  The window must never exceed the driver's 50 rows
 # (enforced below and in tests) or the tail silently loses evidence.
