@@ -417,3 +417,58 @@ def test_observe_metrics_surface_in_streaming_progress(spark, sf_dir):
             totals["n_purchase"] += m["n_purchase"]
     assert totals["n_rows"] == expected["n_rows"]
     assert totals["n_purchase"] == expected["n_purchase"]
+
+
+def test_fingerprint_merge_across_batches_equals_batch(spark, sf_dir, replay):
+    """The incremental fingerprint's core claim, exercised with REAL
+    multi-batch replay (the registered q_stream_fingerprint sees one
+    micro-batch at small SF because events is one file): per-batch
+    (count, hash-sum) partials from 4 ordered micro-batches, merged by
+    decimal addition, must equal the one-shot batch fingerprint exactly
+    — associativity/commutativity of the decimal sum is what makes the
+    checksum maintainable at micro-batch cost."""
+    from mu_swarm_logger_service_spark.operators.analytics import (
+        event_row_fingerprint,
+    )
+
+    src, schema = replay
+    sink = tempfile.mkdtemp(prefix="fp_multi_sink_")
+    ckpt = tempfile.mkdtemp(prefix="fp_multi_ckpt_")
+    batch_ids = []
+
+    def write_batch(bdf, batch_id):
+        batch_ids.append(batch_id)
+        (bdf.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                    event_row_fingerprint().alias("rh"))
+         .groupBy("day")
+         .agg(F.count(F.lit(1)).alias("n_part"),
+              F.sum(F.col("rh").cast("decimal(38,0)")).alias("fp_part"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(sink, f"batch={batch_id}")))
+
+    q = (_read_replay(spark, src, schema)
+         .writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(set(batch_ids)) >= 4   # genuinely incremental
+
+    merged = (
+        spark.read.parquet(os.path.join(sink, "batch=*"))
+        .groupBy("day")
+        .agg(F.sum("n_part").cast("long").alias("n_rows"),
+             F.sum("fp_part").cast("decimal(38,0)").cast("string")
+             .alias("fingerprint"))
+    )
+    batch = (
+        load(spark, sf_dir, "events")
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                event_row_fingerprint().alias("rh"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("rh").cast("decimal(38,0)")).cast("decimal(38,0)")
+             .cast("string").alias("fingerprint"))
+    )
+    assert _canon(merged) == _canon(batch)
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
