@@ -297,6 +297,27 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_MINHASH,
     return docs.select("doc_id", *keep, sig.alias("sig"))
 
 
+def lsh_band_rows(sig: DataFrame, n_bands: int, rows_per_band: int,
+                  keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *keep, band, bucket) — the LSH banding rows of a MinHash
+    signature frame: bucket = xxhash64 over the band's signature slice.
+    One narrow explode per document (n_bands rows out per row in); this
+    IS the LSH index layout — at scale the corpus' band rows are
+    persisted bucketed by (band, bucket) so batch probes join without
+    shuffling the corpus (see q_llm_near_dedup_incremental)."""
+    return sig.select(
+        "doc_id", *keep,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("sig").getItem(b * rows_per_band + r)
+                             for r in range(rows_per_band)]).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ])).alias("bb"),
+    ).select("doc_id", *keep, "bb.band", "bb.bucket")
+
+
 @query("q_llm_near_dedup")
 def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection via MinHash + LSH banding (row 75), pure
@@ -318,17 +339,8 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_perm, n_bands, rows_per_band = minhash_params(spark)
     docs = spread(load(spark, sf_dir, "documents"))
     sig = minhash_signatures(docs, n_perm, keep=("lang", "source"))
-    bands = sig.select(
-        "doc_id", "lang", "source",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col("sig").getItem(b * rows_per_band + r)
-                             for r in range(rows_per_band)]).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ])).alias("bb"),
-    ).select("doc_id", "lang", "source", "bb.band", "bb.bucket")
+    bands = lsh_band_rows(sig, n_bands, rows_per_band,
+                          keep=("lang", "source"))
     # Candidate pairs by grouping each LSH bucket and expanding a<b pairs
     # IN-BUCKET (one groupBy shuffle of the 16·n band rows, pair expansion
     # map-side) instead of a bucket self-join: the join formulation
@@ -378,6 +390,74 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_tok.where((2 * sa >= sb) & (2 * sb >= sa)
                        & (3 * inter >= sa + sb))
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("q_llm_near_dedup_incremental")
+def q_llm_near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup: probe an incoming batch against the
+    corpus' LSH index — the near-dup twin of q_llm_incremental_dedup and
+    the shape a continuously-fed pipeline actually runs (re-running
+    all-pairs LSH per delivery is corpus-sized work; this is batch-sized).
+    Even doc_ids play the already-ingested corpus, odd the new batch;
+    output = (batch_id, corpus_id, jaccard) for every batch doc whose
+    exact token-set Jaccard with a banding-candidate corpus doc is
+    >= 0.5 — the rows a keeper policy then drops or links.  The split is
+    by 20-document id block ((doc_id div 20) % 2) rather than plain
+    parity: the fixture mints near-duplicates at id strides of 20, so a
+    parity split has ZERO cross-side duplicates (measured — every exact
+    pair's id delta is a multiple of 20) and would make the probe
+    vacuously green; the block split sends each stride-20 pair across
+    the corpus/batch boundary.
+
+    Physically: both sides' signatures are narrow per-document maps; the
+    candidate join hits ONLY same-(band, bucket, lang, source) rows, so
+    its cost tracks bucket collisions, not |batch|×|corpus|.  At 100 TB
+    the corpus band rows are a PERSISTED index bucketed by (band,
+    bucket): the probe shuffles batch band rows alone (16·|batch|), the
+    corpus side is a per-bucket zipper read, and verified novel docs
+    append their band rows to the index — strictly delta-sized
+    maintenance, same policy as the exact variant's hash index.  Here
+    both sides compute inline (no persisted state between driver runs).
+
+    Rows-only (xxhash64 banding has no DuckDB twin); compensating tests
+    assert soundness (every emitted pair really has J >= 0.5) and recall
+    against the exact blocked batch×corpus ground truth
+    (tests/test_llm.py::test_near_dedup_incremental_sound_and_recall)."""
+    n_perm, n_bands, rows_per_band = minhash_params(spark)
+    docs = spread(load(spark, sf_dir, "documents"))
+    side = (F.col("doc_id") / 20).cast("long") % 2
+    corpus = docs.filter(side == 0)
+    batch = docs.filter(side == 1)
+    keep = ("lang", "source")
+    bc = lsh_band_rows(minhash_signatures(corpus, n_perm, keep), n_bands,
+                       rows_per_band, keep).withColumnRenamed(
+        "doc_id", "corpus_id")
+    bb = lsh_band_rows(minhash_signatures(batch, n_perm, keep), n_bands,
+                       rows_per_band, keep).withColumnRenamed(
+        "doc_id", "batch_id")
+    cand = (
+        bb.join(bc, ["band", "bucket", "lang", "source"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    tok = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tok"))
+    n_par = spark.sparkContext.defaultParallelism
+    with_tok = (
+        cand.join(tok.withColumnRenamed("doc_id", "batch_id")
+                  .withColumnRenamed("tok", "tok_a"), "batch_id")
+        .repartition(n_par, "corpus_id")
+        .join(tok.withColumnRenamed("doc_id", "corpus_id")
+              .withColumnRenamed("tok", "tok_b"), "corpus_id")
+    )
+    sa, sb = F.size("tok_a"), F.size("tok_b")
+    inter = F.size(F.array_intersect("tok_a", "tok_b"))
+    jac = inter.cast("double") / (sa + sb - inter)
+    return (
+        with_tok.where((2 * sa >= sb) & (2 * sb >= sa)
+                       & (3 * inter >= sa + sb))
+        .select("batch_id", "corpus_id", F.round(jac, 6).alias("jaccard"))
     )
 
 

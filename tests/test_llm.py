@@ -290,3 +290,42 @@ def test_paragraph_dedup_semantics(spark, sf_dir):
     assert all(r.n_kept <= r.n_spans for r in out)
     doc0 = next(r for r in out if r.doc_id == 0)
     assert doc0.n_kept >= 1  # doc 0 pos 0 is the global first occurrence
+
+
+@pytest.mark.parametrize("n_perm,n_bands", [(16, 4), (64, 16)])
+def test_near_dedup_incremental_sound_and_recall(spark, sf_dir, n_perm,
+                                                 n_bands):
+    """Incremental LSH probe: every emitted (batch, corpus) pair must
+    really have J>=0.5, and recall vs the exact blocked batch×corpus
+    ground truth (strong pairs, J>=0.8) must be high — the same contract
+    as the all-pairs variant, restricted to cross-parity pairs."""
+    from mu_swarm_logger_service_spark.llm.dedup import (
+        _CONF_BANDS, _CONF_PERMS, jaccard_half_edges)
+
+    spark.conf.set(_CONF_PERMS, str(n_perm))
+    spark.conf.set(_CONF_BANDS, str(n_bands))
+    try:
+        inc = QUERIES["q_llm_near_dedup_incremental"](spark, sf_dir)
+        rows = inc.collect()
+        assert all(r.jaccard >= 0.5 for r in rows)
+        got = {(r.batch_id, r.corpus_id) for r in rows}
+        exact = jaccard_half_edges(spark, sf_dir, with_jaccard=True)
+
+        def side(d):          # 20-doc id block, mirrors the query's split
+            return (d // 20) % 2
+
+        strong = {
+            (r.doc_a, r.doc_b) if side(r.doc_a) == 1 else (r.doc_b, r.doc_a)
+            for r in exact.filter(F.col("jaccard") >= 0.8).collect()
+            if side(r.doc_a) != side(r.doc_b)
+        }
+        assert strong, "fixture must contain cross-side strong pairs"
+
+        if strong:
+            recall = len(strong & got) / len(strong)
+            assert recall >= 0.8, \
+                f"incremental LSH recall {recall:.2f} on {len(strong)} " \
+                f"strong cross pairs at {n_perm}/{n_bands}"
+    finally:
+        spark.conf.unset(_CONF_PERMS)
+        spark.conf.unset(_CONF_BANDS)
