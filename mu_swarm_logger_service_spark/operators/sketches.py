@@ -476,6 +476,16 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     partials = ev.groupBy("shard").applyInPandas(
         mg_partial, "item long, est long")
+    return mg_merge(partials)
+
+
+def mg_merge(partials: DataFrame) -> DataFrame:
+    """Relational merge of per-shard Misra-Gries summaries → heavy-hitter
+    candidates (user_id, est_count): sum per-item counter values, subtract
+    the standard merged-MG decrement (the (k+1)-largest combined weight),
+    keep positives.  Shared by the batch sketch (q_sketch_heavy_hitters)
+    and the streaming stateful variant (streaming/queries.
+    q_stream_heavy_hitters) so both merge identically."""
     summed = partials.groupBy("item").agg(F.sum("est").alias("est"))
     w = Window.orderBy(F.desc("est"), "item")
     dec = (

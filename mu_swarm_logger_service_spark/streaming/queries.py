@@ -468,3 +468,58 @@ def q_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
     return out
+
+
+@query("q_stream_heavy_hitters")
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: sharded Misra-Gries state maintained
+    ACROSS micro-batches via applyInPandasWithState (stateful.
+    mg_sketch_stateful), per-batch shard snapshots landed idempotently in
+    a batchId-addressed sink, then the batch-side merge: keep each
+    shard's LATEST snapshot (update semantics — only touched shards emit
+    per batch) and run the same relational merged-MG decrement as the
+    batch sketch (operators.sketches.mg_merge — shared code, so the two
+    variants provably merge identically).
+
+    At scale this is the always-on top-k the batch sketch can't be: the
+    state store holds k counters per shard, each micro-batch shuffles
+    only its own rows, and the sink accretes sketch-sized snapshots —
+    query cost is independent of stream history.  Rows-only (sequential
+    MG has no DuckDB twin); tests/test_streaming.py replays multi-batch
+    and asserts the final state equals the batch sketch EXACTLY (same
+    per-shard fold order), plus the MG guarantee against exact counts."""
+    from .stateful import mg_sketch_stateful
+
+    sink = tempfile.mkdtemp(prefix="spark_graft_mgsink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_mgckpt_")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.withColumn("batch_id", F.lit(batch_id)) \
+           .write.mode("overwrite").parquet(
+               os.path.join(sink, f"batch={batch_id}"))
+
+    q = (
+        mg_sketch_stateful(X.stream_events(spark, sf_dir,
+                                           max_files_per_trigger=1))
+        .writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window as W
+
+    from ..operators.sketches import mg_merge
+
+    snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
+    latest = (
+        snaps.withColumn(
+            "mx", F.max("batch_id").over(W.partitionBy("shard")))
+        .filter(F.col("batch_id") == F.col("mx"))
+        .select("shard", "item", "est")
+    )
+    out = mg_merge(latest).localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return out

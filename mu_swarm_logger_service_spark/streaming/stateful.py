@@ -65,3 +65,62 @@ def running_user_counters_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MG_OUT_SCHEMA = "shard long, item long, est long"
+MG_STATE_SCHEMA = "items array<long>, counts array<long>"
+
+
+def _mg_update(key: tuple, pdf_iter: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+    """Misra-Gries counter update for one shard across a micro-batch:
+    restore the k-counter map from state, fold the batch's items in
+    (ts, event_id) order, persist, emit the shard's summary snapshot."""
+    from ..operators.sketches import MG_COUNTERS
+
+    (shard,) = key
+    if state.exists:
+        items, counts = state.get
+        counters = dict(zip(list(items), list(counts)))
+    else:
+        counters = {}
+    for pdf in pdf_iter:
+        for item in pdf.sort_values(["ts", "event_id"])["item"]:
+            item = int(item)
+            if item in counters:
+                counters[item] += 1
+            elif len(counters) < MG_COUNTERS:
+                counters[item] = 1
+            else:
+                counters = {i: c - 1 for i, c in counters.items() if c > 1}
+    state.update((list(counters), list(counters.values())))
+    yield pd.DataFrame({
+        "shard": shard,
+        "item": list(counters),
+        "est": list(counters.values()),
+    })
+
+
+def mg_sketch_stateful(events: DataFrame) -> DataFrame:
+    """Streaming sharded Misra-Gries: per-shard k-counter state carried
+    across micro-batches; each batch emits the updated shards' summary
+    snapshots (update semantics — downstream keeps a shard's LATEST
+    snapshot).  The shard key is a DATA hash of event_id (deterministic
+    under any file layout), so the state shuffle per batch moves batch
+    rows once and the state store holds O(k) longs per shard — the
+    sketch, not the stream, is the memory bound at any scale."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import MG_SHARDS
+
+    keyed = events.select(
+        F.pmod(F.xxhash64("event_id"), F.lit(MG_SHARDS)).alias("shard"),
+        "event_id", "ts", F.col("user_id").alias("item"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _mg_update,
+        outputStructType=MG_OUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

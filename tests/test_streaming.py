@@ -472,3 +472,46 @@ def test_fingerprint_merge_across_batches_equals_batch(spark, sf_dir, replay):
     assert _canon(merged) == _canon(batch)
     shutil.rmtree(sink, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_heavy_hitters_state_across_batches(spark, sf_dir, replay):
+    """Streaming Misra-Gries with REAL multi-batch replay: the per-shard
+    counter state must carry across 4 ordered micro-batches and the final
+    merged result must equal the batch sketch EXACTLY — the replay is
+    ts-ordered, so each shard folds the same item sequence either way."""
+    from mu_swarm_logger_service_spark.operators.sketches import mg_merge
+    from mu_swarm_logger_service_spark.streaming.stateful import (
+        mg_sketch_stateful,
+    )
+
+    src, schema = replay
+    sink = tempfile.mkdtemp(prefix="mg_multi_sink_")
+    ckpt = tempfile.mkdtemp(prefix="mg_multi_ckpt_")
+    batch_ids = []
+
+    def write_batch(bdf, batch_id):
+        batch_ids.append(batch_id)
+        (bdf.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .parquet(os.path.join(sink, f"batch={batch_id}")))
+
+    q = (mg_sketch_stateful(_read_replay(spark, src, schema))
+         .writeStream.outputMode("update").foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(set(batch_ids)) >= 4   # state really crossed triggers
+
+    from pyspark.sql import Window as W
+    snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
+    latest = (
+        snaps.withColumn("mx", F.max("batch_id").over(W.partitionBy("shard")))
+        .filter(F.col("batch_id") == F.col("mx"))
+        .select("shard", "item", "est")
+    )
+    got = mg_merge(latest)
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    want = QUERIES["q_sketch_heavy_hitters"](spark, sf_dir)
+    assert _canon(got) == _canon(want)
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
