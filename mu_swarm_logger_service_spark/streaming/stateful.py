@@ -37,9 +37,14 @@ def _accumulate(key: tuple, pdf_iter: Iterator[pd.DataFrame],
     (user_id,) = key
     n, total = state.get if state.exists else (0, 0.0)
     out: list[dict[str, Any]] = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "event_id"])  # event-time order per batch
-        for row in pdf.itertuples(index=False):
+    # Concatenate chunks before sorting: pdf_iter may yield several Arrow
+    # slices per micro-batch, and per-slice sorting would accumulate in
+    # chunk order, not (ts, event_id) order (same fix as _mg_update).
+    pdfs = [p for p in pdf_iter if len(p)]
+    if pdfs:
+        whole = pd.concat(pdfs, ignore_index=True)
+        for row in whole.sort_values(["ts", "event_id"]).itertuples(
+                index=False):
             n += 1
             total += float(row.value)
             out.append({
@@ -84,8 +89,17 @@ def _mg_update(key: tuple, pdf_iter: Iterator[pd.DataFrame],
         counters = dict(zip(list(items), list(counts)))
     else:
         counters = {}
-    for pdf in pdf_iter:
-        for item in pdf.sort_values(["ts", "event_id"])["item"]:
+    # Concatenate the group's Arrow chunks BEFORE sorting: pdf_iter may
+    # yield several slices per micro-batch, and sorting each slice alone
+    # would fold items in chunk order, not (ts, event_id) order — the MG
+    # error bound would survive but the fold-order equality with the
+    # batch sketch (asserted by the replay test) would not.  Memory is
+    # one shard's share of one micro-batch — bounded by trigger sizing,
+    # not by stream history.
+    pdfs = [p for p in pdf_iter if len(p)]
+    if pdfs:
+        whole = pd.concat(pdfs, ignore_index=True)
+        for item in whole.sort_values(["ts", "event_id"])["item"]:
             item = int(item)
             if item in counters:
                 counters[item] += 1
