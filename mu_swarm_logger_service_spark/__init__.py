@@ -21,3 +21,10 @@ for _pkg in ("functions", "streaming", "sources", "llm", "udx"):
         pass
 
 __all__ = ["ORACLE", "QUERIES", "all_oracle_sql", "all_queries", "get_spark", "load"]
+
+# The catalog query's oracle must see the COMPLETE registry, so it is
+# generated and injected here — after every subpackage has registered —
+# rather than at decorator time (core/meta.py explains).
+from .core import meta as _meta  # noqa: E402  (registers q_meta_catalog)
+
+ORACLE["q_meta_catalog"] = _meta.catalog_oracle_sql()
