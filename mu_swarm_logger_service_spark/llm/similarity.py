@@ -848,17 +848,41 @@ def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_DIM = 64
 
+# The SQL-side per-dimension moment expressions — single-sourced (via
+# dsum_sql) for BOTH the moments oracle and the whitening oracle, exactly
+# as the Spark sides share _moment_aggs(): a scale change applied to one
+# pair must reach the other or the fit statistics silently drift.
+_EMB_X_SQL = "CAST(embedding[CAST(i AS BIGINT) + 1] AS DOUBLE)"
 
-def _moments_oracle() -> str:
+
+def _moment_sums_sql() -> tuple[str, str]:
     from ..core.numeric import dsum_sql
 
-    x = "CAST(embedding[CAST(i AS BIGINT) + 1] AS DOUBLE)"
+    return dsum_sql(_EMB_X_SQL), dsum_sql(f"({_EMB_X_SQL}) * ({_EMB_X_SQL})")
+
+
+def _moment_aggs() -> list:
+    """2·d decimal accumulators (Σx as s{i}, Σx² as q{i}) — the Spark-side
+    twin of _moment_sums_sql, shared by moments and whitening."""
+    from ..core.numeric import DEC
+
+    el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
+    aggs = []
+    for i in range(_EMB_DIM):
+        aggs.append(F.sum(el(i).cast(DEC)).cast("double").alias(f"s{i}"))
+        aggs.append(F.sum((el(i) * el(i)).cast(DEC)).cast("double")
+                    .alias(f"q{i}"))
+    return aggs
+
+
+def _moments_oracle() -> str:
+    sx, sq = _moment_sums_sql()
     return f"""
 SELECT CAST(i AS BIGINT) AS dim,
        CAST(COUNT(*) AS BIGINT) AS n,
-       {dsum_sql(x)} / COUNT(*) AS mean,
-       {dsum_sql(f'({x}) * ({x})')} / COUNT(*)
-         - ({dsum_sql(x)} / COUNT(*)) * ({dsum_sql(x)} / COUNT(*)) AS var
+       {sx} / COUNT(*) AS mean,
+       {sq} / COUNT(*)
+         - ({sx} / COUNT(*)) * ({sx} / COUNT(*)) AS var
 FROM embeddings, UNNEST(range(0, {_EMB_DIM})) AS t(i)
 GROUP BY 1
 """
@@ -884,16 +908,8 @@ def q_llm_embed_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (core/numeric) — order-independent, bit-identical cross-engine;
     mean/var are then fixed-shape IEEE expressions over identical bits.
     """
-    from ..core.numeric import DEC
-
     emb = load(spark, sf_dir, "embeddings")
-    el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
-    aggs = []
-    for i in range(_EMB_DIM):
-        aggs.append(F.sum(el(i).cast(DEC)).cast("double").alias(f"s{i}"))
-        aggs.append(F.sum((el(i) * el(i)).cast(DEC)).cast("double")
-                    .alias(f"q{i}"))
-    stats = emb.agg(F.count(F.lit(1)).alias("n"), *aggs)
+    stats = emb.agg(F.count(F.lit(1)).alias("n"), *_moment_aggs())
     stacked = stats.select(
         "n",
         F.expr("stack(%d, %s) AS (dim, s, q)" % (
@@ -910,14 +926,13 @@ def q_llm_embed_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WHITEN_EPS = "1e-6"
 
+_WHITEN_SX, _WHITEN_SQ = _moment_sums_sql()
+
 _WHITEN_SQL = f"""
 WITH per_dim AS (
   SELECT CAST(i AS BIGINT) AS dim,
-         CAST(SUM(CAST(CAST(embedding[CAST(i AS BIGINT) + 1] AS DOUBLE)
-                       AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS mean,
-         CAST(SUM(CAST(CAST(embedding[CAST(i AS BIGINT) + 1] AS DOUBLE)
-                       * CAST(embedding[CAST(i AS BIGINT) + 1] AS DOUBLE)
-                       AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS sq
+         {_WHITEN_SX} / COUNT(*) AS mean,
+         {_WHITEN_SQ} / COUNT(*) AS sq
   FROM embeddings, UNNEST(range(0, {_EMB_DIM})) AS t(i)
   GROUP BY 1
 ), stats AS (
@@ -959,16 +974,8 @@ def q_llm_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     −0.0 gotcha) and the whitened L2 norm via the order-stable left
     fold, so the oracle checks both a point value and a full-vector
     reduction per row."""
-    from ..core.numeric import DEC
-
     emb = load(spark, sf_dir, "embeddings")
-    el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for i in range(_EMB_DIM):
-        aggs.append(F.sum(el(i).cast(DEC)).cast("double").alias(f"s{i}"))
-        aggs.append(F.sum((el(i) * el(i)).cast(DEC)).cast("double")
-                    .alias(f"q{i}"))
-    stats = emb.agg(*aggs).select(
+    stats = emb.agg(F.count(F.lit(1)).alias("n"), *_moment_aggs()).select(
         F.array(*[(F.col(f"s{i}") / F.col("n")).alias(f"m{i}")
                   for i in range(_EMB_DIM)]).alias("means"),
         F.array(*[

@@ -515,16 +515,18 @@ def q_agg_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_linreg", oracle=f"""
+@query("q_agg_linreg", oracle="""
 WITH m AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
-         {dsum_sql('CAST(user_id AS DOUBLE)')} AS sx,
-         {dsum_sql('value')} AS sy,
-         {dsum_sql('CAST(user_id AS DOUBLE) * value')} AS sxy,
-         {dsum_sql('CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)')}
-           AS sxx,
-         {dsum_sql('value * value')} AS syy
+         CAST(SUM(CAST(CAST(user_id AS DOUBLE) AS DECIMAL(27,0)))
+              AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(user_id AS DOUBLE) * value AS DECIMAL(27,2)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)
+                       AS DECIMAL(27,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(value * value AS DECIMAL(27,2))) AS DOUBLE) AS syy
   FROM events GROUP BY 1
 )
 SELECT event_type, n,
@@ -548,15 +550,25 @@ def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every moment goes through the decimal path (products of
     doubles are single IEEE ops on identical bits, then exact decimal
     sums), so slope/intercept/r² are fixed-shape expressions over
-    bit-identical operands — emitted raw, no round()."""
+    bit-identical operands — emitted raw, no round().  Decimal SCALES are
+    per-moment (the SKILL.md 2^53 rule): Σx² is ~1.5e10 per group at
+    sf0.1, which at the standard 6-dp scale is a ~2^54 scaled integer —
+    past the exact decimal→double cast (the Gini one-ulp bug) — so the
+    integral moments (x, x²) carry scale 0 and the value products (xy,
+    y²) scale 2, keeping every scaled sum orders of magnitude inside
+    2^53 at any plausible SF."""
     ev = load(spark, sf_dir, "events")
     x = F.col("user_id").cast("double")
     y = F.col("value")
+
+    def dsum_s(col, scale):
+        return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
+
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        dsum(x).alias("sx"), dsum(y).alias("sy"),
-        dsum(x * y).alias("sxy"), dsum(x * x).alias("sxx"),
-        dsum(y * y).alias("syy"),
+        dsum_s(x, 0).alias("sx"), dsum(y).alias("sy"),
+        dsum_s(x * y, 2).alias("sxy"), dsum_s(x * x, 0).alias("sxx"),
+        dsum_s(y * y, 2).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")

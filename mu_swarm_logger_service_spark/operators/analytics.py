@@ -1275,7 +1275,11 @@ def q_analytics_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_audit_dataset_fingerprint", oracle="""
+# Shared by the batch audit below AND the streaming incremental variant
+# (streaming/queries.q_stream_fingerprint): the streaming merge==recompute
+# parity proof depends on the two oracles being byte-identical, exactly as
+# the Spark sides share event_row_fingerprint (round-6 review hoisted it).
+EVENT_FINGERPRINT_ORACLE_SQL = """
 WITH rows_h AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day,
          list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1292,7 +1296,10 @@ SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0))
             AS VARCHAR) AS fingerprint
 FROM rows_h GROUP BY day
-""")
+"""
+
+
+@query("q_audit_dataset_fingerprint", oracle=EVENT_FINGERPRINT_ORACLE_SQL)
 def q_audit_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent dataset content fingerprint per day partition —
     the reproducibility primitive behind snapshot audits: two pipelines

@@ -400,24 +400,10 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query("q_stream_fingerprint", oracle="""
-WITH rows_h AS (
-  SELECT strftime(ts, '%Y-%m-%d') AS day,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform(
-             string_split_regex(substr(md5(
-               CAST(event_id AS VARCHAR) || '|' ||
-               CAST(epoch_us(ts) AS VARCHAR) || '|' ||
-               CAST(user_id AS VARCHAR) || '|' || event_type), 1, 15), ''),
-             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
-           (a, b) -> a * 16 + b) AS rh
-  FROM events
-)
-SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0))
-            AS VARCHAR) AS fingerprint
-FROM rows_h GROUP BY day
-""")
+from ..operators.analytics import EVENT_FINGERPRINT_ORACLE_SQL
+
+
+@query("q_stream_fingerprint", oracle=EVENT_FINGERPRINT_ORACLE_SQL)
 def q_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dataset fingerprinting over micro-batches: each batch
     reduces to per-day (count, 60-bit-hash-sum) PARTIALS written to a
@@ -512,11 +498,14 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.sketches import mg_merge
 
+    from .stateful import MG_SNAPSHOT_SENTINEL
+
     snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
     latest = (
         snaps.withColumn(
             "mx", F.max("batch_id").over(W.partitionBy("shard")))
         .filter(F.col("batch_id") == F.col("mx"))
+        .filter(F.col("item") != MG_SNAPSHOT_SENTINEL)
         .select("shard", "item", "est")
     )
     out = mg_merge(latest).localCheckpoint(eager=True)

@@ -75,12 +75,23 @@ def running_user_counters_stateful(events: DataFrame) -> DataFrame:
 MG_OUT_SCHEMA = "shard long, item long, est long"
 MG_STATE_SCHEMA = "items array<long>, counts array<long>"
 
+# Sentinel item in every emitted snapshot (real items are nonnegative
+# user_ids).  A batch whose fold DECREMENTS a shard's counters to empty
+# would otherwise emit ZERO rows — indistinguishable downstream from "this
+# batch didn't touch the shard", so the latest-snapshot consumer would
+# resurrect a stale earlier snapshot (caught by round-6 code review; the
+# test fixture alone never fills its counters, so replay couldn't see it).
+# The sentinel makes every touched-shard snapshot non-empty; merges filter
+# it out.
+MG_SNAPSHOT_SENTINEL = -1
+
 
 def _mg_update(key: tuple, pdf_iter: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
     """Misra-Gries counter update for one shard across a micro-batch:
     restore the k-counter map from state, fold the batch's items in
-    (ts, event_id) order, persist, emit the shard's summary snapshot."""
+    (ts, event_id) order, persist, emit the shard's summary snapshot
+    (always ≥1 row — see MG_SNAPSHOT_SENTINEL)."""
     from ..operators.sketches import MG_COUNTERS
 
     (shard,) = key
@@ -110,8 +121,8 @@ def _mg_update(key: tuple, pdf_iter: Iterator[pd.DataFrame],
     state.update((list(counters), list(counters.values())))
     yield pd.DataFrame({
         "shard": shard,
-        "item": list(counters),
-        "est": list(counters.values()),
+        "item": [MG_SNAPSHOT_SENTINEL] + list(counters),
+        "est": [0] + list(counters.values()),
     })
 
 

@@ -320,12 +320,10 @@ def test_near_dedup_incremental_sound_and_recall(spark, sf_dir, n_perm,
             if side(r.doc_a) != side(r.doc_b)
         }
         assert strong, "fixture must contain cross-side strong pairs"
-
-        if strong:
-            recall = len(strong & got) / len(strong)
-            assert recall >= 0.8, \
-                f"incremental LSH recall {recall:.2f} on {len(strong)} " \
-                f"strong cross pairs at {n_perm}/{n_bands}"
+        recall = len(strong & got) / len(strong)
+        assert recall >= 0.8, \
+            f"incremental LSH recall {recall:.2f} on {len(strong)} " \
+            f"strong cross pairs at {n_perm}/{n_bands}"
     finally:
         spark.conf.unset(_CONF_PERMS)
         spark.conf.unset(_CONF_BANDS)

@@ -504,9 +504,13 @@ def test_heavy_hitters_state_across_batches(spark, sf_dir, replay):
 
     from pyspark.sql import Window as W
     snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
+    from mu_swarm_logger_service_spark.streaming.stateful import (
+        MG_SNAPSHOT_SENTINEL,
+    )
     latest = (
         snaps.withColumn("mx", F.max("batch_id").over(W.partitionBy("shard")))
         .filter(F.col("batch_id") == F.col("mx"))
+        .filter(F.col("item") != MG_SNAPSHOT_SENTINEL)
         .select("shard", "item", "est")
     )
     got = mg_merge(latest)

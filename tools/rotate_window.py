@@ -35,15 +35,32 @@ def main() -> None:
     import __spark_entry__ as entry
 
     qs = list(entry.queries())
+    # A key counts as checked only if SOME round recorded it green (a
+    # rows-only record with err=None also counts).  Hard-red keys that
+    # never went green are RE-QUEUED — counting them as checked would
+    # permanently exclude a failed-then-fixed query from every future
+    # window, defeating the rotation's purpose (round-6 review).
     checked: set[str] = set()
+    ever_red: set[str] = set()
     rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     for path in rounds:
         rows = json.load(open(path))
+        # err == 'no_oracle' with a recorded spark_rows is the driver's
+        # SUCCESSFUL rows-only record (observed format, rounds 1-4), not a
+        # failure; err == 'no_oracle' with spark_rows null means the query
+        # itself crashed before producing rows.
         bad = [k for k, v in rows.items()
-               if v.get("err") or not v.get("rows_match")]
+               if v.get("rows_match") is False
+               or (v.get("err") not in (None, "no_oracle"))
+               or (v.get("err") == "no_oracle"
+                   and v.get("spark_rows") is None)]
         print(f"{os.path.basename(path)}: {len(rows)} rows, "
               f"{len(bad)} hard-red {bad if bad else ''}")
-        checked.update(rows)
+        ever_red.update(bad)
+        checked.update(k for k in rows if k not in bad)
+    requeue = ever_red - checked
+    if requeue:
+        print(f"re-queuing never-green keys: {sorted(requeue)}")
 
     never = [k for k in qs if k not in checked]
     window = never[:args.size]
