@@ -87,10 +87,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # ...plus every round-6 addition (merge upsert, expectations audit,
 # k-anonymity, embedding moments/whitening, Gini, linreg, batch+stream
 # dataset fingerprints, bucketed sink — see git log for the exact set).
-# Do NOT trust these comment counts at activation time: recompute the r7
-# split programmatically against CORRECTNESS_r01..r06 and the live
-# registry (the r6 activation did exactly this), r7 takes 50 of the
-# remainder, r8 sweeps the rest.
+# Do NOT trust these comment counts at activation time: run
+# ``python tools/rotate_window.py`` — it derives the next window from
+# CORRECTNESS_r*.json + the live registry (re-queuing any hard-red key
+# that never went green) and prints a paste-ready tuple; r7 takes 50 of
+# the remainder, r8 sweeps the rest.
 # Keys not registered are skipped harmlessly; remaining keys follow in
 # registration order.  The window must never exceed the driver's 50 rows
 # (enforced below and in tests) or the tail silently loses evidence.
