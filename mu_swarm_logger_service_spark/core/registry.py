@@ -59,34 +59,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #       (47/47 went green first try — CORRECTNESS_r04.json).
 #   r5: analytics / timeseries / sketch / triples families (50/50 green —
 #       CORRECTNESS_r05.json; cumulative 151/253).
-#   r6 (this window): the planned 50-key cohort re-validated 2026-08-14
-#       against CORRECTNESS_r01-r05 (all 50 registered, none ever
-#       driver-checked): fn extras, stream extras, sparql algebra, sketch
-#       additions, ANN/clustering llm extras.  Cumulative target 201/253.
-# r7 (the 52-key remainder; 50 in-window, final 2 ride registration order
-# into r8 unless the window grows):
-#   "q_layout_compaction", "q_llm_simhash", "q_llm_containment",
-#   "q_llm_dedup_keep_best", "q_llm_decontaminate_ngram",
-#   "q_llm_fuzzy_token_join", "q_llm_prefix_dedup",
-#   "q_llm_prefix_filter_join", "q_llm_repeated_ngrams",
-#   "q_llm_paragraph_dedup", "q_llm_url_dedup", "q_llm_domain_filter",
-#   "q_llm_media_resize", "q_llm_frame_sample", "q_llm_png_roundtrip",
-#   "q_llm_wav_roundtrip", "q_llm_media_dims", "q_llm_audio_features",
-#   "q_llm_gif_roundtrip", "q_llm_video_meta", "q_llm_jpeg_roundtrip",
-#   "q_llm_media_pipeline", "q_llm_quality", "q_llm_langid",
-#   "q_llm_doc_fingerprint", "q_llm_token_count", "q_llm_chunk",
-#   "q_llm_mixture", "q_llm_boilerplate_strip", "q_llm_pii_redact",
-#   "q_llm_dataset_stats", "q_llm_ngram_stats", "q_llm_split",
-#   "q_llm_repetition", "q_llm_diversity", "q_llm_dsir_weights",
-#   "q_llm_pack_sequences", "q_llm_quality_buckets", "q_llm_bpe_pairs",
-#   "q_llm_pack_next_fit", "q_llm_rebalance", "q_llm_gopher_rules",
-#   "q_llm_vocab_coverage", "q_llm_perplexity", "q_llm_dpo_pairs",
-#   "q_llm_char_entropy", "q_llm_quality_cascade",
-#   "q_llm_quantile_normalize", "q_llm_token_budget", "q_llm_bpe_train",
-#   "q_llm_bpe_apply", "q_udtf_map_arrow"
-# ...plus every round-6 addition (merge upsert, expectations audit,
-# k-anonymity, embedding moments/whitening, Gini, linreg, batch+stream
-# dataset fingerprints, bucketed sink — see git log for the exact set).
+#   r6: fn extras, stream extras, sparql algebra, sketch additions,
+#       ANN/clustering llm extras (49/50 green + q_fn_encode hard-red on a
+#       BinaryType output column — fixed and re-queued; cumulative 200/266).
+#   r7 (this window): the q_fn_encode re-queue + round-6 operators + all
+#       codec queries + llm text extras.  Cumulative target 250/266;
+#       the final 16 keys ride r8.
 # Do NOT trust these comment counts at activation time: run
 # ``python tools/rotate_window.py`` — it derives the next window from
 # CORRECTNESS_r*.json + the live registry (re-queuing any hard-red key
@@ -96,31 +74,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # registration order.  The window must never exceed the driver's 50 rows
 # (enforced below and in tests) or the tail silently loses evidence.
 EXPORT_FIRST: tuple[str, ...] = (
-    # SQL / aggregate / CDC extras
-    "q_agg_observed", "q_cdc_incremental_agg", "q_sql_lateral",
-    "q_sql_unpivot", "q_analytics_skyline", "q_ts_sessionize",
-    # Round-5 sketch additions (operators/sketches.py)
-    "q_sketch_heavy_hitters", "q_sketch_weighted_sample",
-    "q_sketch_hll_rollup",
-    # Scalar-function extras (functions/scalar.py)
-    "q_fn_bitwise", "q_fn_format", "q_fn_try", "q_fn_struct",
-    "q_fn_encode", "q_fn_url", "q_fn_variant",
-    # Streaming extras (streaming/queries.py)
-    "q_stream_join_outer", "q_stream_static_join", "q_stream_rollup",
-    # SPARQL algebra remainder (sources/sparql.py, sources/triples.py)
-    "q_sparql_delete_where", "q_sparql_path_features",
-    "q_sparql_negated_propset", "q_sparql_construct", "q_sparql_ask",
-    "q_sparql_describe", "q_sql_recursive_cte", "q_sparql_aggregate",
-    "q_sparql_union", "q_sparql_minus", "q_sparql_values_bind",
-    "q_sparql_subquery",
-    # Embedding / ANN / clustering extras (llm/similarity.py, llm/clustering.py)
-    "q_llm_matryoshka", "q_llm_rrf_fusion", "q_llm_ann_lsh",
-    "q_llm_centroid", "q_llm_embed_near_dup", "q_llm_quantize_int8",
-    "q_llm_ann_int8", "q_llm_hard_negatives", "q_llm_pq_encode",
-    "q_llm_ann_pq", "q_llm_ann_ivf", "q_llm_dup_triangles",
-    "q_llm_pagerank", "q_llm_kmeans_step", "q_llm_semdedup",
-    "q_llm_ann_recall", "q_llm_embedding_drift", "q_llm_ann_ivf_pq",
-    "q_llm_incremental_dedup",
+    # r7 window — derived 2026-08-14 by `python tools/rotate_window.py`
+    # against CORRECTNESS_r01-r06 (200 driver-checked, 66 remaining).
+    # Leads with the q_fn_encode re-queue (r6's one hard-red row, fixed:
+    # BinaryType output hexed), then the nine round-6 operators, the full
+    # codec-query family, and the llm text extras.  16 keys remain for r8.
+    "q_fn_encode", "q_agg_linreg", "q_cdc_merge_upsert",
+    "q_layout_compaction", "q_sink_bucketed", "q_audit_expectations",
+    "q_analytics_revenue_gini", "q_audit_dataset_fingerprint", "q_stream_fingerprint",
+    "q_stream_heavy_hitters", "q_llm_embed_moments", "q_llm_embed_whiten",
+    "q_llm_near_dedup_incremental", "q_llm_simhash", "q_llm_containment",
+    "q_llm_dedup_keep_best", "q_llm_decontaminate_ngram", "q_llm_fuzzy_token_join",
+    "q_llm_prefix_dedup", "q_llm_prefix_filter_join", "q_llm_repeated_ngrams",
+    "q_llm_paragraph_dedup", "q_llm_url_dedup", "q_llm_domain_filter",
+    "q_llm_media_resize", "q_llm_frame_sample", "q_llm_png_roundtrip",
+    "q_llm_wav_roundtrip", "q_llm_media_dims", "q_llm_audio_features",
+    "q_llm_gif_roundtrip", "q_llm_video_meta", "q_llm_jpeg_roundtrip",
+    "q_llm_media_pipeline", "q_llm_quality", "q_llm_langid",
+    "q_llm_doc_fingerprint", "q_llm_token_count", "q_llm_chunk",
+    "q_llm_mixture", "q_llm_boilerplate_strip", "q_llm_pii_redact",
+    "q_llm_dataset_stats", "q_llm_ngram_stats", "q_llm_split",
+    "q_llm_repetition", "q_llm_diversity", "q_llm_dsir_weights",
+    "q_llm_pack_sequences", "q_llm_quality_buckets",
 )
 
 # The driver's CORRECTNESS window is 50 rows; a 51st pin would silently push

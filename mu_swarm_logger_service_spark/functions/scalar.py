@@ -449,7 +449,7 @@ SELECT event_id,
        decode(from_base64(base64(encode(event_type)))) = event_type
          AS roundtrips,
        to_hex(event_id) AS id_hex,
-       encode(event_type) AS raw_bytes
+       hex(encode(event_type)) AS raw_hex
 FROM events
 WHERE event_id % 89 = 0
 """)
@@ -457,9 +457,11 @@ def q_fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary encode/decode family: utf-8 encode to BinaryType, base64
     text transport with a proven decode roundtrip, and hex rendering of
     integer ids — the blob-handling layer the multimodal columns
-    (llm.multimodal) build on.  ASCII payloads make the byte-level
-    comparison engine-neutral (the canonical compare hexes binary
-    cells)."""
+    (llm.multimodal) build on.  The byte column is emitted HEXED, not
+    raw: the grading driver's canonicalizer pandas-sorts every output
+    column and dies on unhashable bytearray cells (round-6 red row), so
+    BinaryType must never reach a registered output schema — see
+    tests/test_registry_contract.py for the registry-wide guard."""
     ev = load(spark, sf_dir, "events").filter(F.expr("event_id % 89 = 0"))
     raw = F.encode("event_type", "utf-8")
     return ev.select(
@@ -468,7 +470,7 @@ def q_fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.decode(F.unbase64(F.base64(raw)), "utf-8")
          == F.col("event_type")).alias("roundtrips"),
         F.hex("event_id").alias("id_hex"),
-        raw.alias("raw_bytes"),
+        F.hex(raw).alias("raw_hex"),
     )
 
 

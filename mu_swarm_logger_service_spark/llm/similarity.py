@@ -422,13 +422,20 @@ WITH sub AS (
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.e, b.e), 6) + 0.0 AS cos_sim
 FROM sub a JOIN sub b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.7
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3
 """)
 def q_llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all pairs with cos >= 0.7 on
+    """Embedding-cosine near-duplicate pairs: all pairs with cos >= 0.3 on
     a deterministic 10% id-gated subset (the oracle-scale exact form; the
     full-corpus scale path composes hyperplane_tables bucketing with this
     same verify, exactly like q_llm_ann_lsh).
+
+    Threshold 0.3, not the classic 0.7: the synthetic embeddings are
+    near-isotropic (max pairwise cosine ≈0.43 at sf0.1), so 0.7 returned
+    ZERO rows at every sf and the round-6 driver green (0 == 0 hash) was
+    vacuous — it could not have detected a broken cosine.  At 0.3 the
+    fixture yields 8/11/148 pairs at sf0.001/0.01/0.1
+    (tests/test_llm.py asserts non-emptiness so this cannot regress).
 
     The subset side is broadcast, so the pair generation is a broadcast
     join with an id-inequality residual, not a shuffled cross-product.
@@ -442,7 +449,7 @@ def q_llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = cosine(F.col("ea"), F.col("eb"))
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .where(F.round(cos, 6) >= 0.7)  # rounded: threshold can't straddle ulp noise
+        .where(F.round(cos, 6) >= 0.3)  # rounded: threshold can't straddle ulp noise
         .select("vec_a", "vec_b", (F.round(cos, 6) + 0.0).alias("cos_sim"))
     )
 

@@ -53,8 +53,22 @@ def _canon_frame(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+_DRIVER_UNHASHABLE = (bytes, bytearray, list, tuple, np.ndarray, dict)
+
+
 def compare(spark, duck, sf_dir: str, fn, sql: str, name: str = "?") -> None:
     sdf = fn(spark, sf_dir).toPandas()
+    # Driver fidelity: the grading driver pandas-sorts raw cells and dies
+    # on unhashable types (bytearray/list/dict).  _canon_cell renders them
+    # for diffing, so without this check the local harness would be MORE
+    # lenient than the driver — the r1/r6 red-row class.  (Registry-wide
+    # schema ban lives in tests/test_registry_contract.py; this catches
+    # object-dtype leaks the schema can't see.)
+    for col in sdf.columns:
+        bad = sdf[col].map(lambda v: isinstance(v, _DRIVER_UNHASHABLE)).any()
+        assert not bad, (
+            f"{name}.{col}: driver-unhashable cell type (bytes/list/dict) "
+            "— render it (hex/to_json/concat_ws) before returning")
     ddf = duck.execute(sql).fetchdf()
     assert sorted(sdf.columns) == sorted(ddf.columns), (
         f"{name}: column mismatch spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"

@@ -327,3 +327,19 @@ def test_near_dedup_incremental_sound_and_recall(spark, sf_dir, n_perm,
     finally:
         spark.conf.unset(_CONF_PERMS)
         spark.conf.unset(_CONF_BANDS)
+
+
+def test_embed_near_dup_non_vacuous(spark, sf_dir):
+    """q_llm_embed_near_dup must return ROWS: its round-6 driver green was
+    a vacuous 0 == 0 hash match (threshold 0.7 on near-isotropic synthetic
+    embeddings whose max pairwise cosine is ~0.43), which could not have
+    detected a broken cosine.  The threshold is now 0.3, chosen so the
+    fixture yields pairs at every sf (8 / 11 / 148 at sf0.001/0.01/0.1);
+    this test pins the non-emptiness so a future threshold or fixture
+    change cannot silently re-vacuate the oracle."""
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+
+    rows = QUERIES["q_llm_embed_near_dup"](spark, sf_dir).collect()
+    assert len(rows) > 0, "embed_near_dup fixture is vacuous again"
+    assert all(0.3 <= r.cos_sim <= 1.0 for r in rows)
+    assert all(r.vec_a < r.vec_b for r in rows)
