@@ -132,6 +132,22 @@ def main() -> None:
       .alias("sig"))
      .select(F.sum(F.element_at("sig", 1)).alias("s"))
      .count())
+    # In-bucket pair-expansion template (flatten∘transform∘slice∘struct +
+    # explode + distinct — the LSH candidate-generation shape in
+    # llm/dedup.py).  Same CodegenFallback first-eval class as above but a
+    # DIFFERENT interpreted template: measured 2.4 s of q_llm_near_dedup's
+    # cold rep at sf0.1 (7.3 s -> 4.9 s isolated; warm reps unchanged) was
+    # just first-touch of these classes.  Width-independent for the same
+    # reason (the sequence bound is data, not structure).
+    pair_expr = ("flatten(transform(sequence(1, size(ds) - 1), i -> "
+                 "transform(slice(ds, i + 1, size(ds) - i), x -> "
+                 "struct(element_at(ds, i) AS doc_a, x AS doc_b))))")
+    (spark.range(200)
+     .groupBy((F.col("id") % 7).alias("g"))
+     .agg(F.array_sort(F.collect_list("id")).alias("ds"))
+     .filter(F.size("ds") > 1)
+     .select(F.explode(F.expr(pair_expr)).alias("p"))
+     .select("p.doc_a", "p.doc_b").distinct().count())
 
     per_query: dict[str, float] = {}
     cold_query: dict[str, float] = {}
