@@ -1256,9 +1256,15 @@ def q_analytics_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~59 mantissa bits — past 2^53 the final decimal→double cast must
     # round, and Spark and DuckDB were measured rounding it differently
     # by one ulp (sf0.1 sweep, round 6).  At 2 dp the scaled integers
-    # stay ≈6e13 < 2^53, so the cast is exact again in both engines;
-    # per-product 2-dp rounding is tie-impossible (binary doubles can't
-    # hit x.xx5) and shifts Gini by O(n·0.005/Σ) ≈ 1e-12 — nothing.
+    # stay ≈6e13 < 2^53, so the cast is exact again in both engines.
+    # Per-product 2-dp rounding CAN hit exact ties — odd multiples of
+    # 0.005 that are also multiples of 0.125 (0.125, 1.875, ...) are
+    # exactly representable doubles — but parity holds because both
+    # engines break double→decimal(…,2) ties half-AWAY-FROM-ZERO (Spark
+    # HALF_UP, DuckDB likewise); a switch to a round-half-even path on
+    # either side is the actual hazard (round-6 advice corrected the
+    # earlier "ties impossible" claim).  The rounding shifts Gini by
+    # O(n·0.005/Σ) ≈ 1e-12 — nothing.
     DEC2 = "decimal(27,2)"
     per_nation = ranked.groupBy("nation").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -22,8 +22,17 @@ from ..core.tables import load
 SINK_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_sinks")
 
 # Session-scoped fixture fingerprints for the compaction debris marker
-# (see q_layout_compaction): {sf_dir: "nrows_hashsum"}.
-_COMPACT_FP_CACHE: dict[str, str] = {}
+# (see q_layout_compaction), keyed on (sf_dir, source stat signature) so a
+# MID-SESSION fixture regeneration invalidates the cached fingerprint too —
+# a plain sf_dir key only detected regeneration across sessions (round-6
+# advice).  The stat signature (mtime_ns, size) is one os.stat, far cheaper
+# than the fingerprint aggregate it guards.
+_COMPACT_FP_CACHE: dict[tuple[str, tuple[int, int]], str] = {}
+
+
+def _events_stat_sig(sf_dir: str) -> tuple[int, int]:
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    return (st.st_mtime_ns, st.st_size)
 
 
 @query("q_scan_parquet", oracle="SELECT * FROM supplier")
@@ -691,10 +700,13 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row counts are a pure function of sf, so a reseeded regeneration
     # keeps the count while changing every row (round-6 review); the
     # order-independent hash-sum over (event_id, day) changes with any
-    # content change.  Cached per (session, sf_dir): the fingerprint job
-    # runs once, not on every warm call.  Underscore-prefixed name keeps
-    # Spark's reader from treating the marker as data (r5 advice).
-    fp = _COMPACT_FP_CACHE.get(sf_dir)
+    # content change.  Cached per (session, sf_dir, source stat signature):
+    # the fingerprint job runs once per fixture generation, not on every
+    # warm call, and a mid-session regeneration (new mtime/size) misses the
+    # cache and recomputes.  Underscore-prefixed name keeps Spark's reader
+    # from treating the marker as data (r5 advice).
+    cache_key = (sf_dir, _events_stat_sig(sf_dir))
+    fp = _COMPACT_FP_CACHE.get(cache_key)
     if fp is None:
         row = ev.agg(
             F.count(F.lit(1)).alias("n"),
@@ -702,7 +714,7 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.lit(1_000_000_007))).alias("h"),
         ).first()
         fp = f"{row['n']}_{row['h']}"
-        _COMPACT_FP_CACHE[sf_dir] = fp
+        _COMPACT_FP_CACHE[cache_key] = fp
     marker = os.path.join(debris, f"_SUCCESS_ALL_SHARDS_{fp}")
     if not os.path.exists(marker):
         for s in range(8):
@@ -766,7 +778,13 @@ def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     set."""
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     t_orders, t_cust = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
-    if not spark.catalog.tableExists(t_orders):
+    # Guard on BOTH tables: keying the skip on t_orders alone meant a
+    # session that died between the two saveAsTable calls (orders created,
+    # customer not) would skip creation forever after and fail at
+    # spark.table(t_cust).  mode("overwrite") makes the re-run safe for
+    # whichever half did land (round-6 advice).
+    if not (spark.catalog.tableExists(t_orders)
+            and spark.catalog.tableExists(t_cust)):
         root = os.path.join(SINK_ROOT, "bucketed_custkey", tag)
         (load(spark, sf_dir, "orders")
          .select("o_orderkey", "o_custkey", "o_totalprice")
