@@ -541,28 +541,42 @@ def q_analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_analytics_important_parts", oracle=f"""
 WITH total AS (
-  SELECT {dsum_sql('l_extendedprice * l_quantity')} AS tv FROM lineitem
+  SELECT {dsum_sql('l_extendedprice * l_quantity')} AS tv,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS np
+  FROM lineitem
 )
 SELECT l.l_partkey AS partkey,
        {dsum_sql('l.l_extendedprice * l.l_quantity')} AS part_value
 FROM lineitem l, total
-GROUP BY l.l_partkey, total.tv
-HAVING {dsum_sql('l.l_extendedprice * l.l_quantity')} > 0.002 * ANY_VALUE(total.tv)
+GROUP BY l.l_partkey, total.tv, total.np
+HAVING {dsum_sql('l.l_extendedprice * l.l_quantity')}
+       > 1.25 * ANY_VALUE(total.tv) / ANY_VALUE(total.np)
 """)
 def q_analytics_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q11 shape: parts whose traded value exceeds a fraction of the
-    GLOBAL total — the uncorrelated scalar subquery in HAVING.  The total
-    is a 1-row aggregate broadcast into the per-part HAVING filter; the
-    fact table is scanned twice but shuffled once (the groupBy); no
-    collect() — the threshold never leaves the cluster."""
+    """TPC-H-Q11 shape: parts whose traded value exceeds a multiple of the
+    MEAN part value — the uncorrelated scalar subquery in HAVING.  The
+    threshold is 1.25× the mean (tv / np), not a fixed fraction of the
+    total: a fixed 0.002·total passes only when the part count is below
+    500, so it returned rows at sf0.001 and 0 rows at sf0.01/0.1 — a
+    vacuous driver green (the class rotate_window now re-queues).  The
+    mean-relative form yields 25/289/2996 rows across sf0.001/0.01/0.1
+    and is the shape that stays meaningful at any corpus size.  Exactness:
+    tv is the decimal-path sum (identical bits both engines), np a BIGINT,
+    1.25 an exact binary fraction — the threshold is two IEEE ops on
+    identical operands, so the comparison cannot straddle an ulp.
+
+    The total is a 1-row aggregate broadcast into the per-part HAVING
+    filter; the fact table is scanned twice but shuffled once (the
+    groupBy); no collect() — the threshold never leaves the cluster."""
     li = load(spark, sf_dir, "lineitem")
     value = F.col("l_extendedprice") * F.col("l_quantity")
-    total = li.agg(dsum(value).alias("tv"))
+    total = li.agg(dsum(value).alias("tv"),
+                   F.countDistinct("l_partkey").alias("np"))
     return (
         li.groupBy(F.col("l_partkey").alias("partkey"))
         .agg(dsum(value).alias("part_value"))
         .crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.lit(0.002) * F.col("tv"))
+        .filter(F.col("part_value") > F.lit(1.25) * F.col("tv") / F.col("np"))
         .select("partkey", "part_value")
     )
 

@@ -140,12 +140,23 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_join_anti", oracle="""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 250000)
 """)
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI = SPARQL MINUS / NOT EXISTS."""
+    """LEFT ANTI = SPARQL MINUS / NOT EXISTS: customers with no
+    large (> 250k) order.  The price filter exists for NON-VACUITY: the
+    unfiltered form ("customers with no orders at all") returns 0 rows at
+    sf0.001/0.01 and 1 at sf0.1 on this fixture, so its driver hash match
+    was a 0 == 0 that could not have caught a broken anti join (the
+    vacuous-green class rotate_window now re-queues).  Filtered, the
+    result is 1/11/108 rows across sf0.001/0.01/0.1, and the filter also
+    exercises the planner pushing a right-side predicate below the anti
+    join."""
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 250000)
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

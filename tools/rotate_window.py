@@ -40,8 +40,13 @@ def main() -> None:
     # never went green are RE-QUEUED — counting them as checked would
     # permanently exclude a failed-then-fixed query from every future
     # window, defeating the rotation's purpose (round-6 review).
+    # A green row with spark_rows == 0 is VACUOUS (a 0 == 0 hash match
+    # proves nothing about the query's values — the round-6
+    # q_llm_embed_near_dup lesson), so a key whose only green evidence is
+    # empty-result rows is also re-queued once it produces rows.
     checked: set[str] = set()
     ever_red: set[str] = set()
+    vacuous_only: dict[str, bool] = {}
     rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     for path in rounds:
         rows = json.load(open(path))
@@ -57,10 +62,20 @@ def main() -> None:
         print(f"{os.path.basename(path)}: {len(rows)} rows, "
               f"{len(bad)} hard-red {bad if bad else ''}")
         ever_red.update(bad)
-        checked.update(k for k in rows if k not in bad)
+        for k, v in rows.items():
+            if k in bad:
+                continue
+            checked.add(k)
+            vacuous = v.get("spark_rows") == 0
+            vacuous_only[k] = vacuous_only.get(k, True) and vacuous
     requeue = ever_red - checked
     if requeue:
         print(f"re-queuing never-green keys: {sorted(requeue)}")
+    vacuous_keys = sorted(k for k, v in vacuous_only.items() if v)
+    if vacuous_keys:
+        print(f"re-queuing vacuous-green keys (all green rows were "
+              f"0-row results): {vacuous_keys}")
+        checked -= set(vacuous_keys)
 
     never = [k for k in qs if k not in checked]
     window = never[:args.size]
