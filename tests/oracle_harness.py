@@ -56,8 +56,14 @@ def _canon_frame(df: pd.DataFrame) -> list[tuple]:
 _DRIVER_UNHASHABLE = (bytes, bytearray, list, tuple, np.ndarray, dict)
 
 
-def compare(spark, duck, sf_dir: str, fn, sql: str, name: str = "?") -> None:
+def compare(spark, duck, sf_dir: str, fn, sql: str, name: str = "?",
+            allow_empty: bool = False) -> None:
     sdf = fn(spark, sf_dir).toPandas()
+    # A 0-row result hash-matching a 0-row oracle is a VACUOUS pass (it
+    # cannot detect wrong values); only explicitly-allowlisted
+    # selective-predicate queries at the tiny sf0.001 fixture may be empty
+    # (tests/test_oracle_parity.ALLOWED_EMPTY_SF0001).
+    assert len(sdf) > 0 or allow_empty, f"{name}: vacuously empty at {sf_dir}"
     # Driver fidelity: the grading driver pandas-sorts raw cells and dies
     # on unhashable types (bytearray/list/dict).  _canon_cell renders them
     # for diffing, so without this check the local harness would be MORE

@@ -11,6 +11,23 @@ from tests.oracle_harness import compare
 QUERIES = entrymod.queries()
 ORACLE = entrymod.oracle_sql()
 
+# Non-vacuity gate: a 0-row result that hash-matches a 0-row oracle proves
+# NOTHING about the query's values (three such vacuous driver greens were
+# found in round 7: q_llm_embed_near_dup, q_join_anti,
+# q_analytics_important_parts — all since de-vacuated).  Every registered
+# query must therefore return rows at the driver's sf0.01 gate; the only
+# tolerated emptiness is these four selective-predicate queries at the
+# tiny sf0.001 test fixture, each verified non-empty at sf0.01 and sf0.1
+# by full-registry scans (round 7).
+ALLOWED_EMPTY_SF0001 = {
+    "q_join_theta_range", "q_join_self",
+    "q_analytics_volume_shipping", "q_analytics_dominant_supplier",
+}
+
+
+def _allowed_empty(sf_dir: str) -> set[str]:
+    return ALLOWED_EMPTY_SF0001 if sf_dir.rstrip("/").endswith("sf0.001") else set()
+
 
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
@@ -21,13 +38,16 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_oracle_parity(spark, duck, sf_dir, name):
-    compare(spark, duck, sf_dir, QUERIES[name], ORACLE[name], name)
+    compare(spark, duck, sf_dir, QUERIES[name], ORACLE[name], name,
+            allow_empty=name in _allowed_empty(sf_dir))
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
 def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+    n = df.count()
+    if name not in _allowed_empty(sf_dir):
+        assert n > 0, f"{name}: vacuously empty at {sf_dir}"
 
 
 def test_export_window_is_complete_and_first():
