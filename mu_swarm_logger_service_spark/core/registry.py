@@ -63,8 +63,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #       ANN/clustering llm extras (49/50 green + q_fn_encode hard-red on a
 #       BinaryType output column — fixed and re-queued; cumulative 200/266).
 #   r7 (this window): the q_fn_encode re-queue + round-6 operators + all
-#       codec queries + llm text extras.  Cumulative target 250/266;
-#       the final 16 keys ride r8.
+#       codec queries + llm text extras.  Cumulative target 250/266.
+#       r8 then sweeps the remaining 19: the 16 never-checked keys plus
+#       three vacuous-green re-queues (q_llm_embed_near_dup, q_join_anti,
+#       q_analytics_important_parts — their only green rows were 0-row
+#       results; all three de-vacuated in round 7, and rotate_window now
+#       re-queues that class mechanically).
 # Do NOT trust these comment counts at activation time: run
 # ``python tools/rotate_window.py`` — it derives the next window from
 # CORRECTNESS_r*.json + the live registry (re-queuing any hard-red key
