@@ -7,9 +7,13 @@ arithmetic in DOUBLE (deterministic: same input bits, same operator order in
 both engines), cast each row result to DECIMAL (exact, associative), SUM the
 decimals (order-independent), and cast the final value back to DOUBLE.
 
-Tie-safety note: decimal cast rounding ties (x.xxxxx5) are unrepresentable
-in binary doubles (denominator contains 5), so HALF_UP (Spark) vs
-round-nearest (DuckDB) can never disagree.
+Tie-safety note: decimal cast rounding ties ARE representable doubles —
+any odd multiple of 5·10^-(scale+1) whose factors of 5 fully cancel is
+binary-exact (0.0078125 = 2^-7 is a 6-dp tie; 0.125 a 2-dp one) — but
+parity holds because both engines break double→decimal ties half AWAY from
+zero (Spark HALF_UP, DuckDB likewise).  A round-half-even path on either
+side would be the real hazard (round-6 advice corrected the earlier
+"ties impossible" claim here and in operators/analytics.py).
 """
 
 from __future__ import annotations

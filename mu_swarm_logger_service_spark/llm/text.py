@@ -1792,3 +1792,143 @@ def q_llm_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(at_risk, F.col("group_n")).otherwise(0).cast("long")
         .alias("n_suppressed"),
     )
+
+
+# BM25 parameters — the standard Robertson/Sparck-Jones defaults.  Both
+# literals parse to the identical IEEE double in Spark and DuckDB, so the
+# per-term arithmetic is bit-reproducible cross-engine.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query("q_llm_bm25_topk", oracle=f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM docs
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), qpos AS (
+  SELECT d.doc_id AS q_id, d.tok[i] AS term, MIN(i) AS first_pos
+  FROM docs d, UNNEST(range(1, len(d.tok) + 1)) t(i)
+  WHERE d.doc_id % 125 = 0
+  GROUP BY 1, 2
+), qterms AS (
+  SELECT q_id, term FROM qpos
+  QUALIFY row_number() OVER (PARTITION BY q_id
+                             ORDER BY first_pos, term) <= 3
+), postings AS (
+  SELECT d.doc_id, u.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM docs d, UNNEST(d.tok) u(term)
+  WHERE u.term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY 1
+), scored AS (
+  SELECT q.q_id, p.doc_id,
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * p.tf * ({_BM25_K1} + 1.0)
+         / (p.tf + {_BM25_K1}
+            * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+           AS term_score
+  FROM qterms q
+  JOIN postings p ON p.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats
+), summed AS (
+  SELECT q_id, doc_id,
+         round(CAST(SUM(CAST(term_score AS DECIMAL(27,9))) AS DOUBLE), 6)
+           + 0.0 AS score
+  FROM scored GROUP BY 1, 2
+)
+SELECT q_id, doc_id, score,
+       row_number() OVER (PARTITION BY q_id
+                          ORDER BY score DESC, doc_id) AS rn
+FROM summed
+QUALIFY rn <= 5
+""")
+def q_llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval, top-5 documents per query — the sparse
+    half of every RAG / retrieval-curation pipeline (the dense half is
+    q_llm_cosine_topk; q_llm_rrf_fusion is the fusion shape that combines
+    exactly such rankings).  Queries are minted deterministically from the
+    corpus itself: every 125th document contributes its first three
+    distinct tokens (first-occurrence order pinned via min-position +
+    term tiebreak, NOT array_distinct order, which DuckDB's list_distinct
+    does not guarantee), so the fixture yields 1/4/40 queries at
+    sf0.001/0.01/0.1 — non-vacuous at every sf.
+
+    Scale shape — term-at-a-time scoring with a broadcast query set:
+    the token stream is filtered by a broadcast semi-join on the query
+    terms BEFORE the posting aggregation, so the only wide shuffles carry
+    query-term postings (O(|terms| x docs-containing-term)), never the
+    full corpus token stream; document lengths are a narrow projection
+    feeding a 1-row broadcast stats aggregate; the final ranking is a
+    WindowGroupLimit top-k per query (plan-pinned).  At 100 TB this is
+    the classic distributed inverted-index probe: the corpus-sized work
+    is one narrow pass, everything wide is query-sized.
+
+    Determinism: per-term scores are identical IEEE bits cross-engine
+    (same literals, same operand order; ln agrees — q_llm_tfidf_keywords
+    precedent), the per-(query, doc) sum goes through the exact
+    decimal(27,9) path (order-independent; |score|*1e9 << 2^53), and the
+    ranking orders on the ROUNDED score with doc_id as unique tiebreak."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split("text", " ").alias("tok"))
+    dl = toks.select("doc_id", F.size("tok").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+    # query terms: first 3 distinct tokens of every 125th doc, order
+    # pinned by first token position (cross-engine deterministic).
+    wq = Window.partitionBy("q_id").orderBy("first_pos", "term")
+    qterms = (
+        toks.filter(F.col("doc_id") % 125 == 0)
+        .select(F.col("doc_id").alias("q_id"),
+                F.posexplode("tok").alias("pos0", "term"))
+        .groupBy("q_id", "term")
+        .agg(F.min(F.col("pos0") + 1).alias("first_pos"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 3)
+        .select("q_id", "term")
+    )
+    distinct_terms = qterms.select("term").distinct()
+    # postings restricted to query terms: the broadcast semi-join prunes
+    # the exploded token stream before the (doc, term) aggregation.  The
+    # document length rides THROUGH the explode (constant per doc, kept
+    # with max()) instead of joining the corpus-sized dl frame back onto
+    # the postings — at 100 TB that join would shuffle every document's
+    # length; carried inline it costs one long per posting row.
+    postings = (
+        toks.select("doc_id", F.size("tok").cast("long").alias("dl"),
+                    F.explode("tok").alias("term"))
+        .join(F.broadcast(distinct_terms), "term", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"),
+             F.max("dl").alias("dl"))
+    )
+    df_ = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (
+        idf * F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        postings
+        .join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "doc_id",
+                term_score.cast("decimal(27,9)").alias("ts"))
+        .groupBy("q_id", "doc_id")
+        .agg((F.round(F.sum("ts").cast("double"), 6) + 0.0).alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )

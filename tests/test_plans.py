@@ -215,20 +215,10 @@ def test_cdc_diff_is_full_outer_smj(spark, sf_dir):
     assert "BroadcastNestedLoop" not in p
 
 
-def test_all_query_outputs_are_atomic_columns(spark, sf_dir):
-    """Driver-contract invariant (CORRECTNESS_r01): the driver canonicalizes
-    results with pandas sort_values, which raises `unhashable type` on any
-    array/map/struct cell — so EVERY registered query must project compound
-    values down to atomic columns before returning."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    offenders = []
-    for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
-        for f in df.schema.fields:
-            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
-                offenders.append((name, f.name, f.dataType.simpleString()))
-    assert not offenders, offenders
+# (The atomic-output-columns invariant that lived here until round 7 is
+# superseded by tests/test_registry_contract.py, which additionally bans
+# BinaryType — the omission that let q_fn_encode red a driver row in r6 —
+# and avoids a second full-registry DataFrame build in the suite.)
 
 
 def test_reservoir_sample_gets_window_group_limit(spark, sf_dir):
@@ -543,3 +533,17 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in p
     assert p.count("hashpartitioning(") == 1  # only the rollup shuffles
+
+
+def test_bm25_broadcasts_query_side_and_ranks_with_group_limit(spark, sf_dir):
+    """BM25's only wide work must be query-term-sized: the query terms /
+    df / 1-row stats all broadcast, the token stream is pruned by a
+    broadcast semi-join BEFORE the posting aggregation, the ranking gets
+    the WindowGroupLimit pushdown, and there is no corpus-sized
+    shuffle join (the document length rides through the explode instead
+    of joining dl back onto postings)."""
+    p = _plan(spark, sf_dir, "q_llm_bm25_topk")
+    assert p.count("BroadcastHashJoin") >= 3   # semi-prune, qterms, df
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
