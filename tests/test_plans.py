@@ -547,3 +547,19 @@ def test_bm25_broadcasts_query_side_and_ranks_with_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_sink_recreates_missing_half(spark, sf_dir):
+    """Round-6 advice regression pin: q_sink_bucketed once guarded BOTH
+    bucketed-table writes behind tableExists(orders) alone, so a session
+    that died between the two saveAsTable calls (orders created, customer
+    not) skipped creation forever after and failed at spark.table(cust).
+    Simulate exactly that state — drop the customer table while leaving
+    orders — and assert the query transparently recreates it."""
+    QUERIES["q_sink_bucketed"](spark, sf_dir).count()   # ensure both exist
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    t_cust = f"bkt_customer_{tag}"
+    spark.sql(f"DROP TABLE {t_cust}")
+    assert not spark.catalog.tableExists(t_cust)
+    assert QUERIES["q_sink_bucketed"](spark, sf_dir).count() > 0
+    assert spark.catalog.tableExists(t_cust)
