@@ -945,3 +945,93 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("us").alias("start_us"),
         (F.max("us") - F.min("us")).alias("duration_us"),
     )
+
+
+# Holt double-exponential smoothing parameters: exact binary fractions, so
+# every multiply is an exact IEEE scale and the fold is bit-reproducible
+# wherever the evaluation order is pinned.
+_HOLT_ALPHA = 0.5   # level smoothing
+_HOLT_BETA = 0.25   # trend smoothing
+
+
+@query("q_ts_holt_trend", oracle=f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), ord AS (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
+  FROM hourly
+), n AS (
+  SELECT event_type, MAX(i) AS n_hours FROM ord GROUP BY 1
+), state AS (
+  -- CAST matters: a bare 0.0 literal is DECIMAL(2,1) in DuckDB and the
+  -- recursive UNION ALL unifies b to that type, silently rounding every
+  -- step's trend to ONE decimal place (found by parity, round 7).
+  SELECT event_type, 1 AS i, y AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM ord WHERE i = 1
+  UNION ALL
+  SELECT s.event_type, s.i + 1,
+         {_HOLT_ALPHA} * o.y + {1 - _HOLT_ALPHA} * (s.l + s.b),
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * o.y
+                          + {1 - _HOLT_ALPHA} * (s.l + s.b)) - s.l)
+           + {1 - _HOLT_BETA} * s.b
+  FROM state s JOIN ord o
+    ON o.event_type = s.event_type AND o.i = s.i + 1
+)
+SELECT s.event_type, CAST(n.n_hours AS BIGINT) AS n_hours,
+       s.l AS level, s.b AS trend, s.l + s.b AS forecast_next
+FROM state s JOIN n ON n.event_type = s.event_type
+WHERE s.i = n.n_hours
+""")
+def q_ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of the hourly
+    event rate per type, with the one-step-ahead forecast — the
+    trend-aware upgrade of q_ts_ewma's windowed average and the classic
+    streaming-dashboard forecasting primitive.  The recurrence
+    (alpha=1/2, beta=1/4, l0=y1, b0=0):
+
+        l_t = a*y_t + (1-a)*(l_{{t-1}} + b_{{t-1}})
+        b_t = B*(l_t - l_{{t-1}}) + (1-B)*b_{{t-1}}
+
+    is a SEQUENTIAL fold — not expressible as a window aggregate — so the
+    Spark side runs it as one `aggregate` higher-order fold per type over
+    the position-sorted hourly series, and the oracle runs the identical
+    recurrence as a RECURSIVE CTE stepping i -> i+1.  Both engines
+    evaluate the same arithmetic ops on the same operands in the same
+    order (the smoothing constants are exact binary fractions; the oracle
+    inlines l_t where Spark reuses the struct field — same value either
+    way), so the emitted doubles are bit-identical with no decimal
+    machinery and no round().
+
+    Scale shape: the fold runs over the (type, hour) AGGREGATE, not raw
+    events — one shuffle for the hourly rollup, one for the per-type
+    collect; series length is bounded by the time span (10^4 rows/year),
+    so the per-type array is small at any corpus scale even though the
+    corpus itself is not.  A per-entity variant at higher cardinality
+    would partition by entity and keep the same shape — state is O(1)
+    per series, which is also why the streaming twin
+    (applyInPandasWithState) carries just (l, b) across micro-batches."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    series = hourly.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(h, y))), s -> s.y)")
+        .alias("ys"))
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    state = F.expr(
+        f"aggregate(slice(ys, 2, greatest(size(ys) - 1, 0)), "
+        f"struct(element_at(ys, 1) AS l, cast(0.0 AS DOUBLE) AS b), "
+        f"(acc, y) -> struct("
+        f"{a} * y + {1 - a} * (acc.l + acc.b) AS l, "
+        f"{b} * (({a} * y + {1 - a} * (acc.l + acc.b)) - acc.l) "
+        f"+ {1 - b} * acc.b AS b))")
+    return series.select(
+        "event_type",
+        F.size("ys").cast("long").alias("n_hours"),
+        state.getField("l").alias("level"),
+        state.getField("b").alias("trend"),
+        (state.getField("l") + state.getField("b")).alias("forecast_next"),
+    )
