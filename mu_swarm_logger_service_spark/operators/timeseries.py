@@ -953,13 +953,21 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOLT_ALPHA = 0.5   # level smoothing
 _HOLT_BETA = 0.25   # trend smoothing
 
-
-@query("q_ts_holt_trend", oracle=f"""
+# Shared by the batch fold below AND the streaming stateful twin
+# (streaming/queries.q_stream_holt): both registered queries check against
+# this SAME recursive-CTE recurrence, which is what makes the streaming
+# state-carry ≡ batch-fold claim an exact driver-checked equality rather
+# than a rows-only assertion (the q_stream_fingerprint pattern).
+HOLT_ORACLE_SQL = f"""
 WITH RECURSIVE hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(COUNT(*) AS DOUBLE) AS y
   FROM events GROUP BY 1, 2
-), ord AS (
+), ord AS MATERIALIZED (
+  -- MATERIALIZED matters: DuckDB inlines CTEs by default, so the
+  -- recursive step would otherwise re-scan events and recompute the
+  -- hourly rollup on EVERY iteration (measured 12.5 s at sf0.1 vs
+  -- ~0.1 s materialized — one scan, 181 cheap joins).
   SELECT event_type, y,
          row_number() OVER (PARTITION BY event_type ORDER BY h) AS i
   FROM hourly
@@ -984,7 +992,10 @@ SELECT s.event_type, CAST(n.n_hours AS BIGINT) AS n_hours,
        s.l AS level, s.b AS trend, s.l + s.b AS forecast_next
 FROM state s JOIN n ON n.event_type = s.event_type
 WHERE s.i = n.n_hours
-""")
+"""
+
+
+@query("q_ts_holt_trend", oracle=HOLT_ORACLE_SQL)
 def q_ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double-exponential smoothing (level + trend) of the hourly
     event rate per type, with the one-step-ahead forecast — the
@@ -1012,7 +1023,9 @@ def q_ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus itself is not.  A per-entity variant at higher cardinality
     would partition by entity and keep the same shape — state is O(1)
     per series, which is also why the streaming twin
-    (applyInPandasWithState) carries just (l, b) across micro-batches."""
+    (streaming/queries.q_stream_holt, applyInPandasWithState) carries
+    just (l, b, pending-hour) across micro-batches and checks against
+    this SAME oracle."""
     ev = load(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")

@@ -512,3 +512,72 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
     return out
+
+
+from ..operators.timeseries import HOLT_ORACLE_SQL  # noqa: E402
+
+
+@query("q_stream_holt", oracle=HOLT_ORACLE_SQL)
+def q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt level+trend forecasting with an EXACT oracle: the
+    applyInPandasWithState fold (stateful.holt_stateful) carries (l, b,
+    pending-hour) per event type across micro-batches, per-batch
+    snapshots land in a batchId-addressed sink, and the merge keeps each
+    type's LATEST snapshot and closes the still-pending final hour with
+    one more fold step — the identical arithmetic, in the identical
+    order, as the batch q_ts_holt_trend and the recursive-CTE oracle
+    both queries share (operators.timeseries.HOLT_ORACLE_SQL).  That
+    makes stream-state-carry ≡ batch-fold a driver-checked bit-exact
+    equality, not just a local replay assertion
+    (tests/test_streaming.py additionally replays 4 ordered micro-batches
+    and asserts the multi-batch result equals the batch query).
+
+    At scale this is the always-on forecaster the batch fold can't be:
+    state is O(1) per series, each micro-batch shuffles only its own rows
+    on the series key, and the final close-step is computed at read time
+    so the sink never holds a stale 'finished' forecast."""
+    from ..operators.timeseries import _HOLT_ALPHA, _HOLT_BETA
+    from .stateful import holt_stateful
+
+    sink = tempfile.mkdtemp(prefix="spark_graft_holtsink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_holtckpt_")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.withColumn("batch_id", F.lit(batch_id)) \
+           .write.mode("overwrite").parquet(
+               os.path.join(sink, f"batch={batch_id}"))
+
+    q = (
+        holt_stateful(X.stream_events(spark, sf_dir, max_files_per_trigger=1))
+        .writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window as W
+
+    snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
+    latest = (
+        snaps.withColumn(
+            "mx", F.max("batch_id").over(W.partitionBy("event_type")))
+        .filter(F.col("batch_id") == F.col("mx"))
+    )
+    a, bb = _HOLT_ALPHA, _HOLT_BETA
+    y = F.col("pending_n").cast("double")
+    first = F.col("n_complete") == 0
+    level = F.when(first, y).otherwise(
+        a * y + (1 - a) * (F.col("l") + F.col("b")))
+    trend = F.when(first, F.lit(0.0)).otherwise(
+        bb * (level - F.col("l")) + (1 - bb) * F.col("b"))
+    out = latest.select(
+        "event_type",
+        (F.col("n_complete") + 1).cast("long").alias("n_hours"),
+        level.alias("level"),
+        trend.alias("trend"),
+        (level + trend).alias("forecast_next"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return out

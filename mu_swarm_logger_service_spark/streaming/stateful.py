@@ -149,3 +149,87 @@ def mg_sketch_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HOLT_OUT_SCHEMA = ("event_type string, l double, b double, n_complete long, "
+                   "pending_hour long, pending_n long")
+HOLT_STATE_SCHEMA = ("l double, b double, n_complete long, "
+                     "pending_hour long, pending_n long")
+_NS_PER_HOUR = 3_600_000_000_000
+
+
+def _holt_update(key: tuple, pdf_iter, state: GroupState):
+    """Holt level+trend state for one event type across a micro-batch.
+
+    The recurrence folds COMPLETE hours in event-time order, so the state
+    carries the current (not yet closed) hour as (pending_hour,
+    pending_n) alongside the smoothed (l, b): rows for the pending hour
+    increment its count (an hour may straddle micro-batch boundaries); a
+    row in a LATER hour closes the pending one — folding its count with
+    the exact recurrence q_ts_holt_trend uses (Python doubles are the
+    same IEEE ops, so the fold is bit-identical to the JVM/DuckDB one) —
+    and opens the new hour.  Rows EARLIER than the pending hour are late
+    data and are dropped, the same decision a watermarked hourly window
+    would make; the replay sources here are event-time ordered, so none
+    arise in tests, and at scale the stream would be watermark-sorted
+    upstream.  Emits one full-state snapshot per touched type per batch
+    (update semantics; downstream keeps the latest)."""
+    from ..operators.timeseries import _HOLT_ALPHA as a, _HOLT_BETA as bb
+
+    (event_type,) = key
+    if state.exists:
+        l, b, n_complete, pending_hour, pending_n = state.get
+    else:
+        l, b, n_complete, pending_hour, pending_n = 0.0, 0.0, 0, None, 0
+
+    def close_pending():
+        nonlocal l, b, n_complete
+        y = float(pending_n)
+        if n_complete == 0:
+            l, b = y, 0.0
+        else:
+            nl = a * y + (1 - a) * (l + b)
+            b = bb * (nl - l) + (1 - bb) * b
+            l = nl
+        n_complete += 1
+
+    pdfs = [p for p in pdf_iter if len(p)]
+    if pdfs:
+        whole = pd.concat(pdfs, ignore_index=True)
+        # Concatenate chunks before sorting (same fix as _mg_update).
+        for ts in whole.sort_values(["ts", "event_id"])["ts"]:
+            h = int(ts.value // _NS_PER_HOUR)
+            if pending_hour is None:
+                pending_hour, pending_n = h, 1
+            elif h == pending_hour:
+                pending_n += 1
+            elif h > pending_hour:
+                close_pending()
+                pending_hour, pending_n = h, 1
+            # else: late row (h < pending_hour) — dropped, see docstring
+    state.update((l, b, n_complete,
+                  -1 if pending_hour is None else pending_hour, pending_n))
+    yield pd.DataFrame({
+        "event_type": [event_type], "l": [l], "b": [b],
+        "n_complete": [n_complete],
+        "pending_hour": [-1 if pending_hour is None else pending_hour],
+        "pending_n": [pending_n],
+    })
+
+
+def holt_stateful(events: DataFrame) -> DataFrame:
+    """Streaming Holt smoothing: per-type (level, trend, pending-hour)
+    state carried across micro-batches — O(1) state per series, one
+    shuffle of each batch's rows on the type key.  The consumer takes the
+    LATEST snapshot per type and closes the still-pending hour with one
+    more fold step (streaming/queries.q_stream_holt), after which the
+    result equals the batch q_ts_holt_trend bit-for-bit."""
+    return events.select("event_type", "event_id", "ts").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _holt_update,
+        outputStructType=HOLT_OUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

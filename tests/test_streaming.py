@@ -519,3 +519,58 @@ def test_heavy_hitters_state_across_batches(spark, sf_dir, replay):
     assert _canon(got) == _canon(want)
     shutil.rmtree(sink, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_holt_state_across_batches_equals_batch(spark, sf_dir, replay):
+    """Streaming Holt's core claim under REAL multi-batch replay (the
+    registered q_stream_holt sees one micro-batch at small SF because
+    events is one file): per-type (l, b, pending-hour) state carried
+    across 4 event-time-ordered micro-batches — hours straddling batch
+    boundaries stay pending and keep accumulating — then the read-time
+    close of the final hour must equal the one-shot batch fold
+    (q_ts_holt_trend) bit-for-bit."""
+    from mu_swarm_logger_service_spark.operators.timeseries import (
+        _HOLT_ALPHA as a, _HOLT_BETA as bb)
+    from mu_swarm_logger_service_spark.streaming.stateful import holt_stateful
+
+    src, schema = replay
+    sink = tempfile.mkdtemp(prefix="holt_multi_sink_")
+    ckpt = tempfile.mkdtemp(prefix="holt_multi_ckpt_")
+    batch_ids = []
+
+    def write_batch(bdf, batch_id):
+        batch_ids.append(batch_id)
+        bdf.withColumn("batch_id", F.lit(batch_id)) \
+           .write.mode("overwrite").parquet(
+               os.path.join(sink, f"batch={batch_id}"))
+
+    q = (holt_stateful(_read_replay(spark, src, schema))
+         .writeStream.outputMode("update")
+         .foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(set(batch_ids)) >= 4   # genuinely incremental
+
+    from pyspark.sql import Window as W
+    snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
+    latest = (snaps.withColumn(
+        "mx", F.max("batch_id").over(W.partitionBy("event_type")))
+        .filter(F.col("batch_id") == F.col("mx")))
+    y = F.col("pending_n").cast("double")
+    first = F.col("n_complete") == 0
+    level = F.when(first, y).otherwise(
+        a * y + (1 - a) * (F.col("l") + F.col("b")))
+    trend = F.when(first, F.lit(0.0)).otherwise(
+        bb * (level - F.col("l")) + (1 - bb) * F.col("b"))
+    streamed = latest.select(
+        "event_type",
+        (F.col("n_complete") + 1).cast("long").alias("n_hours"),
+        level.alias("level"), trend.alias("trend"),
+        (level + trend).alias("forecast_next"))
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    batch = QUERIES["q_ts_holt_trend"](spark, sf_dir)
+    assert _canon(streamed) == _canon(batch)   # bit-exact double equality
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
