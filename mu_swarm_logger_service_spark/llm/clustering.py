@@ -776,3 +776,141 @@ def q_llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= IVF_TOPK)
         .select("q_id", "c_id", "adc_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Alternating large-star / small-star connected components (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14) — the CROSS-BLOCK
+# scale path that q_llm_dedup_groups' per-block union-find docstring promises.
+# Union-find needs each block's edges to reach one task; star contraction
+# needs only groupBy-sized state per round and converges in O(log^2 n)
+# rounds regardless of component diameter or block size.
+# ---------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 25
+
+
+def _star_round(sym: DataFrame, large: bool) -> DataFrame:
+    """One star contraction over a symmetric edge list (u, v), u != v.
+
+    large-star processes every undirected edge from its SMALLER endpoint's
+    adjacency (v > u), pointing larger neighbors at m = min(N(u) + {u});
+    small-star processes it from the LARGER endpoint (v < u), pointing the
+    smaller neighbors AND u itself at m = min(N-(u)) (all of N- is < u, so
+    u never beats the min).  Returned edges are canonical (lo, hi) pairs.
+    """
+    if large:
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("u"))
+        out = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(m.alias("lo"), F.col("v").alias("hi"))
+        )
+    else:
+        neg = sym.where(F.col("v") < F.col("u"))
+        mins = neg.groupBy("u").agg(F.min("v").alias("mn"))
+        out = (
+            neg.join(mins, "u")
+            .select(F.col("mn").alias("lo"), F.col("v").alias("hi"))
+            .union(mins.select(F.col("mn").alias("lo"), F.col("u").alias("hi")))
+        )
+    return out.where(F.col("lo") != F.col("hi")).distinct()
+
+
+@query("q_llm_cc_largestar", oracle=_GROUPS_SQL)
+def q_llm_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate components by ALTERNATING STAR contraction — the same
+    spec as q_llm_dedup_groups (connected components of the exact-Jaccard
+    >= 0.5 graph, labeled by each component's minimum doc_id), computed by
+    the algorithm that survives when a blocking key explodes: per round,
+    one groupBy(min) + one join per star phase, state bounded by the
+    adjacency of one node per task — never a whole block in one Python
+    union-find.  Sharing q_llm_dedup_groups' transitive-closure oracle
+    makes the driver's hash equality a DIFFERENTIAL test: two independent
+    algorithms (and a third, the SQL closure) must agree value-exactly.
+
+    Convergence is detected by a (count, xxhash64-sum) checksum of the
+    canonical edge set — one action per round, lineage truncated with
+    eager localCheckpoint like the PageRank/BFS loops.  The fixture graph
+    (stride-20 near-dup chains, FIXTURES.md) reaches fixpoint in ~3
+    rounds; CC_MAX_ROUNDS=25 (>= log^2 of any plausible corpus) turns
+    non-convergence into a loud failure instead of a wrong answer.  At
+    fixpoint the edge set is a star forest (root = component min), so the
+    node->component map is the edge list itself plus the roots."""
+    from .dedup import jaccard_half_edges
+
+    edges = (
+        jaccard_half_edges(spark, sf_dir)
+        .select(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: xxhash64 spans the full int64 range, so a LONG
+            # sum overflows under ANSI (the driver session's default)
+            F.coalesce(
+                F.sum(F.xxhash64("lo", "hi").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).head()
+        return (row["n"], row["h"])
+
+    prev = checksum(edges)
+    for _ in range(CC_MAX_ROUNDS):
+        if prev[0] == 0:
+            break
+        sym = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        edges = _star_round(sym, large=True)
+        sym = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        edges = _star_round(sym, large=False).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {CC_MAX_ROUNDS} rounds"
+        )
+
+    # Fixpoint sanity (two actions on the tiny contracted set): a star
+    # forest rooted at minima has every non-root in exactly ONE edge and no
+    # root ever appearing as a child.  A checksum plateau that is not a
+    # star forest must fail loudly, not mislabel components.
+    chains = edges.alias("a").join(
+        edges.alias("b"), F.col("a.hi") == F.col("b.lo"), "left_semi"
+    )
+    multi = (
+        edges.groupBy("hi").agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+    )
+    if chains.count() or multi.count():
+        raise RuntimeError("star contraction fixpoint is not a star forest")
+
+    comp = (
+        edges.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+        .union(
+            edges.select(F.col("lo").alias("node"), F.col("lo").alias("component"))
+        )
+        .distinct()
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("group_size"))
+    labeled = comp.join(sizes, "component")
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").alias("node")).join(
+        labeled, "node", "left"
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("component", F.col("node")).alias("component"),
+        F.coalesce("group_size", F.lit(1)).alias("group_size"),
+        (F.coalesce("component", F.col("node")) == F.col("node"))
+        .alias("is_keeper"),
+    )

@@ -343,3 +343,19 @@ def test_embed_near_dup_non_vacuous(spark, sf_dir):
     assert len(rows) > 0, "embed_near_dup fixture is vacuous again"
     assert all(0.3 <= r.cos_sim <= 1.0 for r in rows)
     assert all(r.vec_a < r.vec_b for r in rows)
+
+
+def test_cc_largestar_differential_vs_union_find(spark, sf_dir):
+    """Two independent component algorithms over the same edge relation —
+    per-block union-find (q_llm_dedup_groups) and alternating star
+    contraction (q_llm_cc_largestar) — must emit IDENTICAL labelings,
+    row for row.  This is the Spark-vs-Spark half of the differential
+    check (the shared DuckDB transitive-closure oracle is the third
+    implementation); it also proves the fixture exercises multi-node
+    components, not just singletons."""
+    uf = {(r.doc_id, r.component, r.group_size, r.is_keeper)
+          for r in QUERIES["q_llm_dedup_groups"](spark, sf_dir).collect()}
+    star = {(r.doc_id, r.component, r.group_size, r.is_keeper)
+            for r in QUERIES["q_llm_cc_largestar"](spark, sf_dir).collect()}
+    assert uf == star
+    assert any(sz > 1 for _, _, sz, _ in star), "fixture has no real groups"

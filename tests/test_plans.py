@@ -563,3 +563,16 @@ def test_bucketed_sink_recreates_missing_half(spark, sf_dir):
     assert not spark.catalog.tableExists(t_cust)
     assert QUERIES["q_sink_bucketed"](spark, sf_dir).count() > 0
     assert spark.catalog.tableExists(t_cust)
+
+
+def test_kmv_partial_cut_is_map_side_and_merge_join_broadcasts(spark, sf_dir):
+    """The KMV sketch's scale contract: every window cut gets the
+    WindowGroupLimit pushdown (a partial bottom-K runs map-side before
+    each exchange, so shuffles carry <= K rows per (group, shard)), and
+    the sketch/exact combine at the end is a broadcast join — five
+    sketch rows must never force a sort-merge."""
+    p = _plan(spark, sf_dir, "q_sketch_kmv")
+    assert p.count("WindowGroupLimit") >= 4   # partial+final per window
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

@@ -577,3 +577,23 @@ def test_hll_rollup_estimate_within_rsd(spark, sf_dir):
     assert set(est) == set(exact)
     for t, e in exact.items():
         assert abs(est[t] - e) <= max(1, 0.05 * e), (t, est[t], e)
+
+
+def test_kmv_estimator_quality_and_saturation(spark, sf_dir):
+    """Beyond the exact oracle (which proves merge == direct), the KMV
+    ESTIMATE must be useful: for saturated groups (k_used == K) the
+    relative error is bounded by ~4 standard errors of the bottom-k
+    estimator (1/sqrt(K-2) ~ 12.7% at K=64 -> 51%); unsaturated groups
+    must return the exact count (the sketch holds every distinct value).
+    The affine-permutation hash isn't i.i.d.-uniform, so the bound is
+    deliberately loose -- at sf0.01/sf0.1 measured error is <= 16%."""
+    from mu_swarm_logger_service_spark.operators.sketches import KMV_K
+
+    rows = QUERIES["q_sketch_kmv"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.k_used < KMV_K:
+            assert r.est_distinct == r.n_distinct_exact == r.k_used
+        else:
+            rel = abs(r.est_distinct - r.n_distinct_exact) / r.n_distinct_exact
+            assert rel <= 4 / (KMV_K - 2) ** 0.5, (r.event_type, rel)
