@@ -64,13 +64,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #       BinaryType output column — fixed and re-queued; cumulative 200/266).
 #   r7 (this window): the q_fn_encode re-queue + round-6 operators + all
 #       codec queries + llm text extras.  Cumulative target 250/266.
-#       r8 then sweeps the remaining 24: the 16 never-checked keys, three
+#       r8 then sweeps the remaining 25: the 16 never-checked keys, three
 #       vacuous-green re-queues (q_llm_embed_near_dup, q_join_anti,
 #       q_analytics_important_parts — their only green rows were 0-row
 #       results; all three de-vacuated in round 7, and rotate_window now
-#       re-queues that class mechanically), and round 7's five new
+#       re-queues that class mechanically), and round 7's six new
 #       operators (q_llm_bm25_topk, q_ts_holt_trend, q_stream_holt,
-#       q_sketch_kmv, q_llm_cc_largestar).
+#       q_sketch_kmv, q_llm_cc_largestar, q_stream_kmv).
 # Do NOT trust these comment counts at activation time: run
 # ``python tools/rotate_window.py`` — it derives the next window from
 # CORRECTNESS_r*.json + the live registry (re-queuing any hard-red key

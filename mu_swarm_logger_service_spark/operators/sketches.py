@@ -668,6 +668,48 @@ FROM sk JOIN ex ON ex.event_type = sk.event_type
 """
 
 
+def kmv_priority(key="event_id"):
+    """The two-stage lattice priority as a Column (exact on both engines)."""
+    return (
+        (F.col(key) * F.lit(KMV_A) + F.lit(KMV_B)) % F.lit(KMV_P1)
+    ) * F.lit(KMV_STRETCH)
+
+
+def kmv_bottomk(df: DataFrame, part_cols: list[str]) -> DataFrame:
+    """Bottom-K DISTINCT priorities per partition of ``part_cols`` — the KMV
+    partial.  dense_rank absorbs duplicate keys without a pre-distinct
+    shuffle (duplicates carry equal priorities); the select-distinct after
+    the cut touches <= K rows per partition.  Closed under composition:
+    bottom-K of a union of bottom-Ks is the bottom-K of the union — the
+    merge the streaming variant and the sharded batch both lean on."""
+    w = Window.partitionBy(*part_cols).orderBy("pri")
+    return (
+        df.withColumn("rk", F.dense_rank().over(w))
+        .where(F.col("rk") <= KMV_K)
+        .select("event_type", "pri")
+        .distinct()
+    )
+
+
+def kmv_finalize(pri_df: DataFrame, ex_df: DataFrame) -> DataFrame:
+    """(group, pri) bottom-K rows + (group, n_distinct_exact) -> the sketch
+    summary row with the (K-1)·P / kth_min estimate (one fixed-shape IEEE
+    division on exactly representable operands — no round() needed)."""
+    sk = pri_df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("pri").alias("kth_min"),
+    )
+    est = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(KMV_P) / F.col("kth_min")
+    )
+    return sk.join(ex_df, "event_type").select(
+        "event_type", "k_used", "kth_min",
+        est.alias("est_distinct"), "n_distinct_exact",
+    )
+
+
 @query("q_sketch_kmv", oracle=_KMV_SQL)
 def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketch per event_type, built the way a cluster would:
@@ -694,46 +736,16 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     representable values in one fixed-shape expression (no round()), per
     the one-IEEE-op rule in the verify gotchas."""
     ev = load(spark, sf_dir, "events").select("event_type", "event_id")
-    pri = (
-        (F.col("event_id") * F.lit(KMV_A) + F.lit(KMV_B)) % F.lit(KMV_P1)
-    ) * F.lit(KMV_STRETCH)
     t = ev.select(
         "event_type",
-        pri.alias("pri"),
+        kmv_priority().alias("pri"),
         F.pmod("event_id", F.lit(KMV_SHARDS)).alias("shard"),
     )
-    # Stage 1 — per-(group, shard) partial: bottom-K DISTINCT priorities.
-    # dense_rank (not row_number) absorbs duplicate keys without a
-    # pre-distinct shuffle; the select-distinct after the cut touches only
-    # <= K rows per (group, shard).
-    w_shard = Window.partitionBy("event_type", "shard").orderBy("pri")
-    partial = (
-        t.withColumn("rk", F.dense_rank().over(w_shard))
-        .where(F.col("rk") <= KMV_K)
-        .select("event_type", "pri")
-        .distinct()
-    )
-    # Stage 2 — merge: bottom-K of the union of partials.  Priorities are
-    # unique per group here (the hash is injective below P1 and shards
-    # partition the key space), so row_number needs no tiebreaker.
-    w_group = Window.partitionBy("event_type").orderBy("pri")
-    merged = (
-        partial.withColumn("rn", F.row_number().over(w_group))
-        .where(F.col("rn") <= KMV_K)
-    )
-    sk = merged.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("k_used"),
-        F.max("pri").alias("kth_min"),
-    )
+    # Stage 1 — per-(group, shard) partial; stage 2 — merge: bottom-K of
+    # the union of partials (closure of kmv_bottomk under composition).
+    partial = kmv_bottomk(t, ["event_type", "shard"])
+    merged = kmv_bottomk(partial, ["event_type"])
     ex = ev.groupBy("event_type").agg(
         F.count_distinct("event_id").alias("n_distinct_exact")
     )
-    est = F.when(
-        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
-    ).otherwise(
-        F.lit(float(KMV_K - 1)) * F.lit(KMV_P) / F.col("kth_min")
-    )
-    return sk.join(ex, "event_type").select(
-        "event_type", "k_used", "kth_min",
-        est.alias("est_distinct"), "n_distinct_exact",
-    )
+    return kmv_finalize(merged, ex)

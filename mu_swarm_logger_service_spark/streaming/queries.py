@@ -581,3 +581,78 @@ def q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
     return out
+
+
+from ..operators.sketches import _KMV_SQL  # noqa: E402
+
+
+@query("q_stream_kmv", oracle=_KMV_SQL)
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct sketch with an EXACT oracle — the pure-merge
+    member of the incremental-sketch family.  Misra-Gries needs a state
+    store (its decrements are order-dependent) and Holt is a sequential
+    fold; a KMV partial is its own CRDT: per micro-batch the batch's
+    bottom-K distinct priorities land in a batchId-addressed sink with NO
+    cross-batch state, and the read-time merge (bottom-K of the union of
+    every batch's partial — operators.sketches.kmv_bottomk, the same code
+    the sharded batch sketch composes) reproduces the one-shot sketch
+    bit-for-bit.  Alongside it each batch writes (group, word, bit_or)
+    BITMAP partials (the q_sketch_bitmap_distinct layout) whose OR-merge
+    is the exact distinct count, so the streaming output matches the full
+    batch oracle — estimate AND exact column — value-exactly.
+
+    At scale this is the always-on distinct-counter a lakehouse actually
+    runs: ingest appends K 8-byte priorities + one bitmap word per 60 keys
+    per group per batch, rollups re-merge partials without re-reading
+    history, and retries are idempotent because every batch OVERWRITES its
+    own batchId directory.  tests/test_streaming.py replays 4 ordered
+    micro-batches and asserts merge ≡ one-shot exactly."""
+    from ..operators.sketches import kmv_bottomk, kmv_finalize, kmv_priority
+
+    sink = tempfile.mkdtemp(prefix="spark_graft_kmvsink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_kmvckpt_")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        b = bdf.select("event_type", "event_id").persist()
+        kmv_bottomk(
+            b.select("event_type", kmv_priority().alias("pri")),
+            ["event_type"],
+        ).write.mode("overwrite").parquet(
+            os.path.join(sink, f"kmv/batch={batch_id}"))
+        (
+            b.select(
+                "event_type",
+                F.expr("event_id div 60").cast("long").alias("word"),
+                F.expr("shiftleft(1L, int(event_id % 60))").alias("w_bit"),
+            )
+            .groupBy("event_type", "word")
+            .agg(F.bit_or("w_bit").alias("bits"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink, f"bitmap/batch={batch_id}"))
+        )
+        b.unpersist()
+
+    q = (
+        X.stream_events(spark, sf_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = kmv_bottomk(
+        spark.read.parquet(os.path.join(sink, "kmv/batch=*")),
+        ["event_type"],
+    )
+    ex = (
+        spark.read.parquet(os.path.join(sink, "bitmap/batch=*"))
+        .groupBy("event_type", "word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bit_count("bits")).alias("n_distinct_exact"))
+    )
+    out = kmv_finalize(merged, ex).localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return out

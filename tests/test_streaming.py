@@ -574,3 +574,64 @@ def test_holt_state_across_batches_equals_batch(spark, sf_dir, replay):
     assert _canon(streamed) == _canon(batch)   # bit-exact double equality
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_kmv_merge_across_batches_equals_batch(spark, sf_dir, replay):
+    """The streaming KMV's core claim with REAL multi-batch replay (the
+    registered q_stream_kmv sees one micro-batch at small SF): per-batch
+    bottom-K partials from 4 ordered micro-batches, merged by one more
+    kmv_bottomk pass, must equal the one-shot sketch over all events
+    EXACTLY — no state store, because the bottom-K set is closed under
+    union-merge.  The bitmap partials must likewise OR-merge to the exact
+    distinct count."""
+    from mu_swarm_logger_service_spark.operators.sketches import (
+        kmv_bottomk,
+        kmv_finalize,
+        kmv_priority,
+    )
+
+    src, schema = replay
+    sink = tempfile.mkdtemp(prefix="kmv_multi_sink_")
+    ckpt = tempfile.mkdtemp(prefix="kmv_multi_ckpt_")
+    batch_ids = []
+
+    def write_batch(bdf, batch_id):
+        batch_ids.append(batch_id)
+        kmv_bottomk(
+            bdf.select("event_type", kmv_priority().alias("pri")),
+            ["event_type"],
+        ).write.mode("overwrite").parquet(
+            os.path.join(sink, f"kmv/batch={batch_id}"))
+        (bdf.select("event_type",
+                    F.expr("event_id div 60").cast("long").alias("word"),
+                    F.expr("shiftleft(1L, int(event_id % 60))").alias("w_bit"))
+         .groupBy("event_type", "word")
+         .agg(F.bit_or("w_bit").alias("bits"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(sink, f"bitmap/batch={batch_id}")))
+
+    q = (_read_replay(spark, src, schema)
+         .writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(set(batch_ids)) >= 4   # genuinely incremental
+
+    merged = kmv_finalize(
+        kmv_bottomk(spark.read.parquet(os.path.join(sink, "kmv/batch=*")),
+                    ["event_type"]),
+        (spark.read.parquet(os.path.join(sink, "bitmap/batch=*"))
+         .groupBy("event_type", "word").agg(F.bit_or("bits").alias("bits"))
+         .groupBy("event_type")
+         .agg(F.sum(F.bit_count("bits")).alias("n_distinct_exact"))),
+    )
+    ev = load(spark, sf_dir, "events")
+    oneshot = kmv_finalize(
+        kmv_bottomk(ev.select("event_type", kmv_priority().alias("pri")),
+                    ["event_type"]),
+        ev.groupBy("event_type")
+        .agg(F.count_distinct("event_id").alias("n_distinct_exact")),
+    )
+    assert _canon(merged) == _canon(oneshot)
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
