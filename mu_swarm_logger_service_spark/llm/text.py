@@ -415,11 +415,19 @@ _PII_PATTERN = r"\b([a-z0-9]{10,}|[0-9]{4,})\b"
 
 
 @query("q_llm_pii_redact", oracle=rf"""
+WITH minted AS (
+  SELECT doc_id,
+         text || ' contact user' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+              || '@example.com ref '
+              || lpad(CAST(doc_id * 7919 % 100000000 AS VARCHAR), 8, '0')
+           AS pii_text
+  FROM documents
+)
 SELECT doc_id,
-       regexp_replace(text, '{_PII_PATTERN}', '[PII]', 'g') AS redacted,
-       CAST(len(regexp_extract_all(text, '{_PII_PATTERN}')) AS BIGINT)
+       regexp_replace(pii_text, '{_PII_PATTERN}', '[PII]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(pii_text, '{_PII_PATTERN}')) AS BIGINT)
          AS n_redacted
-FROM documents
+FROM minted
 """)
 def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (training-data compliance staple): every token
@@ -427,15 +435,37 @@ def q_llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     where real pipelines put phone/SSN/email regexes) is replaced with a
     [PII] sentinel, and the per-document match count is kept for audit.
 
+    The corpus contains NO digit-bearing tokens, so redaction over raw
+    `text` can never fire — parity on that input proves nothing (this
+    query's six rounds of green were exactly that, exposed when the
+    4x-replication sweep appended a digit-bearing token).  The input
+    therefore MINTS two deterministic identifiers per document (a
+    user<id>@example.com handle and an 8-digit reference) from doc_id, the
+    same minted-input discipline as the parse_url oracle: both engines
+    transform identical strings and every row exercises both alternations
+    (>= 2 redactions, pinned in tests/test_llm.py).
+
+    Two cross-engine traps live here (verify SKILL.md): the count must NOT
+    route the pattern through an F.expr SQL string — the SQL parser eats
+    the backslash, turning \\b into a BACKSPACE character that never
+    matches (the replace path, taking the pattern as a Python argument,
+    was never affected) — so the pattern is passed as a lit() Column; and
+    DuckDB needs the explicit 'g' flag to match Spark's replace-all.
+
     Pure JVM regex — one projection, no shuffle, trivially partition-
-    parallel at any scale.  DuckDB needs the explicit 'g' flag to match
-    Spark's replace-all semantics (see the verify skill's gotcha list).
-    """
+    parallel at any scale."""
     docs = load(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        F.lit("@example.com ref "),
+        F.lpad((F.col("doc_id") * 7919 % 100000000).cast("string"), 8, "0"),
+    )
     return docs.select(
         "doc_id",
-        F.regexp_replace("text", _PII_PATTERN, "[PII]").alias("redacted"),
-        F.size(F.expr(f"regexp_extract_all(text, '{_PII_PATTERN}', 0)"))
+        F.regexp_replace(pii_text, _PII_PATTERN, "[PII]").alias("redacted"),
+        F.size(F.regexp_extract_all(pii_text, F.lit(_PII_PATTERN), 0))
         .cast("long").alias("n_redacted"),
     )
 

@@ -198,11 +198,19 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q_join_asof", oracle="""
-SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
-       c.event_id AS c_event_id, c.ts AS c_ts
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND p.ts >= c.ts
+-- Explicit window formulation instead of DuckDB's ASOF JOIN: under
+-- duplicate click timestamps ASOF picks an arbitrary row, while this
+-- engine's spec is deterministic — the max (ts, event_id) click at or
+-- before the purchase (found by the 4x-replication sweep, round 7).
+SELECT p_event_id, user_id, p_ts, c_event_id, c_ts FROM (
+  SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
+         c.event_id AS c_event_id, c.ts AS c_ts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+) WHERE rn = 1
 """)
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (row 23): for each purchase, the latest click by the same

@@ -71,15 +71,22 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_stream_session", oracle="""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
+  -- event_id tiebreaker is LOAD-BEARING: under duplicate (user_id, ts)
+  -- rows a ROWS-frame running sum ordered by ts alone places the brk=1
+  -- row arbitrarily within the tie group and can split one session into
+  -- two (found by the 4x-replication sweep, round 7).  Strict > gap:
+  -- measured, session_window MERGES an event exactly gap after its
+  -- predecessor (closed interval); epoch_us keeps the comparison on
+  -- exact integer micros (fractional epoch() is the documented trap).
   SELECT user_id, ts, value,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_id
   FROM flagged

@@ -104,10 +104,16 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     (user_id, session_start, n_events) sets as session_window; the oracle
     checks this form exactly and tests assert both forms agree."""
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Exact microseconds, strict > gap: measured, session_window MERGES an
+    # event exactly gap after its predecessor (closed interval), and the
+    # previous truncating unix_timestamp() seconds could misclassify a
+    # boundary gap (true diff in (gap, gap+1s) truncating to exactly gap)
+    # that exact micros resolves (4x-replication sweep follow-up, round 7).
+    us = F.unix_micros("ts")
     is_break = F.when(
         F.lag("ts").over(w_ord).isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_ord))
-           > gap_seconds),
+        | (us - F.unix_micros(F.lag("ts").over(w_ord))
+           > gap_seconds * 1_000_000),
         1,
     ).otherwise(0)
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -359,3 +359,17 @@ def test_cc_largestar_differential_vs_union_find(spark, sf_dir):
             for r in QUERIES["q_llm_cc_largestar"](spark, sf_dir).collect()}
     assert uf == star
     assert any(sz > 1 for _, _, sz, _ in star), "fixture has no real groups"
+
+
+def test_pii_redact_fires_on_every_document(spark, sf_dir):
+    """q_llm_pii_redact was vacuously green for six rounds: the corpus has
+    no digit-bearing tokens, so the pattern never matched and a broken
+    count path (F.expr ate the \\b word boundaries) passed parity as
+    0 == 0.  The minted identifiers guarantee both pattern alternations
+    fire on EVERY row, and the count must agree with the number of [PII]
+    sentinels actually present in the redacted text."""
+    rows = QUERIES["q_llm_pii_redact"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_redacted >= 2, (r.doc_id, r.n_redacted)
+        assert r.redacted.count("[PII]") == r.n_redacted, r.doc_id
