@@ -39,8 +39,14 @@ def stream_events(spark: SparkSession, sf_dir: str,
     At real scale batches span many files and arrive pre-split — leave
     this None there; it exists for compute-dense, few-file micro-batches.
     """
-    from ..core.tables import _normalize_events_ts, _read_events
+    from ..core.tables import _normalize_events_ts, _read_events, _ship_package
 
+    # Stateful streaming queries pickle module functions into executors the
+    # same way pandas-UDF batch queries do, but a streaming query can be the
+    # FIRST thing a session runs (no prior load() to ship the package zip) —
+    # found by running q_stream_heavy_hitters standalone on a plain session
+    # from a foreign cwd: ModuleNotFoundError inside the state fold.
+    _ship_package(spark)
     schema = _read_events(spark, sf_dir).schema
     # File stream sources need a DIRECTORY; stage one with a symlink to the
     # (read-only) testdata file.
