@@ -7,13 +7,20 @@ arithmetic in DOUBLE (deterministic: same input bits, same operator order in
 both engines), cast each row result to DECIMAL (exact, associative), SUM the
 decimals (order-independent), and cast the final value back to DOUBLE.
 
-Tie-safety note: decimal cast rounding ties ARE representable doubles —
-any odd multiple of 5·10^-(scale+1) whose factors of 5 fully cancel is
-binary-exact (0.0078125 = 2^-7 is a 6-dp tie; 0.125 a 2-dp one) — but
-parity holds because both engines break double→decimal ties half AWAY from
-zero (Spark HALF_UP, DuckDB likewise).  A round-half-even path on either
-side would be the real hazard (round-6 advice corrected the earlier
-"ties impossible" claim here and in operators/analytics.py).
+Tie-safety note (corrected round 7, measured): the engines do NOT round a
+double→decimal cast the same way when the cast actually has to round.
+Spark casts via ``BigDecimal.valueOf`` — it rounds the SHORTEST-REPR
+STRING of the double, HALF_UP — while DuckDB rounds the BINARY value.
+They diverge whenever the shortest repr terminates at the tie digit but
+the binary value is not an exact tie (measured: a product with repr
+10068433.305 → Spark .31, DuckDB .30 — the q_ts_cross_corr first build).
+The actual safety invariant of this module is therefore EXACTNESS, not
+tie-agreement: every double cast to DECIMAL here must carry at most
+``scale`` decimal digits so the cast never rounds at all.  Fixture
+inputs satisfy this (prices/values/discounts have ≤2 decimals, scale is
+6); derived values must be checked — a product of two 6-dp-exact doubles
+carries up to 12 decimal digits and is NOT safe to cast at scale 6
+(floor/quantize it first, as q_ts_cross_corr does).
 """
 
 from __future__ import annotations

@@ -540,3 +540,99 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
          * F.variant_get(v, "$.k", "long")).alias("k_sq"),
         F.try_variant_get(v, "$.missing", "long").isNull().alias("no_extra"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode text canonicalization — the normalization pass every multilingual
+# corpus pipeline runs before dedup/tokenization: NFC composition (so
+# visually-identical strings hash identically) and accent-fold + lowercase
+# (the aggressive dedup key).  Spark has no unicode-normalize builtin, so
+# this is a deliberate Arrow-batched Pandas UDF (stdlib unicodedata) — the
+# documented slow-path escape hatch; the oracle exercises DuckDB's native
+# nfc_normalize/strip_accents against it, proving the two independent
+# Unicode implementations agree.
+# ---------------------------------------------------------------------------
+
+_ACCENT_PRE = ["café", "naïve", "über", "señor", "crème", "pâté"]
+# decomposed (combining-mark) forms, deliberately NOT precomposed:
+_ACCENT_DEC = ["café", "über", "señor"]
+
+# Plain functions wrapped with pandas_udf(...) lazily inside the query —
+# decorating at module scope would require an active SparkSession at import
+# time (the DDL return type is parsed via the context), which the test
+# suite's bare package import doesn't have (repo pattern: udx/examples.py).
+
+def _u_nfc_fn(s):
+    import unicodedata as ud
+    return s.map(lambda x: None if x is None else ud.normalize("NFC", x))
+
+
+def _u_fold_fn(s):
+    import unicodedata as ud
+
+    def fold(x):
+        if x is None:
+            return None
+        return "".join(c for c in ud.normalize("NFD", x)
+                       if not ud.combining(c)).lower()
+    return s.map(fold)
+
+
+@query("q_fn_normalize_text", oracle="""
+WITH minted AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'café' WHEN 1 THEN 'naïve' WHEN 2 THEN 'über'
+           WHEN 3 THEN 'señor' WHEN 4 THEN 'crème' ELSE 'pâté'
+         END || ' ' ||
+         CASE doc_id % 3
+           WHEN 0 THEN 'cafe' || chr(769)
+           WHEN 1 THEN 'u' || chr(776) || 'ber'
+           ELSE 'se' || 'n' || chr(771) || 'or'
+         END || ' MiXeD' AS s
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(s) AS nfc,
+       lower(strip_accents(s)) AS folded,
+       CAST(length(s) AS BIGINT) AS n_raw,
+       CAST(length(nfc_normalize(s)) AS BIGINT) AS n_nfc,
+       nfc_normalize(s) <> s AS composed
+FROM minted
+""")
+def q_fn_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC + accent-fold canonicalization over minted mixed-form strings
+    (each row carries a precomposed word AND a combining-mark decomposed
+    word, so both normalization directions fire on every row — the
+    vacuous-oracle discipline).  Length drop n_raw - n_nfc counts the
+    combining marks NFC composed away; `composed` is TRUE on every row
+    by construction (pinned in tests).  Cross-engine: Python
+    unicodedata (Spark, Arrow-batched Pandas UDF) vs DuckDB's utf8proc
+    — two independent Unicode libraries agreeing on NFC and
+    NFD-strip-Mn output is the point of the oracle.  Scale: stateless
+    per-row narrow pass, no shuffle; the UDF is Arrow-vectorized and
+    the canonical columns would be written once and reused by every
+    downstream dedup/tokenize stage, not recomputed."""
+    docs = load(spark, sf_dir, "documents")
+    m6 = F.col("doc_id") % 6
+    m3 = F.col("doc_id") % 3
+    pre = F.when(m6 == 0, _ACCENT_PRE[0])
+    for i in range(1, 5):
+        pre = pre.when(m6 == i, _ACCENT_PRE[i])
+    pre = pre.otherwise(_ACCENT_PRE[5])
+    dec = (F.when(m3 == 0, _ACCENT_DEC[0])
+           .when(m3 == 1, _ACCENT_DEC[1])
+           .otherwise(_ACCENT_DEC[2]))
+    s = F.concat_ws(" ", pre, dec, F.lit("MiXeD"))
+    minted = docs.select("doc_id", s.alias("s"))
+    _u_nfc = F.pandas_udf(_u_nfc_fn, "string")
+    _u_fold = F.pandas_udf(_u_fold_fn, "string")
+    nfc = _u_nfc(F.col("s"))
+    return minted.select(
+        "doc_id",
+        nfc.alias("nfc"),
+        _u_fold(F.col("s")).alias("folded"),
+        F.length("s").cast("long").alias("n_raw"),
+        F.length(nfc).cast("long").alias("n_nfc"),
+        (nfc != F.col("s")).alias("composed"),
+    )

@@ -1962,3 +1962,101 @@ def q_llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (Schleimer/Wilkerson/Aiken, MOSS): positional fingerprint
+# selection.  q_llm_doc_fingerprint keeps the k globally-smallest shingle
+# hashes (a min-k sketch); winnowing instead slides a window of W
+# consecutive shingle hashes and keeps each window's minimum (rightmost on
+# ties), guaranteeing a match of length >= W+k-1 tokens between two
+# documents always shares a fingerprint — the positional guarantee plain
+# min-k lacks.
+# ---------------------------------------------------------------------------
+
+WINNOW_W = 4  # window: shingle hashes per selection window
+
+
+@query("q_llm_winnowing", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), sh AS (
+  SELECT doc_id, i + 1 AS pos, len(arr) - 2 AS n,
+         md5(arr[i + 1] || ' ' || arr[i + 2] || ' ' || arr[i + 3]) AS h
+  FROM toks, UNNEST(range(0, len(arr) - 2)) AS t(i)
+), keyed AS (
+  SELECT doc_id, pos, n,
+         h || lpad(CAST(1000000 - pos AS VARCHAR), 7, '0') AS key
+  FROM sh
+), sel AS (
+  SELECT doc_id, pos, n,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W - 1} FOLLOWING) AS k
+  FROM keyed
+)
+SELECT DISTINCT doc_id,
+       substr(k, 1, 32) AS fhash,
+       CAST(1000000 - CAST(substr(k, 33, 7) AS INTEGER) AS BIGINT) AS fpos
+FROM sel
+WHERE pos <= GREATEST(1, n - {WINNOW_W - 1})
+""")
+def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: 3-token shingles → md5, then each
+    {WINNOW_W}-hash window keeps its minimum hash with the RIGHTMOST
+    position on ties (the MOSS rule), deduplicated to a (hash, pos) set.
+    The argmin-with-tiebreak is encoded as a single string MIN over
+    `hash || zero-padded(1e6 - pos)` — fixed-width ASCII, so
+    lexicographic order == (hash asc, pos desc) in both engines and one
+    window MIN does the whole selection (no join back to find the
+    position).  Docs shorter than one window clamp to their first
+    window (standard winnowing).  Plan: everything after the scan is
+    per-doc narrow work — one posexplode, one doc-partitioned window —
+    so the only shuffle is the doc_id partitioning; fingerprint output
+    is ~2/(W+1) of shingle count per doc, the expected winnowing
+    density.  Positions are capped at 1e6 shingles/doc by the pad width
+    (far beyond any training document; admission-guarded upstream)."""
+    docs = load(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    t = docs.select("doc_id", arr.alias("arr")).filter(F.size("arr") >= 3)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("arr") - 2),
+        lambda i: F.md5(F.concat_ws(
+            " ",
+            F.element_at(F.col("arr"), i),
+            F.element_at(F.col("arr"), i + 1),
+            F.element_at(F.col("arr"), i + 2),
+        )),
+    )
+    sh = (
+        t.select("doc_id", F.posexplode(shingles).alias("pos0", "h"))
+        .select(
+            "doc_id", (F.col("pos0") + 1).alias("pos"),
+            F.concat(
+                "h",
+                F.lpad((F.lit(1000000) - F.col("pos0") - 1).cast("string"),
+                       7, "0"),
+            ).alias("key"),
+        )
+    )
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.currentRow, WINNOW_W - 1))
+    n_sh = Window.partitionBy("doc_id")
+    sel = sh.select(
+        "doc_id", "pos",
+        F.count(F.lit(1)).over(n_sh).alias("n"),
+        F.min("key").over(w).alias("k"),
+    )
+    return (
+        sel.filter(F.col("pos")
+                   <= F.greatest(F.lit(1), F.col("n") - (WINNOW_W - 1)))
+        .select(
+            "doc_id",
+            F.substring("k", 1, 32).alias("fhash"),
+            (F.lit(1000000)
+             - F.substring("k", 33, 7).cast("int")).cast("long")
+            .alias("fpos"),
+        )
+        .distinct()
+    )

@@ -9,7 +9,7 @@ aggregation + final merge — one shuffle on the group keys, no collect().
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.numeric import davg, davg_sql, dsum, dsum_sql
@@ -579,4 +579,61 @@ def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sy - slope * sx) / n).alias("intercept"),
         (((n * sxy - sx * sy) * (n * sxy - sx * sy))
          / ((n * sxx - sx * sx) * (n * syy - sy * sy))).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median — order statistic under a weight column.  percentile()
+# treats every row equally; real pricing/mixture questions weight rows
+# (here: the median sale price per return flag, weighted by quantity, i.e.
+# "the price at which half the UNITS moved", not half the line items).
+# ---------------------------------------------------------------------------
+
+@query("q_agg_weighted_median", oracle="""
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS DECIMAL(27,6))) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cw,
+         SUM(CAST(l_quantity AS DECIMAL(27,6))) OVER (
+           PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(l_extendedprice) AS wmedian,
+       CAST(MAX(tw) AS DOUBLE) AS total_weight
+FROM cum
+WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+""")
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower weighted median: the smallest price whose cumulative weight
+    reaches half the group's total.  One shuffle (partitionBy the group
+    key) feeding both windows, then a tiny groupBy-min.  Determinism:
+    the running weight is summed in DECIMAL (associative — DuckDB's
+    segment-tree window accumulation and Spark's row-at-a-time order
+    then agree exactly; SKILL.md running-sum gotcha), the threshold is
+    the integer-exact `2*cw >= tw` (no division), and the ORDER BY
+    carries the unique (orderkey, linenumber) tiebreak.  The selected
+    price is a raw input double — no float aggregation touches it.
+
+    At 100 TB a full per-group sort is the honest cost of an exact
+    order statistic; the scale path is two-pass bracketing (approx
+    percentile to find a narrow price bracket, exact pass inside it),
+    which this formulation reduces to by adding one filter."""
+    li = load(spark, sf_dir, "lineitem")
+    qdec = F.col("l_quantity").cast("decimal(27,6)")
+    w_cum = (Window.partitionBy("l_returnflag")
+             .orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+    w_all = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.sum(qdec).over(w_cum).alias("cw"),
+        F.sum(qdec).over(w_all).alias("tw"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("wmedian"),
+             F.max("tw").cast("double").alias("total_weight"))
     )

@@ -1048,3 +1048,169 @@ def q_ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.getField("b").alias("trend"),
         (state.getField("l") + state.getField("b")).alias("forecast_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: per-user consecutive-active-day streaks.  Distinct from
+# q_ts_sessionize (time-gap islands on raw timestamps) — this is the
+# calendar-grid variant (daily engagement streaks) built on the classic
+# day_number - row_number grouping key.
+# ---------------------------------------------------------------------------
+
+@query("q_ts_streaks", oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), runs AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', day)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM activity
+), lens AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM runs GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM lens
+GROUP BY user_id
+""")
+def q_ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-islands).
+    `epoch_day - row_number` is constant within a run of consecutive days,
+    so one window + two cheap groupBys finish the job — no self-join, no
+    iteration.  All arithmetic is integer/date exact.  The distinct, the
+    window, and the first groupBy all share the user_id partitioning, so
+    Spark plans ONE shuffle on user_id for the whole pipeline (the final
+    per-user rollup rides the same exchange); at 100 TB that single fact
+    shuffle is the floor for any per-user sequence analysis."""
+    ev = load(spark, sf_dir, "events")
+    activity = (ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+                .repartition("user_id").distinct())
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = activity.select(
+        "user_id",
+        (F.datediff("day", F.lit("1970-01-01"))
+         - F.row_number().over(w)).alias("grp"),
+    )
+    lens = runs.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return lens.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between two daily series (does click volume lead
+# purchase volume?).  The lag lattice is computed on the AGGREGATED series —
+# days, not events — so the only full-data pass is one groupBy(day).
+# ---------------------------------------------------------------------------
+
+XCORR_MAX_LAG = 7  # days; lattice size is (span - k) pairs per lag
+
+
+@query("q_ts_cross_corr", oracle=f"""
+WITH bounds AS (
+  SELECT MIN(date_trunc('day', ts)) AS d0, MAX(date_trunc('day', ts)) AS d1
+  FROM events
+), cal AS (
+  SELECT UNNEST(generate_series(d0, d1, INTERVAL '1 day')) AS day, d0
+  FROM bounds
+), daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(FLOOR(SUM(CAST(value AS DECIMAL(27,6)))
+              FILTER (WHERE event_type = 'click')) AS DOUBLE) AS a,
+         CAST(FLOOR(SUM(CAST(value AS DECIMAL(27,6)))
+              FILTER (WHERE event_type = 'purchase')) AS DOUBLE) AS b
+  FROM events GROUP BY day
+), series AS (
+  SELECT date_diff('day', d0, day) AS idx,
+         COALESCE(a, 0.0) AS a, COALESCE(b, 0.0) AS b
+  FROM cal LEFT JOIN daily USING (day)
+), pairs AS (
+  SELECT l.k, x.a, y.b
+  FROM series x
+  JOIN (SELECT UNNEST(range(0, {XCORR_MAX_LAG + 1})) AS k) l ON true
+  JOIN series y ON y.idx = x.idx + l.k
+), m AS (
+  SELECT k,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(a AS DECIMAL(27,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(b AS DECIMAL(27,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(a * b AS DECIMAL(27,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(a * a AS DECIMAL(27,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(b * b AS DECIMAL(27,0))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+       (n * sxy - sx * sy)
+         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS xcorr
+FROM m
+""")
+def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation r_k between click value on day d and purchase
+    value on day d+k, k = 0..{XCORR_MAX_LAG} — the lead/lag diagnostic
+    behind forecasting-feature selection.  The calendar is zero-filled
+    from a generated day sequence so a type missing a whole day cannot
+    silently shrink the lattice.  Determinism: the daily series is
+    FLOORED to whole units before the lattice — this is load-bearing,
+    not cosmetic.  First-build parity caught a product whose shortest
+    repr terminates at the 2-dp tie digit (10068433.305, not an exact
+    binary tie): Spark's double→decimal cast rounds the repr STRING
+    (HALF_UP → .31) while DuckDB rounds the BINARY value (→ .30), so
+    any decimal cast that actually has to round a full-mantissa double
+    is cross-engine unsafe.  With integer-valued doubles (≤1e6 at
+    sf0.1), every product and moment sum is exactly representable and
+    every decimal cast is exact — zero rounding anywhere; the final
+    Pearson expression is then the same IEEE op sequence on identical
+    bits in both engines, so the raw quotient is emitted un-rounded
+    (SKILL.md round-divergence rule; bound: Σa·b must stay under 2^53 ≈
+    9e15, i.e. daily unit volume ~1e6 over a 10-year lattice).  Plan:
+    one shuffle aggregates events to days; everything after runs on a
+    ~span-sized series that Spark broadcasts through the lag join."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    dec6 = "decimal(27,6)"
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.floor(F.sum(F.when(F.col("event_type") == "click", F.col("value"))
+                      .cast(dec6))).cast("double").alias("a"),
+        F.floor(F.sum(F.when(F.col("event_type") == "purchase",
+                             F.col("value")).cast(dec6)))
+        .cast("double").alias("b"),
+    )
+    bounds = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+    cal = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day")))
+        .alias("day"), "d0")
+    series = (
+        cal.join(daily, "day", "left")
+        .select(F.datediff("day", "d0").alias("idx"),
+                F.coalesce("a", F.lit(0.0)).alias("a"),
+                F.coalesce("b", F.lit(0.0)).alias("b"))
+    )
+    lags = spark.range(0, XCORR_MAX_LAG + 1).select(F.col("id").alias("k"))
+    y = series.select(F.col("idx").alias("yidx"), F.col("b").alias("yb"))
+    pairs = (
+        series.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(y), F.col("yidx") == F.col("idx") + F.col("k"))
+    )
+
+    def dsum_s(col, scale):
+        return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
+
+    a, b = F.col("a"), F.col("yb")
+    m = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum_s(a, 0).alias("sx"), dsum_s(b, 0).alias("sy"),
+        dsum_s(a * b, 0).alias("sxy"),
+        dsum_s(a * a, 0).alias("sxx"), dsum_s(b * b, 0).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        F.col("k").alias("lag"), n.alias("n_days"),
+        ((n * sxy - sx * sy)
+         / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias("xcorr"),
+    )

@@ -663,3 +663,111 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
     return out
+
+
+@query("q_stream_cdc_apply", oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id, value, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, CAST(event_id AS BIGINT) AS last_event_id,
+       value AS latest_value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+""")
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization: the event stream read as a keyed
+    changelog (key=user_id, version=(ts, event_id), op=DELETE on 'error'
+    rows) applied incrementally by a foreachBatch MERGE onto a persisted
+    snapshot — the Delta/Iceberg `MERGE INTO` loop a warehouse runs to
+    mirror an OLTP table.  Each batch (a) collapses to one change per
+    key (latest version), (b) full-outer-joins the current snapshot and
+    keeps whichever side carries the higher version, (c) writes the next
+    snapshot version (ping-pong directories, so a retried batch re-reads
+    the PREVIOUS snapshot — idempotent, like a real table format's
+    atomic version swap).  Deletes persist as TOMBSTONES in the
+    snapshot, not physical drops: without them a later out-of-order
+    batch carrying an older change would resurrect a deleted key; they
+    filter out only at read time (compaction would purge them once the
+    watermark passes).  The final snapshot must equal the batch
+    latest-state query — the oracle checks it value-exactly.
+
+    At scale the snapshot is key-partitioned so the per-batch join
+    prunes to touched partitions and the window shuffle is batch-sized;
+    state never re-reads history (contrast recomputing the window over
+    the full changelog each batch).  tests/test_streaming.py replays
+    ordered micro-batches and asserts the incremental result matches
+    the one-shot application exactly."""
+    state_dir = tempfile.mkdtemp(prefix="spark_graft_cdcstate_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_cdcckpt_")
+    result = _run_cdc_apply(spark, X.stream_events(spark, sf_dir), state_dir,
+                            ckpt)
+    out = result.localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    return out
+
+
+def _run_cdc_apply(spark: SparkSession, stream: DataFrame,
+                   state_dir: str, ckpt: str,
+                   batch_ids: list | None = None) -> DataFrame:
+    """Run the CDC-apply loop on ``stream``; returns the final live view.
+    Split out so the replay test can drive it with its own multi-batch
+    file source (``batch_ids`` collects observed batch ids so the test
+    can assert the run was genuinely incremental)."""
+    from pyspark.sql import Window
+
+    version = [0]  # ping-pong snapshot pointer (driver-side, per query)
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        if batch_ids is not None:
+            batch_ids.append(batch_id)
+        w = (Window.partitionBy("user_id")
+             .orderBy(F.col("vts").desc(), F.col("event_id").desc()))
+        latest = (
+            bdf.select(
+                "user_id", "event_id", "value",
+                F.unix_micros("ts").alias("vts"),
+                F.when(F.col("event_type") == "error", "delete")
+                .otherwise("upsert").alias("op"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        cur_path = os.path.join(state_dir, f"v{version[0]}")
+        if os.path.exists(cur_path):
+            cur = spark.read.parquet(cur_path)
+        else:
+            cur = spark.createDataFrame([], latest.schema)
+        c, s = latest.alias("c"), cur.alias("s")
+        joined = s.join(c, F.col("s.user_id") == F.col("c.user_id"),
+                        "full_outer")
+        newer = F.col("s.vts").isNull() | (
+            (F.col("c.vts") > F.col("s.vts"))
+            | ((F.col("c.vts") == F.col("s.vts"))
+               & (F.col("c.event_id") > F.col("s.event_id"))))
+        take_change = F.col("c.vts").isNotNull() & newer
+        nxt = joined.select(*[
+            F.when(take_change, F.col(f"c.{col}"))
+            .otherwise(F.col(f"s.{col}")).alias(col)
+            for col in ["user_id", "event_id", "value", "vts", "op"]
+        ])
+        nxt.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{1 - version[0]}"))
+        version[0] = 1 - version[0]
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(os.path.join(state_dir, f"v{version[0]}"))
+    return final.filter(F.col("op") != "delete").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("latest_value"),
+    )

@@ -635,3 +635,39 @@ def test_kmv_merge_across_batches_equals_batch(spark, sf_dir, replay):
     assert _canon(merged) == _canon(oneshot)
     shutil.rmtree(sink, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_cdc_apply_across_batches_equals_batch(spark, sf_dir, replay):
+    """Streaming CDC materialization under REAL multi-batch replay (the
+    registered q_stream_cdc_apply sees one micro-batch at small SF):
+    per-key (version, tombstone) state merged across 4 ordered
+    micro-batches by the foreachBatch MERGE loop must equal the one-shot
+    latest-state window over the full changelog — including deletes that
+    arrive in a LATER batch than the upsert they supersede (exercised:
+    the fixture interleaves types across batches)."""
+    from mu_swarm_logger_service_spark.streaming.queries import _run_cdc_apply
+
+    from pyspark.sql import Window
+
+    src, schema = replay
+    state = tempfile.mkdtemp(prefix="cdc_apply_state_")
+    ckpt = tempfile.mkdtemp(prefix="cdc_apply_ckpt_")
+    batch_ids = []
+    got = _run_cdc_apply(
+        spark, _read_replay(spark, src, schema), state, ckpt, batch_ids
+    ).localCheckpoint(eager=True)
+    assert len(set(batch_ids)) >= 4   # genuinely incremental
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    want = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("event_type") != "error")
+        .select("user_id", F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("latest_value"))
+    )
+    assert _canon(got) == _canon(want)
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
