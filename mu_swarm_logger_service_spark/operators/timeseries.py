@@ -1167,8 +1167,16 @@ def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits in both engines, so the raw quotient is emitted un-rounded
     (SKILL.md round-divergence rule; bound: Σa·b must stay under 2^53 ≈
     9e15, i.e. daily unit volume ~1e6 over a 10-year lattice).  Plan:
-    one shuffle aggregates events to days; everything after runs on a
-    ~span-sized series that Spark broadcasts through the lag join."""
+    ONE events scan, one shuffle to days; the zero-filled calendar
+    comes from a lead()-explode gap-fill over the aggregated series (no
+    second scan for min/max bounds — a naive "agg bounds + generate
+    calendar + self-join for each lag side" shape was measured planning
+    FOUR parquet scans) and the lag lattice is lead(b, k) columns over
+    the same series instead of a shifted self-join, so everything after
+    the day rollup is narrow work on a span-sized single partition (a
+    deliberate, bounded SinglePartition: the series is one row per DAY;
+    a decade is ~3.7k rows; tests/test_plans.py pins the single-scan
+    shape)."""
     ev = load(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts")
     dec6 = "decimal(27,6)"
@@ -1179,22 +1187,45 @@ def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("value")).cast(dec6)))
         .cast("double").alias("b"),
     )
-    bounds = ev.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
-    cal = bounds.select(
-        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day")))
-        .alias("day"), "d0")
-    series = (
-        cal.join(daily, "day", "left")
-        .select(F.datediff("day", "d0").alias("idx"),
-                F.coalesce("a", F.lit(0.0)).alias("a"),
-                F.coalesce("b", F.lit(0.0)).alias("b"))
+    # Gap-fill without re-reading events: each present day emits itself
+    # plus any missing days up to (excluding) the next present day.
+    w_ord = Window.orderBy("day")
+    filled = (
+        daily.withColumn("nxt", F.lead("day").over(w_ord))
+        .withColumn("d0", F.min("day").over(
+            w_ord.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)))
+        .select(
+            "d0", "day", "a", "b",
+            F.explode(F.sequence(
+                "day",
+                F.coalesce(F.date_sub(F.col("nxt").cast("date"), 1)
+                           .cast("timestamp"), "day"),
+                F.expr("interval 1 day"))).alias("cday"),
+        )
+        .select(
+            F.datediff("cday", "d0").alias("idx"),
+            F.when(F.col("cday") == F.col("day"), F.col("a"))
+            .otherwise(0.0).alias("a"),
+            F.when(F.col("cday") == F.col("day"), F.col("b"))
+            .otherwise(0.0).alias("b"),
+        )
     )
-    lags = spark.range(0, XCORR_MAX_LAG + 1).select(F.col("id").alias("k"))
-    y = series.select(F.col("idx").alias("yidx"), F.col("b").alias("yb"))
-    pairs = (
-        series.crossJoin(F.broadcast(lags))
-        .join(F.broadcast(y), F.col("yidx") == F.col("idx") + F.col("k"))
+    # Lag lattice as lead(b, k) over the ordered series — no self-join.
+    w_idx = Window.orderBy("idx")
+    leads = filled.select(
+        "idx", "a", "b",
+        *[F.lead("b", k).over(w_idx).alias(f"b{k}")
+          for k in range(1, XCORR_MAX_LAG + 1)],
     )
+    stack_expr = "stack(%d, %s) AS (k, yb)" % (
+        XCORR_MAX_LAG + 1,
+        ", ".join(["CAST(0 AS BIGINT), b"]
+                  + [f"CAST({k} AS BIGINT), b{k}"
+                     for k in range(1, XCORR_MAX_LAG + 1)]),
+    )
+    pairs = (leads.select("a", F.expr(stack_expr))
+             .filter(F.col("yb").isNotNull()))
 
     def dsum_s(col, scale):
         return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")

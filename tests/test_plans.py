@@ -576,3 +576,52 @@ def test_kmv_partial_cut_is_map_side_and_merge_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_weighted_median_one_shuffle_on_group_key(spark, sf_dir):
+    """Both windows (running weight + group total) and the final rollup
+    must share ONE hashpartitioning on the group key — one fact shuffle,
+    one sort, no join, no global sort."""
+    p = _plan(spark, sf_dir, "q_agg_weighted_median")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(l_returnflag" in p
+    assert "SinglePartition" not in p and "Join" not in p
+
+
+def test_streaks_single_user_shuffle(spark, sf_dir):
+    """Distinct, island window, and both rollups must ride one user_id
+    exchange — the single-fact-shuffle floor for per-user sequences."""
+    p = _plan(spark, sf_dir, "q_ts_streaks")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(user_id" in p
+
+
+def test_cross_corr_single_scan_no_self_join(spark, sf_dir):
+    """The lag lattice must come from lead() columns over the aggregated
+    day series, NOT from re-scanning events for bounds/calendar/shifted
+    copies (the naive shape planned FOUR scans).  The one allowed
+    SinglePartition is the span-sized series window."""
+    p = _plan(spark, sf_dir, "q_ts_cross_corr")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+
+
+def test_winnowing_one_doc_shuffle(spark, sf_dir):
+    """Shingle hashing, the window MIN selection, and the fingerprint
+    distinct must all be per-doc narrow work after a single doc_id
+    exchange (the distinct re-uses the doc_id partitioning)."""
+    p = _plan(spark, sf_dir, "q_llm_winnowing")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "hashpartitioning(doc_id" in p
+    assert "SinglePartition" not in p and "Join" not in p
+
+
+def test_normalize_text_stateless_no_shuffle(spark, sf_dir):
+    """Unicode canonicalization is a pure narrow pass: one scan, zero
+    exchanges, and the UDF must be the Arrow-batched kind."""
+    p = _plan(spark, sf_dir, "q_fn_normalize_text")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0
+    assert "ArrowEvalPython" in p and "BatchEvalPython" not in p
