@@ -637,3 +637,74 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("l_extendedprice").alias("wmedian"),
              F.max("tw").cast("double").alias("total_weight"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Welch t-test — the A/B experimentation primitive: compare the
+# value distribution between two user cohorts per event type, from ONE
+# grouped moment pass (no per-row Python, no second scan).
+# ---------------------------------------------------------------------------
+
+@query("q_agg_ab_ttest", oracle="""
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) FILTER (WHERE user_id % 2 = 0) AS nx,
+         COUNT(*) FILTER (WHERE user_id % 2 = 1) AS ny,
+         CAST(SUM(CAST(value AS DECIMAL(27,6)))
+              FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(27,6)))
+              FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(value * value AS DECIMAL(27,4)))
+              FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(value * value AS DECIMAL(27,4)))
+              FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS syy
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(nx AS BIGINT) AS n_a, CAST(ny AS BIGINT) AS n_b,
+       sx / nx AS mean_a, sy / ny AS mean_b,
+       (sx / nx - sy / ny)
+         / sqrt((sxx - sx * sx / nx) / (nx - 1) / nx
+                + (syy - sy * sy / ny) / (ny - 1) / ny) AS t_stat
+FROM m
+""")
+def q_agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between cohort A (even user_id) and B (odd) per event
+    type.  One scan, one grouped aggregate carrying six conditional
+    moments (map-side partials) — the scalable shape for any two-sample
+    test at 100 TB.  Determinism: Σv and Σv² are exact decimal sums (v
+    has 2 decimals, v² exactly 4 — scale 4 keeps the scaled Σv² integer
+    well under 2^53 at sf0.1 where scale 6 would be within 1.5× of the
+    bound); the t statistic itself is a fixed IEEE expression evaluated
+    on those identical bits in both engines, emitted raw per the
+    round-divergence rule (sx² needs >53 bits and rounds, but it rounds
+    IDENTICALLY — exactness is only required of the aggregates, the
+    post-aggregate scalar math just has to be the same op sequence)."""
+    ev = load(spark, sf_dir, "events")
+    a_row = F.col("user_id") % 2 == 0
+    v = F.col("value")
+
+    def cdsum(cond, col, scale):
+        return F.sum(F.when(cond, col).cast(f"decimal(27,{scale})")) \
+                .cast("double")
+
+    m = ev.groupBy("event_type").agg(
+        F.count(F.when(a_row, 1)).alias("nx"),
+        F.count(F.when(~a_row, 1)).alias("ny"),
+        cdsum(a_row, v, 6).alias("sx"), cdsum(~a_row, v, 6).alias("sy"),
+        cdsum(a_row, v * v, 4).alias("sxx"),
+        cdsum(~a_row, v * v, 4).alias("syy"),
+    )
+    nx, ny = F.col("nx"), F.col("ny")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy = F.col("sxx"), F.col("syy")
+    mean_a, mean_b = sx / nx, sy / ny
+    t = (mean_a - mean_b) / F.sqrt(
+        (sxx - sx * sx / nx) / (nx - 1) / nx
+        + (syy - sy * sy / ny) / (ny - 1) / ny)
+    return m.select(
+        "event_type",
+        nx.cast("long").alias("n_a"), ny.cast("long").alias("n_b"),
+        mean_a.alias("mean_a"), mean_b.alias("mean_b"),
+        t.alias("t_stat"),
+    )

@@ -1364,3 +1364,72 @@ def event_row_fingerprint():
         "event_type",
     )
     return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification — inventory analytics: rank parts by revenue
+# within their brand and bucket them A (first 70% of brand revenue),
+# B (next 20%), C (tail 10%) by CUMULATIVE share.
+# ---------------------------------------------------------------------------
+
+@query("q_analytics_abc", oracle="""
+WITH rev AS (
+  SELECT p.p_brand, l.l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(27,4))) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_partkey
+), cum AS (
+  SELECT p_brand, l_partkey, r,
+         SUM(r) OVER (PARTITION BY p_brand
+                      ORDER BY r DESC, l_partkey) AS c,
+         SUM(r) OVER (PARTITION BY p_brand) AS t,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY r DESC, l_partkey) AS brand_rank
+  FROM rev
+)
+SELECT p_brand, l_partkey, CAST(r AS DOUBLE) AS revenue,
+       CAST(brand_rank AS BIGINT) AS brand_rank,
+       CASE WHEN 10 * c <= 7 * t THEN 'A'
+            WHEN 10 * c <= 9 * t THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum
+""")
+def q_analytics_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand ABC classification.  Brand-partitioned (not global) by
+    design: a global Pareto needs a total-order cumulative — a single
+    partition over every part — while per-brand windows scale with the
+    catalog (each brand's slice is independent; the part dim broadcasts
+    and the fact shuffles once into the (brand, part) rollup, whose
+    partitioning the windows reuse).  Determinism: disc_price is 2dp×2dp
+    = exactly 4 decimal digits, so every decimal cast and the running
+    window SUM are exact in both engines (DuckDB's segment-tree order is
+    irrelevant for decimals); the A/B/C thresholds compare
+    integer-scaled decimals (10·cum ≤ 7·total) — no division, no float;
+    revenue re-emits as a double exactly (scale-4 value ≪ 2^53)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    rev = (
+        li.join(F.broadcast(part),
+                li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(disc.cast("decimal(27,4)")).alias("r"))
+    )
+    w_cum = Window.partitionBy("p_brand").orderBy(
+        F.col("r").desc(), "l_partkey")
+    w_all = Window.partitionBy("p_brand")
+    cum = rev.select(
+        "p_brand", "l_partkey", "r",
+        F.sum("r").over(w_cum).alias("c"),
+        F.sum("r").over(w_all).alias("t"),
+        F.row_number().over(w_cum).alias("brand_rank"),
+    )
+    return cum.select(
+        "p_brand", "l_partkey",
+        F.col("r").cast("double").alias("revenue"),
+        F.col("brand_rank").cast("long").alias("brand_rank"),
+        F.when(F.lit(10) * F.col("c") <= F.lit(7) * F.col("t"), "A")
+        .when(F.lit(10) * F.col("c") <= F.lit(9) * F.col("t"), "B")
+        .otherwise("C").alias("abc_class"),
+    )

@@ -625,3 +625,24 @@ def test_normalize_text_stateless_no_shuffle(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 0
     assert "ArrowEvalPython" in p and "BatchEvalPython" not in p
+
+
+def test_abc_broadcasts_part_and_windows_over_rollup(spark, sf_dir):
+    """The part dim must broadcast into the fact rollup; the ABC windows
+    run over the ROLLUP partitioned by brand (rollup-sized shuffle), not
+    over lineitem, and nothing collapses to a single partition (global
+    Pareto would; per-brand is the scale-sound choice)."""
+    p = _plan(spark, sf_dir, "q_analytics_abc")
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "hashpartitioning(p_brand" in p
+    assert "SinglePartition" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ab_ttest_one_pass_conditional_moments(spark, sf_dir):
+    """Welch t must be ONE scan + ONE grouped aggregate of conditional
+    moments — no join of two cohort subqueries, no second pass."""
+    p = _plan(spark, sf_dir, "q_agg_ab_ttest")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Join" not in p
