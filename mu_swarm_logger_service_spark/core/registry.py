@@ -64,13 +64,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #       BinaryType output column — fixed and re-queued; cumulative 200/266).
 #   r7 (this window): the q_fn_encode re-queue + round-6 operators + all
 #       codec queries + llm text extras.  Cumulative target 250/266.
-#       r8 then sweeps the remaining 25: the 16 never-checked keys, three
-#       vacuous-green re-queues (q_llm_embed_near_dup, q_join_anti,
-#       q_analytics_important_parts — their only green rows were 0-row
-#       results; all three de-vacuated in round 7, and rotate_window now
-#       re-queues that class mechanically), and round 7's six new
-#       operators (q_llm_bm25_topk, q_ts_holt_trend, q_stream_holt,
-#       q_sketch_kmv, q_llm_cc_largestar, q_stream_kmv).
+#       r8 then sweeps the remaining 33 (within one 50-key window): the 16
+#       never-checked keys, three vacuous-green re-queues
+#       (q_llm_embed_near_dup, q_join_anti, q_analytics_important_parts —
+#       their only green rows were 0-row results; all three de-vacuated in
+#       round 7, and rotate_window now re-queues that class mechanically),
+#       round 7's first six new operators (q_llm_bm25_topk,
+#       q_ts_holt_trend, q_stream_holt, q_sketch_kmv, q_llm_cc_largestar,
+#       q_stream_kmv), and the eight late-round-7 operators
+#       (q_agg_weighted_median, q_ts_streaks, q_ts_cross_corr,
+#       q_llm_winnowing, q_fn_normalize_text, q_stream_cdc_apply,
+#       q_analytics_abc, q_agg_ab_ttest).
 # Do NOT trust these comment counts at activation time: run
 # ``python tools/rotate_window.py`` — it derives the next window from
 # CORRECTNESS_r*.json + the live registry (re-queuing any hard-red key

@@ -373,3 +373,38 @@ def test_pii_redact_fires_on_every_document(spark, sf_dir):
     for r in rows:
         assert r.n_redacted >= 2, (r.doc_id, r.n_redacted)
         assert r.redacted.count("[PII]") == r.n_redacted, r.doc_id
+
+
+def test_winnowing_guarantee_and_density(spark, tmp_path):
+    """The winnowing contract (Schleimer et al.): two documents sharing a
+    token run of length >= W + k - 1 (= 4 + 3 - 1 = 6 here) MUST share at
+    least one fingerprint hash — the positional guarantee plain min-k
+    sampling lacks.  Also pins the density bound: a window contributes at
+    most one fingerprint, so a doc yields <= n_windows and >= ceil(
+    n_windows / W) selections."""
+    import math
+
+    docs = [
+        (1, "aa bb cc dd ee ff gg hh ii jj", "en", "t", 30),
+        # shares the 6-token run "cc dd ee ff gg hh" with doc 1, different
+        # surroundings on both sides:
+        (2, "xx yy zz cc dd ee ff gg hh qq rr", "en", "t", 33),
+        # no 6-token overlap with either:
+        (3, "mm nn oo pp qq rr ss tt", "en", "t", 24),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    fp = QUERIES["q_llm_winnowing"](spark, d).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fhash)
+    assert by_doc[1] & by_doc[2], "6-token overlap must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    for doc_id, text in [(1, docs[0][1]), (2, docs[1][1]), (3, docs[2][1])]:
+        n_shingles = len(text.split()) - 2
+        n_windows = max(1, n_shingles - 3)
+        n_sel = sum(1 for r in fp if r.doc_id == doc_id)
+        assert math.ceil(n_windows / 4) <= n_sel <= n_windows
