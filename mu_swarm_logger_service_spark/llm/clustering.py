@@ -914,3 +914,81 @@ def q_llm_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("component", F.col("node")) == F.col("node"))
         .alias("is_keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality evaluation: per-cell label purity.  Closes the clustering
+# loop's EVAL side — assignment (q_llm_ann_ivf), update (q_llm_kmeans_step),
+# and now the metric that tells you whether the cells mean anything.
+# ---------------------------------------------------------------------------
+
+@query("q_llm_cluster_purity", oracle=f"""
+WITH emb AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id % {CENT_MOD} = 3
+), assign AS (
+  SELECT vec_id, label, cell FROM (
+    SELECT emb.vec_id, emb.label, cent.cell,
+           row_number() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY round(list_cosine_similarity(emb.e, cent.ce), 6) DESC,
+                      cent.cell) AS r
+    FROM emb, cent
+  ) WHERE r = 1
+), counts AS (
+  SELECT cell, label, COUNT(*) AS n FROM assign GROUP BY cell, label
+), ranked AS (
+  SELECT cell, label, n,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY n DESC, label) AS rn,
+         SUM(n) OVER (PARTITION BY cell) AS n_members,
+         COUNT(*) OVER (PARTITION BY cell) AS n_labels
+  FROM counts
+)
+SELECT cell, CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_labels AS BIGINT) AS n_labels,
+       CAST(label AS BIGINT) AS majority_label,
+       CAST(n AS DOUBLE) / n_members AS purity
+FROM ranked WHERE rn = 1
+""")
+def q_llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell purity = majority-label fraction under the same broadcast
+    cosine-argmax assignment the IVF/k-means family pins (round-6 cosine
+    + cell tiebreak, so the assignment itself is cross-engine exact).
+    One corpus shuffle for the (cell, label) counts, then a single
+    grouped struct-max — majority selection is (count desc, label asc),
+    encoded as max(struct(n, -label)) so ties break identically to the
+    oracle's window.  purity is one int/int IEEE division on identical
+    operands — raw emit.  At 100 TB this is the cheap audit run after
+    every re-clustering: cost is one assignment pass + a cell-sized
+    rollup; label here is any golden/weak signal column."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding")
+    cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+    cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
+    assign = (
+        emb.join(F.broadcast(cent))
+        .groupBy("vec_id", "label")
+        .agg(F.max(F.struct(
+            cos_r.alias("cs"), (-F.col("cell")).alias("nc"))).alias("b"))
+        .select("vec_id", "label", (-F.col("b.nc")).alias("cell"))
+    )
+    counts = assign.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).alias("n"))
+    per_cell = counts.groupBy("cell").agg(
+        F.sum("n").alias("n_members"),
+        F.count(F.lit(1)).alias("n_labels"),
+        F.max(F.struct(F.col("n"),
+                       (-F.col("label")).cast("long").alias("nl")))
+        .alias("b"),
+    )
+    return per_cell.select(
+        "cell",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_labels").cast("long").alias("n_labels"),
+        (-F.col("b.nl")).alias("majority_label"),
+        (F.col("b.n").cast("double") / F.col("n_members")).alias("purity"),
+    )

@@ -1433,3 +1433,59 @@ def q_analytics_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.lit(10) * F.col("c") <= F.lit(9) * F.col("t"), "B")
         .otherwise("C").alias("abc_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the classic fabricated-data / broken-generator
+# detector: natural multiplicative amounts follow P(d) = log10(1 + 1/d);
+# uniform or hand-entered data does not.  Run per order priority so a single
+# corrupted ingestion stream stands out against its peers.
+# ---------------------------------------------------------------------------
+
+@query("q_audit_benford", oracle="""
+WITH digits AS (
+  SELECT o_orderpriority,
+         CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice >= 1.0
+), counts AS (
+  SELECT o_orderpriority, d, COUNT(*) AS n
+  FROM digits GROUP BY o_orderpriority, d
+), tot AS (
+  SELECT o_orderpriority, d, n,
+         SUM(n) OVER (PARTITION BY o_orderpriority) AS grp_n
+  FROM counts
+)
+SELECT o_orderpriority, d, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / grp_n AS observed_p,
+       log10(1.0 + 1.0 / d) AS benford_p,
+       CAST(n AS DOUBLE) / grp_n - log10(1.0 + 1.0 / d) AS deviation
+FROM tot
+""")
+def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution vs Benford's law per order priority.  The
+    digit is taken from the INTEGER part (floor → string head) so both
+    engines extract it from exact integers, never from float formatting;
+    counts are exact, and the observed/expected/deviation columns are
+    single fixed IEEE expressions over those identical integers (raw
+    emit, round-divergence rule).  Plan: one scan, one partial-agg
+    shuffle on the 45-cell (priority, digit) key, then a tiny window —
+    audit cost is one aggregation pass no matter the table size."""
+    orders = load(spark, sf_dir, "orders")
+    d = (F.substring(F.floor("o_totalprice").cast("long").cast("string"),
+                     1, 1).cast("long"))
+    counts = (
+        orders.filter(F.col("o_totalprice") >= 1.0)
+        .select("o_orderpriority", d.alias("d"))
+        .groupBy("o_orderpriority", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grp = Window.partitionBy("o_orderpriority")
+    obs = F.col("n").cast("double") / F.sum("n").over(grp)
+    benford = F.log10(1.0 + 1.0 / F.col("d"))
+    return counts.select(
+        "o_orderpriority", "d", F.col("n").cast("long").alias("n"),
+        obs.alias("observed_p"),
+        benford.alias("benford_p"),
+        (obs - benford).alias("deviation"),
+    )

@@ -646,3 +646,22 @@ def test_ab_ttest_one_pass_conditional_moments(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "Join" not in p
+
+
+def test_benford_one_scan_tiny_rollup(spark, sf_dir):
+    """The Benford audit must be one fact scan into a 45-cell rollup plus
+    a priority-partitioned window — no join, no single partition."""
+    p = _plan(spark, sf_dir, "q_audit_benford")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "hashpartitioning(o_orderpriority" in p
+    assert "Join" not in p and "SinglePartition" not in p
+
+
+def test_cluster_purity_broadcasts_centroids(spark, sf_dir):
+    """Purity's assignment must broadcast the centroid side (the corpus
+    never shuffles for the argmax) and the rollups ride cell-sized
+    partitions — no sort-merge join, no single partition."""
+    p = _plan(spark, sf_dir, "q_llm_cluster_purity")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "hashpartitioning(cell" in p
+    assert "SortMergeJoin" not in p and "SinglePartition" not in p
