@@ -13,6 +13,8 @@ across engines regardless of last-ulp float noise.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1011,4 +1013,114 @@ def q_llm_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.element_at("w", 1), 6) + F.lit(0.0)).alias("w1"),
         (F.round(F.element_at("w", 2), 6) + F.lit(0.0)).alias("w2"),
         F.round(wnorm, 6).alias("wnorm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: MRR and nDCG@10 for the cosine retriever against
+# same-label relevance — the eval-side twin of q_llm_ann_recall (which
+# audits the INDEX against brute force; this audits the RANKING against
+# ground truth).  The 1/log2(rank+1) discount weights are precomputed in
+# Python and embedded as identical shortest-repr literals in BOTH engines:
+# transcendental log2 may differ by an ulp between JVM and libm, and a
+# shuffled 10-term double sum is order-sensitive — a FIXED literal chain
+# (c1*w1 + c2*w2 + ... with integer 0/1 counts) sidesteps both.
+# ---------------------------------------------------------------------------
+
+_EVAL_K = 10
+_DCG_W = [1.0 / math.log2(i + 1) for i in range(1, _EVAL_K + 1)]
+
+_RANK_EVAL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, label AS q_label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE {_QUERY_FILTER}
+), c AS (
+  SELECT vec_id AS c_id, label AS c_label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings
+), hits AS (
+  SELECT q_id, q_label, c_label,
+         row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY round(list_cosine_similarity(qe, ce), 6) + 0.0 DESC,
+                    c_id) AS rn
+  FROM q, c WHERE q_id != c_id
+  QUALIFY rn <= {_EVAL_K}
+), per_q AS (
+  SELECT q_id, ANY_VALUE(q_label) AS q_label,
+         {", ".join(f"MAX(CASE WHEN rn = {i + 1} AND c_label = q_label THEN 1 ELSE 0 END) AS c{i + 1}" for i in range(_EVAL_K))},
+         COALESCE(MIN(CASE WHEN c_label = q_label THEN rn END), 0)
+           AS first_rel_rank
+  FROM hits GROUP BY q_id
+), lc AS (
+  SELECT label, COUNT(*) - 1 AS n_rel FROM embeddings GROUP BY label
+)
+SELECT q_id,
+       CAST(n_rel AS BIGINT) AS n_rel_corpus,
+       CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+       CASE WHEN first_rel_rank = 0 THEN 0.0
+            ELSE 1.0 / first_rel_rank END AS mrr,
+       {" + ".join(f"c{i + 1} * CAST({_DCG_W[i]!r} AS DOUBLE)" for i in range(_EVAL_K))}
+         AS dcg,
+       CASE WHEN n_rel = 0 THEN 0.0 ELSE
+         ({" + ".join(f"c{i + 1} * CAST({_DCG_W[i]!r} AS DOUBLE)" for i in range(_EVAL_K))})
+         / ({" + ".join(f"(CASE WHEN n_rel >= {i + 1} THEN 1 ELSE 0 END) * CAST({_DCG_W[i]!r} AS DOUBLE)" for i in range(_EVAL_K))})
+       END AS ndcg
+FROM per_q JOIN lc ON per_q.q_label = lc.label
+"""
+
+
+@query("q_llm_rank_eval", oracle=_RANK_EVAL_SQL)
+def q_llm_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR and nDCG@{_EVAL_K} per query under same-label binary relevance.
+    Retrieval is the pinned brute-force ranking (broadcast query side,
+    round-6 cosine + c_id tiebreak, rank-limit pushdown); per-query
+    metrics reduce to ten 0/1 positional indicators folded through the
+    literal discount chain, the ideal DCG to indicator-weighted prefix
+    of the same chain (n_rel from a label-count broadcast), so every
+    emitted double is a fixed IEEE expression over exact integers —
+    bit-identical cross-engine with zero decimal casts.  One corpus
+    pass + a q_id shuffle; the label histogram is dimension-sized."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"))
+    c = spread(emb.select(F.col("vec_id").alias("c_id"),
+                          F.col("label").alias("c_label"),
+                          F.col("embedding").alias("ce")))
+    w = Window.partitionBy("q_id").orderBy(
+        (F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0).desc(), "c_id")
+    hits = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EVAL_K)
+    )
+    rel = (F.col("c_label") == F.col("q_label")).cast("int")
+    per_q = hits.groupBy("q_id").agg(
+        F.any_value("q_label").alias("q_label"),
+        *[F.max(F.when(F.col("rn") == i + 1, rel).otherwise(0))
+          .alias(f"c{i + 1}") for i in range(_EVAL_K)],
+        F.coalesce(F.min(F.when(rel == 1, F.col("rn"))), F.lit(0))
+        .alias("first_rel_rank"),
+    )
+    lc = emb.groupBy("label").agg(
+        (F.count(F.lit(1)) - 1).alias("n_rel"))
+    j = per_q.join(F.broadcast(lc), per_q.q_label == lc.label)
+    dcg = None
+    idcg = None
+    for i in range(_EVAL_K):
+        t = F.col(f"c{i + 1}") * F.lit(_DCG_W[i])
+        it = (F.col("n_rel") >= i + 1).cast("int") * F.lit(_DCG_W[i])
+        dcg = t if dcg is None else dcg + t
+        idcg = it if idcg is None else idcg + it
+    return j.select(
+        "q_id",
+        F.col("n_rel").cast("long").alias("n_rel_corpus"),
+        F.col("first_rel_rank").cast("long").alias("first_rel_rank"),
+        F.when(F.col("first_rel_rank") == 0, 0.0)
+        .otherwise(F.lit(1.0) / F.col("first_rel_rank")).alias("mrr"),
+        dcg.alias("dcg"),
+        F.when(F.col("n_rel") == 0, 0.0).otherwise(dcg / idcg).alias("ndcg"),
     )

@@ -665,3 +665,15 @@ def test_cluster_purity_broadcasts_centroids(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p
     assert "hashpartitioning(cell" in p
     assert "SortMergeJoin" not in p and "SinglePartition" not in p
+
+
+def test_rank_eval_broadcasts_queries_and_label_histogram(spark, sf_dir):
+    """Retrieval eval must broadcast both the query side (corpus never
+    shuffles for scoring) and the label histogram; the only exchanges are
+    the q_id ranking and the dimension-sized label rollup — and the
+    rank-limit pushdown must cap rows before the final shuffle."""
+    p = _plan(spark, sf_dir, "q_llm_rank_eval")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "hashpartitioning(q_id" in p
+    assert "SortMergeJoin" not in p and "SinglePartition" not in p
+    assert "WindowGroupLimit" in p
