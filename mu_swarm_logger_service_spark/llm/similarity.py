@@ -392,8 +392,8 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_llm_centroid", oracle="""
 SELECT label, k AS pos,
-       round(CAST(SUM(CAST(embedding[k] AS DECIMAL(27,12))) AS DOUBLE)
-             / COUNT(*), 6) + 0.0 AS c
+       CAST(SUM(CAST(CAST(embedding[k] AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE)
+         / COUNT(*) AS c
 FROM embeddings, unnest([1, 2, 3, 4, 5, 6, 7, 8]) t(k)
 GROUP BY label, k
 """)
@@ -401,8 +401,23 @@ def q_llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (first 8 dims; the k-means/classifier
     primitive): posexplode aligns (position, value), one groupBy on
     (label, pos) with map-side partial aggregation.  The mean goes through
-    the exact decimal SUM (order-independent; float avg would be shuffle-
-    order-sensitive in the last ulp) with -0.0 normalization."""
+    the decimal SUM (order-independent; float avg would be shuffle-
+    order-sensitive in the last ulp); the mean is emitted as the RAW
+    quotient — with bit-identical sums, round(mean, 6) is not just
+    unnecessary but HARMFUL (the scale-6 migration landed one mean on
+    a 6-dp boundary and the engines' round() diverged — the SKILL.md
+    round trap, measured here).  Cast scale
+    is 6, NOT 12: the fixtures contain float32 dyadics that are EXACT
+    12-dp rounding ties (0.1983642578125 etc.), and the engines break
+    double->decimal ties differently (Spark repr-HALF_UP vs DuckDB
+    binary-HALF_EVEN, measured round 7) — at scale 6 the fixture audit in
+    tests/test_numeric.py proves no embedding value or square diverges,
+    so the sums are bit-identical rather than merely masked by the 6-dp
+    output rounding.  The float is cast to DOUBLE before the decimal
+    cast on BOTH sides: DuckDB's direct FLOAT->DECIMAL scales in FLOAT
+    precision (75329.497f snaps to 75329.5 before rounding — measured),
+    while Spark goes through double; double-first makes the two cast
+    pipelines identical."""
     emb = load(spark, sf_dir, "embeddings")
     return (
         emb.select(
@@ -410,9 +425,8 @@ def q_llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(F.slice("embedding", 1, 8)).alias("pos0", "v"),
         )
         .groupBy("label", (F.col("pos0") + 1).alias("pos"))
-        .agg((F.round(
-            F.sum(F.col("v").cast("decimal(27,12)")).cast("double")
-            / F.count(F.lit(1)), 6) + 0.0).alias("c"))
+        .agg((F.sum(F.col("v").cast("double").cast("decimal(27,6)"))
+              .cast("double") / F.count(F.lit(1))).alias("c"))
     )
 
 

@@ -49,3 +49,31 @@ def test_dsum_half_up_tie_note(spark):
     want = float(decimal.Decimal(repr(0.1234565)).quantize(
         decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
     assert got == want
+
+
+def test_embedding_fixture_has_no_scale6_cast_divergence(sf_dir):
+    """Cross-engine cast-model audit over the REAL fixture values.  Spark
+    casts double→decimal by HALF_UP-rounding the shortest-repr string
+    (BigDecimal.valueOf); DuckDB rounds the binary value with half-even
+    ties (measured round 7: exact 12-dp ties like 0.1983642578125 split
+    the engines, which is why q_llm_centroid moved from scale 12 to the
+    audited scale 6).  This test proves the models agree at scale 6 for
+    EVERY embedding value and square at the gate scale — so the decimal
+    sums in centroid / moments / whitening are bit-identical by audit,
+    not merely green by luck.  If a fixture regeneration ever introduces
+    a 7-decimal-digit dyadic (k·2^-7: 0.0078125, ...), this fails loudly
+    instead of a driver row going red."""
+    import duckdb
+
+    q6 = decimal.Decimal(1).scaleb(-6)
+    vals = duckdb.sql(
+        "SELECT DISTINCT unnest(embedding) FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')").fetchall()
+    assert len(vals) > 1000
+    for (f32,) in vals:
+        for x in (float(f32), float(f32) * float(f32)):
+            spark_model = decimal.Decimal(repr(x)).quantize(
+                q6, rounding=decimal.ROUND_HALF_UP)
+            duck_model = decimal.Decimal(x).quantize(
+                q6, rounding=decimal.ROUND_HALF_EVEN)
+            assert spark_model == duck_model, x
