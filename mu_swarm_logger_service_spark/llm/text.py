@@ -2060,3 +2060,129 @@ def q_llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction — the web-crawl ingestion stage BEFORE every
+# text op in this module: strip script/comment/tag markup, pull the title,
+# keep the visible text.  The corpus is plain text, so each row mints a
+# deterministic HTML wrapper around its own content (the pii_redact
+# discipline: the pattern must fire on every row or the oracle is vacuous).
+# ---------------------------------------------------------------------------
+
+@query("q_llm_html_extract", oracle="""
+WITH minted AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' (' ||
+         lang || ')</title><script>var x=' || CAST(doc_id % 97 AS VARCHAR) ||
+         ';</script></head><body><h1 class="hd">' || source ||
+         '</h1><p>' || text || '</p><!-- crawl:' ||
+         CAST(doc_id AS VARCHAR) || ' --></body></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         html, '<script.*?</script>', ' ', 'g'),
+               '<!--.*?-->', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+               ' +', ' ', 'g')) AS visible_text,
+       CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags
+FROM minted
+""")
+def q_llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag-stripping text extraction (trafilatura's core move, regex
+    edition): scripts and comments are removed as BLOCKS (non-greedy
+    spans — dropping their inner text, which tag-stripping alone would
+    leak into the corpus), remaining tags become spaces, whitespace
+    collapses.  All four passes are single-pass regexes in both engines
+    (DuckDB needs the 'g' flag — SKILL.md); patterns stay in the
+    DataFrame API, never F.expr strings (the backslash-eating trap).
+    Stateless narrow pass: one scan, zero shuffles; at 100 TB this runs
+    in the same stage as the parquet scan and the downstream quality
+    filters."""
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit(" ("), F.col("lang"), F.lit(")</title><script>var x="),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(";</script></head><body><h1 class=\"hd\">"), F.col("source"),
+        F.lit("</h1><p>"), F.col("text"), F.lit("</p><!-- crawl:"),
+        F.col("doc_id").cast("string"), F.lit(" --></body></html>"),
+    )
+    minted = docs.select("doc_id", html.alias("html"))
+    stripped = F.trim(F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        F.regexp_replace(F.col("html"), F.lit("<script.*?</script>"),
+                         F.lit(" ")),
+        F.lit("<!--.*?-->"), F.lit(" ")),
+        F.lit("<[^>]*>"), F.lit(" ")),
+        F.lit(" +"), F.lit(" ")))
+    return minted.select(
+        "doc_id",
+        F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
+        stripped.alias("visible_text"),
+        F.size(F.regexp_extract_all("html", F.lit("<[^>]*>"), 0))
+        .cast("long").alias("n_tags"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick", Weinberger et al.): tokens map to a
+# fixed D-dimensional sparse vector through a hash — no vocabulary pass, no
+# dictionary shuffle, memory O(D) per doc regardless of corpus vocabulary.
+# ---------------------------------------------------------------------------
+
+HASH_DIM = 1024  # feature buckets
+
+_HEX8_TO_INT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    "string_split_regex(substr(md5(token), 1, 8), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+    "(a, b) -> a * 16 + b)"
+)
+
+
+@query("q_llm_hashed_features", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), hashed AS (
+  SELECT doc_id,
+         ({_HEX8_TO_INT_SQL}) % {HASH_DIM} AS idx,
+         CASE WHEN (({_HEX8_TO_INT_SQL}) // {HASH_DIM}) % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM toks
+), feats AS (
+  SELECT doc_id, idx, CAST(SUM(sgn) AS BIGINT) AS v
+  FROM hashed GROUP BY doc_id, idx
+)
+SELECT doc_id,
+       CAST(COUNT(*) FILTER (WHERE v != 0) AS BIGINT) AS n_nonzero,
+       CAST(SUM(abs(v)) AS BIGINT) AS l1,
+       CAST(SUM(v * v) AS BIGINT) AS l2_sq
+FROM feats GROUP BY doc_id
+""")
+def q_llm_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature hashing: token → bucket md5[0:8] % {HASH_DIM}, sign
+    from the next hash bit (the unbiased estimator variant), features
+    summed per (doc, bucket), then per-doc sparsity/norm stats — all
+    integer-exact.  The md5-hex fold mirrors the dataset-fingerprint
+    oracle's digit reduce; 8 hex chars < 2^32 so the fold never nears
+    int64 range.  Two shuffles: (doc, idx) feature sum, then the per-doc
+    rollup — at 100 TB both are narrow integer rows, and D={HASH_DIM}
+    bounds per-doc state no matter how large the vocabulary grows (the
+    entire point of hashing over a dictionary)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token"))
+    h = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+    hashed = toks.select(
+        "doc_id", (h % HASH_DIM).alias("idx"),
+        F.when((h / HASH_DIM).cast("long") % 2 == 0, 1)
+        .otherwise(-1).alias("sgn"),
+    )
+    feats = hashed.groupBy("doc_id", "idx").agg(F.sum("sgn").alias("v"))
+    return feats.filter(F.lit(True)).groupBy("doc_id").agg(
+        F.count(F.when(F.col("v") != 0, 1)).alias("n_nonzero"),
+        F.sum(F.abs("v")).alias("l1"),
+        F.sum(F.col("v") * F.col("v")).alias("l2_sq"),
+    )

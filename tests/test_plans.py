@@ -677,3 +677,21 @@ def test_rank_eval_broadcasts_queries_and_label_histogram(spark, sf_dir):
     assert "hashpartitioning(q_id" in p
     assert "SortMergeJoin" not in p and "SinglePartition" not in p
     assert "WindowGroupLimit" in p
+
+
+def test_html_extract_stateless_single_stage(spark, sf_dir):
+    """Tag stripping is a pure narrow pass: one scan, zero exchanges —
+    it must fuse into the scan stage at any scale."""
+    p = _plan(spark, sf_dir, "q_llm_html_extract")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0
+
+
+def test_hashed_features_two_integer_shuffles(spark, sf_dir):
+    """Feature hashing must be exactly the (doc, idx) feature sum plus the
+    per-doc rollup — two narrow integer shuffles, no vocabulary join, no
+    single partition (the dictionary-free property is the point)."""
+    p = _plan(spark, sf_dir, "q_llm_hashed_features")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "Join" not in p and "SinglePartition" not in p
