@@ -1245,3 +1245,161 @@ def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n * sxy - sx * sy)
          / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).alias("xcorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (Steinarsson's Largest-Triangle-Three-Buckets): pick,
+# per bucket, the point forming the largest triangle with the PREVIOUSLY
+# selected point and the next bucket's average — the standard
+# shape-preserving chart downsampler.  Unlike q_ts_m4_downsample (per-bucket
+# min/max/first/last, embarrassingly parallel) LTTB is a SEQUENTIAL
+# recurrence: each bucket's choice depends on the previous one.
+# ---------------------------------------------------------------------------
+
+LTTB_BUCKETS = 10  # middle buckets; output = first + 10 picks + last
+
+# Tie-free integer argmax key: area2 * 100000 - x.  area2 is the triangle
+# area doubled and scaled by the next bucket's size (so the bucket AVERAGE
+# never becomes a rounded float — sums only), computed entirely in int64:
+# |  (px*n - Sx) * (y - py)  -  (px - x) * (Sy - n*py)  |.
+_LTTB_KEY_SQL = ("abs((s.px * ns.n - ns.sx) * (c.y - s.py)"
+                 " - (s.px - c.x) * (ns.sy - ns.n * s.py)) * 100000 - c.x")
+_LTTB_KEY2_SQL = ("abs((s.px * ns.n - ns.sx) * (c2.y - s.py)"
+                  " - (s.px - c2.x) * (ns.sy - ns.n * s.py)) * 100000 - c2.x")
+
+
+@query("q_ts_lttb", oracle=f"""
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), idx AS MATERIALIZED (
+  SELECT event_type,
+         CAST(date_diff('hour', MIN(h) OVER (PARTITION BY event_type), h)
+              AS BIGINT) AS x,
+         CAST(y AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+), pts AS MATERIALIZED (
+  SELECT event_type, x, y,
+         CASE WHEN i = 1 THEN 0
+              WHEN i = n THEN {LTTB_BUCKETS} + 1
+              ELSE 1 + CAST((i - 2) * {LTTB_BUCKETS} // (n - 2) AS BIGINT)
+         END AS b
+  FROM idx WHERE n - 2 >= {LTTB_BUCKETS}
+), nsum AS MATERIALIZED (
+  -- sums of bucket k+1's points, keyed by k (bucket NB's "next" is the
+  -- final point, which lives in pseudo-bucket NB+1)
+  SELECT event_type, b - 1 AS k,
+         SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS n
+  FROM pts WHERE b >= 2 GROUP BY 1, 2
+), state AS (
+  SELECT event_type, 0 AS k, x AS px, y AS py FROM pts WHERE b = 0
+  UNION ALL
+  SELECT s.event_type, s.k + 1, c.x, c.y
+  FROM state s
+  JOIN pts c ON c.event_type = s.event_type AND c.b = s.k + 1
+  JOIN nsum ns ON ns.event_type = s.event_type AND ns.k = s.k + 1
+  WHERE s.k < {LTTB_BUCKETS}
+    AND NOT EXISTS (
+      SELECT 1 FROM pts c2
+      WHERE c2.event_type = c.event_type AND c2.b = c.b
+        AND {_LTTB_KEY2_SQL} > {_LTTB_KEY_SQL})
+)
+SELECT event_type, CAST(k AS BIGINT) AS sel_idx,
+       CAST(px AS BIGINT) AS x, CAST(py AS BIGINT) AS y
+FROM state
+UNION ALL
+SELECT event_type, CAST({LTTB_BUCKETS} + 1 AS BIGINT), x, y
+FROM pts WHERE b = {LTTB_BUCKETS} + 1
+""")
+def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsample of the hourly rate per type to {LTTB_BUCKETS}+2
+    points.  Integer-exact by construction: x is the hour offset, y the
+    count, and the triangle argmax uses the DOUBLED area SCALED by the
+    next bucket's size (sums instead of averages — no division anywhere),
+    packed with the candidate x into one int64 key (area2·1e5 − x), so
+    "largest triangle, leftmost on ties" is a plain integer MAX that both
+    engines resolve identically (bound: area2 < ~9e13, i.e. hourly counts
+    to ~1e8 over a decade — far past any gate scale; past that, widen the
+    pack constant).  The fold is sequential, so the Spark side runs it as
+    one JVM higher-order `aggregate` over the per-type point array (the
+    q_ts_holt_trend pattern — no Python in the loop) with per-bucket
+    next-sums precomputed into an indexable array; the oracle is the same
+    recurrence as a recursive CTE whose per-step argmax is a NOT EXISTS
+    anti-join (recursive terms can't aggregate).  Scale: the recurrence
+    runs over the (type, hour) AGGREGATE — series length is bounded by
+    the time span, so the arrays stay small at any corpus size; one
+    shuffle for the rollup, one for the per-type collect."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type")
+    wo = w.orderBy("h")
+    NB = LTTB_BUCKETS
+    pts = (
+        hourly.select(
+            "event_type",
+            (F.unix_timestamp("h") - F.unix_timestamp(F.min("h").over(w)))
+            .cast("long").alias("xs"),
+            F.col("y").cast("long").alias("y"),
+            F.row_number().over(wo).alias("i"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        )
+        .filter(F.col("n") - 2 >= NB)
+        .select(
+            "event_type", (F.col("xs") / 3600).cast("long").alias("x"),
+            "y", "i", "n",
+            F.when(F.col("i") == 1, 0)
+            .when(F.col("i") == F.col("n"), NB + 1)
+            .otherwise(1 + F.expr(f"((i - 2) * {NB}) div (n - 2)"))
+            .cast("int").alias("b"),
+        )
+    )
+    arrs = pts.groupBy("event_type").agg(
+        F.expr("array_sort(collect_list(struct(i, b, x, y)))").alias("ps"))
+    # next-bucket integer sums, indexable by bucket k (bucket NB's "next"
+    # is the final point in pseudo-bucket NB+1) — computed once, outside
+    # the fold, and referenced from inside the lambda.
+    arrs = arrs.withColumn("ns", F.expr(f"""
+        transform(sequence(1, {NB}), kk -> aggregate(
+          filter(ps, p -> p.b = kk + 1),
+          struct(0L AS sx, 0L AS sy, 0L AS n),
+          (a, p) -> struct(a.sx + p.x, a.sy + p.y, a.n + 1L)))"""))
+    # Fold state = the picks so far (struct(k, x, y) array, seeded with the
+    # first point); the previous pick is element_at(sel, -1), so the argmax
+    # expression appears exactly ONCE per step: candidates of bucket k are
+    # keyed by area2*1e5 - x and the array_sort max is appended.
+    fold = F.expr(f"""
+      aggregate(
+        sequence(1, {NB}),
+        array(struct(0L AS key, cast(0 AS int) AS k,
+                     element_at(ps, 1).x AS x, element_at(ps, 1).y AS y)),
+        (sel, k) -> array_append(sel, element_at(
+          array_sort(transform(filter(ps, p -> p.b = k), p -> struct(
+            abs((element_at(sel, -1).x * element_at(ns, k).n
+                   - element_at(ns, k).sx) * (p.y - element_at(sel, -1).y)
+                - (element_at(sel, -1).x - p.x)
+                  * (element_at(ns, k).sy
+                     - element_at(ns, k).n * element_at(sel, -1).y))
+              * 100000L - p.x AS key,
+            cast(k AS int) AS k, p.x AS x, p.y AS y))), -1)),
+        sel -> transform(sel, s -> struct(s.k AS k, s.x AS x, s.y AS y)))
+    """)
+    picked = arrs.select(
+        "event_type",
+        F.concat(
+            fold,
+            F.array(F.expr(
+                f"struct(cast({NB + 1} AS int) AS k, "
+                f"element_at(ps, -1).x AS x, element_at(ps, -1).y AS y)")),
+        ).alias("sel"),
+    )
+    return picked.select(
+        "event_type", F.explode("sel").alias("s")
+    ).select(
+        "event_type",
+        F.col("s.k").cast("long").alias("sel_idx"),
+        F.col("s.x").alias("x"), F.col("s.y").alias("y"),
+    )

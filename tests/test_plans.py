@@ -695,3 +695,13 @@ def test_hashed_features_two_integer_shuffles(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
     assert "Join" not in p and "SinglePartition" not in p
+
+
+def test_lttb_folds_over_aggregate_not_events(spark, sf_dir):
+    """The LTTB recurrence must run over the (type, hour) rollup inside a
+    JVM higher-order fold: one scan, the rollup + per-type collect
+    exchanges, no Python evaluator, no single partition."""
+    p = _plan(spark, sf_dir, "q_ts_lttb")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "EvalPython" not in p and "SinglePartition" not in p
