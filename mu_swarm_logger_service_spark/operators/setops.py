@@ -69,3 +69,20 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "click").select("user_id")
     b = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return a.exceptAll(b)
+
+
+@query("q_intersect_all", oracle="""
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT ALL
+SELECT user_id FROM events WHERE event_type = 'view'
+""")
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag INTERSECT ALL (each user_id kept min(#clicks, #views) times) —
+    completes the multiset side of the set-op family (q_except already
+    exercises EXCEPT ALL; q_intersect is the distinct form).  Spark plans
+    intersectAll as one aggregate of per-side counts + a generate — a
+    single shuffle on the value, no join of the two subqueries."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "view").select("user_id")
+    return a.intersectAll(b)
