@@ -1489,3 +1489,128 @@ def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         benford.alias("benford_p"),
         (obs - benford).alias("deviation"),
     )
+
+
+@query("q_analytics_rfm", oracle=f"""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                        DATE '1998-12-31') AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         {dsum_sql('o_totalprice')} AS monetary
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+         recency_days, frequency, monetary,
+         CAST(ntile(5) OVER (PARTITION BY c.c_mktsegment
+              ORDER BY recency_days ASC, c.c_custkey) AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (PARTITION BY c.c_mktsegment
+              ORDER BY frequency DESC, c.c_custkey) AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (PARTITION BY c.c_mktsegment
+              ORDER BY monetary DESC, c.c_custkey) AS BIGINT) AS m_score
+  FROM cust JOIN customer c ON c.c_custkey = cust.o_custkey
+)
+SELECT *, r_score * 100 + f_score * 10 + m_score AS rfm_cell
+FROM scored
+""")
+def q_analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the canonical marketing rollup
+    (recency / frequency / monetary quintiles).  Recency anchors on a
+    FIXED date (no global max → no SinglePartition); quintiles are
+    ntile(5) windows PARTITIONED BY market segment, so the ranking
+    shuffle is segment-parallel rather than a global total order — the
+    scale-sound choice (a global ntile is a single-partition sort; the
+    per-segment variant is also the more useful score).  Determinism:
+    every ntile ORDER BY ends in the unique custkey; monetary is the
+    exact decimal sum, so its sort key is bit-identical across engines.
+    Plan: one fact shuffle on o_custkey for the per-customer rollup,
+    broadcast customer dim, then all three windows + the cell arithmetic
+    ride ONE customer-rollup-sized exchange on segment."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    anchor = F.lit("1998-12-31").cast("date")
+    rolled = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.datediff(anchor, F.max("o_orderdate").cast("date"))
+            .cast("long").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(F.col("o_totalprice")).alias("monetary"),
+        )
+    )
+    j = rolled.join(F.broadcast(cust),
+                    rolled.o_custkey == cust.c_custkey)
+    seg = Window.partitionBy("c_mktsegment")
+    wr = seg.orderBy(F.col("recency_days").asc(), F.col("c_custkey"))
+    wf = seg.orderBy(F.col("frequency").desc(), F.col("c_custkey"))
+    wm = seg.orderBy(F.col("monetary").desc(), F.col("c_custkey"))
+    scored = j.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        "recency_days", "frequency", "monetary",
+        F.ntile(5).over(wr).cast("long").alias("r_score"),
+        F.ntile(5).over(wf).cast("long").alias("f_score"),
+        F.ntile(5).over(wm).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_cell",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+
+
+@query("q_analytics_hhi", oracle="""
+WITH rev AS (
+  SELECT p.p_brand, l.l_suppkey,
+         CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                       AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(CAST(SUM(r) AS DECIMAL(19,4)) AS DOUBLE) AS revenue,
+       round(CAST(SUM(CAST(r AS DECIMAL(19,4)) * CAST(r AS DECIMAL(19,4)))
+                  AS DOUBLE)
+             / CAST(CAST(SUM(r) AS DECIMAL(19,4))
+                    * CAST(SUM(r) AS DECIMAL(19,4)) AS DOUBLE), 9)
+         + 0.0 AS hhi,
+       round(CAST(MAX(r) AS DOUBLE)
+             / CAST(CAST(SUM(r) AS DECIMAL(19,4)) AS DOUBLE), 9)
+         + 0.0 AS top_share
+FROM rev
+GROUP BY 1
+""")
+def q_analytics_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supply-concentration index per brand — the
+    antitrust-style concentration metric (Σ market-share², here computed
+    as Σr² / (Σr)² so no per-supplier division ever happens).  Numeric
+    path: per-row revenue carries ≤4 decimals → DECIMAL(18,4) casts are
+    EXACT (numeric.py invariant); squares are widened to 19,4 operands on
+    the DuckDB side (int128 path — width-18 multiply overflows int64) and
+    stay inside (38,8) in both engines, so every AGGREGATE is exact — but
+    the wide-decimal→double CASTS of Σr² and (Σr)² are engine-divergent
+    in the last ulp (measured: DuckDB's int128 path double-rounds), so
+    the two emitted ratios are rounded to 9 dp (+0.0) on both sides.
+    Plan: one lineitem scan, broadcast part dim, partial agg
+    into the (brand, supplier) shuffle, then the brand rollup — the
+    second shuffle moves only |brands|×|suppliers| rows regardless of
+    fact size."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d18 = "decimal(18,4)"
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum((F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))).cast(d18))
+             .cast(d18).alias("r"))
+    )
+    tot = F.sum("r").cast(d18)  # values fit; keeps the square inside (37,8)
+    return rev.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        tot.cast("double").alias("revenue"),
+        (F.round(F.sum(F.col("r") * F.col("r")).cast("double")
+                 / (tot * tot).cast("double"), 9) + 0.0).alias("hhi"),
+        (F.round(F.max("r").cast("double") / tot.cast("double"), 9)
+         + 0.0).alias("top_share"),
+    )

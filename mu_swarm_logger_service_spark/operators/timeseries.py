@@ -1403,3 +1403,89 @@ def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.k").cast("long").alias("sel_idx"),
         F.col("s.x").alias("x"), F.col("s.y").alias("y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SAX — Symbolic Aggregate approXimation of the per-type daily-rate series
+# (Lin/Keogh/Lonardi: PAA segments + alphabet discretization).  This variant
+# keeps every step integer-exact: PAA = SUM of daily counts per fixed 5-day
+# segment (gap days contribute 0 to a SUM automatically, so no gap-fill pass
+# is needed), and the alphabet is EMPIRICAL — rank-based ntile(4) over the
+# segment sums within each series — instead of Gaussian breakpoints on
+# z-scored means (which would put engine-divergent doubles under a
+# comparison).  The SAX word is then a per-series string over {a..d}.
+# ---------------------------------------------------------------------------
+
+SAX_SEG_DAYS = 5
+SAX_ALPHABET = 4
+
+
+@query("q_ts_sax", oracle=f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), segs AS (
+  SELECT event_type, n,
+         CAST(date_diff('day', MIN(day) OVER (PARTITION BY event_type), day)
+              // {SAX_SEG_DAYS} AS BIGINT) AS seg
+  FROM daily
+), paa AS (
+  SELECT event_type, seg, CAST(SUM(n) AS BIGINT) AS seg_n
+  FROM segs GROUP BY 1, 2
+), sym AS (
+  SELECT event_type, seg, seg_n,
+         ntile({SAX_ALPHABET}) OVER (PARTITION BY event_type
+                                     ORDER BY seg_n, seg) AS q
+  FROM paa
+)
+SELECT event_type,
+       string_agg(chr(CAST(96 + q AS INTEGER)), '' ORDER BY seg) AS sax_word,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(MIN(seg_n) AS BIGINT) AS min_seg_n,
+       CAST(MAX(seg_n) AS BIGINT) AS max_seg_n
+FROM sym GROUP BY 1
+""")
+def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of each event type's daily-count series.
+
+    Determinism: counts and segment sums are integers; the quartile
+    symbol is ntile over (seg_n, seg) — the segment index is unique
+    within a series, so ties in the sums break identically in both
+    engines; the word is built from an array_sort'ed (seg, q) struct list
+    (Spark) ≡ string_agg ORDER BY seg (DuckDB).  The `/ 5 → cast long`
+    segment index mirrors DuckDB's `// 5` floor on nonnegative values.
+
+    Plan: the only fact-sized pass is the (type, day) partial-agg
+    shuffle; the per-type min-day window, the PAA rollup, the ntile
+    ranking, and the word assembly all ride ONE further exchange on
+    event_type over day-sized data (hashpartitioning(event_type) already
+    clusters (type, seg), so Catalyst plans no third shuffle).  At 100 TB
+    the series side is |types|×|days| rows — the symbolization cost is
+    independent of event volume."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_type = Window.partitionBy("event_type")
+    segs = daily.select(
+        "event_type", "n",
+        (F.datediff("day", F.min("day").over(per_type)) / SAX_SEG_DAYS)
+        .cast("long").alias("seg"),
+    )
+    paa = (segs.groupBy("event_type", "seg")
+           .agg(F.sum("n").alias("seg_n")))
+    sym = paa.select(
+        "event_type", "seg", "seg_n",
+        F.ntile(SAX_ALPHABET)
+        .over(per_type.orderBy("seg_n", "seg")).alias("q"),
+    )
+    word = F.concat_ws("", F.transform(
+        F.array_sort(F.collect_list(F.struct("seg", "q"))),
+        lambda s: F.char(F.lit(96) + s["q"])))
+    return sym.groupBy("event_type").agg(
+        word.alias("sax_word"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.min("seg_n").alias("min_seg_n"),
+        F.max("seg_n").alias("max_seg_n"),
+    )

@@ -705,3 +705,37 @@ def test_lttb_folds_over_aggregate_not_events(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
     assert "EvalPython" not in p and "SinglePartition" not in p
+
+
+def test_rfm_segment_windows_no_global_sort(spark, sf_dir):
+    """All three ntile quintiles must ride segment-partitioned windows
+    over the customer-sized rollup (broadcast dim, fact shuffle on
+    custkey) — a global ntile would collapse to SinglePartition."""
+    p = _plan(spark, sf_dir, "q_analytics_rfm")
+    assert p.count("BroadcastHashJoin") >= 1
+    assert "hashpartitioning(o_custkey" in p
+    assert "hashpartitioning(c_mktsegment" in p
+    assert "SinglePartition" not in p and "SortMergeJoin" not in p
+
+
+def test_hhi_two_rollup_shuffles_broadcast_dim(spark, sf_dir):
+    """HHI must be broadcast part dim + the (brand, supplier) partial-agg
+    shuffle + the brand rollup — the second exchange carries only
+    |brands|x|suppliers| rows; no global stage, no sort-merge join."""
+    p = _plan(spark, sf_dir, "q_analytics_hhi")
+    assert p.count("BroadcastHashJoin") >= 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "hashpartitioning(p_brand" in p
+    assert "SinglePartition" not in p and "SortMergeJoin" not in p
+
+
+def test_sax_rides_one_type_exchange_after_daily_rollup(spark, sf_dir):
+    """After the (type, day) partial-agg shuffle, the min-day window, PAA
+    rollup, ntile and word assembly must all reuse the event_type
+    partitioning (hashpartitioning(event_type) clusters (type, seg)) —
+    exactly two exchanges, no SinglePartition, no join."""
+    p = _plan(spark, sf_dir, "q_ts_sax")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "hashpartitioning(event_type" in p
+    assert "SinglePartition" not in p and "Join" not in p
