@@ -2186,3 +2186,97 @@ def q_llm_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs("v")).alias("l1"),
         F.sum(F.col("v") * F.col("v")).alias("l2_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — corpus-level association mining over token bigrams
+# (Church & Hanks): PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ).  The multiword-
+# expression detector a tokenizer/vocab pipeline runs before merging tokens.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+@query("q_llm_collocations", oracle=f"""
+WITH grams AS (
+  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || ' ' ||
+                     string_split(text, ' ')[i + 1])) AS bigram
+  FROM documents
+), pair_counts AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM grams GROUP BY 1
+), uni AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), uni_counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS t FROM uni_counts
+), btot AS (
+  SELECT CAST(SUM(n_ab) AS BIGINT) AS b FROM pair_counts
+)
+SELECT c.bigram, c.n_ab, ua.n AS n_a, ub.n AS n_b,
+       round(ln(CAST(c.n_ab AS DOUBLE) * t.t * t.t
+                / (CAST(bt.b AS DOUBLE) * ua.n * ub.n)), 6) + 0.0 AS pmi
+FROM pair_counts c
+JOIN uni_counts ua ON ua.tok = string_split(c.bigram, ' ')[1]
+JOIN uni_counts ub ON ub.tok = string_split(c.bigram, ' ')[2]
+CROSS JOIN tot t CROSS JOIN btot bt
+WHERE c.n_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, c.bigram
+LIMIT {PMI_TOP_K}
+""")
+def q_llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over token
+    bigrams — corpus-global (q_llm_ngram_stats is the per-language COUNT
+    rank; this scores ASSOCIATION, the signal that separates multiword
+    expressions from merely-frequent pairs).
+
+    Numeric path: every input to the score is an exact integer; PMI is
+    ONE fixed IEEE expression — ln(n_ab·T² / (B·n_a·n_b)) with identical
+    association on both sides — rounded at 6 dp (the tfidf ln precedent),
+    and the min-count filter plus (pmi, bigram) unique sort key make the
+    top-k boundary deterministic.  Plan: bigram and unigram rollups
+    shuffle once each on their keys; the two marginal joins hash on the
+    token key (broadcast-eligible when the vocab is small); T and B come
+    from 1-row rollups of the COUNT tables (no third corpus scan) and
+    broadcast; the global top-k is orderBy+limit → TakeOrderedAndProject
+    (per-partition partial top-k), NOT a single-partition rank window."""
+    docs = spread(load(spark, sf_dir, "documents")).select("text")
+    arr = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.concat(F.element_at(arr, i), F.lit(" "),
+                           F.element_at(arr, i + 1)),
+    )
+    pair_counts = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    uni_counts = (
+        docs.select(F.explode(arr).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uni_counts.agg(F.sum("n").alias("t"))
+    btot = pair_counts.agg(F.sum("n_ab").alias("b"))
+    a_tok = F.split(F.col("bigram"), " ").getItem(0)
+    b_tok = F.split(F.col("bigram"), " ").getItem(1)
+    ua = uni_counts.select(F.col("tok").alias("tok_a"),
+                           F.col("n").alias("n_a"))
+    ub = uni_counts.select(F.col("tok").alias("tok_b"),
+                           F.col("n").alias("n_b"))
+    pmi = (F.round(F.log(F.col("n_ab").cast("double") * F.col("t")
+                         * F.col("t")
+                         / (F.col("b").cast("double") * F.col("n_a")
+                            * F.col("n_b"))), 6) + 0.0)
+    return (
+        pair_counts.filter(F.col("n_ab") >= PMI_MIN_COUNT)
+        .join(ua, a_tok == F.col("tok_a"))
+        .join(ub, b_tok == F.col("tok_b"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select("bigram", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(PMI_TOP_K)
+    )

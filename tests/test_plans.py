@@ -739,3 +739,18 @@ def test_sax_rides_one_type_exchange_after_daily_rollup(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
     assert "hashpartitioning(event_type" in p
     assert "SinglePartition" not in p and "Join" not in p
+
+
+def test_collocations_topk_pushdown_and_exchange_reuse(spark, sf_dir):
+    """The global top-k must be TakeOrderedAndProject (per-partition
+    partial top-k), never a single-partition rank window; the marginal
+    joins must not sort-merge at this scale; and the repeated
+    unigram/bigram rollup subtrees must collapse to ReusedExchange at
+    runtime (AQE) so the corpus is exploded at most twice."""
+    p = _plan(spark, sf_dir, "q_llm_collocations")
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+    df = QUERIES["q_llm_collocations"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 2
