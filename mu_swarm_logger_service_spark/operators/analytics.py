@@ -1614,3 +1614,78 @@ def q_analytics_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.max("r").cast("double") / tot.cast("double"), 9)
          + 0.0).alias("top_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neighbor-set Jaccard over the supplier–part bipartite graph: which
+# suppliers stock near-identical part portfolios?  The set-similarity-join
+# shape (pair generation ONLY through shared neighbors + a hub cap) is the
+# same discipline the LSH dedup family applies to documents, here on graph
+# adjacency instead of shingles.
+# ---------------------------------------------------------------------------
+
+OVERLAP_HUB_CAP = 50  # parts stocked by more suppliers than this are hubs
+
+
+@query("q_analytics_supplier_overlap", oracle=f"""
+WITH edges0 AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+), parts_ok AS (
+  SELECT p FROM edges0 GROUP BY p HAVING COUNT(*) <= {OVERLAP_HUB_CAP}
+), edges AS (
+  SELECT e.s, e.p FROM edges0 e JOIN parts_ok USING (p)
+), deg AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM edges GROUP BY 1
+), pairs AS (
+  SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM edges a JOIN edges b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT s1, s2, shared, da.n AS n1, db.n AS n2,
+       CAST(shared AS DOUBLE) / (da.n + db.n - shared) AS jaccard
+FROM pairs
+JOIN deg da ON da.s = pairs.s1
+JOIN deg db ON db.s = pairs.s2
+""")
+def q_analytics_supplier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard similarity of supplier part-portfolios.
+
+    Scale shape: candidate pairs are generated ONLY through shared parts
+    (an equi-join on partkey — never a supplier×supplier cross join), and
+    a hub cap excludes parts stocked by > OVERLAP_HUB_CAP suppliers BEFORE pair
+    expansion — the standard quadratic-blowup guard in set-similarity
+    joins (a part with k suppliers contributes k² pair rows; hubs are
+    where co-occurrence joins die at scale).  The cap is applied to the
+    edge set itself, so degrees and intersections describe the same
+    (non-hub) universe and the Jaccard stays a true set similarity.
+    Numerics: counts are exact integers; the similarity is ONE IEEE
+    division on identical operands — raw emit, no rounding needed.
+    Plan: distinct on (s, p) is the only fact-sized shuffle; the hub
+    filter and self-join reuse the partkey partitioning; degree tables
+    are supplier-sized and broadcast into the pair rollup."""
+    li = (load(spark, sf_dir, "lineitem")
+          .select(F.col("l_suppkey").alias("s"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    parts_ok = (li.groupBy("p").agg(F.count(F.lit(1)).alias("ns"))
+                .filter(F.col("ns") <= OVERLAP_HUB_CAP).select("p"))
+    edges = li.join(parts_ok, "p")
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    a = edges.select(F.col("p").alias("pa"), F.col("s").alias("s1"))
+    b = edges.select(F.col("p").alias("pb"), F.col("s").alias("s2"))
+    pairs = (
+        a.join(b, (F.col("pa") == F.col("pb")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2").agg(F.count(F.lit(1)).alias("shared"))
+    )
+    da = deg.select(F.col("s").alias("sa"), F.col("n").alias("n1"))
+    db = deg.select(F.col("s").alias("sb"), F.col("n").alias("n2"))
+    return (
+        pairs.join(F.broadcast(da), F.col("s1") == F.col("sa"))
+        .join(F.broadcast(db), F.col("s2") == F.col("sb"))
+        .select(
+            "s1", "s2", "shared", "n1", "n2",
+            (F.col("shared").cast("double")
+             / (F.col("n1") + F.col("n2") - F.col("shared")))
+            .alias("jaccard"),
+        )
+    )

@@ -754,3 +754,15 @@ def test_collocations_topk_pushdown_and_exchange_reuse(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert executed.count("ReusedExchange") >= 2
+
+
+def test_supplier_overlap_pairs_only_via_shared_parts(spark, sf_dir):
+    """Pair generation must be the partkey equi-self-join (reusing the
+    distinct's partitioning where possible) — no cartesian, no nested
+    loop; the supplier-sized degree tables must broadcast into the pair
+    rollup."""
+    p = _plan(spark, sf_dir, "q_analytics_supplier_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "hashpartitioning(p" in p or "hashpartitioning(pa" in p
