@@ -71,10 +71,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #       round 7, and rotate_window now re-queues that class mechanically),
 #       round 7's first six new operators (q_llm_bm25_topk,
 #       q_ts_holt_trend, q_stream_holt, q_sketch_kmv, q_llm_cc_largestar,
-#       q_stream_kmv), and the eight late-round-7 operators
+#       q_stream_kmv), the eight late-round-7 operators
 #       (q_agg_weighted_median, q_ts_streaks, q_ts_cross_corr,
 #       q_llm_winnowing, q_fn_normalize_text, q_stream_cdc_apply,
-#       q_analytics_abc, q_agg_ab_ttest).
+#       q_analytics_abc, q_agg_ab_ttest), the late-round-7 extras
+#       (q_audit_benford, q_llm_cluster_purity, q_llm_rank_eval,
+#       q_llm_html_extract, q_llm_hashed_features, q_ts_lttb,
+#       q_intersect_all), and the final round-7 batch (q_analytics_rfm,
+#       q_analytics_hhi, q_ts_sax, q_llm_collocations,
+#       q_analytics_supplier_overlap).  rotate_window.py reports the r8
+#       remainder at 45 keys — inside one window; any further additions
+#       must keep it ≤ 50.
 # Do NOT trust these comment counts at activation time: run
 # ``python tools/rotate_window.py`` — it derives the next window from
 # CORRECTNESS_r*.json + the live registry (re-queuing any hard-red key

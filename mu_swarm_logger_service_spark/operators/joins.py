@@ -449,3 +449,115 @@ def q_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id").agg(
         F.count("p_id").alias("n_nearby_purchases")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-blocked spatial radius join.  The fixtures carry no geo columns, so
+# both engines MINT identical integer coordinates from md5 over the entity
+# key (the parse_url/minting discipline) — a point in a 1,000,000² unit
+# plane per customer and per supplier — and the operator finds all
+# (customer, supplier) pairs within Euclidean radius R.  Blocking is the
+# classic grid trick: cell size = R, the supplier side replicates to its
+# 3×3 neighborhood, candidates join on the cell key, and the exact d² ≤ R²
+# refine runs only inside matched cells.  Everything is BIGINT-exact
+# (coords < 1e6 → d² < 2e12), and the emitted distance is ONE IEEE sqrt on
+# identical integers — no trig, no float divergence surface at all.
+# ---------------------------------------------------------------------------
+
+SPATIAL_SPAN = 1_000_000   # coordinate domain per axis
+SPATIAL_R = 50_000         # join radius == grid cell size
+
+
+def _mint_xy_sql(prefix: str, key: str) -> str:
+    """DuckDB twin of the Spark md5-prefix coordinate mint (one axis)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        f"string_split_regex(substr(md5('{prefix}' || CAST({key} AS VARCHAR)"
+        f" || '|' || '{{axis}}'), 1, 8), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))), "
+        f"(a, b) -> a * 16 + b) % {SPATIAL_SPAN}"
+    )
+
+
+@query("q_join_spatial_grid", oracle=f"""
+WITH cust AS (
+  SELECT c_custkey,
+         {_mint_xy_sql('c', 'c_custkey').format(axis='x')} AS x,
+         {_mint_xy_sql('c', 'c_custkey').format(axis='y')} AS y
+  FROM customer
+), supp AS (
+  SELECT s_suppkey,
+         {_mint_xy_sql('s', 's_suppkey').format(axis='x')} AS x,
+         {_mint_xy_sql('s', 's_suppkey').format(axis='y')} AS y
+  FROM supplier
+), scell AS (
+  SELECT s.*, CAST(s.x // {SPATIAL_R} AS BIGINT) + dx.dx AS cx,
+         CAST(s.y // {SPATIAL_R} AS BIGINT) + dy.dy AS cy
+  FROM supp s, UNNEST([-1, 0, 1]) dx(dx), UNNEST([-1, 0, 1]) dy(dy)
+)
+SELECT c.c_custkey AS custkey, s.s_suppkey AS suppkey,
+       (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2,
+       sqrt(CAST((c.x - s.x) * (c.x - s.x)
+                 + (c.y - s.y) * (c.y - s.y) AS DOUBLE)) AS dist
+FROM cust c
+JOIN scell s ON CAST(c.x // {SPATIAL_R} AS BIGINT) = s.cx
+            AND CAST(c.y // {SPATIAL_R} AS BIGINT) = s.cy
+WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+      <= CAST({SPATIAL_R} AS BIGINT) * {SPATIAL_R}
+""")
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (customer, supplier) pairs within radius R on the minted plane.
+
+    Scale shape: the 9× replication happens on the SMALL (supplier) side
+    only; candidates meet in a cell-key equi-join (hash- or broadcast-
+    able, never a cross join), and each true pair is found exactly once
+    because the replicated cells of one supplier are distinct.  Cell size
+    = R is the textbook guarantee that every within-R pair shares one of
+    the 9 neighbor cells.  At 100 TB the same plan holds with both sides
+    large: the cell key is the shuffle key and skewed cells respond to
+    AQE skew-join like any hot hash key.
+
+    Determinism: coordinates are md5-minted integers (identical in both
+    engines — the hex-prefix fold idiom), d² is exact BIGINT, the radius
+    gate compares integers, and dist is a single IEEE sqrt on identical
+    operands (correctly rounded in both engines) — raw emit."""
+    span, r = F.lit(SPATIAL_SPAN), SPATIAL_R
+
+    def mint(prefix: str, key: F.Column, axis: str) -> F.Column:
+        h = F.md5(F.concat(F.lit(prefix), key.cast("string"),
+                           F.lit("|" + axis)))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                % span)
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        mint("c", F.col("c_custkey"), "x").alias("x"),
+        mint("c", F.col("c_custkey"), "y").alias("y"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        mint("s", F.col("s_suppkey"), "x").alias("sx"),
+        mint("s", F.col("s_suppkey"), "y").alias("sy"),
+    )
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    scell = (supp.select("*", F.explode(offsets).alias("o"))
+             .select("s_suppkey", "sx", "sy",
+                     ((F.col("sx") / r).cast("long")
+                      + F.col("o.dx")).alias("cx"),
+                     ((F.col("sy") / r).cast("long")
+                      + F.col("o.dy")).alias("cy")))
+    d2 = ((F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx"))
+          + (F.col("y") - F.col("sy")) * (F.col("y") - F.col("sy")))
+    return (
+        cust.join(scell,
+                  ((F.col("x") / r).cast("long") == F.col("cx"))
+                  & ((F.col("y") / r).cast("long") == F.col("cy")))
+        .filter(d2 <= r * r)
+        .select(F.col("c_custkey").alias("custkey"),
+                F.col("s_suppkey").alias("suppkey"),
+                d2.alias("d2"),
+                F.sqrt(d2.cast("double")).alias("dist"))
+    )

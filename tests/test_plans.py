@@ -766,3 +766,14 @@ def test_supplier_overlap_pairs_only_via_shared_parts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("BroadcastHashJoin") >= 2
     assert "hashpartitioning(p" in p or "hashpartitioning(pa" in p
+
+
+def test_spatial_grid_join_is_equi_on_cell_key(spark, sf_dir):
+    """Candidates must meet in a cell-key EQUI-join (hash/broadcast) with
+    the 9x replication on the supplier side only — never a cartesian or
+    nested-loop plan; the integer d² refine is a post-join Filter."""
+    p = _plan(spark, sf_dir, "q_join_spatial_grid")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "Generate" in p  # the 3x3 offset explode
