@@ -2280,3 +2280,128 @@ def q_llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(PMI_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (Raffel et al.): mask ~19% of token positions via
+# a content-addressed md5 gate, merge ADJACENT masked tokens into spans
+# (gaps-and-islands), replace each span with a numbered sentinel in the
+# corrupted text, and emit the denoising target "<extra_id_k> span ...".
+# The gate is keyed on (doc_id, pos) — stable across runs, partitionings
+# and engines, the same discipline as q_llm_split's holdout gate.
+# ---------------------------------------------------------------------------
+
+
+@query("q_llm_span_corruption", oracle="""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS tok
+  FROM documents,
+       UNNEST(range(1, len(string_split(text, ' ')) + 1)) t(i)
+), flagged AS (
+  SELECT *, ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|'
+                             || CAST(pos AS VARCHAR)), 1, 1)) % 5 = 0 AS m
+  FROM toks
+), runs AS (
+  SELECT *, CASE WHEN m THEN
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id, m ORDER BY pos)
+         END AS grp
+  FROM flagged
+), masked AS (
+  SELECT *, DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY grp) - 1 AS k,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY pos) = 1
+           AS first
+  FROM runs WHERE m
+), corrupted AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS corrupted
+  FROM (
+    SELECT doc_id, pos, tok AS piece FROM runs WHERE NOT m
+    UNION ALL
+    SELECT doc_id, pos, '<extra_id_' || CAST(k AS VARCHAR) || '>'
+    FROM masked WHERE first
+  ) GROUP BY 1
+), tgt AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN first THEN '<extra_id_' || CAST(k AS VARCHAR)
+                                         || '> ' || tok
+                    ELSE tok END, ' ' ORDER BY pos) AS target,
+         CAST(COUNT(*) AS BIGINT) AS n_masked,
+         CAST(MAX(k) + 1 AS BIGINT) AS n_spans
+  FROM masked GROUP BY 1
+)
+SELECT c.doc_id, c.corrupted, COALESCE(t.target, '') AS target,
+       COALESCE(t.n_masked, 0) AS n_masked,
+       COALESCE(t.n_spans, 0) AS n_spans
+FROM corrupted c LEFT JOIN tgt t USING (doc_id)
+""")
+def q_llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption pretraining pairs (corrupted input + denoising
+    target) for every document.
+
+    Determinism: the mask gate is ascii(md5(doc|pos)) % 5 — identical in
+    both engines (the q_llm_split idiom); run merging is the integer
+    gaps-and-islands trick (pos − row_number is constant within an
+    adjacent masked run); sentinel numbering is dense_rank over the run
+    key, which increases with span start; both output strings assemble
+    from sort_array'ed (pos, piece) structs ≡ string_agg ORDER BY pos.
+    NULL-ordering trap avoided by ranking runs only on the masked-row
+    branch (Spark sorts NULLs first, DuckDB last — grp is NULL on
+    unmasked rows).
+
+    Plan: the token explode shuffles once on the doc key; every window
+    ((doc,m) islands, per-doc dense_rank, per-run first-flag) and both
+    assembly rollups ride doc-partitioned exchanges; the final join is
+    per-doc sized.  AQE reuses the shared flagged/masked subtrees at
+    runtime.  At 100 TB this is the one-shuffle-per-doc-token budget any
+    sequence-labeling pass costs; a zero-shuffle HOF fold formulation
+    exists but puts an interpreted lambda on the hot path (the near-dedup
+    cold-start lesson) — measured trade documented in SCALE.md."""
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    gate = (F.ascii(F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit("|"),
+        F.col("pos").cast("string"))), 1, 1)) % 5 == 0)
+    flagged = toks.select("doc_id", "pos", "tok", gate.alias("m"))
+    w_island = Window.partitionBy("doc_id", "m").orderBy("pos")
+    runs = flagged.withColumn(
+        "grp", F.when(F.col("m"),
+                      F.col("pos") - F.row_number().over(w_island)))
+    masked = (
+        runs.filter(F.col("m"))
+        .withColumn("k", F.dense_rank().over(
+            Window.partitionBy("doc_id").orderBy("grp")) - 1)
+        .withColumn("first", F.row_number().over(
+            Window.partitionBy("doc_id", "grp").orderBy("pos")) == 1)
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("k").cast("string"),
+                        F.lit(">"))
+    pieces = (
+        runs.filter(~F.col("m"))
+        .select("doc_id", "pos", F.col("tok").alias("piece"))
+        .unionAll(masked.filter(F.col("first"))
+                  .select("doc_id", "pos", sentinel.alias("piece")))
+    )
+
+    def assemble(col: str) -> F.Column:
+        return F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", F.col(col)))),
+            lambda s: s[col]))
+
+    corrupted = pieces.groupBy("doc_id").agg(
+        assemble("piece").alias("corrupted"))
+    tgt_piece = F.when(F.col("first"),
+                       F.concat(sentinel, F.lit(" "), F.col("tok"))) \
+                 .otherwise(F.col("tok"))
+    tgt = masked.select("doc_id", "pos", "first", "k", "tok",
+                        tgt_piece.alias("tp")).groupBy("doc_id").agg(
+        assemble("tp").alias("target"),
+        F.count(F.lit(1)).alias("n_masked"),
+        (F.max("k") + 1).alias("n_spans"),
+    )
+    return (
+        corrupted.join(tgt, "doc_id", "left")
+        .select("doc_id", "corrupted",
+                F.coalesce("target", F.lit("")).alias("target"),
+                F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
+                F.coalesce("n_spans", F.lit(0)).alias("n_spans"))
+    )

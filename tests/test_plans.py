@@ -777,3 +777,13 @@ def test_spatial_grid_join_is_equi_on_cell_key(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
     assert "Generate" in p  # the 3x3 offset explode
+
+
+def test_span_corruption_doc_keyed_windows_no_single_partition(spark, sf_dir):
+    """Token explode, island windows, rank windows and both assembly
+    rollups must all be doc-key partitioned — no SinglePartition stage,
+    no sort-merge join at this scale, no Python evaluator."""
+    p = _plan(spark, sf_dir, "q_llm_span_corruption")
+    assert "SinglePartition" not in p
+    assert "EvalPython" not in p
+    assert "hashpartitioning(doc_id" in p

@@ -597,3 +597,33 @@ def test_kmv_estimator_quality_and_saturation(spark, sf_dir):
         else:
             rel = abs(r.est_distinct - r.n_distinct_exact) / r.n_distinct_exact
             assert rel <= 4 / (KMV_K - 2) ** 0.5, (r.event_type, rel)
+
+
+def test_span_corruption_reconstructs_original(spark, sf_dir):
+    """Splicing each target span back over its sentinel in the corrupted
+    text must reproduce the original document exactly — the lossless-
+    pair property span-corruption training data must have."""
+    import re as _re
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    out = {r["doc_id"]: r for r in
+           QUERIES["q_llm_span_corruption"](spark, sf_dir).collect()}
+    orig = {r["doc_id"]: r["text"]
+            for r in load(spark, sf_dir, "documents").collect()}
+    assert len(out) == len(orig)
+    n_with_spans = 0
+    for doc_id, row in out.items():
+        spans = {}
+        if row["n_spans"] > 0:
+            n_with_spans += 1
+            parts = _re.split(r"<extra_id_(\d+)> ", row["target"])
+            # parts = ['', k0, span0, k1, span1, ...]
+            for i in range(1, len(parts), 2):
+                spans[int(parts[i])] = parts[i + 1].rstrip()
+        rebuilt = _re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))],
+            row["corrupted"])
+        assert rebuilt == orig[doc_id], f"doc {doc_id} does not round-trip"
+    assert n_with_spans > 0  # the gate must actually fire on the fixture
