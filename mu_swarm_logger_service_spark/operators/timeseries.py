@@ -1489,3 +1489,87 @@ def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("seg_n").alias("min_seg_n"),
         F.max("seg_n").alias("max_seg_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend: the median of all pairwise slopes of the daily
+# series — the robust-statistics sibling of q_ts_trend's least-squares fit
+# (up to ~29% contaminated days cannot move it).  The O(span²) pair
+# expansion runs on the AGGREGATED per-day series (|days| rows per type,
+# bounded by the calendar span regardless of event volume), never on
+# events — the same quarantine argument as the exact-Jaccard ground truth.
+# ---------------------------------------------------------------------------
+
+
+@query("q_ts_theil_sen", oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts)
+                   AS DATE)) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), slopes AS (
+  SELECT a.event_type,
+         CAST(b.n - a.n AS DOUBLE) / (b.d - a.d) AS slope,
+         a.d AS d1, b.d AS d2
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d > a.d
+), ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope, d1, d2) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM slopes
+)
+SELECT event_type,
+       CAST(MAX(m) AS BIGINT) AS n_pairs,
+       SUM(slope) / COUNT(*) AS ts_slope
+FROM ranked
+WHERE r IN ((m + 1) // 2, (m + 2) // 2)
+GROUP BY event_type
+""")
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen slope of daily event counts per type.
+
+    Determinism: day indices and counts are integers, each pairwise
+    slope is ONE IEEE division on exact operands (bit-identical across
+    engines), the median picks rank-⌊(m+1)/2⌋ and rank-⌈(m+1)/2⌉ under a
+    unique (slope, d1, d2) ordering, and the even-m average is
+    SUM-of-two/2 — IEEE addition of two values is commutative, so
+    shuffle order cannot move it, and /2 is exact.  Neither engine's
+    built-in median() is consulted (interpolation rules differ).
+
+    Plan: one fact shuffle into the (type, day) rollup; the pair join,
+    ranking window and final rollup all ride type-keyed exchanges over
+    span-bounded data (30 days → 435 pairs per type here; ~13 years
+    before a series hits 10⁷ pairs)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type",
+                   F.datediff(F.date_trunc("day", "ts").cast("date"),
+                              F.lit("1970-01-01").cast("date")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = daily.select(F.col("event_type").alias("et"),
+                     F.col("d").alias("d1"), F.col("n").alias("n1"))
+    b = daily.select(F.col("event_type").alias("et_b"),
+                     F.col("d").alias("d2"), F.col("n").alias("n2"))
+    slopes = (
+        a.join(b, (F.col("et") == F.col("et_b")) & (F.col("d2") > F.col("d1")))
+        .select(F.col("et").alias("event_type"), "d1", "d2",
+                ((F.col("n2") - F.col("n1")).cast("double")
+                 / (F.col("d2") - F.col("d1"))).alias("slope"))
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    ranked = slopes.select(
+        "event_type", "slope",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("m"),
+    )
+    mid = ranked.filter(
+        (F.col("r") == ((F.col("m") + 1) / 2).cast("long"))
+        | (F.col("r") == ((F.col("m") + 2) / 2).cast("long")))
+    return mid.groupBy("event_type").agg(
+        F.max("m").alias("n_pairs"),
+        (F.sum("slope") / F.count(F.lit(1))).alias("ts_slope"),
+    )

@@ -787,3 +787,15 @@ def test_span_corruption_doc_keyed_windows_no_single_partition(spark, sf_dir):
     assert "SinglePartition" not in p
     assert "EvalPython" not in p
     assert "hashpartitioning(doc_id" in p
+
+
+def test_theil_sen_pairs_on_rollup_not_events(spark, sf_dir):
+    """The O(span²) pair join must run on the (type, day) ROLLUP — the
+    events scan feeds exactly one partial-agg shuffle, the self-join is
+    an equi-join on the type key over day-sized data, and nothing
+    collapses to a single partition."""
+    p = _plan(spark, sf_dir, "q_ts_theil_sen")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SinglePartition" not in p
+    assert "hashpartitioning(event_type" in p
