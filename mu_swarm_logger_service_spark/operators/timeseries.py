@@ -1573,3 +1573,108 @@ def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m").alias("n_pairs"),
         (F.sum("slope") / F.count(F.lit(1))).alias("ts_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier days: median/MAD robust z-scores over the daily series — the
+# robust sibling of q_ts_anomaly's mean/stddev z-score (one wild day moves a
+# mean; it cannot move a median).  Both medians are exact rank-selects over
+# INTEGERS, so the only floating-point op is the final ratio.
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0  # flag |count - median| > K * MAD
+
+
+@query("q_ts_mad_outliers", oracle=f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, day, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM daily
+), med_v AS (
+  SELECT event_type,
+         CAST(SUM(n) * CASE WHEN MAX(m) % 2 = 1 THEN 2 ELSE 1 END
+              AS BIGINT) AS med2  -- 2x median (exact, odd m selects 1 row)
+  FROM med WHERE r IN ((m + 1) // 2, (m + 2) // 2) GROUP BY event_type
+), dev AS (
+  SELECT d.event_type, d.day, d.n, v.med2,
+         abs(2 * d.n - v.med2) AS dev2   -- 2x |n - median|, integer
+  FROM daily d JOIN med_v v USING (event_type)
+), mad AS (
+  SELECT event_type, day, n, med2, dev2,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2, day)
+           AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM dev
+), mad_v AS (
+  SELECT event_type,
+         CAST(SUM(dev2) * CASE WHEN MAX(m) % 2 = 1 THEN 2 ELSE 1 END
+              AS BIGINT) AS mad4  -- 4x MAD (exact, odd m selects 1 row)
+  FROM mad WHERE r IN ((m + 1) // 2, (m + 2) // 2) GROUP BY event_type
+)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.n AS BIGINT) AS n,
+       CAST(d.med2 AS DOUBLE) / 2 AS median_n,
+       CAST(v.mad4 AS DOUBLE) / 4 AS mad,
+       CAST(d.dev2 * 2 AS DOUBLE) / CAST(v.mad4 AS DOUBLE) AS robust_z
+FROM dev d JOIN mad_v v USING (event_type)
+WHERE CAST(d.dev2 * 2 AS DOUBLE) > CAST({MAD_K} AS DOUBLE) * v.mad4
+""")
+def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose daily count deviates from the per-type MEDIAN by more
+    than K robust sigmas (MAD), per event type.
+
+    Exactness trick: medians of an even-sized set are kept as 2×median =
+    sum of the two middle ranks (an exact INTEGER), deviations as
+    2×|n−median| (integer), and the MAD as 4×MAD (integer again) — so
+    the gate `2·dev2 > K·mad4` compares a double product against an
+    integer identically in both engines, and the three emitted doubles
+    are single fixed IEEE ops on exact integers (divisions by powers of
+    two are exact).  Rank selection uses the unique (value, day) order;
+    neither engine's median()/quantile interpolation is consulted.
+
+    Plan: one fact shuffle into the (type, day) rollup; both median
+    passes, the deviation join (type-keyed, day-sized) and the gate ride
+    type-partitioned exchanges — robust detection costs the same one
+    aggregation pass as the mean/stddev z-score at any event volume."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def median2(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "day")
+        wp = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type", col,
+            F.row_number().over(w).alias("r"),
+            F.count(F.lit(1)).over(wp).alias("m"))
+        mid = ranked.filter(
+            (F.col("r") == ((F.col("m") + 1) / 2).cast("long"))
+            | (F.col("r") == ((F.col("m") + 2) / 2).cast("long")))
+        return mid.groupBy("event_type").agg(
+            (F.sum(col) * F.when(F.max("m") % 2 == 0, 1).otherwise(2))
+            .alias(out))
+
+    med_v = median2(daily, "n", "med2")
+    dev = (daily.join(med_v, "event_type")
+           .withColumn("dev2", F.abs(2 * F.col("n") - F.col("med2"))))
+    mad_v = median2(dev.select("event_type", "dev2",
+                               F.col("day")), "dev2", "mad4")
+    out = dev.join(mad_v, "event_type")
+    return (
+        out.filter((F.col("dev2") * 2).cast("double")
+                   > F.lit(MAD_K) * F.col("mad4"))
+        .select(
+            "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n"),
+            (F.col("med2").cast("double") / 2).alias("median_n"),
+            (F.col("mad4").cast("double") / 4).alias("mad"),
+            ((F.col("dev2") * 2).cast("double")
+             / F.col("mad4").cast("double")).alias("robust_z"),
+        )
+    )

@@ -799,3 +799,13 @@ def test_theil_sen_pairs_on_rollup_not_events(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "SinglePartition" not in p
     assert "hashpartitioning(event_type" in p
+
+
+def test_mad_outliers_type_keyed_no_single_partition(spark, sf_dir):
+    """Both median rank-selects, the deviation join and the gate must
+    ride event_type-partitioned exchanges over the day-sized rollup —
+    no SinglePartition, no cartesian."""
+    p = _plan(spark, sf_dir, "q_ts_mad_outliers")
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(event_type" in p

@@ -627,3 +627,40 @@ def test_span_corruption_reconstructs_original(spark, sf_dir):
             row["corrupted"])
         assert rebuilt == orig[doc_id], f"doc {doc_id} does not round-trip"
     assert n_with_spans > 0  # the gate must actually fire on the fixture
+
+
+def test_mad_outliers_odd_length_series_parity(spark, duck, sf_dir, tmp_path):
+    """The 2x/4x integer-median trick needs the odd-m correction (one
+    selected rank, not two) on BOTH sides; the standard fixtures only
+    exercise even-length (30-day) series, so pin parity on a 29-day
+    variant — the masked-by-fixture class from the q_sql_unpivot lesson."""
+    import os
+
+    import duckdb as _duck
+
+    from oracle_harness import compare
+    from mu_swarm_logger_service_spark.core.registry import ORACLE, QUERIES
+
+    d = str(tmp_path)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"]:
+        os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{sf_dir}/events.parquet') "
+        "WHERE date_trunc('day', ts) < (SELECT max(date_trunc('day', ts)) "
+        f"FROM read_parquet('{sf_dir}/events.parquet'))) "
+        f"TO '{d}/events.parquet' (FORMAT PARQUET)")
+    days = con.execute(
+        f"SELECT COUNT(DISTINCT date_trunc('day', ts)) FROM "
+        f"read_parquet('{d}/events.parquet')").fetchone()[0]
+    assert days % 2 == 1, "fixture variant must have odd-length series"
+    oracle = _duck.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        oracle.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                       f"read_parquet('{d}/{t}.parquet')")
+    compare(spark, oracle, d, QUERIES["q_ts_mad_outliers"],
+            ORACLE["q_ts_mad_outliers"], name="mad_odd", allow_empty=True)
+    compare(spark, oracle, d, QUERIES["q_ts_theil_sen"],
+            ORACLE["q_ts_theil_sen"], name="theil_sen_odd")
