@@ -1689,3 +1689,80 @@ def q_analytics_supplier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score interval for daily view→purchase conversion — the interval
+# the A/B dashboard should draw instead of the Wald ±z√(pq/n) (which
+# collapses at small n / extreme p).  Welch-t (q_agg_ab_ttest) compares
+# means; this bounds a RATE.
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.959963984540054  # 97.5th normal quantile (95% two-sided)
+
+
+@query("q_analytics_wilson_ci", oracle=f"""
+WITH per_user AS (
+  SELECT date_trunc('day', ts) AS day, user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT day, CAST(SUM(hv) AS BIGINT) AS n,
+         CAST(SUM(hv * hp) AS BIGINT) AS s
+  FROM per_user GROUP BY 1 HAVING SUM(hv) > 0
+), w AS (
+  SELECT day, n, s,
+         CAST(s AS DOUBLE) / n AS p,
+         CAST({WILSON_Z} AS DOUBLE) AS z
+  FROM agg
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n, s, p AS p_hat,
+       (p + z * z / (2 * n)) / (1 + z * z / n)
+         - (z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+           / (1 + z * z / n) AS ci_low,
+       (p + z * z / (2 * n)) / (1 + z * z / n)
+         + (z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+           / (1 + z * z / n) AS ci_high
+FROM w
+""")
+def q_analytics_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily view→purchase user-conversion rate with its 95% Wilson
+    score interval.
+
+    Determinism: trials and successes are exact integers from ONE
+    (day, user) flag rollup (a user converts iff they viewed AND
+    purchased that day); p̂ is a single division; z enters as the SAME
+    shortest-repr double on both sides (F.lit ↔ CAST(... AS DOUBLE) —
+    the DuckDB fixed-point-literal gotcha), and the interval is the SAME
+    fixed IEEE expression tree in both engines over those identical
+    bits — raw emit per the round-divergence rule (exactness is needed
+    only of the aggregates; the scalar math just has to be the same op
+    sequence).  Plan: one scan, (day, user) partial-agg shuffle, then
+    the day rollup — the 100 TB cost is the distinct-user pass any
+    funnel metric already pays; the interval math is free."""
+    ev = load(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .agg(F.max(F.when(F.col("event_type") == "view", 1)
+                   .otherwise(0)).alias("hv"),
+             F.max(F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0)).alias("hp"))
+    )
+    agg = (per_user.groupBy("day")
+           .agg(F.sum("hv").alias("n"),
+                F.sum(F.col("hv") * F.col("hp")).alias("s"))
+           .filter(F.col("n") > 0))
+    n, s = F.col("n"), F.col("s")
+    p = s.cast("double") / n
+    z = F.lit(WILSON_Z)
+    center = (p + z * z / (2 * n)) / (1 + z * z / n)
+    half = (z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) \
+        / (1 + z * z / n)
+    return agg.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        n.cast("long").alias("n"), s.cast("long").alias("s"),
+        p.alias("p_hat"),
+        (center - half).alias("ci_low"),
+        (center + half).alias("ci_high"),
+    )

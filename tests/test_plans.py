@@ -809,3 +809,13 @@ def test_mad_outliers_type_keyed_no_single_partition(spark, sf_dir):
     assert "SinglePartition" not in p
     assert "CartesianProduct" not in p
     assert "hashpartitioning(event_type" in p
+
+
+def test_wilson_ci_two_rollup_shuffles_one_scan(spark, sf_dir):
+    """The conversion CI must cost exactly the (day, user) flag rollup
+    plus the day rollup — one scan, two exchanges, no join, no single
+    partition; the interval math is scalar projection."""
+    p = _plan(spark, sf_dir, "q_analytics_wilson_ci")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "Join" not in p and "SinglePartition" not in p
