@@ -992,3 +992,106 @@ def q_llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.nl")).alias("majority_label"),
         (F.col("b.n").cast("double") / F.col("n_members")).alias("purity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One weighted label-propagation round over the customer co-purchase graph:
+# mask ~30% of segment labels with a content-addressed gate, predict each
+# masked node from the weighted majority of its LABELED neighbors (weight =
+# number of co-purchased parts), and audit accuracy against the held-out
+# truth.  The semi-supervised sibling of the unsupervised components /
+# PageRank family: same edge discipline (pairs only via shared parts, hub
+# cap before expansion), deterministic vote tiebreak.
+# ---------------------------------------------------------------------------
+
+LP_HUB_CAP = 100  # parts bought by more customers than this are hubs
+LP_MASK_PCT = 3   # ascii(md5) % 10 < 3  →  ~30% of nodes unlabeled
+
+
+@query("q_graph_label_prop", oracle=f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), parts_ok AS (
+  SELECT p FROM cp GROUP BY p HAVING COUNT(*) <= {LP_HUB_CAP}
+), e AS (
+  SELECT a.c AS c1, b.c AS c2, CAST(COUNT(*) AS BIGINT) AS w
+  FROM cp a
+  JOIN parts_ok ok ON ok.p = a.p
+  JOIN cp b ON a.p = b.p AND a.c <> b.c
+  GROUP BY 1, 2
+), lab AS (
+  SELECT c_custkey AS c, c_mktsegment AS seg,
+         ascii(substr(md5(CAST(c_custkey AS VARCHAR) || '|lp'), 1, 1))
+           % 10 < {LP_MASK_PCT} AS masked
+  FROM customer
+), votes AS (
+  SELECT e.c1 AS c, nb.seg AS pred_seg, CAST(SUM(e.w) AS BIGINT) AS vote
+  FROM e
+  JOIN lab me ON me.c = e.c1 AND me.masked
+  JOIN lab nb ON nb.c = e.c2 AND NOT nb.masked
+  GROUP BY 1, 2
+), best AS (
+  SELECT c, pred_seg, vote,
+         ROW_NUMBER() OVER (PARTITION BY c
+                            ORDER BY vote DESC, pred_seg) AS r
+  FROM votes
+)
+SELECT b.c AS custkey, me.seg AS true_seg, b.pred_seg,
+       b.vote AS vote_weight,
+       (b.pred_seg = me.seg) AS correct
+FROM best b JOIN lab me ON me.c = b.c
+WHERE b.r = 1
+""")
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict held-out market segments by one weighted LP round.
+
+    Determinism: the mask is the md5 holdout gate (q_llm_split idiom);
+    vote weights are exact integer co-purchase counts; the winning label
+    breaks ties by (vote DESC, label ASC) under row_number — identical
+    in both engines.  Plan: the distinct (customer, part) pass is the
+    only fact-sized shuffle; the hub cap bounds per-part pair expansion
+    exactly as in q_analytics_supplier_overlap; votes aggregate on the
+    masked-node key and the winner is a WindowGroupLimit-eligible
+    rank-1.  Multi-round LP = iterate this block with the predicted
+    labels folded in — each round costs one edge-sized shuffle, the
+    same per-iteration budget as q_llm_pagerank."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    parts_ok = (cp.groupBy("p").agg(F.count(F.lit(1)).alias("nc"))
+                .filter(F.col("nc") <= LP_HUB_CAP).select("p"))
+    a = cp.join(parts_ok, "p").select(F.col("p").alias("pa"),
+                                      F.col("c").alias("c1"))
+    b = cp.select(F.col("p").alias("pb"), F.col("c").alias("c2"))
+    e = (a.join(b, (F.col("pa") == F.col("pb"))
+                & (F.col("c1") != F.col("c2")))
+         .groupBy("c1", "c2").agg(F.count(F.lit(1)).alias("w")))
+    lab = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.ascii(F.substring(F.md5(F.concat(
+            F.col("c_custkey").cast("string"), F.lit("|lp"))), 1, 1))
+         % 10 < LP_MASK_PCT).alias("masked"),
+    )
+    me = lab.filter(F.col("masked")).select(
+        F.col("c").alias("mc"), F.col("seg").alias("true_seg"))
+    nb = lab.filter(~F.col("masked")).select(
+        F.col("c").alias("nc_"), F.col("seg").alias("pred_seg"))
+    votes = (
+        e.join(me, F.col("c1") == F.col("mc"))
+        .join(nb, F.col("c2") == F.col("nc_"))
+        .groupBy("c1", "pred_seg")
+        .agg(F.sum("w").alias("vote"), F.first("true_seg").alias("true_seg"))
+    )
+    w = Window.partitionBy("c1").orderBy(F.col("vote").desc(), "pred_seg")
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(F.col("c1").alias("custkey"), "true_seg", "pred_seg",
+                F.col("vote").cast("long").alias("vote_weight"),
+                (F.col("pred_seg") == F.col("true_seg")).alias("correct"))
+    )

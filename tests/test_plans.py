@@ -819,3 +819,14 @@ def test_wilson_ci_two_rollup_shuffles_one_scan(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
     assert "Join" not in p and "SinglePartition" not in p
+
+
+def test_label_prop_edges_via_shared_parts_rank1_winner(spark, sf_dir):
+    """Edge generation must be the hub-capped partkey equi-self-join (no
+    cartesian/BNLJ); the winning vote must be a rank-1 filter eligible
+    for WindowGroupLimit pushdown; nothing single-partition."""
+    p = _plan(spark, sf_dir, "q_graph_label_prop")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SinglePartition" not in p
+    assert "WindowGroupLimit" in p
