@@ -1678,3 +1678,91 @@ def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.col("mad4").cast("double")).alias("robust_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test on day-over-day direction: is the daily series'
+# up/down sequence random, or trending/oscillating?  Counts are exact
+# integers end-to-end; the z statistic is one fixed IEEE expression.
+# Completes the audit family (Benford digit audit, MAD robust outliers).
+# ---------------------------------------------------------------------------
+
+
+@query("q_ts_runs_test", oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), diffs AS (
+  SELECT event_type, day,
+         n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS d
+  FROM daily
+), signs AS (
+  SELECT event_type, day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+  FROM diffs WHERE d IS NOT NULL AND d <> 0
+), flips AS (
+  SELECT event_type, s,
+         CASE WHEN s <> lag(s) OVER (PARTITION BY event_type ORDER BY day)
+              THEN 1 ELSE 0 END AS flip
+  FROM signs
+), agg AS (
+  SELECT event_type,
+         CAST(COUNT(CASE WHEN s = 1 THEN 1 END) AS BIGINT) AS n_up,
+         CAST(COUNT(CASE WHEN s = -1 THEN 1 END) AS BIGINT) AS n_down,
+         CAST(1 + SUM(flip) AS BIGINT) AS runs
+  FROM flips GROUP BY 1
+)
+SELECT event_type, n_up, n_down, runs,
+       (CAST(runs AS DOUBLE)
+        - (CAST(2.0 AS DOUBLE) * n_up * n_down / (n_up + n_down) + 1))
+         / sqrt(CAST(2.0 AS DOUBLE) * n_up * n_down
+                * (CAST(2.0 AS DOUBLE) * n_up * n_down - n_up - n_down)
+                / (CAST(n_up + n_down AS DOUBLE) * (n_up + n_down)
+                   * (n_up + n_down - 1))) AS z
+FROM agg
+WHERE n_up > 0 AND n_down > 0 AND n_up + n_down > 1
+""")
+def q_ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs-test z per event type over daily up/down moves.
+
+    Determinism: zero diffs are dropped (a tie carries no direction),
+    runs = 1 + sign flips via lag over the unique day order, and every
+    input to z is an exact integer — the statistic is a single fixed
+    IEEE expression tree written with identical association in both
+    engines (the 2.0 literals are CAST(... AS DOUBLE) on the SQL side —
+    the DuckDB fixed-point-literal gotcha: a bare 2.0 keeps the product
+    chain in EXACT decimal, which only agrees with Spark's double chain
+    while 2·n_up·n_down·(...) stays under 2^53, i.e. series under ~10k
+    days; the cast makes both chains the same double op sequence at any
+    length).  Plan: one fact shuffle into the (type, day) rollup;
+    the lag windows and the final rollup ride one type-keyed exchange."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    diffs = daily.select(
+        "event_type", "day", (F.col("n") - F.lag("n").over(w)).alias("d"))
+    signs = (diffs.filter(F.col("d").isNotNull() & (F.col("d") != 0))
+             .select("event_type", "day",
+                     F.when(F.col("d") > 0, 1).otherwise(-1).alias("s")))
+    flips = signs.select(
+        "event_type", "s",
+        F.when(F.col("s") != F.lag("s").over(w), 1).otherwise(0)
+        .alias("flip"))
+    agg = flips.groupBy("event_type").agg(
+        F.count(F.when(F.col("s") == 1, 1)).alias("n_up"),
+        F.count(F.when(F.col("s") == -1, 1)).alias("n_down"),
+        (F.lit(1) + F.sum("flip")).cast("long").alias("runs"),
+    )
+    nu, nd, r = F.col("n_up"), F.col("n_down"), F.col("runs")
+    mu = F.lit(2.0) * nu * nd / (nu + nd) + 1
+    var = (F.lit(2.0) * nu * nd * (F.lit(2.0) * nu * nd - nu - nd)
+           / ((nu + nd).cast("double") * (nu + nd) * (nu + nd - 1)))
+    return (
+        agg.filter((nu > 0) & (nd > 0) & (nu + nd > 1))
+        .select("event_type",
+                nu.cast("long").alias("n_up"),
+                nd.cast("long").alias("n_down"), r.alias("runs"),
+                ((r.cast("double") - mu) / F.sqrt(var)).alias("z"))
+    )

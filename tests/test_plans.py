@@ -830,3 +830,13 @@ def test_label_prop_edges_via_shared_parts_rank1_winner(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "SinglePartition" not in p
     assert "WindowGroupLimit" in p
+
+
+def test_runs_test_one_type_exchange_after_daily_rollup(spark, sf_dir):
+    """Diff/flip lags and the final rollup must reuse one event_type
+    exchange over the day-sized rollup — one scan, two exchanges, no
+    join, no single partition (the SAX shape)."""
+    p = _plan(spark, sf_dir, "q_ts_runs_test")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "Join" not in p and "SinglePartition" not in p
