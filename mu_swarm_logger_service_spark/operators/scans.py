@@ -805,3 +805,95 @@ def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"),
              dsum(F.col("o_totalprice")).alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal state: valid time (when the event happened) vs transaction time
+# (when the warehouse LEARNED of it).  The fixtures carry only valid time,
+# so ingest latency is MINTED deterministically per event (md5 gate, 0–47 h
+# — the parse_url/minting discipline), and the query answers the classic
+# bitemporal pair: "what did we BELIEVE each user's state was at decision
+# time T?" vs "what do we NOW know it was as of the same valid instant V?"
+# — the audit that catches decisions made on late-arriving data.
+# ---------------------------------------------------------------------------
+
+BT_V = "2024-01-15 00:00:00"   # valid-time anchor
+BT_T_LAG_H = 6                 # decision time T = V + 6 h transaction time
+
+
+@query("q_cdc_bitemporal", oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, event_id,
+         epoch_us(ts) AS valid_us,
+         epoch_us(ts) + (ascii(substr(md5(CAST(event_id AS VARCHAR)
+                                          || '|tx'), 1, 1)) % 48)
+           * CAST(3600000000 AS BIGINT) AS tx_us
+  FROM events
+), anchors AS (
+  SELECT epoch_us(TIMESTAMP '{BT_V}') AS v_us,
+         epoch_us(TIMESTAMP '{BT_V}')
+           + {BT_T_LAG_H} * CAST(3600000000 AS BIGINT) AS t_us
+), believed AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY valid_us DESC, event_id DESC) AS r
+  FROM ev, anchors WHERE valid_us <= v_us AND tx_us <= t_us
+), known AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY valid_us DESC, event_id DESC) AS r
+  FROM ev, anchors WHERE valid_us <= v_us
+)
+SELECT COALESCE(b.user_id, k.user_id) AS user_id,
+       COALESCE(b.event_type, 'none') AS status_believed,
+       COALESCE(k.event_type, 'none') AS status_known,
+       COALESCE(b.event_type, 'none') <> COALESCE(k.event_type, 'none')
+         AS corrected
+FROM (SELECT * FROM believed WHERE r = 1) b
+FULL OUTER JOIN (SELECT * FROM known WHERE r = 1) k
+  ON b.user_id = k.user_id
+""")
+def q_cdc_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user state at valid instant V as believed at transaction time
+    T, versus as known with full hindsight — rows with `corrected` are
+    exactly the users whose late-arriving events invalidated a T-time
+    decision.
+
+    Determinism: all time arithmetic is exact BIGINT microseconds
+    (epoch_us ↔ unix_micros, the safe pair); the minted ingest delay is
+    the md5 gate idiom; both rank-1 selects order by the unique
+    (valid_us, event_id).  Plan: ONE events scan feeds both ranks (AQE
+    reuses the exchange); each is a WindowGroupLimit-eligible rank-1
+    over a user-partitioned window, and the final join is user-sized.
+    At 100 TB, bitemporal auditing costs two rank-1 windows on the same
+    user shuffle — no self-join of the fact against itself."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros("ts").alias("valid_us"),
+        (F.unix_micros("ts")
+         + (F.ascii(F.substring(F.md5(F.concat(
+             F.col("event_id").cast("string"), F.lit("|tx"))), 1, 1)) % 48)
+         .cast("long") * F.lit(3600000000).cast("long")).alias("tx_us"),
+    )
+    v_us = F.unix_micros(F.lit(BT_V).cast("timestamp"))
+    t_us = v_us + F.lit(BT_T_LAG_H * 3600000000)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("valid_us").desc(), F.col("event_id").desc())
+
+    def rank1(df: DataFrame, out: str) -> DataFrame:
+        return (df.withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") == 1)
+                .select(F.col("user_id").alias(f"{out}_uid"),
+                        F.col("event_type").alias(out)))
+
+    believed = rank1(ev.filter((F.col("valid_us") <= v_us)
+                               & (F.col("tx_us") <= t_us)), "sb")
+    known = rank1(ev.filter(F.col("valid_us") <= v_us), "sk")
+    j = believed.join(known, believed.sb_uid == known.sk_uid, "full_outer")
+    sb = F.coalesce("sb", F.lit("none"))
+    sk = F.coalesce("sk", F.lit("none"))
+    return j.select(
+        F.coalesce("sb_uid", "sk_uid").alias("user_id"),
+        sb.alias("status_believed"), sk.alias("status_known"),
+        (sb != sk).alias("corrected"),
+    )

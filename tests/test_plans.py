@@ -840,3 +840,14 @@ def test_runs_test_one_type_exchange_after_daily_rollup(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
     assert "Join" not in p and "SinglePartition" not in p
+
+
+def test_bitemporal_two_rank1_windows_user_join(spark, sf_dir):
+    """Both temporal states must come from rank-1 user-partitioned
+    windows (WindowGroupLimit-eligible) joined user-sized — never the
+    fact self-joined on a time band; no single partition."""
+    p = _plan(spark, sf_dir, "q_cdc_bitemporal")
+    assert "WindowGroupLimit" in p
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(user_id" in p

@@ -664,3 +664,19 @@ def test_mad_outliers_odd_length_series_parity(spark, duck, sf_dir, tmp_path):
             ORACLE["q_ts_mad_outliers"], name="mad_odd", allow_empty=True)
     compare(spark, oracle, d, QUERIES["q_ts_theil_sen"],
             ORACLE["q_ts_theil_sen"], name="theil_sen_odd")
+
+
+def test_bitemporal_correction_path_fires(spark, sf_dir):
+    """corrected=true rows are the whole point of the bitemporal audit;
+    a fixture where no minted delay crosses the decision gap would pass
+    parity vacuously (the PII lesson) — pin that the path fires and
+    that every correction is explained by a late arrival (believed
+    state differs only when the hindsight winner's tx exceeded T)."""
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+
+    rows = QUERIES["q_cdc_bitemporal"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    corrected = [r for r in rows if r["corrected"]]
+    assert len(corrected) >= 1
+    for r in corrected:
+        assert r["status_believed"] != r["status_known"]
