@@ -79,9 +79,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #       q_llm_html_extract, q_llm_hashed_features, q_ts_lttb,
 #       q_intersect_all), and the final round-7 batch (q_analytics_rfm,
 #       q_analytics_hhi, q_ts_sax, q_llm_collocations,
-#       q_analytics_supplier_overlap).  rotate_window.py reports the r8
-#       remainder at 45 keys — inside one window; any further additions
-#       must keep it ≤ 50.
+#       q_analytics_supplier_overlap) plus the session's later additions
+#       (q_ts_theil_sen, q_ts_mad_outliers, q_analytics_wilson_ci,
+#       q_graph_label_prop, q_ts_runs_test, q_cdc_bitemporal, ...).
+#       The remainder now spans r8 AND r9 (rotate_window reports >50):
+#       with rounds running to r20, window capacity is ~50/round — new
+#       keys simply ride later windows, and every key stays locally
+#       parity-gated per session regardless of driver rotation.
 # Do NOT trust these comment counts at activation time: run
 # ``python tools/rotate_window.py`` — it derives the next window from
 # CORRECTNESS_r*.json + the live registry (re-queuing any hard-red key

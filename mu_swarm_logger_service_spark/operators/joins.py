@@ -561,3 +561,65 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d2.alias("d2"),
                 F.sqrt(d2.cast("double")).alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (PIT) feature join — the feature-store primitive: for every
+# label event (a purchase), fetch each user feature exactly as it stood
+# STRICTLY BEFORE that event.  Using any same-or-later row is label
+# leakage; the frame bound `ROWS ... AND 1 PRECEDING` is the whole
+# correctness story, and one user-partitioned window pass computes every
+# feature (no per-feature as-of join).  q_join_asof is the two-table
+# special case; this is the k-feature generalization.
+# ---------------------------------------------------------------------------
+
+
+@query("q_join_pit_features", oracle="""
+SELECT event_id, user_id,
+       epoch_us(ts) AS label_us,
+       CAST(n_prior_views AS BIGINT) AS n_prior_views,
+       CAST(n_prior_events AS BIGINT) AS n_prior_events,
+       last_value, prev_us
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         COUNT(*) FILTER (WHERE event_type = 'view') OVER w
+           AS n_prior_views,
+         COUNT(*) OVER w AS n_prior_events,
+         LAST_VALUE(value) OVER w AS last_value,
+         CAST(LAST_VALUE(epoch_us(ts)) OVER w AS BIGINT) AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+WHERE event_type = 'purchase'
+""")
+def q_join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free features for every purchase label row.
+
+    Determinism: the window orders by the unique (exact-microsecond ts,
+    event_id) pair; counts are integers, `value` carries 2 decimals
+    (fixture-exact), and the previous-event timestamp stays in BIGINT
+    micros.  The strictly-prior frame (`1 PRECEDING`) guarantees no
+    feature can see the label row or its future — the property a
+    training-set builder must prove, pinned in tests/test_properties.py
+    by replaying the features against a driver-side prefix scan.
+
+    Plan: ONE events scan, ONE user-keyed exchange; all four features
+    ride the same window sort, and the label filter prunes after — at
+    100 TB this is the minimum any per-entity feature extraction can
+    cost (q_join_asof's union trick, amortized over k features)."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    feat = ev.select(
+        "event_id", "user_id", "event_type",
+        us.alias("label_us"),
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w)
+        .alias("n_prior_views"),
+        F.count(F.lit(1)).over(w).alias("n_prior_events"),
+        F.last("value").over(w).alias("last_value"),
+        F.last(us).over(w).cast("long").alias("prev_us"),
+    )
+    return (feat.filter(F.col("event_type") == "purchase")
+            .drop("event_type"))

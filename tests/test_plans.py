@@ -851,3 +851,13 @@ def test_bitemporal_two_rank1_windows_user_join(spark, sf_dir):
     assert "SinglePartition" not in p
     assert "CartesianProduct" not in p
     assert "hashpartitioning(user_id" in p
+
+
+def test_pit_features_one_window_pass(spark, sf_dir):
+    """All features must ride ONE user-keyed window sort — one scan, one
+    exchange, no join, no single partition (the k-feature cost floor)."""
+    p = _plan(spark, sf_dir, "q_join_pit_features")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Join" not in p and "SinglePartition" not in p
+    assert "hashpartitioning(user_id" in p

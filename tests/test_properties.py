@@ -680,3 +680,37 @@ def test_bitemporal_correction_path_fires(spark, sf_dir):
     assert len(corrected) >= 1
     for r in corrected:
         assert r["status_believed"] != r["status_known"]
+
+
+def test_pit_features_never_leak_label_or_future(spark, sf_dir):
+    """Replay every feature against an independent strictly-prior prefix
+    scan: each purchase row's features must equal what a scan of rows
+    with (micros, event_id) strictly before the label row produces — the
+    no-leakage guarantee a training-set builder must prove."""
+    import datetime as _dt
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    def micros(ts):
+        return (ts - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+            microseconds=1)
+
+    out = QUERIES["q_join_pit_features"](spark, sf_dir).collect()
+    assert out
+    by_user = {}
+    for r in load(spark, sf_dir, "events").collect():
+        by_user.setdefault(r["user_id"], []).append(
+            (micros(r["ts"]), r["event_id"], r["event_type"], r["value"]))
+    for evs in by_user.values():
+        evs.sort()
+    for r in out:
+        prior = [e for e in by_user[r["user_id"]]
+                 if (e[0], e[1]) < (r["label_us"], r["event_id"])]
+        assert len(prior) == r["n_prior_events"]
+        assert sum(1 for e in prior if e[2] == "view") == r["n_prior_views"]
+        if prior:
+            assert prior[-1][3] == r["last_value"]
+            assert prior[-1][0] == r["prev_us"]
+        else:
+            assert r["last_value"] is None and r["prev_us"] is None
