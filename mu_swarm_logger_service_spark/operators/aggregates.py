@@ -708,3 +708,54 @@ def q_agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_a.alias("mean_a"), mean_b.alias("mean_b"),
         t.alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Additive (empirical-Bayes) smoothing of per-user conversion rates toward
+# the global prior — what a ranking UI should sort by instead of the raw
+# rate (a 1/1 user must not outrank a 95/100 user).
+# ---------------------------------------------------------------------------
+
+BAYES_ALPHA = 20  # pseudo-events pulled toward the global prior
+
+
+@query("q_agg_bayes_rate", oracle=f"""
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+              AS BIGINT) AS s
+  FROM events GROUP BY 1
+), g AS (
+  SELECT CAST(SUM(s) AS DOUBLE) / SUM(n) AS p0 FROM per_user
+)
+SELECT user_id, n, s,
+       CAST(s AS DOUBLE) / n AS raw_rate,
+       (s + {BAYES_ALPHA} * p0) / (n + {BAYES_ALPHA}) AS smoothed_rate,
+       p0 AS prior
+FROM per_user, g
+""")
+def q_agg_bayes_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase rate with additive smoothing toward the global
+    prior: (s + α·p0) / (n + α), α = 20 pseudo-events.
+
+    Determinism: counts are exact integers; p0 is ONE division of two
+    exact integer sums (bit-identical); the smoothed rate is the same
+    fixed IEEE chain in both engines over those identical bits — raw
+    emit.  Plan: one scan into the user rollup (the only fact shuffle);
+    the prior is a 1-row aggregate OF THE ROLLUP (no second scan)
+    broadcast back — at 100 TB smoothing is free on top of the counts
+    any rate report already needs."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("s"),
+    )
+    g = per_user.agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("p0"))
+    n, s, p0 = F.col("n"), F.col("s"), F.col("p0")
+    return per_user.crossJoin(F.broadcast(g)).select(
+        "user_id", n.cast("long").alias("n"), s.cast("long").alias("s"),
+        (s.cast("double") / n).alias("raw_rate"),
+        ((s + BAYES_ALPHA * p0) / (n + BAYES_ALPHA)).alias("smoothed_rate"),
+        p0.alias("prior"),
+    )

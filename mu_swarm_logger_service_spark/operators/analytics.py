@@ -1766,3 +1766,107 @@ def q_analytics_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (center - half).alias("ci_low"),
         (center + half).alias("ci_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decile gains / lift table — the model-evaluation report: rank users by a
+# score (here: view count, the engagement predictor), cut into deciles, and
+# ask how concentrated the responders (purchasers) are in the top cuts.
+# Scale twist: a naive ntile(10) over users is a SINGLE-PARTITION window
+# over the whole user dimension.  This implementation never ranks users
+# individually: users collapse into SCORE GROUPS (one row per distinct
+# score), the decile of a group follows from the exact cumulative user
+# count BEFORE it (ties land together, as gains tables define), and only
+# the |distinct scores|-sized table ever sees a global window — bounded by
+# the score domain, not the user count.
+# ---------------------------------------------------------------------------
+
+
+@query("q_analytics_decile_lift", oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+           AS score,
+         CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+              THEN 1 ELSE 0 END AS responder
+  FROM events GROUP BY 1
+), grp AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS users,
+         CAST(SUM(responder) AS BIGINT) AS resp
+  FROM per_user GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(users) AS BIGINT) AS nu,
+         CAST(SUM(resp) AS BIGINT) AS nr FROM grp
+), cut AS (
+  SELECT score, users, resp,
+         COALESCE(CAST(SUM(users) OVER (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS before_n
+  FROM grp
+), dec AS (
+  SELECT CAST(1 + (10 * c.before_n) // t.nu AS BIGINT) AS decile,
+         c.users, c.resp
+  FROM cut c, tot t
+), rolled AS (
+  SELECT decile, CAST(SUM(users) AS BIGINT) AS users,
+         CAST(SUM(resp) AS BIGINT) AS resp
+  FROM dec GROUP BY 1
+)
+SELECT r.decile, r.users, r.resp,
+       CAST(r.resp AS DOUBLE) / r.users AS resp_rate,
+       CAST(SUM(r.resp) OVER w AS BIGINT) AS cum_resp,
+       CAST(SUM(r.users) OVER w AS BIGINT) AS cum_users,
+       (CAST(SUM(r.resp) OVER w AS DOUBLE) / SUM(r.users) OVER w)
+         / (CAST(t.nr AS DOUBLE) / t.nu) AS cum_lift
+FROM rolled r, tot t
+WINDOW w AS (ORDER BY r.decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def q_analytics_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains/lift by score decile (score = view count,
+    response = any purchase).
+
+    Determinism: every count is an exact integer; tie groups share a
+    decile by construction (decile = 1 + ⌊10·cum_before/N⌋, mirrored as
+    `//` + BIGINT cast vs `/` + long cast — both truncate nonnegatives);
+    rates and lift are fixed IEEE chains on identical integer bits —
+    raw emit.  Plan: one fact shuffle into the user rollup, a second
+    into the score-group rollup; the only global windows run over the
+    |distinct scores| and 10-row tables (bounded by the score domain —
+    the SinglePartition exception the cross_corr precedent documents);
+    users are never individually ranked."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("score"),
+        F.when(F.count(F.when(F.col("event_type") == "purchase", 1)) > 0, 1)
+        .otherwise(0).alias("responder"),
+    )
+    grp = per_user.groupBy("score").agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum("responder").alias("resp"))
+    tot = grp.agg(F.sum("users").alias("nu"), F.sum("resp").alias("nr"))
+    w_before = (Window.orderBy(F.col("score").desc())
+                .rowsBetween(Window.unboundedPreceding, -1))
+    cut = grp.select(
+        "score", "users", "resp",
+        F.coalesce(F.sum("users").over(w_before), F.lit(0))
+        .alias("before_n"))
+    dec = (cut.crossJoin(F.broadcast(tot))
+           .select((1 + (10 * F.col("before_n")) / F.col("nu"))
+                   .cast("long").alias("decile"), "users", "resp"))
+    rolled = dec.groupBy("decile").agg(
+        F.sum("users").alias("users"), F.sum("resp").alias("resp"))
+    w_cum = (Window.orderBy("decile")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    cum_r = F.sum("resp").over(w_cum)
+    cum_u = F.sum("users").over(w_cum)
+    return rolled.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        F.col("users").cast("long").alias("users"),
+        F.col("resp").cast("long").alias("resp"),
+        (F.col("resp").cast("double") / F.col("users")).alias("resp_rate"),
+        cum_r.cast("long").alias("cum_resp"),
+        cum_u.cast("long").alias("cum_users"),
+        ((cum_r.cast("double") / cum_u)
+         / (F.col("nr").cast("double") / F.col("nu"))).alias("cum_lift"),
+    )

@@ -861,3 +861,31 @@ def test_pit_features_one_window_pass(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "Join" not in p and "SinglePartition" not in p
     assert "hashpartitioning(user_id" in p
+
+
+def test_bayes_rate_prior_from_rollup_no_second_scan(spark, sf_dir):
+    """The global prior is a 1-row aggregate of the user rollup broadcast
+    back; the statically duplicated rollup subtree must collapse to a
+    ReusedExchange at runtime (AQE) so the fact is scanned once."""
+    p = _plan(spark, sf_dir, "q_agg_bayes_rate")
+    assert "hashpartitioning(user_id" in p
+    assert "SortMergeJoin" not in p
+    df = QUERIES["q_agg_bayes_rate"](spark, sf_dir)
+    df.collect()
+    assert df._jdf.queryExecution().executedPlan().toString() \
+        .count("ReusedExchange") >= 1
+
+
+def test_decile_lift_never_ranks_users_individually(spark, sf_dir):
+    """The only global (single-partition) windows may run over the
+    score-group and decile tables — users collapse into score groups
+    BEFORE any ordering, so the per-user stage must show no window and
+    the fact is scanned once."""
+    p = _plan(spark, sf_dir, "q_analytics_decile_lift")
+    assert "hashpartitioning(user_id" in p      # user rollup shuffle
+    assert "hashpartitioning(score" in p        # score-group rollup
+    assert "CartesianProduct" not in p
+    df = QUERIES["q_analytics_decile_lift"](spark, sf_dir)
+    df.collect()
+    assert df._jdf.queryExecution().executedPlan().toString() \
+        .count("ReusedExchange") >= 1
