@@ -1095,3 +1095,146 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vote").cast("long").alias("vote_weight"),
                 (F.col("pred_seg") == F.col("true_seg")).alias("correct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peeling) — which customers sit in the
+# densely-connected core of the rare-part co-purchase graph?  The k-core is
+# the standard graph-robustness / community-seed primitive (spam rings and
+# bot farms live in high cores; long-tail customers peel off immediately).
+# Exact k-core is an unbounded fixpoint; this runs the standard peel for a
+# FIXED number of rounds (the PageRank-iteration discipline) and reports,
+# per node, when it was peeled — rounds 1..R converge to the true k-core
+# as R grows, and each extra round costs exactly one edge-sized shuffle.
+# ---------------------------------------------------------------------------
+
+KCORE_HUB_CAP = 20  # parts bought by more customers than this are hubs
+KCORE_K = 20        # the core threshold: peel nodes with degree < K
+KCORE_ROUNDS = 3
+
+
+@query("q_graph_kcore", oracle=f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), parts_ok AS (
+  SELECT p FROM cp GROUP BY p HAVING COUNT(*) <= {KCORE_HUB_CAP}
+), e AS (
+  SELECT DISTINCT a.c AS c1, b.c AS c2
+  FROM cp a JOIN parts_ok ok ON ok.p = a.p
+  JOIN cp b ON a.p = b.p AND a.c <> b.c
+), deg0 AS (
+  SELECT c1 AS c, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1
+), alive1 AS (
+  SELECT c FROM deg0 WHERE d >= {KCORE_K}
+), deg1 AS (
+  SELECT e.c1 AS c, CAST(COUNT(*) AS BIGINT) AS d
+  FROM e JOIN alive1 a1 ON a1.c = e.c1
+  JOIN alive1 a2 ON a2.c = e.c2 GROUP BY 1
+), alive2 AS (
+  SELECT c FROM deg1 WHERE d >= {KCORE_K}
+), deg2 AS (
+  SELECT e.c1 AS c, CAST(COUNT(*) AS BIGINT) AS d
+  FROM e JOIN alive2 a1 ON a1.c = e.c1
+  JOIN alive2 a2 ON a2.c = e.c2 GROUP BY 1
+), alive3 AS (
+  SELECT c FROM deg2 WHERE d >= {KCORE_K}
+), degf AS (
+  SELECT e.c1 AS c, CAST(COUNT(*) AS BIGINT) AS d
+  FROM e JOIN alive3 a2 ON a2.c = e.c2 GROUP BY 1
+)
+SELECT d0.c AS custkey, d0.d AS deg0,
+       CASE WHEN d0.d < {KCORE_K} THEN 1
+            WHEN COALESCE(d1.d, 0) < {KCORE_K} THEN 2
+            WHEN COALESCE(d2.d, 0) < {KCORE_K} THEN 3
+            ELSE 0 END AS peeled_round,
+       (d0.d >= {KCORE_K} AND COALESCE(d1.d, 0) >= {KCORE_K}
+        AND COALESCE(d2.d, 0) >= {KCORE_K}) AS in_core,
+       COALESCE(df.d, 0) AS deg_final
+FROM deg0 d0
+LEFT JOIN deg1 d1 ON d1.c = d0.c
+LEFT JOIN deg2 d2 ON d2.c = d0.c
+LEFT JOIN degf df ON df.c = d0.c
+""")
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling on the rare-part co-purchase graph.
+
+    Determinism: pure integer degrees over a DISTINCT edge set — no
+    floats anywhere; peel membership is a deterministic threshold and
+    the per-node peel round / final-core degree are exact.  The hub cap
+    (≤{KCORE_HUB_CAP} buyers per part) bounds pair expansion exactly as
+    in q_graph_label_prop; K={KCORE_K} peels a real multi-round cascade
+    on the fixtures (round counts measured 525/85/100 at sf0.01).
+    Plan: the distinct (customer, part) pass is the only fact-sized
+    shuffle; each peel round is one edge-keyed semi-join + rollup — the
+    per-iteration budget of q_llm_pagerank, so R rounds cost R edge
+    shuffles, and alive-sets stay node-sized (never collected,
+    never broadcast-forced — Catalyst may still broadcast small ones).
+    Exact fixpoint k-core = raise KCORE_ROUNDS; each round is the same
+    bounded cost, the classic distributed-peeling trade."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    parts_ok = (cp.groupBy("p").agg(F.count(F.lit(1)).alias("nc"))
+                .filter(F.col("nc") <= KCORE_HUB_CAP).select("p"))
+    a = cp.join(parts_ok, "p").select(F.col("p").alias("pa"),
+                                      F.col("c").alias("c1"))
+    b = cp.select(F.col("p").alias("pb"), F.col("c").alias("c2"))
+    e = (a.join(b, (F.col("pa") == F.col("pb"))
+                & (F.col("c1") != F.col("c2")))
+         .select("c1", "c2").distinct()
+         # One edge materialization reused by every peel round — without
+         # truncation each round re-derives the whole co-purchase DAG and
+         # the plan compounds per iteration (measured: 114 parquet scans
+         # for 3 rounds); the PageRank/BFS loop discipline.
+         .localCheckpoint(eager=True))
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return edges.groupBy("c1").agg(
+            F.count(F.lit(1)).cast("long").alias("d"))
+
+    def restrict(edges: DataFrame, alive: DataFrame) -> DataFrame:
+        a1 = alive.select(F.col("c").alias("ac1"))
+        a2 = alive.select(F.col("c").alias("ac2"))
+        return (edges.join(a1, F.col("c1") == F.col("ac1"))
+                .join(a2, F.col("c2") == F.col("ac2"))
+                .select("c1", "c2"))
+
+    # Node-sized per-round checkpoints: each deg_i feeds BOTH alive
+    # sides of the next restrict, so an unchecked lineage doubles per
+    # round (the large-star/small-star loop truncates identically).
+    deg0 = degrees(e).localCheckpoint(eager=True)
+    alive1 = deg0.filter(F.col("d") >= KCORE_K).select(
+        F.col("c1").alias("c"))
+    deg1 = degrees(restrict(e, alive1)).localCheckpoint(eager=True)
+    alive2 = deg1.filter(F.col("d") >= KCORE_K).select(
+        F.col("c1").alias("c"))
+    deg2 = degrees(restrict(e, alive2)).localCheckpoint(eager=True)
+    alive3 = deg2.filter(F.col("d") >= KCORE_K).select(
+        F.col("c1").alias("c"))
+    degf = degrees(
+        e.join(alive3.select(F.col("c").alias("ac2")),
+               F.col("c2") == F.col("ac2")).select("c1", "c2"))
+
+    k = F.lit(KCORE_K)
+    out = (deg0.select(F.col("c1").alias("custkey"),
+                       F.col("d").alias("deg0"))
+           .join(deg1.select(F.col("c1").alias("custkey"),
+                             F.col("d").alias("d1")), "custkey", "left")
+           .join(deg2.select(F.col("c1").alias("custkey"),
+                             F.col("d").alias("d2")), "custkey", "left")
+           .join(degf.select(F.col("c1").alias("custkey"),
+                             F.col("d").alias("df_")), "custkey", "left"))
+    d1 = F.coalesce(F.col("d1"), F.lit(0))
+    d2 = F.coalesce(F.col("d2"), F.lit(0))
+    return out.select(
+        "custkey", "deg0",
+        F.when(F.col("deg0") < k, 1)
+        .when(d1 < k, 2).when(d2 < k, 3).otherwise(0)
+        .alias("peeled_round"),
+        ((F.col("deg0") >= k) & (d1 >= k) & (d2 >= k)).alias("in_core"),
+        F.coalesce(F.col("df_"), F.lit(0)).cast("long").alias("deg_final"),
+    )

@@ -759,3 +759,107 @@ def q_agg_bayes_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((s + BAYES_ALPHA * p0) / (n + BAYES_ALPHA)).alias("smoothed_rate"),
         p0.alias("prior"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence — is order status independent of order
+# priority?  The categorical-association primitive behind every feature-
+# selection pass and A/B invariance check (SRM detection runs exactly this
+# test on assignment counts).  Includes Cramér's V, the normalized effect
+# size that makes the statistic comparable across tables.
+# ---------------------------------------------------------------------------
+
+
+@query("q_agg_chi2", oracle="""
+WITH cells AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY 1, 2
+), rt AS (
+  SELECT s, CAST(SUM(o) AS BIGINT) AS row_tot FROM cells GROUP BY 1
+), ct AS (
+  SELECT p, CAST(SUM(o) AS BIGINT) AS col_tot FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT p) AS BIGINT) AS n_cols
+  FROM cells
+), terms AS (
+  SELECT c.s, c.p, c.o, t.n, t.n_rows, t.n_cols,
+         (c.o - CAST(r.row_tot * ct.col_tot AS DOUBLE) / t.n)
+         * (c.o - CAST(r.row_tot * ct.col_tot AS DOUBLE) / t.n)
+         / (CAST(r.row_tot * ct.col_tot AS DOUBLE) / t.n) AS term
+  FROM cells c
+  JOIN rt r USING (s) JOIN ct USING (p) CROSS JOIN tot t
+), folded AS (
+  SELECT MAX(n) AS n, MAX(n_rows) AS n_rows, MAX(n_cols) AS n_cols,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(
+             list_sort(list(struct_pack(s := s, p := p, term := term))),
+             e -> e.term)),
+           (a, x) -> a + x) AS chi2
+  FROM terms
+)
+SELECT n, n_rows, n_cols,
+       CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof, chi2,
+       sqrt(chi2 / (n * least(n_rows - 1, n_cols - 1))) AS cramers_v
+FROM folded
+""")
+def q_agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of o_orderstatus × o_orderpriority, with
+    Cramér's V.
+
+    Determinism: observed counts and marginals are exact integers from
+    one contingency rollup; each cell's expected value is row_tot×col_tot
+    (an exact ≤2^53 integer product) through ONE double division, so
+    every (o-e)²/e term carries identical bits cross-engine, and the
+    cell terms fold in (status, priority)-SORTED order via a JVM
+    higher-order aggregate mirrored by list_reduce with a zero seed (a
+    bare SUM over the term doubles would re-associate under shuffle).
+    chi2 and Cramér's V are then the same fixed IEEE expressions on
+    identical bits — raw emit.  Plan: ONE fact scan into the cell
+    rollup; marginals come from windows OVER THE CELLS (a join-back
+    formulation re-scans the fact table once per marginal — measured 4
+    scans — while the window form re-reads 15 rows), and the
+    SinglePartition stages only ever see the R×C cell table —
+    category-domain-bounded, never data-bounded."""
+    od = load(spark, sf_dir, "orders")
+    cells = od.groupBy(F.col("o_orderstatus").alias("s"),
+                       F.col("o_orderpriority").alias("p")).agg(
+        F.count(F.lit(1)).alias("o"))
+    w_row = Window.partitionBy("s")
+    w_col = Window.partitionBy("p")
+    w_all = Window.partitionBy()
+    marg = cells.select(
+        "s", "p", "o",
+        F.sum("o").over(w_row).cast("long").alias("row_tot"),
+        F.sum("o").over(w_col).cast("long").alias("col_tot"),
+        F.sum("o").over(w_all).cast("long").alias("n"),
+    )
+    e = ((F.col("row_tot") * F.col("col_tot")).cast("double")
+         / F.col("n"))
+    terms = marg.select(
+        "s", "p", "n",
+        ((F.col("o") - e) * (F.col("o") - e) / e).alias("term"))
+    folded = terms.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("s").cast("long").alias("n_rows"),
+        F.countDistinct("p").cast("long").alias("n_cols"),
+        F.aggregate(
+            F.sort_array(F.collect_list(
+                F.struct(F.col("s").alias("s"), F.col("p").alias("p"),
+                         F.col("term").alias("term")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x.getField("term"),
+        ).alias("chi2"),
+    )
+    return folded.select(
+        "n", "n_rows", "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long")
+        .alias("dof"),
+        "chi2",
+        F.sqrt(F.col("chi2")
+               / (F.col("n") * F.least(F.col("n_rows") - 1,
+                                       F.col("n_cols") - 1)))
+        .alias("cramers_v"),
+    )

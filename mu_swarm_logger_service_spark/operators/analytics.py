@@ -1870,3 +1870,392 @@ def q_analytics_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((cum_r.cast("double") / cum_u)
          / (F.col("nr").cast("double") / F.col("nu"))).alias("cum_lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U (Wilcoxon rank-sum) — do URGENT orders carry a different
+# totalprice distribution than LOW ones?  The nonparametric two-sample test
+# a dashboard should run when money distributions are skewed (Welch-t in
+# q_agg_ab_ttest assumes near-normal means; U compares RANKS and is the
+# standard robust alternative).  Includes the tie-corrected normal
+# approximation and the rank-biserial effect size.
+# ---------------------------------------------------------------------------
+
+
+@query("q_analytics_mann_whitney", oracle="""
+WITH f AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+), by_v AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(g1) AS BIGINT) AS a
+  FROM f GROUP BY 1
+), r AS (
+  SELECT v, t, a,
+         COALESCE(CAST(SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS BIGINT), 0) AS cb
+  FROM by_v
+), agg AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(a * (2 * cb + t + 1)) AS BIGINT) AS two_r1,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+  FROM r
+), named AS (
+  SELECT n1, n - n1 AS n2, n, two_r1 - n1 * (n1 + 1) AS two_u1, ties
+  FROM agg
+)
+SELECT n1, n2,
+       CAST(two_u1 AS DOUBLE) / 2 AS u1,
+       (CAST(two_u1 AS DOUBLE) / 2 - CAST(n1 * n2 AS DOUBLE) / 2)
+       / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
+              * ((n + 1) - CAST(ties AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (n - 1)))) AS z,
+       1 - CAST(two_u1 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+         AS rank_biserial
+FROM named
+""")
+def q_analytics_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U on o_totalprice, '1-URGENT' vs '5-LOW' priority.
+
+    Determinism: prices enter as EXACT integer cents (2-dp money through
+    the exact decimal(18,2) cast — never a float×100 round), so ranks
+    live entirely in the integer domain: with average ranks for ties,
+    2×(rank sum) = Σ a_v·(2·cum_before + t_v + 1) is an exact integer,
+    as are the tie-correction Σ(t³−t) and 2×U.  Every float enters only
+    in the FINAL fixed expression (u1, tie-corrected z, rank-biserial),
+    written with identical association in both engines over identical
+    integer bits — raw emit, no rounding needed.  Plan: one fact scan
+    into the per-cents rollup; the ORDER BY v window runs over DISTINCT
+    cents values — bounded by the price domain, not the order count (the
+    decile-lift score-group pattern) — and the final 1-row aggregate
+    folds integers only.  At any corpus size the data-sized cost is the
+    single groupBy shuffle."""
+    od = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+    f = od.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        .alias("g1"),
+    )
+    by_v = f.groupBy("v").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("g1").cast("long").alias("a"),
+    )
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    r = by_v.select(
+        "v", "t", "a",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long").alias("cb"),
+    )
+    agg = r.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("a") * (2 * F.col("cb") + F.col("t") + 1))
+        .cast("long").alias("two_r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long").alias("ties"),
+    )
+    named = agg.select(
+        "n1", (F.col("n") - F.col("n1")).alias("n2"), "n",
+        (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1))
+        .alias("two_u1"), "ties")
+    n1, n2, n = F.col("n1"), F.col("n2"), F.col("n")
+    two_u1, ties = F.col("two_u1"), F.col("ties")
+    u1 = two_u1.cast("double") / 2
+    mu = (n1 * n2).cast("double") / 2
+    var = ((n1.cast("double") * n2 / 12)
+           * ((n + 1) - ties.cast("double") / (n.cast("double") * (n - 1))))
+    return named.select(
+        "n1", "n2", u1.alias("u1"),
+        ((u1 - mu) / F.sqrt(var)).alias("z"),
+        (F.lit(1) - two_u1.cast("double") / (n1 * n2).cast("double"))
+        .alias("rank_biserial"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample test — are 'view' and 'click' event values
+# drawn from the same distribution?  The distribution-drift primitive: the
+# same D statistic run between yesterday's and today's feature values is
+# the standard production drift monitor, and the integer cross-multiplied
+# formulation here is exactly how it stays exact at any scale.
+# ---------------------------------------------------------------------------
+
+
+@query("q_analytics_ks_test", oracle="""
+WITH f AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('view', 'click')
+), by_v AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(g1) AS BIGINT) AS a
+  FROM f GROUP BY 1
+), cum AS (
+  SELECT v,
+         CAST(SUM(a) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS c1,
+         CAST(SUM(t - a) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS c2,
+         CAST(SUM(a) OVER () AS BIGINT) AS n1,
+         CAST(SUM(t - a) OVER () AS BIGINT) AS n2
+  FROM by_v
+), diffs AS (
+  SELECT v, n1, n2, abs(n2 * c1 - n1 * c2) AS num FROM cum
+), best AS (
+  SELECT MAX(n1) AS n1, MAX(n2) AS n2, MAX(num) AS maxnum,
+         MIN(CASE WHEN num = (SELECT MAX(num) FROM diffs) THEN v END)
+           AS at_cents
+  FROM diffs
+)
+SELECT n1, n2,
+       CAST(maxnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS ks_d,
+       at_cents,
+       CAST(maxnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+         * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) AS ks_z
+FROM best
+""")
+def q_analytics_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance between 'view' and 'click' value
+    distributions, with the tie-safe argmax location.
+
+    Determinism: values enter as exact integer cents (decimal(18,2)
+    cast); both empirical CDFs are INTEGER cumulative counts over the
+    distinct-cents order, and the statistic is maximized on the exact
+    integer cross-product |n2·c1 − n1·c2| — D itself becomes one double
+    division at the very end (identical bits, raw emit), and the argmax
+    location ties break to the SMALLEST cents value (MIN over the argmax
+    set), never an arbitrary max_by.  Plan: one fact scan into the
+    per-cents rollup; all windows run over DISTINCT cents — bounded by
+    the value domain (~49k cells here, fixed by the price grid at any
+    corpus size) — and the final aggregate is 1-row.  The only
+    data-sized cost is the single groupBy shuffle."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click"))
+    f = ev.select(
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        .alias("v"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g1"),
+    )
+    by_v = f.groupBy("v").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("g1").cast("long").alias("a"),
+    )
+    w_run = (Window.orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    cum = by_v.select(
+        "v",
+        F.sum("a").over(w_run).cast("long").alias("c1"),
+        F.sum(F.col("t") - F.col("a")).over(w_run).cast("long")
+        .alias("c2"),
+        F.sum("a").over(w_all).cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("a")).over(w_all).cast("long")
+        .alias("n2"),
+    )
+    diffs = cum.select(
+        "v", "n1", "n2",
+        F.abs(F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2"))
+        .alias("num"),
+    )
+    w_max = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    best = (diffs
+            .withColumn("maxnum", F.max("num").over(w_max))
+            .agg(F.max("n1").alias("n1"), F.max("n2").alias("n2"),
+                 F.max("num").alias("maxnum"),
+                 F.min(F.when(F.col("num") == F.col("maxnum"),
+                              F.col("v"))).alias("at_cents")))
+    n1d = F.col("n1").cast("double")
+    ks_d = F.col("maxnum").cast("double") / (n1d * F.col("n2"))
+    return best.select(
+        "n1", "n2", ks_d.alias("ks_d"), "at_cents",
+        (ks_d * F.sqrt(n1d * F.col("n2") / (F.col("n1") + F.col("n2"))))
+        .alias("ks_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves — cumulative revenue per acquisition cohort by account
+# age in months: the lifetime-value grid behind every payback-period
+# decision (q_ts_retention counts PRESENCE by day; this accumulates MONEY
+# by month, which needs the exact-cents discipline).
+# ---------------------------------------------------------------------------
+
+
+@query("q_analytics_cohort_ltv", oracle="""
+WITH o AS (
+  SELECT o_custkey AS c,
+         CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) - 1
+           AS m,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders
+), w AS (
+  SELECT c, m, cents,
+         MIN(m) OVER (PARTITION BY c) AS m0,
+         MIN(ym) OVER (PARTITION BY c) AS cohort
+  FROM o
+), cell AS (
+  SELECT cohort, m - m0 AS age,
+         CAST(COUNT(DISTINCT c) AS BIGINT) AS n_customers,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM w GROUP BY 1, 2
+)
+SELECT cohort, age, n_customers, n_orders,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       CAST(CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS DOUBLE) / 100 AS cum_revenue
+FROM cell
+""")
+def q_analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue by (first-order cohort month, age-in-months).
+
+    Determinism: money moves as EXACT integer cents end-to-end (the
+    decimal(18,2) cast, never float math); the running LTV is an
+    INTEGER cumulative window (the running-sum-of-doubles segment-tree
+    trap never applies), converted to currency by ONE division at emit;
+    the cohort label is a MIN over 'yyyy-MM' strings (lexicographic ==
+    chronological).  Plan: one orders scan; the first-order month is a
+    custkey-partitioned window MIN (no self-join, no second scan), then
+    the (cohort, age) rollup and a cohort-keyed cumulative — three
+    key-parallel exchanges, rows bounded by cohorts × months after the
+    rollup.  At 100 TB the data-sized cost is the per-customer window
+    pass any cohort analysis already pays."""
+    od = load(spark, sf_dir, "orders")
+    o = od.select(
+        F.col("o_custkey").alias("c"),
+        (F.year("o_orderdate").cast("long") * 12
+         + F.month("o_orderdate") - 1).alias("m"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .alias("cents"),
+    )
+    wc = Window.partitionBy("c")
+    w = o.select(
+        "c", "m", "cents",
+        F.min("m").over(wc).alias("m0"),
+        F.min("ym").over(wc).alias("cohort"),
+    )
+    cell = w.groupBy("cohort", (F.col("m") - F.col("m0")).alias("age")).agg(
+        F.countDistinct("c").cast("long").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    w_cum = (Window.partitionBy("cohort").orderBy("age")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return cell.select(
+        "cohort", "age", "n_customers", "n_orders",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        (F.sum("cents").over(w_cum).cast("long").cast("double") / 100)
+        .alias("cum_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the quasi-experimental panel estimate: how
+# much did the treated arm's mean purchase value move, net of the shared
+# time trend, across a pinned pre/post boundary?  The 2×2 means table,
+# the DID point estimate, and its unpooled (Welch-style) standard error —
+# the minimum a launch-review dashboard needs to read an A/B-with-ramp.
+# ---------------------------------------------------------------------------
+
+DID_SPLIT = "2024-01-16"  # post-period starts here (fixture midpoint)
+
+
+def _did_cell_sql(grp: int, post: int) -> str:
+    cond = (f"user_id % 2 = {grp} AND "
+            f"(ts >= TIMESTAMP '{DID_SPLIT}') = {'TRUE' if post else 'FALSE'}")
+    return f"""
+         CAST(COUNT(CASE WHEN {cond} THEN 1 END) AS BIGINT)
+           AS n_{grp}{post},
+         CAST(SUM(CASE WHEN {cond}
+              THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE)
+           AS s_{grp}{post},
+         CAST(SUM(CASE WHEN {cond}
+              THEN CAST(value * value AS DECIMAL(27,6)) END) AS DOUBLE)
+           AS q_{grp}{post}"""
+
+
+@query("q_analytics_did", oracle=f"""
+WITH cells AS (
+  SELECT {", ".join(_did_cell_sql(g, p) for g in (0, 1) for p in (0, 1))}
+  FROM events WHERE event_type = 'purchase'
+), means AS (
+  SELECT n_00, n_01, n_10, n_11,
+         s_00 / n_00 AS m_00, s_01 / n_01 AS m_01,
+         s_10 / n_10 AS m_10, s_11 / n_11 AS m_11,
+         (q_00 - s_00 * s_00 / n_00) / (n_00 - 1) / n_00 AS v_00,
+         (q_01 - s_01 * s_01 / n_01) / (n_01 - 1) / n_01 AS v_01,
+         (q_10 - s_10 * s_10 / n_10) / (n_10 - 1) / n_10 AS v_10,
+         (q_11 - s_11 * s_11 / n_11) / (n_11 - 1) / n_11 AS v_11
+  FROM cells
+)
+SELECT n_00, n_01, n_10, n_11, m_00, m_01, m_10, m_11,
+       (m_11 - m_10) - (m_01 - m_00) AS did,
+       sqrt(v_00 + v_01 + v_10 + v_11) AS se,
+       ((m_11 - m_10) - (m_01 - m_00))
+         / sqrt(v_00 + v_01 + v_10 + v_11) AS t_stat
+FROM means
+""")
+def q_analytics_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 difference-in-differences on purchase value (arm = user_id
+    parity, pre/post split at a pinned date).
+
+    Determinism: per-cell sums go through the exact decimal path (value
+    is 2-dp so Σy is exact; y² carries 4 decimal digits — exact at
+    scale 6, the product-of-2dp rule), counts are integers, and every
+    mean/variance/DID/SE is the SAME fixed IEEE expression over those
+    identical bits in both engines — raw emit.  The four cells come
+    from ONE conditional-aggregate pass (no pivot, no self-join, no
+    4-way union).  Plan: one fact scan with the purchase filter pushed
+    down into a single partial-aggregated 1-row global agg — the
+    SinglePartition stage merges 32 partial rows, nothing more.  At
+    100 TB this is the cheapest possible shape: one pass, one row."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    split = F.lit(DID_SPLIT).cast("timestamp")
+    aggs = []
+    for g in (0, 1):
+        for p in (0, 1):
+            cond = ((F.col("user_id") % 2 == g)
+                    & ((F.col("ts") >= split) == bool(p)))
+            v = F.when(cond, F.col("value"))
+            aggs += [
+                F.count(F.when(cond, 1)).cast("long").alias(f"n_{g}{p}"),
+                F.sum(v.cast("decimal(27,6)")).cast("double")
+                .alias(f"s_{g}{p}"),
+                F.sum(F.when(cond, F.col("value") * F.col("value"))
+                      .cast("decimal(27,6)")).cast("double")
+                .alias(f"q_{g}{p}"),
+            ]
+    cells = ev.agg(*aggs)
+    m, v = {}, {}
+    for g in (0, 1):
+        for p in (0, 1):
+            n = F.col(f"n_{g}{p}")
+            s = F.col(f"s_{g}{p}")
+            q = F.col(f"q_{g}{p}")
+            m[g, p] = (s / n).alias(f"m_{g}{p}")
+            v[g, p] = (q - s * s / n) / (n - 1) / n
+    did = ((F.col("m_11") - F.col("m_10"))
+           - (F.col("m_01") - F.col("m_00")))
+    means = cells.select(
+        "n_00", "n_01", "n_10", "n_11",
+        m[0, 0], m[0, 1], m[1, 0], m[1, 1],
+        (v[0, 0] + v[0, 1] + v[1, 0] + v[1, 1]).alias("var_sum"),
+    )
+    return means.select(
+        "n_00", "n_01", "n_10", "n_11",
+        "m_00", "m_01", "m_10", "m_11",
+        did.alias("did"),
+        F.sqrt(F.col("var_sum")).alias("se"),
+        (did / F.sqrt(F.col("var_sum"))).alias("t_stat"),
+    )

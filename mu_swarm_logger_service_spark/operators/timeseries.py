@@ -1766,3 +1766,129 @@ def q_ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nd.cast("long").alias("n_down"), r.alias("runs"),
                 ((r.cast("double") - mu) / F.sqrt(var)).alias("z"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival — time-to-conversion with right-censoring, the
+# estimator every retention/claims/churn dashboard actually wants once
+# "conversion" can fail to happen inside the observation window (a plain
+# conversion rate silently treats the censored users as non-converters).
+# Duration = days from a user's first event to their first high-value
+# purchase (value ≥ 200); users who never convert are right-censored at
+# the fixed horizon.  Curves are stratified by a hash-bucketed experiment
+# arm (user_id % 2) — the standard A/B assignment shape.
+# ---------------------------------------------------------------------------
+
+KM_VALUE_MIN = 200.0      # conversion = first purchase at/above this value
+KM_HORIZON = "2024-01-31"  # fixed censor date ≥ every fixture event day
+
+
+@query("q_ts_kaplan_meier", oracle=f"""
+WITH per_user AS (
+  SELECT user_id % 2 AS arm,
+         MIN(date_trunc('day', ts)) AS first_day,
+         MIN(CASE WHEN event_type = 'purchase'
+                   AND value >= CAST({KM_VALUE_MIN} AS DOUBLE)
+              THEN date_trunc('day', ts) END) AS conv_day
+  FROM events GROUP BY user_id
+), dur AS (
+  SELECT arm,
+         CASE WHEN conv_day IS NOT NULL
+              THEN CAST(date_diff('day', first_day, conv_day) AS BIGINT)
+              ELSE CAST(date_diff('day', first_day,
+                                  TIMESTAMP '{KM_HORIZON}') AS BIGINT)
+         END AS t,
+         CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per_user
+), cell AS (
+  SELECT arm, t, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM dur GROUP BY 1, 2
+), risk AS (
+  SELECT arm, t, d, c,
+         CAST(SUM(d + c) OVER (PARTITION BY arm) AS BIGINT)
+         - COALESCE(CAST(SUM(d + c) OVER (PARTITION BY arm ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS BIGINT), 0) AS n_risk
+  FROM cell
+), lst AS (
+  SELECT arm, list_sort(list(struct_pack(t := t,
+           factor := CAST(n_risk - d AS DOUBLE) / n_risk))) AS ls
+  FROM risk GROUP BY arm
+)
+SELECT r.arm, r.t, r.n_risk, r.d, r.c,
+       list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+         list_transform(list_filter(l.ls, e -> e.t <= r.t),
+                        e -> e.factor)),
+         (a, x) -> a * x) AS s_km
+FROM risk r JOIN lst l USING (arm)
+""")
+def q_ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curves per experiment arm.
+
+    Determinism: death/censor counts and the at-risk set are exact
+    integers from one (arm, t) rollup (n_risk via arm-total minus an
+    INTEGER cumulative — the running-sum-of-doubles trap never applies);
+    each hazard factor (n_i - d_i)/n_i is ONE division of exact integers
+    (identical bits cross-engine; censor-only rows give exactly 1.0
+    since x/x is exact IEEE), and the survival product folds those
+    factors in t-SORTED order via a JVM higher-order aggregate, mirrored
+    by DuckDB's list_reduce with a prepended 1.0 seed (the list_reduce
+    first-element-seeding gotcha) — a sequential left fold on identical
+    bits in identical order, so s_km is emitted RAW.  The censor horizon
+    is a pinned literal (RFM discipline: no global-max → no
+    SinglePartition agg).  Plan: one fact shuffle to the per-user
+    rollup, then every later stage runs on the (arm, t) table, which is
+    bounded by 2 arms × the day domain — the full-partition windows,
+    the collected factor array (≤ |days| elements), and the per-row
+    filtered fold are all domain-bounded, never data-bounded, exactly
+    like the decile-lift score-group pattern.  At 100 TB the only
+    data-sized cost is the per-user min pass any funnel already pays."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day"),
+        F.min(F.when((F.col("event_type") == "purchase")
+                     & (F.col("value") >= F.lit(KM_VALUE_MIN)),
+                     F.date_trunc("day", "ts"))).alias("conv_day"),
+    ).select((F.col("user_id") % 2).alias("arm"), "first_day", "conv_day")
+    dur = per_user.select(
+        "arm",
+        F.when(F.col("conv_day").isNotNull(),
+               F.datediff("conv_day", "first_day"))
+        .otherwise(F.datediff(F.lit(KM_HORIZON).cast("date"), "first_day"))
+        .cast("long").alias("t"),
+        F.when(F.col("conv_day").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    cell = dur.groupBy("arm", "t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+    )
+    w_all = (Window.partitionBy("arm")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    w_before = (Window.partitionBy("arm").orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    risk = cell.select(
+        "arm", "t", "d", "c",
+        (F.sum(F.col("d") + F.col("c")).over(w_all)
+         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_before),
+                      F.lit(0))).cast("long").alias("n_risk"),
+    )
+    factor = ((F.col("n_risk") - F.col("d")).cast("double")
+              / F.col("n_risk").cast("double"))
+    with_arr = risk.select(
+        "arm", "t", "n_risk", "d", "c",
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t").alias("t"),
+                                    factor.alias("factor"))).over(w_all)
+        ).alias("ls"),
+    )
+    t_col = F.col("t")
+    return with_arr.select(
+        "arm", "t", "n_risk", "d", "c",
+        F.aggregate(
+            F.filter("ls", lambda e: e.getField("t") <= t_col),
+            F.lit(1.0),
+            lambda acc, e: acc * e.getField("factor"),
+        ).alias("s_km"),
+    )

@@ -889,3 +889,88 @@ def test_decile_lift_never_ranks_users_individually(spark, sf_dir):
     df.collect()
     assert df._jdf.queryExecution().executedPlan().toString() \
         .count("ReusedExchange") >= 1
+
+
+def test_kaplan_meier_domain_bounded_after_user_rollup(spark, sf_dir):
+    """The survival estimator must cost one fact scan + the per-user
+    rollup; everything after (risk windows, factor array, filtered
+    fold) rides arm-partitioned exchanges over the day-domain table —
+    no SinglePartition, no join beyond the arm-keyed one, no Python."""
+    p = _plan(spark, sf_dir, "q_ts_kaplan_meier")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "hashpartitioning(user_id" in p
+    assert "hashpartitioning(arm" in p
+
+
+def test_chi2_one_scan_window_marginals(spark, sf_dir):
+    """The contingency test must scan the fact table ONCE: marginals are
+    windows over the R×C cell table (the join-back form re-scans orders
+    per marginal — measured 4 scans), and the only SinglePartition
+    stages run on category-domain-bounded rows."""
+    p = _plan(spark, sf_dir, "q_agg_chi2")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_mann_whitney_one_scan_distinct_cents_windows(spark, sf_dir):
+    """Rank sums must come from the per-cents rollup: one scan, the
+    groupBy(v) exchange, and windows over DISTINCT cents only (the
+    decile-lift score-group pattern) — no join, no Python, and exactly
+    two exchanges (rollup + the domain-bounded window/final stage)."""
+    p = _plan(spark, sf_dir, "q_analytics_mann_whitney")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "hashpartitioning(v" in p
+
+
+def test_ks_test_one_scan_distinct_cents_windows(spark, sf_dir):
+    """Both empirical CDFs must be integer running sums over the
+    distinct-cents rollup — one scan, the groupBy(v) exchange, no join,
+    no Python; the max/argmax stage folds domain-bounded rows."""
+    p = _plan(spark, sf_dir, "q_analytics_ks_test")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "hashpartitioning(v" in p
+
+
+def test_kcore_checkpointed_edges_bounded_rounds(spark, sf_dir):
+    """Peel rounds must run off the materialized edge checkpoint — the
+    final plan re-derives NOTHING (unchecked lineage compounded to 114
+    parquet scans for 3 rounds); each round is an edge-keyed semi-join +
+    rollup, no cartesian, no Python."""
+    p = _plan(spark, sf_dir, "q_graph_kcore")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 8
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_cohort_ltv_window_min_not_self_join(spark, sf_dir):
+    """The first-order month must be a custkey window MIN over ONE
+    orders scan (a join-back formulation scans the fact table twice);
+    cells and the cumulative ride cohort-keyed exchanges — no join, no
+    single partition."""
+    p = _plan(spark, sf_dir, "q_analytics_cohort_ltv")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    assert "SinglePartition" not in p
+    assert "hashpartitioning(c," in p or "hashpartitioning(c#" in p
+    assert "hashpartitioning(cohort" in p
+
+
+def test_did_one_pass_one_row(spark, sf_dir):
+    """All four cells must come from ONE conditional-aggregate pass over
+    the purchase-filtered scan: one scan, one exchange (the 1-row
+    final-merge), pushed filter, no join."""
+    p = _plan(spark, sf_dir, "q_analytics_did")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Join" not in p
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in p

@@ -714,3 +714,199 @@ def test_pit_features_never_leak_label_or_future(spark, sf_dir):
             assert prior[-1][0] == r["prev_us"]
         else:
             assert r["last_value"] is None and r["prev_us"] is None
+
+
+def test_kaplan_meier_nonvacuous_and_textbook_rederivation(spark, sf_dir):
+    """Both code paths must FIRE on the fixture (events AND censorings
+    present, survival actually dropping below 1), and the curve must
+    match a plain-Python textbook K-M rederived from a raw event scan —
+    ruling out the both-engines-encode-the-same-wrong-formula mode."""
+    import datetime as _dt
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+    from mu_swarm_logger_service_spark.operators.timeseries import (
+        KM_HORIZON, KM_VALUE_MIN)
+
+    out = QUERIES["q_ts_kaplan_meier"](spark, sf_dir).collect()
+    assert any(r["d"] > 0 for r in out), "no conversion events fired"
+    assert any(r["c"] > 0 for r in out), "no censoring fired"
+    assert any(r["s_km"] < 1.0 for r in out), "survival never dropped"
+
+    users = {}
+    for r in load(spark, sf_dir, "events").collect():
+        day = r["ts"].date()
+        first, conv = users.get(r["user_id"], (None, None))
+        first = day if first is None or day < first else first
+        if (r["event_type"] == "purchase" and r["value"] >= KM_VALUE_MIN
+                and (conv is None or day < conv)):
+            conv = day
+        users[r["user_id"]] = (first, conv)
+    horizon = _dt.date.fromisoformat(KM_HORIZON)
+    durations = {}
+    for uid, (first, conv) in users.items():
+        arm = uid % 2
+        t = ((conv - first).days, 1) if conv else ((horizon - first).days, 0)
+        durations.setdefault(arm, []).append(t)
+    for row in out:
+        sample = durations[row["arm"]]
+        d = sum(1 for t, ev in sample if t == row["t"] and ev == 1)
+        c = sum(1 for t, ev in sample if t == row["t"] and ev == 0)
+        n_risk = sum(1 for t, _ in sample if t >= row["t"])
+        assert (d, c, n_risk) == (row["d"], row["c"], row["n_risk"])
+        s = 1.0
+        for t in sorted({t for t, _ in sample if t <= row["t"]}):
+            dt_ = sum(1 for u, ev in sample if u == t and ev == 1)
+            nt = sum(1 for u, _ in sample if u >= t)
+            s *= (nt - dt_) / nt
+        assert abs(s - row["s_km"]) < 1e-12
+
+
+def test_two_sample_stats_nonvacuous_and_scipy_free_rederivation(
+        spark, sf_dir):
+    """chi2 / Mann-Whitney / KS must produce non-degenerate statistics
+    on the fixture, and MW/KS must match a plain-Python rederivation
+    from the raw rows (ranks with midranks, exact CDF max-gap)."""
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    chi = QUERIES["q_agg_chi2"](spark, sf_dir).collect()[0]
+    assert chi["chi2"] > 0 and 0 < chi["cramers_v"] < 1
+    assert chi["dof"] == (chi["n_rows"] - 1) * (chi["n_cols"] - 1) > 0
+
+    orders = load(spark, sf_dir, "orders").collect()
+    a = sorted(round(r["o_totalprice"] * 100) for r in orders
+               if r["o_orderpriority"] == "1-URGENT")
+    b = sorted(round(r["o_totalprice"] * 100) for r in orders
+               if r["o_orderpriority"] == "5-LOW")
+    pooled = sorted((v, i) for i, vs in enumerate((a, b)) for v in vs)
+    # midranks
+    ranks, i = {}, 0
+    vals = [v for v, _ in pooled]
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        for k in range(i, j):
+            ranks[k] = (i + 1 + j) / 2
+        i = j
+    r1 = sum(ranks[k] for k, (_, g) in enumerate(pooled) if g == 0)
+    u1 = r1 - len(a) * (len(a) + 1) / 2
+    mw = QUERIES["q_analytics_mann_whitney"](spark, sf_dir).collect()[0]
+    assert (mw["n1"], mw["n2"]) == (len(a), len(b))
+    assert abs(mw["u1"] - u1) < 1e-9
+    assert mw["z"] != 0.0
+
+    events = load(spark, sf_dir, "events").collect()
+    va = sorted(round(r["value"] * 100) for r in events
+                if r["event_type"] == "view")
+    vb = sorted(round(r["value"] * 100) for r in events
+                if r["event_type"] == "click")
+    grid = sorted(set(va) | set(vb))
+    import bisect
+    dmax = max(abs(bisect.bisect_right(va, x) / len(va)
+                   - bisect.bisect_right(vb, x) / len(vb)) for x in grid)
+    ks = QUERIES["q_analytics_ks_test"](spark, sf_dir).collect()[0]
+    assert (ks["n1"], ks["n2"]) == (len(va), len(vb))
+    assert abs(ks["ks_d"] - dmax) < 1e-12
+    assert 0 < ks["ks_d"] < 1
+
+
+def test_kcore_nonvacuous_and_python_peel_rederivation(spark, sf_dir):
+    """Peeling must FIRE on the fixture (round-1 peels and survivors
+    both present) and the full per-node (peel round, final degree)
+    assignment must equal a plain-Python peel over the same rare-part
+    co-purchase graph."""
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+    from mu_swarm_logger_service_spark.llm.clustering import (
+        KCORE_HUB_CAP, KCORE_K, KCORE_ROUNDS)
+
+    out = {r["custkey"]: r
+           for r in QUERIES["q_graph_kcore"](spark, sf_dir).collect()}
+    assert any(r["peeled_round"] == 1 for r in out.values())
+    assert any(r["in_core"] for r in out.values())
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").collect()
+    orders = {r["o_orderkey"]: r["o_custkey"]
+              for r in load(spark, sf_dir, "orders").collect()}
+    cp = {(orders[r["l_orderkey"]], r["l_partkey"]) for r in li}
+    by_part = {}
+    for c, p in cp:
+        by_part.setdefault(p, set()).add(c)
+    adj = {}
+    for p, cs in by_part.items():
+        if len(cs) <= KCORE_HUB_CAP:
+            for c1 in cs:
+                for c2 in cs:
+                    if c1 != c2:
+                        adj.setdefault(c1, set()).add(c2)
+    assert set(adj) == set(out)
+    alive = set(adj)
+    peeled_round = {c: 0 for c in adj}
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = {c: sum(1 for nb in adj[c] if nb in alive) for c in alive}
+        gone = {c for c in alive if deg[c] < KCORE_K}
+        for c in gone:
+            peeled_round[c] = rnd
+        alive -= gone
+    for c, r in out.items():
+        assert r["deg0"] == len(adj[c])
+        assert r["peeled_round"] == peeled_round[c]
+        assert r["in_core"] == (peeled_round[c] == 0)
+        assert r["deg_final"] == sum(1 for nb in adj[c] if nb in alive)
+
+
+def test_cohort_ltv_and_did_rederivation(spark, sf_dir):
+    """LTV cells/cumulatives must equal an exact integer-cents Python
+    rollup; the DID point estimate must equal the hand-computed 2x2
+    means difference and its cells must all be populated."""
+    import datetime as _dt
+    from decimal import Decimal
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+    from mu_swarm_logger_service_spark.operators.analytics import DID_SPLIT
+
+    firsts, cells = {}, {}
+    rows = load(spark, sf_dir, "orders").collect()
+    for r in rows:
+        m = r["o_orderdate"].year * 12 + r["o_orderdate"].month - 1
+        firsts[r["o_custkey"]] = min(firsts.get(r["o_custkey"], m), m)
+    for r in rows:
+        m = r["o_orderdate"].year * 12 + r["o_orderdate"].month - 1
+        m0 = firsts[r["o_custkey"]]
+        cohort = f"{m0 // 12:04d}-{m0 % 12 + 1:02d}"
+        key = (cohort, m - m0)
+        cents = int(
+            (Decimal(repr(r["o_totalprice"])) * 100).to_integral_value())
+        cust, cnt, tot = cells.get(key, (set(), 0, 0))
+        cust.add(r["o_custkey"])
+        cells[key] = (cust, cnt + 1, tot + cents)
+    out = QUERIES["q_analytics_cohort_ltv"](spark, sf_dir).collect()
+    assert len(out) == len(cells)
+    cum = {}
+    for r in sorted(out, key=lambda r: (r["cohort"], r["age"])):
+        cust, cnt, tot = cells[(r["cohort"], r["age"])]
+        assert (r["n_customers"], r["n_orders"]) == (len(cust), cnt)
+        assert abs(r["revenue"] - tot / 100) < 1e-9
+        cum[r["cohort"]] = cum.get(r["cohort"], 0) + tot
+        assert abs(r["cum_revenue"] - cum[r["cohort"]] / 100) < 1e-9
+
+    split = _dt.datetime.fromisoformat(DID_SPLIT)
+    sums = {}
+    for r in load(spark, sf_dir, "events").collect():
+        if r["event_type"] != "purchase":
+            continue
+        key = (r["user_id"] % 2, int(r["ts"] >= split))
+        n, s = sums.get(key, (0, Decimal(0)))
+        sums[key] = (n + 1, s + Decimal(repr(r["value"])))
+    did_row = QUERIES["q_analytics_did"](spark, sf_dir).collect()[0]
+    for (g, p), (n, s) in sums.items():
+        assert did_row[f"n_{g}{p}"] == n > 1
+        assert abs(did_row[f"m_{g}{p}"] - float(s) / n) < 1e-9
+    m = {k: float(s) / n for k, (n, s) in sums.items()}
+    want = (m[1, 1] - m[1, 0]) - (m[0, 1] - m[0, 0])
+    assert abs(did_row["did"] - want) < 1e-9
+    assert did_row["se"] > 0
