@@ -2405,3 +2405,70 @@ def q_llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
                 F.coalesce("n_spans", F.lit(0)).alias("n_spans"))
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — k-anonymity's necessary complement: a class can be
+# k-large yet still leak if every member shares the SAME sensitive value
+# (the homogeneity attack).  QI = (source, length bucket); sensitive =
+# lang.  Reports distinct-l and entropy-l per equivalence class.
+# ---------------------------------------------------------------------------
+
+LDIV_MIN = 3  # classes with fewer distinct sensitive values are at risk
+
+
+@query("q_llm_l_diversity", oracle=f"""
+WITH qi AS (
+  SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket, lang
+  FROM documents
+), cell AS (
+  SELECT source, len_bucket, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM qi GROUP BY 1, 2, 3
+), cls AS (
+  SELECT source, len_bucket,
+         CAST(SUM(n) AS BIGINT) AS group_n,
+         CAST(COUNT(*) AS BIGINT) AS l_distinct,
+         list_sort(list(struct_pack(lang := lang, n := n))) AS ls
+  FROM cell GROUP BY 1, 2
+)
+SELECT source, len_bucket, group_n, l_distinct,
+       l_distinct < {LDIV_MIN} AS at_risk,
+       round(-list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(ls, e -> (CAST(e.n AS DOUBLE) / group_n)
+                                   * ln(CAST(e.n AS DOUBLE) / group_n))),
+         (a, x) -> a + x), 6) + 0.0 AS entropy_l
+FROM cls
+""")
+def q_llm_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-QI-class l-diversity of the sensitive attribute (lang).
+
+    Determinism: class sizes and per-value counts are exact integers
+    from one (QI, sensitive) rollup; the entropy term folds the
+    per-value fractions in VALUE-SORTED order via a JVM higher-order
+    aggregate mirrored by list_reduce with a zero seed, rounded with the
+    -0.0 guard (a one-language class yields exactly -0.0) — the
+    q_llm_diversity discipline.  Plan: one doc scan into the
+    (QI, lang) rollup, then a QI-keyed re-aggregation of counts — two
+    domain-shrinking shuffles, no joins, nothing single-partition; at
+    100 TB this costs what the k-anonymity audit (q_llm_k_anonymity)
+    already pays plus one tiny rollup."""
+    docs = load(spark, sf_dir, "documents")
+    cell = (docs.select(
+        "source", (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        "lang")
+        .groupBy("source", "len_bucket", "lang")
+        .agg(F.count(F.lit(1)).alias("n")))
+    cls = cell.groupBy("source", "len_bucket").agg(
+        F.sum("n").cast("long").alias("group_n"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.sort_array(F.collect_list(F.struct("lang", "n"))).alias("ls"),
+    )
+    p = lambda e: e.getField("n").cast("double") / F.col("group_n")  # noqa: E731
+    h = -F.aggregate(F.col("ls"), F.lit(0.0),
+                     lambda acc, e: acc + p(e) * F.log(p(e)))
+    return cls.select(
+        "source", "len_bucket", "group_n", "l_distinct",
+        (F.col("l_distinct") < LDIV_MIN).alias("at_risk"),
+        (F.round(h, 6) + 0.0).alias("entropy_l"),
+    )

@@ -863,3 +863,108 @@ def q_agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.col("n_cols") - 1)))
         .alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (fixed effects) — does mean order value differ ACROSS the
+# five order priorities?  Completes the hypothesis-test panel: Welch-t
+# (q_agg_ab_ttest) compares TWO means, Mann-Whitney compares two ranks,
+# chi-square tests categorical independence — ANOVA is the k-group mean
+# comparison, with eta-squared as its effect size.
+# ---------------------------------------------------------------------------
+
+
+@query("q_agg_anova", oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(27,6)))
+              AS DOUBLE) AS q
+  FROM orders GROUP BY 1
+), packed AS (
+  SELECT list_sort(list(struct_pack(grp := grp, n := n, s := s, q := q)))
+           AS ls,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM g
+), sums AS (
+  SELECT ls, n_total, k,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(ls, e -> e.s)), (a, x) -> a + x) AS s_all
+  FROM packed
+), parts AS (
+  SELECT n_total, k,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(ls, e ->
+             CAST(e.n AS DOUBLE)
+             * (e.s / e.n - s_all / n_total)
+             * (e.s / e.n - s_all / n_total))),
+           (a, x) -> a + x) AS ssb,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(ls, e -> e.q - e.s * e.s / e.n)),
+           (a, x) -> a + x) AS ssw
+  FROM sums
+)
+SELECT n_total, k,
+       round((ssb / (k - 1)) / (ssw / (n_total - k)), 9) + 0.0 AS f_stat,
+       round(ssb / (ssb + ssw), 12) + 0.0 AS eta_sq
+FROM parts
+""")
+def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of o_totalprice across order priorities.
+
+    Determinism: per-group Σy and Σy² ride the exact decimal path (2-dp
+    money: y² carries 4 decimal digits — exact at scale 6 per the
+    product-of-2dp rule), counts are integers, and every cross-group
+    reduction (grand sum, between/within sums of squares) folds the
+    ≤k group structs in GROUP-SORTED order via a JVM higher-order
+    aggregate mirrored by list_reduce with a zero seed — a bare SUM over
+    those doubles would re-associate under shuffle.  Σy² exceeds the
+    2^53 exact-cast window (3e14 × 10^6 scale at sf0.01 — the Gini
+    magnitude gotcha), so its decimal→double cast legitimately rounds
+    and the engines diverge by one ulp (measured on ssw); the raw sums
+    of squares are therefore NOT emitted — only the scale-free F and
+    eta² ratios, rounded on both sides per the HHI wide-decimal
+    discipline (9/12 dp keep 7+ sig figs at their O(1)/O(1e-4)
+    magnitudes while sitting far above the ulp).  Plan: one
+    fact scan into the per-priority rollup (partial-aggregated), then a
+    1-row fold over k=5 structs — the SinglePartition stage merges k
+    rows, nothing more; the cheapest possible k-group test shape at any
+    corpus size."""
+    od = load(spark, sf_dir, "orders")
+    y = F.col("o_totalprice")
+    g = od.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(y).alias("s"),
+        F.sum((y * y).cast("decimal(27,6)")).cast("double").alias("q"),
+    )
+    packed = g.agg(
+        F.sort_array(F.collect_list(
+            F.struct("grp", "n", "s", "q"))).alias("ls"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    fsum = lambda expr: F.aggregate(  # noqa: E731
+        F.col("ls"), F.lit(0.0), lambda acc, e: acc + expr(e))
+    sums = packed.select(
+        "ls", "n_total", "k",
+        fsum(lambda e: e.getField("s")).alias("s_all"),
+    )
+    mean_dev = lambda e: (e.getField("s") / e.getField("n")  # noqa: E731
+                          - F.col("s_all") / F.col("n_total"))
+    parts = sums.select(
+        "n_total", "k",
+        fsum(lambda e: e.getField("n").cast("double")
+             * mean_dev(e) * mean_dev(e)).alias("ssb"),
+        fsum(lambda e: e.getField("q")
+             - e.getField("s") * e.getField("s") / e.getField("n"))
+        .alias("ssw"),
+    )
+    return parts.select(
+        "n_total", "k",
+        (F.round((F.col("ssb") / (F.col("k") - 1))
+                 / (F.col("ssw") / (F.col("n_total") - F.col("k"))), 9)
+         + 0.0).alias("f_stat"),
+        (F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 12) + 0.0)
+        .alias("eta_sq"),
+    )

@@ -1892,3 +1892,127 @@ def q_ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, e: acc * e.getField("factor"),
         ).alias("s_km"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt–Winters additive seasonal smoothing — the seasonality-aware upgrade
+# of q_ts_holt_trend: level + trend + a rolling m=7 additive seasonal
+# profile over the DAILY event rate per type (weekly cycle), with the
+# one-step-ahead forecast.  Same engineering contract as Holt: a
+# sequential fold on the Spark side, the identical recurrence as a
+# recursive CTE on the oracle side, bit-identical without decimal
+# machinery because both engines run the same ops in the same order.
+# ---------------------------------------------------------------------------
+
+_HW_ALPHA = 0.5    # level      (exact binary fractions: every smoothing
+_HW_BETA = 0.25    # trend       multiply is an exact IEEE scale)
+_HW_GAMMA = 0.25   # seasonal
+_HW_M = 7          # weekly cycle on daily data
+
+
+@query("q_ts_holt_winters", oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), ord AS MATERIALIZED (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+  FROM daily
+), yl AS MATERIALIZED (
+  SELECT event_type, list(y ORDER BY i) AS ys,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ord GROUP BY 1
+  HAVING COUNT(*) >= 2 * {_HW_M} + 1
+), init AS MATERIALIZED (
+  SELECT event_type, n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_slice(ys, 1, {_HW_M})), (a, x) -> a + x) AS sum1,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_slice(ys, {_HW_M} + 1, 2 * {_HW_M})), (a, x) -> a + x)
+           AS sum2,
+         ys
+  FROM yl
+), state AS (
+  SELECT event_type, {_HW_M} AS i,
+         sum1 / {_HW_M}.0 AS l,
+         (sum2 - sum1) / {_HW_M * _HW_M}.0 AS b,
+         list_transform(list_slice(ys, 1, {_HW_M}),
+                        y -> y - sum1 / {_HW_M}.0) AS s
+  FROM init
+  UNION ALL
+  SELECT st.event_type, st.i + 1,
+         {_HW_ALPHA} * (o.y - st.s[1]) + {1 - _HW_ALPHA} * (st.l + st.b),
+         {_HW_BETA} * (({_HW_ALPHA} * (o.y - st.s[1])
+                        + {1 - _HW_ALPHA} * (st.l + st.b)) - st.l)
+           + {1 - _HW_BETA} * st.b,
+         list_append(list_slice(st.s, 2, {_HW_M}),
+           {_HW_GAMMA} * (o.y - ({_HW_ALPHA} * (o.y - st.s[1])
+                                 + {1 - _HW_ALPHA} * (st.l + st.b)))
+           + {1 - _HW_GAMMA} * st.s[1])
+  FROM state st JOIN ord o
+    ON o.event_type = st.event_type AND o.i = st.i + 1
+)
+SELECT st.event_type, y.n AS n_days, st.l AS level, st.b AS trend,
+       st.s[1] AS season_next,
+       st.l + st.b + st.s[1] AS forecast_next
+FROM state st JOIN yl y ON y.event_type = st.event_type
+WHERE st.i = y.n
+""")
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt–Winters additive (level, trend, m=7 seasonal) per event type
+    on the daily rate, with the one-step forecast.
+
+    Recurrence (a=1/2, B=1/4, g=1/4; l0 = mean of week 1, b0 = mean
+    week-over-week delta of weeks 1→2, s0 = week-1 deviations):
+
+        l_t = a(y_t - s_{{t-m}}) + (1-a)(l_{{t-1}} + b_{{t-1}})
+        b_t = B(l_t - l_{{t-1}}) + (1-B) b_{{t-1}}
+        s_t = g(y_t - l_t)      + (1-g) s_{{t-m}}
+
+    Determinism: the q_ts_holt_trend contract — a sequential fold over
+    the position-sorted daily series on the Spark side, the IDENTICAL
+    recurrence as a recursive CTE stepping i -> i+1 on the oracle side
+    (MATERIALIZED feeder CTEs per the re-scan gotcha; the seasonal
+    buffer rides a 7-slot rolling list in the fold state on both
+    sides), smoothing constants are exact binary fractions, l_t inlined
+    where reused — same value, same op order, bit-identical raw emit.
+    Types need >= 2m+1 days (HAVING on both sides).  Scale shape: the
+    fold runs over the (type, day) AGGREGATE — one rollup shuffle, one
+    per-type collect of a time-domain-bounded array; per-series state
+    is O(m), which is what a streaming twin would carry across
+    micro-batches."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    series = (daily.groupBy("event_type")
+              .agg(F.expr("transform(array_sort(collect_list("
+                          "struct(d, y))), s -> s.y)").alias("ys"))
+              .filter(F.size("ys") >= 2 * _HW_M + 1))
+    a, b, g, m = _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M
+    sum1 = (f"aggregate(slice(ys, 1, {m}), cast(0.0 as double), "
+            f"(a, x) -> a + x)")
+    sum2 = (f"aggregate(slice(ys, {m} + 1, {m}), cast(0.0 as double), "
+            f"(a, x) -> a + x)")
+    lt = (f"{a} * (y - element_at(acc.s, 1)) "
+          f"+ {1 - a} * (acc.l + acc.b)")
+    state = F.expr(
+        f"aggregate(slice(ys, {m} + 1, greatest(size(ys) - {m}, 0)), "
+        f"struct({sum1} / {m}.0 AS l, "
+        f"({sum2} - {sum1}) / {m * m}.0 AS b, "
+        f"transform(slice(ys, 1, {m}), y -> y - {sum1} / {m}.0) AS s), "
+        f"(acc, y) -> struct("
+        f"{lt} AS l, "
+        f"{b} * (({lt}) - acc.l) + {1 - b} * acc.b AS b, "
+        f"concat(slice(acc.s, 2, {m} - 1), array("
+        f"{g} * (y - ({lt})) + {1 - g} * element_at(acc.s, 1))) AS s))")
+    return series.select(
+        "event_type",
+        F.size("ys").cast("long").alias("n_days"),
+        state.getField("l").alias("level"),
+        state.getField("b").alias("trend"),
+        F.element_at(state.getField("s"), 1).alias("season_next"),
+        (state.getField("l") + state.getField("b")
+         + F.element_at(state.getField("s"), 1)).alias("forecast_next"),
+    )

