@@ -2259,3 +2259,116 @@ def q_analytics_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("var_sum")).alias("se"),
         (did / F.sqrt(F.col("var_sum"))).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information — how much does WEEKDAY tell you about WHAT users do?
+# The information-theoretic association between two categoricals, the
+# feature-selection cousin of q_agg_chi2's significance test (chi2 asks
+# "is there any dependence"; MI measures HOW MUCH, in nats, with its
+# normalized variant comparable across tables).
+# ---------------------------------------------------------------------------
+
+
+@query("q_analytics_mutual_info", oracle="""
+WITH cells AS (
+  -- DuckDB dayofweek() is 0=Sunday; Spark's is 1=Sunday (gotcha) — +1.
+  SELECT event_type AS x, dayofweek(ts) + 1 AS wd,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), marg AS (
+  SELECT x, wd, o,
+         CAST(SUM(o) OVER (PARTITION BY x) AS BIGINT) AS rx,
+         CAST(SUM(o) OVER (PARTITION BY wd) AS BIGINT) AS cy,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cells
+), packed AS (
+  SELECT MAX(n) AS n,
+         list_sort(list(struct_pack(x := x, wd := wd, o := o,
+                                    rx := rx, cy := cy, n := n))) AS ls
+  FROM marg
+)
+SELECT n,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(ls, e ->
+           (CAST(e.o AS DOUBLE) / e.n)
+           * ln((CAST(e.o AS DOUBLE) * e.n)
+                / (CAST(e.rx AS DOUBLE) * e.cy)))),
+         (a, v) -> a + v), 6) + 0.0 AS mi_nats,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(ls, e ->
+           (CAST(e.o AS DOUBLE) / e.n)
+           * ln((CAST(e.o AS DOUBLE) * e.n)
+                / (CAST(e.rx AS DOUBLE) * e.cy)))),
+         (a, v) -> a + v)
+       / sqrt(
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(ls, e ->
+             -(CAST(e.o AS DOUBLE) / e.n)
+             * ln(CAST(e.rx AS DOUBLE) / e.n))),
+           (a, v) -> a + v)
+         * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(ls, e ->
+             -(CAST(e.o AS DOUBLE) / e.n)
+             * ln(CAST(e.cy AS DOUBLE) / e.n))),
+           (a, v) -> a + v)), 6) + 0.0 AS nmi
+FROM packed
+""")
+def q_analytics_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and weekday, plus
+    the sqrt-normalized NMI.
+
+    Determinism: cell counts and both marginals are exact integers
+    (marginals via windows OVER THE CELL TABLE — the q_agg_chi2 one-scan
+    discipline); each pointwise term is a fixed expression over those
+    integers, folded in (x, weekday)-SORTED order; the marginal
+    entropies ride the SAME cell fold via H(X) = -SUM (o/n) ln(rx/n)
+    (grouping one x's cells contributes (rx/n) ln(rx/n) exactly —
+    DuckDB cannot list_distinct structs, so no distinct pass).  ln can
+    differ by an ulp across engines (libm vs java.lang.Math), so both
+    emits are rounded at 6 dp with the -0.0 guard — the q_llm_diversity
+    precedent.  The weekday is shifted +1 on the SQL side (DuckDB
+    dayofweek is 0=Sunday, Spark 1=Sunday — documented gotcha).  Plan:
+    one fact scan, the cell rollup, then windows and a 1-row fold over
+    |types|×7 structs — category-domain-bounded after the first
+    shuffle."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(F.col("event_type").alias("x"),
+                       F.dayofweek("ts").alias("wd")).agg(
+        F.count(F.lit(1)).alias("o"))
+    marg = cells.select(
+        "x", "wd", "o",
+        F.sum("o").over(Window.partitionBy("x")).cast("long").alias("rx"),
+        F.sum("o").over(Window.partitionBy("wd")).cast("long").alias("cy"),
+        F.sum("o").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    packed = marg.agg(
+        F.max("n").alias("n"),
+        F.sort_array(F.collect_list(
+            F.struct("x", "wd", "o", "rx", "cy", "n"))).alias("ls"),
+    )
+    term = lambda e: (  # noqa: E731
+        (e.getField("o").cast("double") / e.getField("n"))
+        * F.log((e.getField("o").cast("double") * e.getField("n"))
+                / (e.getField("rx").cast("double") * e.getField("cy"))))
+    mi = F.aggregate(F.col("ls"), F.lit(0.0),
+                     lambda acc, e: acc + term(e))
+
+    def h(field_m: str):
+        # H(X) = -SUM_cells (o/n) ln(rx/n): grouping the cells of one x
+        # contributes (rx/n) ln(rx/n) exactly, so the marginal entropy
+        # rides the SAME sorted cell fold (no struct-distinct, which
+        # DuckDB cannot list_distinct).
+        def t(e):
+            return (-(e.getField("o").cast("double") / e.getField("n"))
+                    * F.log(e.getField(field_m).cast("double")
+                            / e.getField("n")))
+        return F.aggregate(F.col("ls"), F.lit(0.0),
+                           lambda acc, e: acc + t(e))
+
+    return packed.select(
+        "n",
+        (F.round(mi, 6) + 0.0).alias("mi_nats"),
+        (F.round(mi / F.sqrt(h("rx") * h("cy")), 6) + 0.0)
+        .alias("nmi"),
+    )

@@ -2016,3 +2016,105 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (state.getField("l") + state.getField("b")
          + F.element_at(state.getField("s"), 1)).alias("forecast_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic Time Warping distance between event-type daily series — the
+# alignment-tolerant series-similarity primitive (two types with the same
+# weekly shape shifted by a day are "close" under DTW, far under
+# Euclidean).  Runs the full O(n·m) DP as a nested sequential fold over
+# INTEGER daily counts, so the distance is exact — no floats in the DP.
+# ---------------------------------------------------------------------------
+
+_DTW_INF = 1 << 40  # unreachable-cell sentinel, far above any path cost
+
+
+@query("q_ts_dtw", oracle=f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, list(y ORDER BY d) AS ys,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.ys AS ya, b.ys AS yb, a.n AS n_a, b.n AS n_b
+  FROM s a JOIN s b ON a.event_type < b.event_type
+), dp AS (
+  -- list_reduce seeds the accumulator with the FIRST element, so both
+  -- fold lists carry their init ROW first and the series values as
+  -- singleton lists after it (keeps element types homogeneous).
+  SELECT type_a, type_b, n_a, n_b,
+         list_reduce(
+           list_prepend(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(yb, x -> CAST({_DTW_INF} AS BIGINT))),
+             list_transform(ya, x -> [x])),
+           (prev, item) -> list_reduce(
+             list_prepend([CAST({_DTW_INF} AS BIGINT)],
+               list_transform(yb, x -> [x])),
+             (acc, it2) -> list_append(acc,
+               abs(item[1] - it2[1])
+               + least(prev[len(acc) + 1], prev[len(acc)],
+                       acc[len(acc)])))
+         ) AS lastrow
+  FROM pairs
+)
+SELECT type_a, type_b, n_a, n_b,
+       lastrow[n_b + 1] AS dtw,
+       CAST(lastrow[n_b + 1] AS DOUBLE) / (n_a + n_b) AS dtw_norm
+FROM dp
+""")
+def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise DTW distance between event-type daily-count series.
+
+    Determinism: the DP is pure INTEGER arithmetic (|y_a - y_b| costs,
+    min-of-three recurrence, a 2^40 sentinel for unreachable cells) run
+    as the IDENTICAL nested sequential fold in both engines — outer fold
+    over series A carrying the previous DP row, inner fold building the
+    next row left-to-right (the cell needs new[j-1], so it cannot be a
+    flat transform).  Both engines seed via the list-prepend trick: the
+    fold list's FIRST element is the init row (DuckDB list_reduce seeds
+    with the first element; Spark mirrors by prepending the same init
+    row), so the fold bodies are literally the same expression tree.
+    The only float is the final normalization division.  Scale shape:
+    series are (type, day) AGGREGATES — time-domain-bounded arrays —
+    and the pair table is |types|² rows, so the O(n·m) DP cost is fixed
+    per pair regardless of corpus size; the single BNLJ join is a
+    5×5 type-domain cross, not a data cross."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(d, y))), "
+               "x -> x.y)").alias("ys"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = s.select(F.col("event_type").alias("type_a"),
+                 F.col("ys").alias("ya"), F.col("n").alias("n_a"))
+    b = s.select(F.col("event_type").alias("type_b"),
+                 F.col("ys").alias("yb"), F.col("n").alias("n_b"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    inf = f"CAST({_DTW_INF} AS BIGINT)"
+    lastrow = F.expr(f"""
+      aggregate(
+        ya,
+        concat(array(CAST(0 AS BIGINT)), transform(yb, x -> {inf})),
+        (prev, yai) -> aggregate(
+          yb,
+          array({inf}),
+          (acc, ybj) -> concat(acc, array(
+            abs(yai - ybj)
+            + least(element_at(prev, size(acc) + 1),
+                    element_at(prev, size(acc)),
+                    element_at(acc, size(acc)))))))""")
+    return pairs.select(
+        "type_a", "type_b", "n_a", "n_b",
+        F.element_at(lastrow, (F.col("n_b") + 1).cast("int")).alias("dtw"),
+        (F.element_at(lastrow, (F.col("n_b") + 1).cast("int"))
+         .cast("double") / (F.col("n_a") + F.col("n_b")))
+        .alias("dtw_norm"),
+    )

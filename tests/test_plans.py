@@ -1008,3 +1008,25 @@ def test_holt_winters_rollup_then_typed_fold(spark, sf_dir):
     assert "Join" not in p and "SinglePartition" not in p
     assert "EvalPython" not in p
     assert "hashpartitioning(event_type" in p
+
+
+def test_dtw_folds_on_rollup_type_domain_cross(spark, sf_dir):
+    """The DP must run over (type, day) AGGREGATE arrays — one scan,
+    the daily rollup + per-type collect exchanges; the only join is the
+    |types|x|types| pair cross (broadcast NLJ over domain-bounded rows
+    is acceptable HERE and nowhere data-sized), no Python."""
+    p = _plan(spark, sf_dir, "q_ts_dtw")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 2
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(event_type" in p
+
+
+def test_mutual_info_one_scan_cell_windows(spark, sf_dir):
+    """Marginals must be windows over the cell table (the chi2
+    discipline — a join-back would re-scan events per marginal): one
+    scan, no join, SinglePartition stages only on |types|x7 rows."""
+    p = _plan(spark, sf_dir, "q_analytics_mutual_info")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    assert "EvalPython" not in p

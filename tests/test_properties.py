@@ -984,3 +984,59 @@ def test_anova_l_diversity_holt_winters_rederivation(spark, sf_dir):
         assert abs(r["trend"] - b) < 1e-9
         assert abs(r["season_next"] - s[0]) < 1e-9
         assert abs(r["forecast_next"] - (l + b + s[0])) < 1e-9
+
+
+def test_dtw_and_mutual_info_rederivation(spark, sf_dir):
+    """DTW must equal a textbook Python DP on the same integer series
+    (plus metric sanity: symmetric inputs, zero self-distance by
+    construction of the DP); MI must match a plain-Python plug-in
+    estimate and sit inside [0, min(H)]. """
+    import math
+    from collections import Counter
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    series = {}
+    for r in load(spark, sf_dir, "events").collect():
+        series.setdefault(r["event_type"], Counter())[r["ts"].date()] += 1
+    ys = {t: [c[d] for d in sorted(c)] for t, c in series.items()}
+
+    def dtw(a, b):
+        inf = float("inf")
+        prev = [0.0] + [inf] * len(b)
+        for ya in a:
+            cur = [inf]
+            for j, yb in enumerate(b, 1):
+                cur.append(abs(ya - yb) + min(prev[j], prev[j - 1],
+                                              cur[j - 1]))
+            prev = cur
+        return prev[-1]
+
+    out = QUERIES["q_ts_dtw"](spark, sf_dir).collect()
+    assert len(out) == len(ys) * (len(ys) - 1) // 2
+    for r in out:
+        assert r["type_a"] < r["type_b"]
+        want = dtw(ys[r["type_a"]], ys[r["type_b"]])
+        assert r["dtw"] == want
+        assert dtw(ys[r["type_b"]], ys[r["type_a"]]) == want  # symmetry
+        assert dtw(ys[r["type_a"]], ys[r["type_a"]]) == 0
+        assert abs(r["dtw_norm"] - want / (r["n_a"] + r["n_b"])) < 1e-12
+
+    cells = Counter()
+    for r in load(spark, sf_dir, "events").collect():
+        cells[(r["event_type"], r["ts"].isoweekday() % 7 + 1)] += 1
+    n = sum(cells.values())
+    rx, cy = Counter(), Counter()
+    for (x, w), o in cells.items():
+        rx[x] += o
+        cy[w] += o
+    mi = sum((o / n) * math.log((o * n) / (rx[x] * cy[w]))
+             for (x, w), o in cells.items())
+    hx = -sum((v / n) * math.log(v / n) for v in rx.values())
+    hy = -sum((v / n) * math.log(v / n) for v in cy.values())
+    row = QUERIES["q_analytics_mutual_info"](spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert abs(row["mi_nats"] - mi) < 2e-6
+    assert abs(row["nmi"] - mi / math.sqrt(hx * hy)) < 2e-6
+    assert 0 <= row["mi_nats"] <= min(hx, hy) + 1e-9
