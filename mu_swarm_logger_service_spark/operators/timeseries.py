@@ -1910,7 +1910,11 @@ _HW_GAMMA = 0.25   # seasonal
 _HW_M = 7          # weekly cycle on daily data
 
 
-@query("q_ts_holt_winters", oracle=f"""
+# Shared by the batch fold below AND the streaming stateful twin
+# (streaming/queries.q_stream_holt_winters) — the q_stream_holt pattern:
+# both registered queries check against this SAME recursive recurrence,
+# making stream-state-carry == batch-fold a driver-checked equality.
+HW_ORACLE_SQL = f"""
 WITH RECURSIVE daily AS (
   SELECT event_type, date_trunc('day', ts) AS d,
          CAST(COUNT(*) AS DOUBLE) AS y
@@ -1958,7 +1962,10 @@ SELECT st.event_type, y.n AS n_days, st.l AS level, st.b AS trend,
        st.l + st.b + st.s[1] AS forecast_next
 FROM state st JOIN yl y ON y.event_type = st.event_type
 WHERE st.i = y.n
-""")
+"""
+
+
+@query("q_ts_holt_winters", oracle=HW_ORACLE_SQL)
 def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt–Winters additive (level, trend, m=7 seasonal) per event type
     on the daily rate, with the one-step forecast.

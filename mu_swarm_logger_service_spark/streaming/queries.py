@@ -771,3 +771,80 @@ def _run_cdc_apply(spark: SparkSession, stream: DataFrame,
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("latest_value"),
     )
+
+
+from ..operators.timeseries import HW_ORACLE_SQL  # noqa: E402
+
+
+@query("q_stream_holt_winters", oracle=HW_ORACLE_SQL)
+def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt-Winters seasonal forecasting with an EXACT oracle
+    — the seasonal member of the incremental-forecaster family
+    (q_stream_holt's pattern at day grain with a rolling 7-slot
+    seasonal list in state).  The applyInPandasWithState fold
+    (stateful.hw_stateful) buffers the first 2m closed days, runs the
+    same init + replay the batch fold performs, then carries (l, b, s,
+    pending-day) across micro-batches; per-batch snapshots land in a
+    batchId-addressed sink, the merge keeps each type's LATEST snapshot
+    and closes the still-pending final day with one recurrence step in
+    JVM expressions — identical arithmetic in identical order to the
+    batch q_ts_holt_winters and the recursive-CTE oracle all three
+    share, so stream-state-carry == batch-fold is a driver-checked
+    bit-exact equality (tests/test_streaming.py additionally replays 4
+    ordered micro-batches and asserts equality with the batch query).
+
+    At scale: O(m) state per series, each micro-batch shuffles only its
+    own rows on the type key, and the close step runs at read time so
+    the sink never holds a stale forecast."""
+    from ..operators.timeseries import (
+        _HW_ALPHA, _HW_BETA, _HW_GAMMA, _HW_M)
+    from .stateful import hw_stateful
+
+    sink = tempfile.mkdtemp(prefix="spark_graft_hwsink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_hwckpt_")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.withColumn("batch_id", F.lit(batch_id)) \
+           .write.mode("overwrite").parquet(
+               os.path.join(sink, f"batch={batch_id}"))
+
+    q = (
+        hw_stateful(X.stream_events(spark, sf_dir, max_files_per_trigger=1))
+        .writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window as W
+
+    snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
+    latest = (
+        snaps.withColumn(
+            "mx", F.max("batch_id").over(W.partitionBy("event_type")))
+        .filter(F.col("batch_id") == F.col("mx"))
+        # Series below 2m complete days never leave the init buffer and
+        # would close at n <= 2m < 2m+1 — the batch HAVING bound.
+        .filter((F.col("n_complete") >= 2 * _HW_M)
+                & (F.col("pending_day") >= 0))
+    )
+    a, bb, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    y = F.col("pending_n").cast("double")
+    s1 = F.element_at("s", 1)
+    lt = a * (y - s1) + (1 - a) * (F.col("l") + F.col("b"))
+    bt = bb * (lt - F.col("l")) + (1 - bb) * F.col("b")
+    st = g * (y - lt) + (1 - g) * s1
+    s_next = F.element_at(
+        F.concat(F.slice("s", 2, _HW_M - 1), F.array(st)), 1)
+    out = latest.select(
+        "event_type",
+        (F.col("n_complete") + 1).cast("long").alias("n_days"),
+        lt.alias("level"),
+        bt.alias("trend"),
+        s_next.alias("season_next"),
+        (lt + bt + s_next).alias("forecast_next"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return out

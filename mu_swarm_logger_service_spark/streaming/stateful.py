@@ -233,3 +233,109 @@ def holt_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HW_OUT_SCHEMA = ("event_type string, l double, b double, s array<double>, "
+                 "n_complete long, pending_day long, pending_n long")
+HW_STATE_SCHEMA = ("l double, b double, s array<double>, "
+                   "buf array<double>, n_complete long, "
+                   "pending_day long, pending_n long")
+_NS_PER_DAY = 86_400_000_000_000
+
+
+def _hw_update(key: tuple, pdf_iter, state: GroupState):
+    """Holt-Winters (level, trend, m=7 seasonal) state for one event type.
+
+    Same contract as _holt_update at DAY grain, with the seasonal
+    wrinkle: the recurrence needs the first 2m complete days for its
+    init (week-1 mean level, week-over-week trend, week-1 seasonal
+    deviations), so the state buffers day counts until 2m days have
+    CLOSED, then initializes and immediately replays days m+1..2m
+    through the recurrence — exactly the span the batch fold consumes
+    (operators.timeseries.q_ts_holt_winters starts its fold at m+1) —
+    and from then on every closing day is one O(1) recurrence step over
+    the rolling 7-slot seasonal list.  Python doubles are the same IEEE
+    ops as the JVM fold and the DuckDB recursive CTE, so the carried
+    state is bit-identical to both."""
+    from ..operators.timeseries import (
+        _HW_ALPHA as a, _HW_BETA as bb, _HW_GAMMA as g, _HW_M as m)
+
+    (event_type,) = key
+    if state.exists:
+        l, b, s, buf, n_complete, pending_day, pending_n = state.get
+        s, buf = list(s), list(buf)
+    else:
+        l, b, s, buf = 0.0, 0.0, [], []
+        n_complete, pending_day, pending_n = 0, None, 0
+    if pending_day is not None and pending_day < 0:
+        pending_day = None
+
+    def step(y: float):
+        nonlocal l, b, s
+        lt = a * (y - s[0]) + (1 - a) * (l + b)
+        bt = bb * (lt - l) + (1 - bb) * b
+        st = g * (y - lt) + (1 - g) * s[0]
+        l, b, s = lt, bt, s[1:] + [st]
+
+    def close_pending():
+        nonlocal l, b, s, buf, n_complete
+        y = float(pending_n)
+        n_complete += 1
+        if n_complete <= 2 * m:
+            buf.append(y)
+            if n_complete == 2 * m:
+                sum1 = 0.0
+                for v in buf[:m]:
+                    sum1 = sum1 + v
+                sum2 = 0.0
+                for v in buf[m:2 * m]:
+                    sum2 = sum2 + v
+                l = sum1 / float(m)
+                b = (sum2 - sum1) / float(m * m)
+                s = [v - sum1 / float(m) for v in buf[:m]]
+                for v in buf[m:2 * m]:
+                    step(v)
+        else:
+            step(y)
+
+    pdfs = [p for p in pdf_iter if len(p)]
+    if pdfs:
+        whole = pd.concat(pdfs, ignore_index=True)
+        for ts in whole.sort_values(["ts", "event_id"])["ts"]:
+            d = int(ts.value // _NS_PER_DAY)
+            if pending_day is None:
+                pending_day, pending_n = d, 1
+            elif d == pending_day:
+                pending_n += 1
+            elif d > pending_day:
+                close_pending()
+                pending_day, pending_n = d, 1
+            # else: late row — dropped (the _holt_update decision)
+    state.update((l, b, s, buf, n_complete,
+                  -1 if pending_day is None else pending_day, pending_n))
+    yield pd.DataFrame({
+        "event_type": [event_type], "l": [l], "b": [b], "s": [s],
+        "n_complete": [n_complete],
+        "pending_day": [-1 if pending_day is None else pending_day],
+        "pending_n": [pending_n],
+    })
+
+
+def hw_stateful(events: DataFrame) -> DataFrame:
+    """Streaming Holt-Winters: per-type (l, b, 7-slot seasonal list,
+    init buffer, pending-day) state across micro-batches — O(m) state
+    per series, one type-keyed shuffle per batch.  The consumer keeps
+    the LATEST snapshot per type and closes the pending day with one
+    recurrence step (streaming/queries.q_stream_holt_winters), after
+    which the result equals the batch q_ts_holt_winters bit-for-bit.
+    (Package shipping rides transforms.stream_events, like every
+    stateful source here.)"""
+    return events.select("event_type", "event_id", "ts").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        _hw_update,
+        outputStructType=HW_OUT_SCHEMA,
+        stateStructType=HW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -671,3 +671,61 @@ def test_cdc_apply_across_batches_equals_batch(spark, sf_dir, replay):
     assert _canon(got) == _canon(want)
     shutil.rmtree(state, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_holt_winters_state_across_batches_equals_batch(
+        spark, sf_dir, replay):
+    """Streaming Holt-Winters' core claim under REAL multi-batch replay:
+    per-type (l, b, 7-slot seasonal list, init buffer, pending-day)
+    state across 4 event-time-ordered micro-batches — the init fires
+    mid-stream once 2m days close, days straddling batch boundaries
+    stay pending — then the read-time close of the final day must equal
+    the one-shot batch fold (q_ts_holt_winters) bit-for-bit."""
+    from mu_swarm_logger_service_spark.operators.timeseries import (
+        _HW_ALPHA as a, _HW_BETA as bb, _HW_GAMMA as g, _HW_M as m)
+    from mu_swarm_logger_service_spark.streaming.stateful import hw_stateful
+
+    src, schema = replay
+    sink = tempfile.mkdtemp(prefix="hw_multi_sink_")
+    ckpt = tempfile.mkdtemp(prefix="hw_multi_ckpt_")
+    batch_ids = []
+
+    def write_batch(bdf, batch_id):
+        batch_ids.append(batch_id)
+        bdf.withColumn("batch_id", F.lit(batch_id)) \
+           .write.mode("overwrite").parquet(
+               os.path.join(sink, f"batch={batch_id}"))
+
+    q = (hw_stateful(_read_replay(spark, src, schema))
+         .writeStream.outputMode("update")
+         .foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(set(batch_ids)) >= 4   # genuinely incremental
+
+    from pyspark.sql import Window as W
+    snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
+    latest = (snaps.withColumn(
+        "mx", F.max("batch_id").over(W.partitionBy("event_type")))
+        .filter(F.col("batch_id") == F.col("mx"))
+        .filter((F.col("n_complete") >= 2 * m)
+                & (F.col("pending_day") >= 0)))
+    y = F.col("pending_n").cast("double")
+    s1 = F.element_at("s", 1)
+    lt = a * (y - s1) + (1 - a) * (F.col("l") + F.col("b"))
+    bt = bb * (lt - F.col("l")) + (1 - bb) * F.col("b")
+    st = g * (y - lt) + (1 - g) * s1
+    s_next = F.element_at(F.concat(F.slice("s", 2, m - 1), F.array(st)), 1)
+    streamed = latest.select(
+        "event_type",
+        (F.col("n_complete") + 1).cast("long").alias("n_days"),
+        lt.alias("level"), bt.alias("trend"),
+        s_next.alias("season_next"),
+        (lt + bt + s_next).alias("forecast_next"))
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    batch = QUERIES["q_ts_holt_winters"](spark, sf_dir)
+    assert _canon(streamed) == _canon(batch)   # bit-exact double equality
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
