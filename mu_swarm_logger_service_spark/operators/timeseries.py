@@ -2125,3 +2125,97 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
          .cast("double") / (F.col("n_a") + F.col("n_b")))
         .alias("dtw_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest — the evaluation loop the forecasting
+# family was missing: replay Holt level+trend one step ahead through the
+# daily series, score every forecast against the actual, and report MAE
+# and MASE (error relative to the naive y_{t+1}=y_t forecaster — the
+# standard scale-free skill metric; MASE < 1 means the model beats naive).
+# ---------------------------------------------------------------------------
+
+
+@query("q_ts_forecast_backtest", oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), ord AS MATERIALIZED (
+  SELECT event_type, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
+  FROM daily
+), n AS (
+  SELECT event_type, MAX(i) AS n_days FROM ord GROUP BY 1
+), state AS (
+  SELECT event_type, 1 AS i, y AS l, CAST(0.0 AS DOUBLE) AS b,
+         y AS prev, CAST(0.0 AS DOUBLE) AS err_sum,
+         CAST(0.0 AS DOUBLE) AS naive_sum
+  FROM ord WHERE i = 1
+  UNION ALL
+  SELECT s.event_type, s.i + 1,
+         {_HOLT_ALPHA} * o.y + {1 - _HOLT_ALPHA} * (s.l + s.b),
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * o.y
+                          + {1 - _HOLT_ALPHA} * (s.l + s.b)) - s.l)
+           + {1 - _HOLT_BETA} * s.b,
+         o.y,
+         s.err_sum + abs(o.y - (s.l + s.b)),
+         s.naive_sum + abs(o.y - s.prev)
+  FROM state s JOIN ord o
+    ON o.event_type = s.event_type AND o.i = s.i + 1
+)
+SELECT s.event_type, CAST(n.n_days AS BIGINT) AS n_days,
+       s.err_sum / (n.n_days - 1) AS mae,
+       s.naive_sum / (n.n_days - 1) AS naive_mae,
+       s.err_sum / s.naive_sum AS mase
+FROM state s JOIN n ON n.event_type = s.event_type
+WHERE s.i = n.n_days AND n.n_days > 1 AND s.naive_sum > 0
+""")
+def q_ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling one-step Holt backtest per event type: MAE and MASE of
+    the l_t + b_t forecast over the daily series.
+
+    Determinism: ONE sequential fold carries (l, b, prev_y, err_sum,
+    naive_sum) — each step first SCORES the incoming day against the
+    previous state's forecast, then folds it into the state, so the
+    whole backtest costs the same single pass the forecast itself does
+    (no per-origin refits: Holt's state at time t IS the model fit on
+    y_1..y_t).  The error sums accumulate in index order inside the
+    fold — never a shuffle-order SUM — and the oracle steps the
+    IDENTICAL recurrence + accumulators as a recursive CTE
+    (q_ts_holt_trend contract; MATERIALIZED feeder), so every emitted
+    double is bit-identical raw.  Scale shape: fold over the (type,
+    day) aggregate — one rollup shuffle, one per-type collect of a
+    time-domain-bounded array."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(d, y))), "
+               "s -> s.y)").alias("ys"))
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    lt = f"{a} * y + {1 - a} * (acc.l + acc.b)"
+    state = F.expr(
+        f"aggregate(slice(ys, 2, greatest(size(ys) - 1, 0)), "
+        f"struct(element_at(ys, 1) AS l, cast(0.0 AS DOUBLE) AS b, "
+        f"element_at(ys, 1) AS prev, cast(0.0 AS DOUBLE) AS err_sum, "
+        f"cast(0.0 AS DOUBLE) AS naive_sum), "
+        f"(acc, y) -> struct("
+        f"{lt} AS l, "
+        f"{b} * (({lt}) - acc.l) + {1 - b} * acc.b AS b, "
+        f"y AS prev, "
+        f"acc.err_sum + abs(y - (acc.l + acc.b)) AS err_sum, "
+        f"acc.naive_sum + abs(y - acc.prev) AS naive_sum))")
+    nd = F.size("ys").cast("long")
+    return (series.select(
+        "event_type", nd.alias("n_days"),
+        state.getField("err_sum").alias("es"),
+        state.getField("naive_sum").alias("ns"))
+        .filter((F.col("n_days") > 1) & (F.col("ns") > 0))
+        .select(
+            "event_type", "n_days",
+            (F.col("es") / (F.col("n_days") - 1)).alias("mae"),
+            (F.col("ns") / (F.col("n_days") - 1)).alias("naive_mae"),
+            (F.col("es") / F.col("ns")).alias("mase"),
+        ))

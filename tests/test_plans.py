@@ -1030,3 +1030,14 @@ def test_mutual_info_one_scan_cell_windows(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_forecast_backtest_single_fold_shape(spark, sf_dir):
+    """The whole backtest must ride ONE sequential fold over the (type,
+    day) aggregate — one scan, two exchanges (rollup + per-type
+    collect), no join, no single partition, no Python."""
+    p = _plan(spark, sf_dir, "q_ts_forecast_backtest")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "Join" not in p and "SinglePartition" not in p
+    assert "EvalPython" not in p

@@ -1040,3 +1040,41 @@ def test_dtw_and_mutual_info_rederivation(spark, sf_dir):
     assert abs(row["mi_nats"] - mi) < 2e-6
     assert abs(row["nmi"] - mi / math.sqrt(hx * hy)) < 2e-6
     assert 0 <= row["mi_nats"] <= min(hx, hy) + 1e-9
+
+
+def test_forecast_backtest_rederivation_and_skill(spark, sf_dir):
+    """MAE/MASE must match a literal Python replay of the scoring fold,
+    and the backtest must be non-degenerate (errors strictly positive,
+    n_days equal to the series length)."""
+    from collections import Counter
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+    from mu_swarm_logger_service_spark.operators.timeseries import (
+        _HOLT_ALPHA as a, _HOLT_BETA as bb)
+
+    series = {}
+    for r in load(spark, sf_dir, "events").collect():
+        series.setdefault(r["event_type"], Counter())[r["ts"].date()] += 1
+    out = {r["event_type"]: r
+           for r in QUERIES["q_ts_forecast_backtest"](spark, sf_dir)
+           .collect()}
+    for et, c in series.items():
+        ys = [float(c[d]) for d in sorted(c)]
+        l, b, prev = ys[0], 0.0, ys[0]
+        es = ns = 0.0
+        for y in ys[1:]:
+            es += abs(y - (l + b))
+            ns += abs(y - prev)
+            nl = a * y + (1 - a) * (l + b)
+            b = bb * (nl - l) + (1 - bb) * b
+            l, prev = nl, y
+        if len(ys) <= 1 or ns == 0:
+            assert et not in out
+            continue
+        r = out[et]
+        assert r["n_days"] == len(ys)
+        assert abs(r["mae"] - es / (len(ys) - 1)) < 1e-9
+        assert abs(r["naive_mae"] - ns / (len(ys) - 1)) < 1e-9
+        assert abs(r["mase"] - es / ns) < 1e-12
+        assert r["mae"] > 0 and r["mase"] > 0
