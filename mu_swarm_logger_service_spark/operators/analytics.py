@@ -2372,3 +2372,119 @@ def q_analytics_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(mi / F.sqrt(h("rx") * h("cy")), 6) + 0.0)
         .alias("nmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value channel attribution — the game-theoretic credit split
+# (q_ts_multi_touch divides equally; last-touch picks one winner; Shapley
+# is the axiomatically-fair division marketing actually asks for).  The
+# simplified coalition game over touchsets: v(S) = conversion rate of
+# users whose touched-channel set is exactly S, and each channel's value
+# is the factorial-weighted average of its marginal contributions over
+# all 2^(n-1) coalitions.
+# ---------------------------------------------------------------------------
+
+SHAP_CHANNELS = ("click", "error", "signup", "view")  # bit order, sorted
+# |S|!(n-|S|-1)!/n! for n=4, indexed by |S| — 1/4 and 1/12; written as
+# divisions of exact literals so both engines start from identical bits.
+_SHAP_W_SQL = "CASE bit_count({s}) WHEN 0 THEN CAST(1.0 AS DOUBLE) / 4 " \
+              "WHEN 1 THEN CAST(1.0 AS DOUBLE) / 12 " \
+              "WHEN 2 THEN CAST(1.0 AS DOUBLE) / 12 " \
+              "ELSE CAST(1.0 AS DOUBLE) / 4 END"
+
+
+@query("q_analytics_shapley", oracle=f"""
+WITH per_user AS (
+  -- High-value touches/conversions only (value >= 200): at fixture
+  -- density every user touches every channel and converts, which
+  -- collapses Shapley to the symmetric 1/4 — the thresholds keep the
+  -- masks AND the outcome varied (vacuous-pair discipline).
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' AND value >= 200
+             THEN 1 ELSE 0 END)
+         + 2 * MAX(CASE WHEN event_type = 'error' AND value >= 200
+                   THEN 1 ELSE 0 END)
+         + 4 * MAX(CASE WHEN event_type = 'signup' AND value >= 200
+                   THEN 1 ELSE 0 END)
+         + 8 * MAX(CASE WHEN event_type = 'view' AND value >= 200
+                   THEN 1 ELSE 0 END) AS mask,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 200
+             THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), cells AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS c
+  FROM per_user GROUP BY 1
+), packed AS (
+  SELECT list_sort(list(struct_pack(mask := mask, n := n, c := c))) AS ls
+  FROM cells
+), vtab AS (
+  -- v indexed by mask+1; coalitions with no users contribute v = 0.
+  SELECT list_transform(range(0, 16), m ->
+           coalesce(list_transform(list_filter(ls, e -> e.mask = m),
+                                   e -> CAST(e.c AS DOUBLE) / e.n)[1],
+                    CAST(0.0 AS DOUBLE))) AS v
+  FROM packed
+), chan AS (
+  SELECT * FROM (VALUES ('click', 1), ('error', 2), ('signup', 4),
+                        ('view', 8)) AS t(channel, bit)
+)
+SELECT c.channel,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(list_filter(range(0, 16),
+                                    s -> (s & c.bit) = 0),
+           s -> ({_SHAP_W_SQL.format(s="s")})
+                * (v.v[(s | c.bit) + 1] - v.v[s + 1]))),
+         (a, x) -> a + x) AS shapley
+FROM chan c CROSS JOIN vtab v
+""")
+def q_analytics_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley attribution of conversion over the four touch channels.
+
+    Determinism: coalition rates v(S) are single divisions of exact
+    integers from one (user → mask) rollup; the 16-slot v table is
+    built identically in both engines (empty coalitions pinned to 0 —
+    a deterministic rule, not an engine artifact), the factorial
+    weights are divisions of exact literals (the fixed-point-literal
+    gotcha: CAST(1.0 AS DOUBLE)/12 on both sides), and each channel's
+    8-term marginal sum folds in ascending-mask order — identical op
+    sequence on identical bits, raw emit.  Efficiency (sum of Shapley
+    values == v(full set) - v(empty)) is pinned by a property test.
+    Plan: one fact scan, the per-user rollup (the only data-sized
+    shuffle), the 16-row mask rollup, then a 1-row collect crossed with
+    the 4-row channel table — everything after the user rollup is
+    2^channels-bounded."""
+    ev = load(spark, sf_dir, "events")
+    has = lambda t: F.max(  # noqa: E731
+        F.when((F.col("event_type") == t) & (F.col("value") >= 200), 1)
+        .otherwise(0))
+    per_user = ev.groupBy("user_id").agg(
+        (has("click") + 2 * has("error") + 4 * has("signup")
+         + 8 * has("view")).alias("mask"),
+        has("purchase").alias("conv"),
+    )
+    cells = per_user.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    )
+    packed = cells.agg(F.sort_array(F.collect_list(
+        F.struct("mask", "n", "c"))).alias("ls"))
+    vtab = packed.select(F.expr(
+        # get() (not [0]) — ANSI brackets THROW on the empty coalitions.
+        "transform(sequence(0, 15), m -> "
+        "coalesce(get(transform(filter(ls, e -> e.mask = m), "
+        "e -> CAST(e.c AS DOUBLE) / e.n), 0), CAST(0.0 AS DOUBLE)))"
+    ).alias("v"))
+    chan = spark.createDataFrame(
+        [(name, 1 << i) for i, name in enumerate(SHAP_CHANNELS)],
+        "channel string, bit int")
+    w_sql = ("CASE bit_count(s) WHEN 0 THEN CAST(1.0 AS DOUBLE) / 4 "
+             "WHEN 1 THEN CAST(1.0 AS DOUBLE) / 12 "
+             "WHEN 2 THEN CAST(1.0 AS DOUBLE) / 12 "
+             "ELSE CAST(1.0 AS DOUBLE) / 4 END")
+    shap = F.expr(
+        f"aggregate(filter(sequence(0, 15), s -> (s & bit) = 0), "
+        f"CAST(0.0 AS DOUBLE), (a, s) -> a + ({w_sql}) "
+        f"* (element_at(v, (s | bit) + 1) - element_at(v, s + 1)))")
+    return (chan.crossJoin(F.broadcast(vtab))
+            .select("channel", shap.alias("shapley")))

@@ -1041,3 +1041,13 @@ def test_forecast_backtest_single_fold_shape(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
     assert "Join" not in p and "SinglePartition" not in p
     assert "EvalPython" not in p
+
+
+def test_shapley_user_rollup_then_mask_bounded(spark, sf_dir):
+    """The only data-sized shuffle is the per-user rollup; everything
+    after is 2^channels-bounded (mask rollup, 1-row collect, 4-row
+    channel cross) — one scan, no Python, no data-sized join."""
+    p = _plan(spark, sf_dir, "q_analytics_shapley")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "EvalPython" not in p
+    assert "hashpartitioning(user_id" in p

@@ -1078,3 +1078,54 @@ def test_forecast_backtest_rederivation_and_skill(spark, sf_dir):
         assert abs(r["naive_mae"] - ns / (len(ys) - 1)) < 1e-9
         assert abs(r["mase"] - es / ns) < 1e-12
         assert r["mae"] > 0 and r["mase"] > 0
+
+
+def test_shapley_rederivation_and_axioms(spark, sf_dir):
+    """Shapley values must match a from-scratch factorial-formula
+    computation over the exact coalition table, satisfy efficiency
+    (sum == v(full) - v(empty)), and be non-degenerate (not all equal
+    — the all-touch collapse the thresholds exist to prevent)."""
+    import math
+    from collections import Counter
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+    from mu_swarm_logger_service_spark.operators.analytics import (
+        SHAP_CHANNELS)
+
+    users = {}
+    for r in load(spark, sf_dir, "events").collect():
+        mask, conv = users.get(r["user_id"], (0, 0))
+        if r["value"] >= 200:
+            for i, t in enumerate(SHAP_CHANNELS):
+                if r["event_type"] == t:
+                    mask |= 1 << i
+            if r["event_type"] == "purchase":
+                conv = 1
+        users[r["user_id"]] = (mask, conv)
+    n_u, c_u = Counter(), Counter()
+    for mask, conv in users.values():
+        n_u[mask] += 1
+        c_u[mask] += conv
+    v = [c_u[m] / n_u[m] if n_u[m] else 0.0 for m in range(16)]
+    n = len(SHAP_CHANNELS)
+    want = {}
+    for i, name in enumerate(SHAP_CHANNELS):
+        bit = 1 << i
+        phi = 0.0
+        for s in range(16):
+            if s & bit:
+                continue
+            k = bin(s).count("1")
+            w = (math.factorial(k) * math.factorial(n - k - 1)
+                 / math.factorial(n))
+            phi += w * (v[s | bit] - v[s])
+        want[name] = phi
+    got = {r["channel"]: r["shapley"]
+           for r in QUERIES["q_analytics_shapley"](spark, sf_dir)
+           .collect()}
+    assert set(got) == set(want)
+    for name in want:
+        assert abs(got[name] - want[name]) < 1e-9
+    assert abs(sum(got.values()) - (v[15] - v[0])) < 1e-9  # efficiency
+    assert len({round(x, 9) for x in got.values()}) > 1  # non-degenerate
