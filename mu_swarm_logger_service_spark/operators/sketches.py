@@ -749,3 +749,112 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("event_id").alias("n_distinct_exact")
     )
     return kmv_finalize(merged, ex)
+
+
+# ---------------------------------------------------------------------------
+# KMV set similarity — Jaccard between the HIGH-VALUE user sets of every
+# event-type pair, estimated from the union's bottom-K sketch and checked
+# against the exact Jaccard in the same row.  The pairwise-overlap
+# primitive at sketch cost: at real cardinalities the exact path is a
+# user-keyed self-join, the sketch path ships K=64 integers per set and
+# estimates ANY pair's overlap from merged partials — the audience-overlap
+# query every ads/reach dashboard runs.  Value >= 200 gates membership
+# (at fixture density every user is in every set — the Shapley lesson).
+# ---------------------------------------------------------------------------
+
+_KMV_JAC_SQL = f"""
+WITH pu AS (
+  SELECT DISTINCT event_type,
+         user_id,
+         ((user_id * {KMV_A} + {KMV_B}) % {KMV_P1}) * {KMV_STRETCH} AS pri
+  FROM events WHERE value >= 200 AND event_type <> 'purchase'
+), types AS (
+  SELECT DISTINCT event_type FROM pu
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+), sides AS (
+  SELECT p.ta, p.tb, u.pri,
+         MAX(CASE WHEN u.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN u.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN pu u
+    ON u.event_type = p.ta OR u.event_type = p.tb
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT ta, tb, pri, in_a, in_b,
+         row_number() OVER (PARTITION BY ta, tb ORDER BY pri) AS rn
+  FROM sides
+), sk AS (
+  SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS k_both
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY 1, 2
+), ex AS (
+  SELECT ta, tb,
+         CAST(SUM(in_a) AS BIGINT) AS n_a,
+         CAST(SUM(in_b) AS BIGINT) AS n_b,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+  FROM sides GROUP BY 1, 2
+)
+SELECT sk.ta AS type_a, sk.tb AS type_b, sk.k_used, sk.k_both,
+       CAST(sk.k_both AS DOUBLE) / sk.k_used AS j_est,
+       CAST(ex.n_both AS DOUBLE) / (ex.n_a + ex.n_b - ex.n_both)
+         AS j_exact
+FROM sk JOIN ex ON ex.ta = sk.ta AND ex.tb = sk.tb
+"""
+
+
+@query("q_sketch_kmv_jaccard", oracle=_KMV_JAC_SQL)
+def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard of high-value user sets: bottom-K union sketch
+    estimate next to the exact value.
+
+    Determinism: the KMV priority is the repo's exact affine lattice
+    (injective below P1, identical integers cross-engine), membership
+    flags and intersection counts are integers, and both Jaccards are
+    single divisions of exact integers — the whole row is value-exact,
+    which is what makes the ESTIMATOR itself auditable by the oracle
+    (the |j_est − j_exact| error bound is pinned separately by a
+    property test).  Plan: one distinct (type, user) pass; the pair
+    expansion multiplies rows by (|types|−1) only — each user row lands
+    in the ≤4 pairs naming its type — then a (pair, pri) rollup and a
+    pair-partitioned rank; everything downstream of the rank cut is
+    K-bounded per pair.  At 100 TB the sketch path is the point: the
+    bottom-K partials merge losslessly (kmv_bottomk composition), so
+    any pair's overlap estimate costs K integers per side, not a
+    user-keyed self-join."""
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("value") >= 200) & (F.col("event_type") != "purchase"))
+    pu = (ev.select("event_type", "user_id").distinct()
+          .select("event_type", "user_id",
+                  kmv_priority("user_id").alias("pri")))
+    types = pu.select("event_type").distinct()
+    pairs = (types.select(F.col("event_type").alias("ta"))
+             .join(types.select(F.col("event_type").alias("tb")),
+                   F.col("ta") < F.col("tb")))
+    sides = (F.broadcast(pairs).join(
+        pu, (pu.event_type == F.col("ta")) | (pu.event_type == F.col("tb")))
+        .groupBy("ta", "tb", "pri")
+        .agg(F.max(F.when(F.col("event_type") == F.col("ta"), 1)
+                   .otherwise(0)).alias("in_a"),
+             F.max(F.when(F.col("event_type") == F.col("tb"), 1)
+                   .otherwise(0)).alias("in_b")))
+    w = Window.partitionBy("ta", "tb").orderBy("pri")
+    sk = (sides.withColumn("rn", F.row_number().over(w))
+          .filter(F.col("rn") <= KMV_K)
+          .groupBy("ta", "tb")
+          .agg(F.count(F.lit(1)).cast("long").alias("k_used"),
+               F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+               .alias("k_both")))
+    ex = sides.groupBy("ta", "tb").agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"))
+    return (sk.join(ex, ["ta", "tb"])
+            .select(F.col("ta").alias("type_a"),
+                    F.col("tb").alias("type_b"),
+                    "k_used", "k_both",
+                    (F.col("k_both").cast("double") / F.col("k_used"))
+                    .alias("j_est"),
+                    (F.col("n_both").cast("double")
+                     / (F.col("n_a") + F.col("n_b") - F.col("n_both")))
+                    .alias("j_exact")))

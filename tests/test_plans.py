@@ -1051,3 +1051,15 @@ def test_shapley_user_rollup_then_mask_bounded(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "EvalPython" not in p
     assert "hashpartitioning(user_id" in p
+
+
+def test_kmv_jaccard_pair_bounded_after_distinct(spark, sf_dir):
+    """One distinct (type, user) pass; the pair expansion is a
+    broadcast of the |types|² pair table; the rank windows partition on
+    the pair key — no data-sized join, no single partition, no
+    Python."""
+    p = _plan(spark, sf_dir, "q_sketch_kmv_jaccard")
+    assert "EvalPython" not in p
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(ta" in p

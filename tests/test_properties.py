@@ -1129,3 +1129,32 @@ def test_shapley_rederivation_and_axioms(spark, sf_dir):
         assert abs(got[name] - want[name]) < 1e-9
     assert abs(sum(got.values()) - (v[15] - v[0])) < 1e-9  # efficiency
     assert len({round(x, 9) for x in got.values()}) > 1  # non-degenerate
+
+
+def test_kmv_jaccard_error_bound_and_both_branches(spark, sf_dir):
+    """The sketch estimate must stay within the documented KMV error
+    envelope of the exact Jaccard on every pair, the exact value must
+    match a Python set computation, and both estimator branches
+    (k_used < K exact capture, k_used == K real estimation) must fire
+    at the driver SF (0.01) — at sf0.001 unions are all under K and
+    the capture branch alone is exercised."""
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+    from mu_swarm_logger_service_spark.operators.sketches import KMV_K
+
+    sets = {}
+    for r in load(spark, sf_dir, "events").collect():
+        if r["value"] >= 200 and r["event_type"] != "purchase":
+            sets.setdefault(r["event_type"], set()).add(r["user_id"])
+    out = QUERIES["q_sketch_kmv_jaccard"](spark, sf_dir).collect()
+    assert len(out) == len(sets) * (len(sets) - 1) // 2
+    for r in out:
+        a, b = sets[r["type_a"]], sets[r["type_b"]]
+        want = len(a & b) / len(a | b)
+        assert abs(r["j_exact"] - want) < 1e-12
+        if r["k_used"] < KMV_K:
+            assert abs(r["j_est"] - r["j_exact"]) < 1e-12  # full capture
+        else:
+            # k_both/K is a hypergeometric draw of the union's bottom-K:
+            # 4-sigma envelope with sigma <= 0.5/sqrt(K).
+            assert abs(r["j_est"] - r["j_exact"]) <= 2.0 / (KMV_K ** 0.5)
