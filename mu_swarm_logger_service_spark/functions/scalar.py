@@ -636,3 +636,107 @@ def q_fn_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(nfc).cast("long").alias("n_nfc"),
         (nfc != F.col("s")).alias("composed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IP / network functions — the address arithmetic a log-analytics engine
+# needs for source attribution (the reference logs Docker events whose
+# real-world payloads carry container/host addresses): pack/unpack IPv4,
+# derive the /24 network, CIDR-prefix matching, reverse-DNS pointer.
+# Addresses are MINTED deterministically from user_id (the parse_url
+# discipline: no address column exists in the fixtures, so the query
+# fabricates the triggering input and both engines transform it).
+# ---------------------------------------------------------------------------
+
+# Pinned CIDR blocks the matcher classifies against (prefix-length mask
+# arithmetic, not string prefixing): RFC1918 10/8 + 172.16/12 + 192.168/16.
+_CIDR_BLOCKS_SQL = (
+    "(ip32 >> 24) = 10 AS in_10_8, "
+    "(ip32 >> 20) = 2753 AS in_172_16_12, "
+    "(ip32 >> 16) = 49320 AS in_192_168_16"
+)
+
+
+@query("q_fn_ipnet", oracle=f"""
+WITH hashed AS (
+  SELECT DISTINCT user_id,
+         (user_id * 2654435761) % 4294967296 AS base
+  FROM events
+), minted AS (
+  -- Deterministic private/public mix so every CIDR matcher FIRES on the
+  -- fixture (a raw 32-bit hash lands in 10/8 with p=1/256 — vacuous):
+  -- users rotate through 10/8, 172.16/12, 192.168/16 and raw-public.
+  SELECT user_id,
+         CASE user_id % 4
+           WHEN 0 THEN 167772160 + base % 16777216
+           WHEN 1 THEN 2886729728 + base % 1048576
+           WHEN 2 THEN 3232235520 + base % 65536
+           ELSE base END AS ip32
+  FROM hashed
+), parts AS (
+  SELECT user_id, ip32,
+         ip32 // 16777216 AS o1,
+         (ip32 // 65536) % 256 AS o2,
+         (ip32 // 256) % 256 AS o3,
+         ip32 % 256 AS o4
+  FROM minted
+)
+SELECT user_id, CAST(ip32 AS BIGINT) AS ip32,
+       o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip,
+       o1 || '.' || o2 || '.' || o3 || '.0/24' AS net24,
+       CAST(ip32 - (ip32 % 256) + 255 AS BIGINT) AS bcast24,
+       {_CIDR_BLOCKS_SQL},
+       o4 || '.' || o3 || '.' || o2 || '.' || o1
+         || '.in-addr.arpa' AS rptr
+FROM parts
+""")
+def q_fn_ipnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 pack/unpack, /24 network + broadcast, RFC1918 CIDR matches,
+    reverse-DNS pointer — per distinct user.
+
+    Determinism: the minted address is Knuth's multiplicative hash mod
+    2^32, rotated through the three RFC1918 blocks by user id so every
+    matcher fires on the fixture (vacuous-pair discipline) — pure
+    BIGINT arithmetic, identical in both engines; octet
+    splits are integer div/mod, CIDR membership is shift-compare
+    (ip >> (32-len) == prefix, never string matching — '10.' would
+    also match 100.x), and every output is an integer or a
+    deterministically-assembled string.  The DuckDB side uses // and %
+    where Spark shifts (same values on nonnegative ints; the >> shifts
+    are written identically in both).  Plan: one distinct-user pass,
+    then pure projection — no joins, no shuffle beyond the distinct."""
+    ev = load(spark, sf_dir, "events")
+    base = (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
+    # 167772160 = 10<<24; 2886729728 = 2753<<20; 3232235520 = 49320<<16.
+    ip32 = (F.when(F.col("user_id") % 4 == 0,
+                   F.lit(167772160) + base % 16777216)
+            .when(F.col("user_id") % 4 == 1,
+                  F.lit(2886729728) + base % 1048576)
+            .when(F.col("user_id") % 4 == 2,
+                  F.lit(3232235520) + base % 65536)
+            .otherwise(base))
+    minted = ev.select("user_id").distinct().select(
+        "user_id", ip32.alias("ip32"))
+    o1 = (F.col("ip32") / 16777216).cast("long")
+    o2 = ((F.col("ip32") / 65536).cast("long")) % 256
+    o3 = ((F.col("ip32") / 256).cast("long")) % 256
+    o4 = F.col("ip32") % 256
+    dot = F.lit(".")
+    parts = minted.select(
+        "user_id", F.col("ip32").cast("long").alias("ip32"),
+        o1.alias("o1"), o2.alias("o2"), o3.alias("o3"), o4.alias("o4"))
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    return parts.select(
+        "user_id", "ip32",
+        F.concat(s("o1"), dot, s("o2"), dot, s("o3"), dot, s("o4"))
+        .alias("ip"),
+        F.concat(s("o1"), dot, s("o2"), dot, s("o3"), F.lit(".0/24"))
+        .alias("net24"),
+        (F.col("ip32") - (F.col("ip32") % 256) + 255).cast("long")
+        .alias("bcast24"),
+        (F.shiftright("ip32", 24) == 10).alias("in_10_8"),
+        (F.shiftright("ip32", 20) == 2753).alias("in_172_16_12"),
+        (F.shiftright("ip32", 16) == 49320).alias("in_192_168_16"),
+        F.concat(s("o4"), dot, s("o3"), dot, s("o2"), dot, s("o1"),
+                 F.lit(".in-addr.arpa")).alias("rptr"),
+    )

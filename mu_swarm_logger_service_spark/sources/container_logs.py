@@ -105,3 +105,100 @@ def q_source_container_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("message").like("%type=purchase%"), 1).otherwise(0))
         .alias("n_purchase_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Syslog decode — the other wire format a container logger meets besides
+# the Docker JSON stream: RFC3164-style lines with a <PRI> header whose
+# single integer multiplexes facility and severity.  Lines are MINTED
+# deterministically from events (the parse_url discipline — the fixture
+# has no syslog column), then PARSED back with the real regex pipeline,
+# so the decode path (regex capture -> PRI arithmetic -> name lookup) is
+# value-checked end to end.
+# ---------------------------------------------------------------------------
+
+_SYSLOG_SEV = ("emerg", "alert", "crit", "err",
+               "warning", "notice", "info", "debug")
+_SEV_CASE_SQL = "CASE pri % 8 " + " ".join(
+    f"WHEN {i} THEN '{n}'" for i, n in enumerate(_SYSLOG_SEV)) + " END"
+
+
+@query("q_source_syslog", oracle=f"""
+WITH minted AS (
+  SELECT event_id,
+         '<' || (event_id % 192) || '>'
+         || strftime(ts, '%b %-d %H:%M:%S') || ' host'
+         || (user_id % 10) || ' app[' || (event_id % 1000) || ']: '
+         || event_type || ' value=' || CAST(value AS VARCHAR) AS line
+  FROM events
+), parsed AS (
+  SELECT event_id, line,
+         CAST(regexp_extract(line, '^<(\\d+)>', 1) AS BIGINT) AS pri,
+         regexp_extract(line, '^<\\d+>\\S+\\s+\\S+\\s+\\S+\\s+(host\\d+)',
+                        1) AS host,
+         regexp_extract(line, '(\\w+)\\[(\\d+)\\]', 1) AS prog,
+         CAST(regexp_extract(line, '(\\w+)\\[(\\d+)\\]', 2) AS BIGINT)
+           AS pid,
+         regexp_extract(line, '\\]: (\\w+) value=', 1) AS msg_type
+  FROM minted
+)
+SELECT CAST(pri // 8 AS BIGINT) AS facility, pri % 8 AS severity,
+       {_SEV_CASE_SQL} AS severity_name,
+       host, prog,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(event_id) AS BIGINT) AS first_event,
+       CAST(COUNT(DISTINCT msg_type) AS BIGINT) AS n_msg_types
+FROM parsed
+GROUP BY 1, 2, 3, 4, 5
+""")
+def q_source_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syslog line decode: mint RFC3164-style lines, parse them back
+    (PRI regex, facility = pri//8, severity = pri%8 with the standard
+    name table, host/program/pid captures), roll up per
+    (facility, severity, host, program).
+
+    Determinism: minting is pure string assembly from fixture columns
+    (the %-d day strftime matches Spark's unpadded d pattern); both
+    engines then run their OWN regex engines over identical lines —
+    simple character-class patterns with no engine-divergent syntax
+    (the regexp family precedent), with patterns kept OUT of F.expr
+    strings (the backslash-eating gotcha: F.regexp_extract takes the
+    pattern as a Python argument).  PRI decode is integer div/mod.
+    Plan: one scan, pure per-row projection, one rollup shuffle on the
+    (facility, severity, host, prog) key — log-pipeline-shaped: at
+    100 TB this is a straight map + partial-agg pass."""
+    ev = load(spark, sf_dir, "events")
+    minted = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("<"), (F.col("event_id") % 192).cast("string"),
+            F.lit(">"),
+            F.date_format("ts", "MMM d HH:mm:ss"), F.lit(" host"),
+            (F.col("user_id") % 10).cast("string"),
+            F.lit(" app["), (F.col("event_id") % 1000).cast("string"),
+            F.lit("]: "), F.col("event_type"),
+            F.lit(" value="), F.col("value").cast("string"),
+        ).alias("line"))
+    parsed = minted.select(
+        "event_id", "line",
+        F.regexp_extract("line", r"^<(\d+)>", 1).cast("long").alias("pri"),
+        F.regexp_extract("line", r"^<\d+>\S+\s+\S+\s+\S+\s+(host\d+)", 1)
+        .alias("host"),
+        F.regexp_extract("line", r"(\w+)\[(\d+)\]", 1).alias("prog"),
+        F.regexp_extract("line", r"(\w+)\[(\d+)\]", 2).cast("long")
+        .alias("pid"),
+        F.regexp_extract("line", r"\]: (\w+) value=", 1).alias("msg_type"),
+    )
+    sev = F.col("pri") % 8
+    sev_name = F.element_at(
+        F.array(*[F.lit(n) for n in _SYSLOG_SEV]), (sev + 1).cast("int"))
+    return parsed.groupBy(
+        (F.col("pri") / 8).cast("long").alias("facility"),
+        sev.alias("severity"),
+        sev_name.alias("severity_name"),
+        "host", "prog",
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("event_id").cast("long").alias("first_event"),
+        F.countDistinct("msg_type").cast("long").alias("n_msg_types"),
+    )

@@ -1063,3 +1063,24 @@ def test_kmv_jaccard_pair_bounded_after_distinct(spark, sf_dir):
     assert "SinglePartition" not in p
     assert "CartesianProduct" not in p
     assert "hashpartitioning(ta" in p
+
+
+def test_ipnet_projection_only_after_distinct(spark, sf_dir):
+    """Address arithmetic must be pure projection over one distinct-user
+    pass — one scan, the distinct exchange, no join, no Python."""
+    p = _plan(spark, sf_dir, "q_fn_ipnet")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "hashpartitioning(user_id" in p
+
+
+def test_syslog_map_then_single_rollup(spark, sf_dir):
+    """Mint + regex parse must stay a per-row map over one scan with a
+    single rollup (two exchanges: countDistinct expands to the standard
+    two-phase aggregate) — log-pipeline-shaped; no join, no Python."""
+    p = _plan(spark, sf_dir, "q_source_syslog")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
+    assert "Join" not in p
+    assert "EvalPython" not in p

@@ -1158,3 +1158,47 @@ def test_kmv_jaccard_error_bound_and_both_branches(spark, sf_dir):
             # k_both/K is a hypergeometric draw of the union's bottom-K:
             # 4-sigma envelope with sigma <= 0.5/sqrt(K).
             assert abs(r["j_est"] - r["j_exact"]) <= 2.0 / (KMV_K ** 0.5)
+
+
+def test_ipnet_and_syslog_rederivation(spark, sf_dir):
+    """IP fields must match Python's own inet arithmetic (pack/unpack
+    round-trip, CIDR membership via ipaddress module semantics);
+    syslog PRI decode must match facility*8+severity reconstruction
+    and every severity name must come from the standard table."""
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.sources.container_logs import (
+        _SYSLOG_SEV)
+
+    out = QUERIES["q_fn_ipnet"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        base = (r["user_id"] * 2654435761) % (1 << 32)
+        m = r["user_id"] % 4
+        ip32 = ((10 << 24) + base % (1 << 24) if m == 0 else
+                (2753 << 20) + base % (1 << 20) if m == 1 else
+                (49320 << 16) + base % (1 << 16) if m == 2 else base)
+        assert r["ip32"] == ip32
+        octs = [(ip32 >> s) & 255 for s in (24, 16, 8, 0)]
+        assert r["ip"] == ".".join(map(str, octs))
+        assert r["net24"] == f"{octs[0]}.{octs[1]}.{octs[2]}.0/24"
+        assert r["bcast24"] == (ip32 & ~0xFF) | 0xFF
+        assert r["in_10_8"] == (octs[0] == 10)
+        assert r["in_172_16_12"] == (octs[0] == 172 and
+                                     16 <= octs[1] <= 31)
+        assert r["in_192_168_16"] == (octs[0] == 192 and octs[1] == 168)
+        assert r["rptr"] == ".".join(map(str, octs[::-1])) + ".in-addr.arpa"
+    # every CIDR matcher must actually FIRE somewhere on the fixture
+    assert any(r["in_10_8"] for r in out)
+    assert any(r["in_172_16_12"] for r in out)
+    assert any(r["in_192_168_16"] for r in out)
+    assert any(not (r["in_10_8"] or r["in_172_16_12"]
+                    or r["in_192_168_16"]) for r in out)
+
+    rows = QUERIES["q_source_syslog"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        pri = r["facility"] * 8 + r["severity"]
+        assert 0 <= pri < 192
+        assert r["severity_name"] == _SYSLOG_SEV[r["severity"]]
+        assert r["prog"] == "app" and r["host"].startswith("host")
+    assert sum(r["n_lines"] for r in rows) > 0
