@@ -1238,3 +1238,92 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("deg0") >= k) & (d1 >= k) & (d2 >= k)).alias("in_core"),
         F.coalesce(F.col("df_"), F.lit(0)).cast("long").alias("deg_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph modularity — how community-like is the market-segment partition
+# on the co-purchase graph?  The partition-quality score behind every
+# community-detection stopping rule (label propagation / Louvain improve
+# it greedily; this measures it): Q = sum_c [ L_c/D - (k_c/D)^2 ] over
+# the directed edge count D (both orientations — the standard undirected
+# modularity in its double-counted form, which keeps everything integer).
+# ---------------------------------------------------------------------------
+
+
+@query("q_graph_modularity", oracle=f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), parts_ok AS (
+  SELECT p FROM cp GROUP BY p HAVING COUNT(*) <= {KCORE_HUB_CAP}
+), e AS (
+  SELECT DISTINCT a.c AS c1, b.c AS c2
+  FROM cp a JOIN parts_ok ok ON ok.p = a.p
+  JOIN cp b ON a.p = b.p AND a.c <> b.c
+), lab AS (
+  SELECT c_custkey AS c, c_mktsegment AS seg FROM customer
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d FROM e
+), per_seg AS (
+  SELECT la.seg,
+         CAST(COUNT(*) AS BIGINT) AS k_c,
+         CAST(SUM(CASE WHEN la.seg = lb.seg THEN 1 ELSE 0 END)
+              AS BIGINT) AS l_c,
+         CAST(COUNT(DISTINCT e.c1) AS BIGINT) AS n_nodes
+  FROM e JOIN lab la ON la.c = e.c1 JOIN lab lb ON lb.c = e.c2
+  GROUP BY 1
+)
+SELECT seg, n_nodes, k_c, l_c,
+       CAST(l_c AS DOUBLE) / t.d
+       - (CAST(k_c AS DOUBLE) / t.d) * (CAST(k_c AS DOUBLE) / t.d)
+         AS q_contrib
+FROM per_seg, tot t
+""")
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment modularity contribution on the rare-part co-purchase
+    graph (partition = market segment).
+
+    Determinism: D, per-community degree sums k_c and internal directed
+    edge counts L_c are exact integers over the DISTINCT symmetric edge
+    set; each contribution L_c/D − (k_c/D)² is a fixed IEEE expression
+    on those integers — raw emit (total Q = the 5-row sum, checked by
+    the property test in Python rather than emitted, which would need a
+    cross-row float fold for one redundant column).  Plan: the same
+    hub-capped edge builder as q_graph_kcore / q_graph_label_prop (one
+    fact-sized distinct pass, bounded pair expansion); segment labels
+    join from the customer DIM (broadcast-sized at any corpus scale);
+    the rollup is |segments|-bounded.  At 100 TB: one edge-sized
+    shuffle — the cost every community metric pays."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    parts_ok = (cp.groupBy("p").agg(F.count(F.lit(1)).alias("nc"))
+                .filter(F.col("nc") <= KCORE_HUB_CAP).select("p"))
+    a = cp.join(parts_ok, "p").select(F.col("p").alias("pa"),
+                                      F.col("c").alias("c1"))
+    b = cp.select(F.col("p").alias("pb"), F.col("c").alias("c2"))
+    e = (a.join(b, (F.col("pa") == F.col("pb"))
+                & (F.col("c1") != F.col("c2")))
+         .select("c1", "c2").distinct())
+    lab = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c"), F.col("c_mktsegment").alias("seg"))
+    la = lab.select(F.col("c").alias("ca"), F.col("seg").alias("seg_a"))
+    lb = lab.select(F.col("c").alias("cb"), F.col("seg").alias("seg_b"))
+    ej = (e.join(F.broadcast(la), F.col("c1") == F.col("ca"))
+          .join(F.broadcast(lb), F.col("c2") == F.col("cb")))
+    tot = ej.agg(F.count(F.lit(1)).alias("d"))
+    per_seg = ej.groupBy(F.col("seg_a").alias("seg")).agg(
+        F.count(F.lit(1)).cast("long").alias("k_c"),
+        F.sum(F.when(F.col("seg_a") == F.col("seg_b"), 1).otherwise(0))
+        .cast("long").alias("l_c"),
+        F.countDistinct("c1").cast("long").alias("n_nodes"),
+    )
+    kd = F.col("k_c").cast("double") / F.col("d")
+    return per_seg.crossJoin(F.broadcast(tot)).select(
+        "seg", "n_nodes", "k_c", "l_c",
+        (F.col("l_c").cast("double") / F.col("d") - kd * kd)
+        .alias("q_contrib"),
+    )

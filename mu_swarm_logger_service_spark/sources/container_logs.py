@@ -202,3 +202,111 @@ def q_source_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").cast("long").alias("first_event"),
         F.countDistinct("msg_type").cast("long").alias("n_msg_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Combined/common access-log decode — the third wire format of the log
+# family (docker JSON, syslog <PRI>, now CLF): mint Apache-style lines
+# from fixture columns, parse them back with the real regex pipeline,
+# and roll up the ops dashboard (per status-class x method traffic,
+# bytes, path cardinality, p95 transfer size).
+# ---------------------------------------------------------------------------
+
+
+@query("q_source_accesslog", oracle="""
+WITH minted AS (
+  SELECT event_id,
+         ((user_id * 2654435761) % 4294967296) AS ip32,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 'POST'
+              ELSE 'GET' END AS m0,
+         '/' || event_type || '/' || (event_id % 50) AS p0,
+         CASE WHEN event_type = 'error'
+              THEN CASE WHEN event_id % 2 = 0 THEN 500 ELSE 404 END
+              WHEN event_id % 20 = 0 THEN 304 ELSE 200 END AS s0,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS b0,
+         ts
+  FROM events
+), lines AS (
+  SELECT event_id,
+         (ip32 // 16777216) || '.' || ((ip32 // 65536) % 256) || '.'
+         || ((ip32 // 256) % 256) || '.' || (ip32 % 256)
+         || ' - - [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] "'
+         || m0 || ' ' || p0 || ' HTTP/1.1" ' || s0 || ' ' || b0 AS line
+  FROM minted
+), parsed AS (
+  SELECT event_id,
+         regexp_extract(line, '^(\\S+) - - ', 1) AS ip,
+         regexp_extract(line, '"(\\w+) ([^ ]+) HTTP', 1) AS method,
+         regexp_extract(line, '"(\\w+) ([^ ]+) HTTP', 2) AS path,
+         CAST(regexp_extract(line, 'HTTP/1.1" (\\d+) ', 1) AS BIGINT)
+           AS status,
+         CAST(regexp_extract(line, ' (\\d+)$', 1) AS BIGINT) AS bytes
+  FROM lines
+)
+SELECT (status // 100) || 'xx' AS status_class, method,
+       CAST(COUNT(*) AS BIGINT) AS n_req,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+       CAST(COUNT(DISTINCT ip) AS BIGINT) AS n_ips,
+       round(quantile_cont(bytes, 0.95), 6) AS p95_bytes
+FROM parsed
+GROUP BY 1, 2
+""")
+def q_source_accesslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache combined-log decode + ops rollup per (status class,
+    method).
+
+    Determinism: the mint is pure integer/string assembly (Knuth-hash
+    IPs, decimal-exact byte counts, a deterministic status mix with all
+    four classes firing); both engines parse with their own regex over
+    identical lines (patterns as Python args — the F.expr backslash
+    gotcha), the rollup is integer counts/sums over distinct parses,
+    and the p95 rides the interpolating-percentile pair
+    (percentile() ↔ quantile_cont, rounded at 6 dp — the
+    q_agg_percentile precedent) on exact integer bytes.  Plan: one
+    scan, per-row mint+parse map, one two-phase rollup (the distinct
+    counts) — the same log-pipeline shape as q_source_syslog."""
+    ev = load(spark, sf_dir, "events")
+    ip32 = (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
+    o = lambda div: (F.col("ip32") / div).cast("long") % 256  # noqa: E731
+    minted = ev.select(
+        "event_id", "ts", ip32.alias("ip32"),
+        F.when(F.col("event_type").isin("purchase", "signup"), "POST")
+        .otherwise("GET").alias("m0"),
+        F.concat(F.lit("/"), F.col("event_type"), F.lit("/"),
+                 (F.col("event_id") % 50).cast("string")).alias("p0"),
+        F.when(F.col("event_type") == "error",
+               F.when(F.col("event_id") % 2 == 0, 500).otherwise(404))
+        .when(F.col("event_id") % 20 == 0, 304).otherwise(200)
+        .alias("s0"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        .alias("b0"))
+    line = F.concat(
+        o(16777216).cast("string"), F.lit("."), o(65536).cast("string"),
+        F.lit("."), o(256).cast("string"), F.lit("."),
+        (F.col("ip32") % 256).cast("string"),
+        F.lit(" - - ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(" +0000] \""), F.col("m0"), F.lit(" "), F.col("p0"),
+        F.lit(" HTTP/1.1\" "), F.col("s0").cast("string"), F.lit(" "),
+        F.col("b0").cast("string"))
+    lines = minted.select("event_id", line.alias("line"))
+    parsed = lines.select(
+        "event_id",
+        F.regexp_extract("line", r"^(\S+) - - ", 1).alias("ip"),
+        F.regexp_extract("line", r'"(\w+) ([^ ]+) HTTP', 1).alias("method"),
+        F.regexp_extract("line", r'"(\w+) ([^ ]+) HTTP', 2).alias("path"),
+        F.regexp_extract("line", r'HTTP/1.1" (\d+) ', 1).cast("long")
+        .alias("status"),
+        F.regexp_extract("line", r" (\d+)$", 1).cast("long").alias("bytes"),
+    )
+    return parsed.groupBy(
+        F.concat((F.col("status") / 100).cast("long").cast("string"),
+                 F.lit("xx")).alias("status_class"),
+        "method",
+    ).agg(
+        F.count(F.lit(1)).alias("n_req"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.countDistinct("path").cast("long").alias("n_paths"),
+        F.countDistinct("ip").cast("long").alias("n_ips"),
+        F.round(F.expr("percentile(bytes, 0.95)"), 6).alias("p95_bytes"),
+    )

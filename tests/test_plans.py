@@ -1084,3 +1084,22 @@ def test_syslog_map_then_single_rollup(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_accesslog_map_then_rollup(spark, sf_dir):
+    """CLF mint + parse must stay a per-row map over one scan with the
+    (distinct-expanded) rollup — no join, no Python."""
+    p = _plan(spark, sf_dir, "q_source_accesslog")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    assert "EvalPython" not in p
+
+
+def test_modularity_hub_capped_edges_broadcast_labels(spark, sf_dir):
+    """The edge builder must be the hub-capped equi-self-join (no
+    cartesian/BNLJ beyond the 1-row total broadcast); segment labels
+    join broadcast; the rollup is segment-bounded."""
+    p = _plan(spark, sf_dir, "q_graph_modularity")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p

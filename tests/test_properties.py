@@ -1202,3 +1202,76 @@ def test_ipnet_and_syslog_rederivation(spark, sf_dir):
         assert r["severity_name"] == _SYSLOG_SEV[r["severity"]]
         assert r["prog"] == "app" and r["host"].startswith("host")
     assert sum(r["n_lines"] for r in rows) > 0
+
+
+def test_accesslog_and_modularity_rederivation(spark, sf_dir):
+    """Access-log rollups must match a Python recomputation from the
+    minting rule (and all four status classes must fire); modularity
+    contributions must match a networkx-free Python Q decomposition
+    and sum to Q in [-1, 1]."""
+    from collections import defaultdict
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+    from mu_swarm_logger_service_spark.llm.clustering import KCORE_HUB_CAP
+
+    cells = defaultdict(lambda: [0, 0, set(), set()])
+    for r in load(spark, sf_dir, "events").collect():
+        et, eid = r["event_type"], r["event_id"]
+        if et == "error":
+            status = 500 if eid % 2 == 0 else 404
+        elif eid % 20 == 0:
+            status = 304
+        else:
+            status = 200
+        method = "POST" if et in ("purchase", "signup") else "GET"
+        ip32 = (r["user_id"] * 2654435761) % (1 << 32)
+        ip = ".".join(str((ip32 >> s) & 255) for s in (24, 16, 8, 0))
+        cell = cells[(f"{status // 100}xx", method)]
+        cell[0] += 1
+        cell[1] += round(r["value"] * 100)
+        cell[2].add(f"/{et}/{eid % 50}")
+        cell[3].add(ip)
+    out = QUERIES["q_source_accesslog"](spark, sf_dir).collect()
+    assert {r["status_class"] for r in out} >= {"2xx", "4xx", "5xx"}
+    assert len(out) == len(cells)
+    for r in out:
+        n, tb, paths, ips = cells[(r["status_class"], r["method"])]
+        assert (r["n_req"], r["total_bytes"]) == (n, tb)
+        assert (r["n_paths"], r["n_ips"]) == (len(paths), len(ips))
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").collect()
+    okey = {r["o_orderkey"]: r["o_custkey"]
+            for r in load(spark, sf_dir, "orders").collect()}
+    seg = {r["c_custkey"]: r["c_mktsegment"]
+           for r in load(spark, sf_dir, "customer").collect()}
+    cp = {(okey[r["l_orderkey"]], r["l_partkey"]) for r in li}
+    by_part = defaultdict(set)
+    for c, p in cp:
+        by_part[p].add(c)
+    edges = set()
+    for p, cs in by_part.items():
+        if len(cs) <= KCORE_HUB_CAP:
+            for c1 in cs:
+                for c2 in cs:
+                    if c1 != c2:
+                        edges.add((c1, c2))
+    d = len(edges)
+    k_c, l_c, nodes = defaultdict(int), defaultdict(int), defaultdict(set)
+    for c1, c2 in edges:
+        k_c[seg[c1]] += 1
+        nodes[seg[c1]].add(c1)
+        if seg[c1] == seg[c2]:
+            l_c[seg[c1]] += 1
+    got = {r["seg"]: r
+           for r in QUERIES["q_graph_modularity"](spark, sf_dir).collect()}
+    assert set(got) == set(k_c)
+    q_total = 0.0
+    for s, r in got.items():
+        assert (r["k_c"], r["l_c"]) == (k_c[s], l_c[s])
+        assert r["n_nodes"] == len(nodes[s])
+        want = l_c[s] / d - (k_c[s] / d) ** 2
+        assert abs(r["q_contrib"] - want) < 1e-12
+        q_total += want
+    assert -1.0 <= q_total <= 1.0
