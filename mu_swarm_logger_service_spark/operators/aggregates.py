@@ -968,3 +968,83 @@ def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 12) + 0.0)
         .alias("eta_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skewness / kurtosis — the 3rd/4th standardized moments q_agg_stats
+# stops short of: tail-asymmetry and tail-weight per event type, the
+# distribution-shape numbers a drift monitor tracks beyond mean/variance.
+# ---------------------------------------------------------------------------
+
+
+@query("q_agg_skew_kurtosis", oracle="""
+WITH s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(value * value * value AS DECIMAL(38,6)))
+              AS DOUBLE) AS s3,
+         CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,8)))
+              AS DOUBLE) AS s4
+  FROM events GROUP BY 1
+), m AS (
+  SELECT event_type, n,
+         s1 / n AS mu, s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
+  FROM s
+), c AS (
+  SELECT event_type, n,
+         r2 - mu * mu AS m2,
+         r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+         r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+           AS m4
+  FROM m
+)
+SELECT event_type, n,
+       round(m3 / (m2 * sqrt(m2)), 9) + 0.0 AS skewness,
+       round(m4 / (m2 * m2) - 3, 9) + 0.0 AS excess_kurtosis
+FROM c
+""")
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of value per event type,
+    from one pass of exact power sums.
+
+    Determinism: y is 2-dp so y², y³ carry 4/6 decimal digits (exact at
+    scale 6) and y⁴ carries 8 (its own DECIMAL(38,8) accumulator — the
+    scale-6 cast would round, the cross-corr product rule); the sums
+    are order-independent decimals.  Their double casts can exceed the
+    2^53 window at scale (the ANOVA lesson), so only the SCALE-FREE
+    standardized ratios are emitted, rounded at 9 dp with the -0.0
+    guard (skewness crosses zero on near-symmetric types).  The central
+    moments expand in raw-moment form with identical association on
+    both sides.  Plan: one scan, one partial-aggregated rollup — the
+    q_agg_stats shape with two more accumulators."""
+    ev = load(spark, sf_dir, "events")
+    y = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y.cast("decimal(27,6)")).cast("double").alias("s1"),
+        F.sum((y * y).cast("decimal(27,6)")).cast("double").alias("s2"),
+        F.sum((y * y * y).cast("decimal(38,6)")).cast("double")
+        .alias("s3"),
+        F.sum((y * y * y * y).cast("decimal(38,8)")).cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    r2, r3, r4 = F.col("s2") / n, F.col("s3") / n, F.col("s4") / n
+    m = s.select(
+        "event_type", "n", mu.alias("mu"), r2.alias("r2"),
+        r3.alias("r3"), r4.alias("r4"))
+    mu, r2, r3, r4 = (F.col(c) for c in ("mu", "r2", "r3", "r4"))
+    m2 = r2 - mu * mu
+    m3 = r3 - 3 * mu * r2 + 2 * mu * mu * mu
+    m4 = r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    c = m.select("event_type", "n", m2.alias("m2"), m3.alias("m3"),
+                 m4.alias("m4"))
+    return c.select(
+        "event_type", "n",
+        (F.round(F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))), 9)
+         + 0.0).alias("skewness"),
+        (F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 9)
+         + 0.0).alias("excess_kurtosis"),
+    )

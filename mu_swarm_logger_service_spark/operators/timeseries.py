@@ -2219,3 +2219,89 @@ def q_ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ns") / (F.col("n_days") - 1)).alias("naive_mae"),
             (F.col("es") / F.col("ns")).alias("mase"),
         ))
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate — how predictable is a user's NEXT action given the
+# current one?  The conditional entropy H(next | current) of the
+# first-order transition process (q_ts_transitions reports the matrix;
+# this compresses it to the predictability scalar), with its perplexity —
+# "effectively how many next-actions does a user choose between".
+# ---------------------------------------------------------------------------
+
+
+@query("q_ts_entropy_rate", oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), cells AS (
+  SELECT prev AS cur, event_type AS nxt, CAST(COUNT(*) AS BIGINT) AS o
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+), marg AS (
+  SELECT cur, nxt, o,
+         CAST(SUM(o) OVER (PARTITION BY cur) AS BIGINT) AS row_n,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cells
+), packed AS (
+  SELECT MAX(n) AS n,
+         list_sort(list(struct_pack(cur := cur, nxt := nxt, o := o,
+                                    row_n := row_n, n := n))) AS ls
+  FROM marg
+), h AS (
+  SELECT n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(ls, e ->
+             -(CAST(e.o AS DOUBLE) / e.n)
+             * ln(CAST(e.o AS DOUBLE) / e.row_n))),
+           (a, x) -> a + x) AS h_rate
+  FROM packed
+)
+SELECT n AS n_transitions,
+       round(h_rate, 6) + 0.0 AS h_rate_nats,
+       round(exp(h_rate), 6) AS perplexity
+FROM h
+""")
+def q_ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate H(next | current) of the per-user event-type Markov
+    chain, in nats, with perplexity.
+
+    Determinism: transition counts and row marginals are exact integers
+    (the marginals are windows OVER THE |types|² CELL TABLE — the
+    chi2/MI one-scan discipline); H = −Σ p(i,j)·ln p(j|i) folds the
+    cells in sorted order, and because ln/exp can differ by an ulp
+    across engines both emits round at 6 dp (the q_llm_diversity rule;
+    perplexity exponentiates the UNROUNDED fold on both sides, then
+    rounds).  Plan: one scan, the per-user lag window (user-keyed),
+    the cell rollup, then domain-bounded windows and a 1-row fold."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev"))
+    cells = (seq.filter(F.col("prev").isNotNull())
+             .groupBy(F.col("prev").alias("cur"),
+                      F.col("event_type").alias("nxt"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    marg = cells.select(
+        "cur", "nxt", "o",
+        F.sum("o").over(Window.partitionBy("cur")).cast("long")
+        .alias("row_n"),
+        F.sum("o").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    packed = marg.agg(
+        F.max("n").alias("n"),
+        F.sort_array(F.collect_list(
+            F.struct("cur", "nxt", "o", "row_n", "n"))).alias("ls"),
+    )
+    h = F.aggregate(
+        F.col("ls"), F.lit(0.0),
+        lambda acc, e: acc + (
+            -(e.getField("o").cast("double") / e.getField("n"))
+            * F.log(e.getField("o").cast("double")
+                    / e.getField("row_n"))))
+    return packed.select(
+        F.col("n").alias("n_transitions"),
+        (F.round(h, 6) + 0.0).alias("h_rate_nats"),
+        F.round(F.exp(h), 6).alias("perplexity"),
+    )

@@ -1103,3 +1103,22 @@ def test_modularity_hub_capped_edges_broadcast_labels(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert "EvalPython" not in p
+
+
+def test_skew_kurtosis_one_pass(spark, sf_dir):
+    """All four power sums must ride one partial-aggregated rollup —
+    one scan, one exchange, no join, no Python."""
+    p = _plan(spark, sf_dir, "q_agg_skew_kurtosis")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "Join" not in p and "EvalPython" not in p
+
+
+def test_entropy_rate_user_lag_then_cell_windows(spark, sf_dir):
+    """One scan; the lag rides the user-keyed window; marginals are
+    windows over the |types|^2 cell table (the chi2/MI discipline) —
+    no join, no Python."""
+    p = _plan(spark, sf_dir, "q_ts_entropy_rate")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p and "EvalPython" not in p
+    assert "hashpartitioning(user_id" in p

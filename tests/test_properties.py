@@ -1275,3 +1275,58 @@ def test_accesslog_and_modularity_rederivation(spark, sf_dir):
         assert abs(r["q_contrib"] - want) < 1e-12
         q_total += want
     assert -1.0 <= q_total <= 1.0
+
+
+def test_skew_kurtosis_and_entropy_rate_rederivation(spark, sf_dir):
+    """Moment ratios must match a Decimal-exact Python computation;
+    the entropy rate must match a Counter-based conditional entropy,
+    sit within [0, ln(n_types)], and its perplexity within
+    [1, n_types]."""
+    import math
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    vals = defaultdict(list)
+    rows = load(spark, sf_dir, "events").collect()
+    for r in rows:
+        vals[r["event_type"]].append(Decimal(repr(r["value"])))
+    out = {r["event_type"]: r
+           for r in QUERIES["q_agg_skew_kurtosis"](spark, sf_dir)
+           .collect()}
+    for et, ys in vals.items():
+        n = len(ys)
+        s = [float(sum(y ** k for y in ys)) for k in (1, 2, 3, 4)]
+        mu, r2, r3, r4 = (x / n for x in s)
+        m2 = r2 - mu * mu
+        m3 = r3 - 3 * mu * r2 + 2 * mu ** 3
+        m4 = r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu ** 4
+        r = out[et]
+        assert r["n"] == n
+        assert abs(r["skewness"] - m3 / m2 ** 1.5) < 1e-6
+        assert abs(r["excess_kurtosis"] - (m4 / m2 ** 2 - 3)) < 1e-6
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"],
+                                      r["event_type"]))
+    trans = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            trans[(a, b)] += 1
+    n = sum(trans.values())
+    row_n = Counter()
+    for (a, _), o in trans.items():
+        row_n[a] += o
+    h = -sum((o / n) * math.log(o / row_n[a])
+             for (a, _), o in trans.items())
+    got = QUERIES["q_ts_entropy_rate"](spark, sf_dir).collect()[0]
+    assert got["n_transitions"] == n
+    assert abs(got["h_rate_nats"] - h) < 2e-6
+    n_types = len({a for a, _ in trans})
+    assert 0 <= got["h_rate_nats"] <= math.log(n_types) + 1e-9
+    assert 1 <= got["perplexity"] <= n_types + 1e-6
+    assert abs(got["perplexity"] - math.exp(h)) < 2e-5
