@@ -2488,3 +2488,109 @@ def q_analytics_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"* (element_at(v, (s | bit) + 1) - element_at(v, s + 1)))")
     return (chan.crossJoin(F.broadcast(vtab))
             .select("channel", shap.alias("shapley")))
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio mismatch — the A/B pipeline's smoke alarm: the assignment
+# hash promises 50/50, so a significant deviation in ARM COUNTS means the
+# experiment is corrupted (redirects, bot filtering, logging loss) and
+# every downstream metric is invalid.  Overall z/chi2 plus the worst
+# single day — SRM that comes and goes intra-experiment is the classic
+# deploy-window smell.
+# ---------------------------------------------------------------------------
+
+
+@query("q_analytics_srm", oracle="""
+WITH pu AS (
+  -- Bit 21 of the Knuth hash: consecutive fixture ids are a
+  -- low-discrepancy lattice under the multiplier, so low bits (and raw
+  -- parity — an odd multiplier PRESERVES parity) split exactly 50/50
+  -- and the overall statistic would be vacuously 0.0; bit 21 deviates
+  -- like a real hash assignment at every SF (80/70 at sf0.01).
+  SELECT DISTINCT user_id,
+         ((user_id * 2654435761) % 4294967296) // 2097152 % 2 AS arm
+  FROM events
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1
+  FROM pu
+), daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(COUNT(DISTINCT CASE WHEN
+                    ((user_id * 2654435761) % 4294967296) // 2097152 % 2
+                    = 0 THEN user_id END) AS BIGINT) AS d0,
+         CAST(COUNT(DISTINCT CASE WHEN
+                    ((user_id * 2654435761) % 4294967296) // 2097152 % 2
+                    = 1 THEN user_id END) AS BIGINT) AS d1
+  FROM events GROUP BY 1
+), worst AS (
+  SELECT MAX(struct_pack(
+           z := round(abs(CAST(d0 - d1 AS DOUBLE))
+                      / sqrt(CAST(d0 + d1 AS DOUBLE)), 9),
+           day := strftime(day, '%Y-%m-%d'))) AS w
+  FROM daily WHERE d0 + d1 > 0
+)
+SELECT t.n, t.a0, t.a1,
+       CAST(t.a0 - t.n / 2.0 AS DOUBLE) * (t.a0 - t.n / 2.0)
+         / (t.n / 2.0)
+       + CAST(t.a1 - t.n / 2.0 AS DOUBLE) * (t.a1 - t.n / 2.0)
+         / (t.n / 2.0) AS chi2_srm,
+       CAST(t.a0 - t.a1 AS DOUBLE) / sqrt(CAST(t.n AS DOUBLE)) AS z,
+       abs(CAST(t.a0 - t.a1 AS DOUBLE) / sqrt(CAST(t.n AS DOUBLE))) > 3
+         AS srm_flag,
+       w.w.day AS worst_day, w.w.z + 0.0 AS worst_day_abs_z
+FROM tot t, worst w
+""")
+def q_analytics_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check on the hash-bit-21 assignment:
+    overall chi2/z against the promised 50/50, plus the worst single
+    day's |z| and its date.
+
+    Determinism: arm counts are exact integers (per-user distinct, then
+    per-day distinct); chi2/z are fixed IEEE expressions on those
+    integers — raw emit; the worst day maximizes a (rounded |z|, day)
+    STRUCT so ties break on the date string, never an arbitrary max_by
+    (the KS argmax discipline), and the rounded z gets the +0.0 guard.
+    Plan: one scan feeds both rollups (user-distinct and day-grain
+    distinct); the worst-day reduce and the final 1-row cross are
+    day-domain-bounded.  At 100 TB this costs the two distinct passes
+    any assignment audit pays."""
+    ev = load(spark, sf_dir, "events")
+    arm_of = lambda c: (((c * F.lit(2654435761))  # noqa: E731
+                         % F.lit(4294967296))
+                        / 2097152).cast("long") % 2
+    pu = ev.select("user_id").distinct().select(
+        "user_id", arm_of(F.col("user_id")).alias("arm"))
+    tot = pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long")
+        .alias("a0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long")
+        .alias("a1"),
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct(F.when(arm_of(F.col("user_id")) == 0,
+                               F.col("user_id"))).cast("long").alias("d0"),
+        F.countDistinct(F.when(arm_of(F.col("user_id")) == 1,
+                               F.col("user_id"))).cast("long").alias("d1"),
+    )
+    zd = (F.abs((F.col("d0") - F.col("d1")).cast("double"))
+          / F.sqrt((F.col("d0") + F.col("d1")).cast("double")))
+    worst = (daily.filter(F.col("d0") + F.col("d1") > 0)
+             .agg(F.max(F.struct(
+                 F.round(zd, 9).alias("z"),
+                 F.date_format("day", "yyyy-MM-dd").alias("day")))
+                 .alias("w")))
+    n, a0, a1 = F.col("n"), F.col("a0"), F.col("a1")
+    e = n / 2.0
+    z = (a0 - a1).cast("double") / F.sqrt(n.cast("double"))
+    return tot.crossJoin(F.broadcast(worst)).select(
+        "n", "a0", "a1",
+        ((a0 - e).cast("double") * (a0 - e) / e
+         + (a1 - e).cast("double") * (a1 - e) / e).alias("chi2_srm"),
+        z.alias("z"),
+        (F.abs(z) > 3).alias("srm_flag"),
+        F.col("w.day").alias("worst_day"),
+        (F.col("w.z") + 0.0).alias("worst_day_abs_z"),
+    )

@@ -1122,3 +1122,12 @@ def test_entropy_rate_user_lag_then_cell_windows(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "Join" not in p and "EvalPython" not in p
     assert "hashpartitioning(user_id" in p
+
+
+def test_srm_two_distinct_passes_no_join(spark, sf_dir):
+    """SRM must cost the user-distinct and day-grain distinct rollups
+    plus a broadcast 1-row cross — no data-sized join, no Python."""
+    p = _plan(spark, sf_dir, "q_analytics_srm")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p

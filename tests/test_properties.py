@@ -1330,3 +1330,38 @@ def test_skew_kurtosis_and_entropy_rate_rederivation(spark, sf_dir):
     assert 0 <= got["h_rate_nats"] <= math.log(n_types) + 1e-9
     assert 1 <= got["perplexity"] <= n_types + 1e-6
     assert abs(got["perplexity"] - math.exp(h)) < 2e-5
+
+
+def test_srm_rederivation_nondegenerate(spark, sf_dir):
+    """SRM stats must match a Python rederivation of the hash-bit-21
+    assignment, the overall chi2 must be nonzero (the parity-arm form
+    was vacuously 0.0 on the lattice fixture), and the worst day must
+    be the argmax with smallest-date tie-break."""
+    from collections import defaultdict
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    def arm(uid):
+        return (((uid * 2654435761) % (1 << 32)) >> 21) & 1
+
+    users = set()
+    days = defaultdict(lambda: [set(), set()])
+    for r in load(spark, sf_dir, "events").collect():
+        users.add(r["user_id"])
+        days[r["ts"].date()][arm(r["user_id"])].add(r["user_id"])
+    n = len(users)
+    a1 = sum(arm(u) for u in users)
+    a0 = n - a1
+    row = QUERIES["q_analytics_srm"](spark, sf_dir).collect()[0]
+    assert (row["n"], row["a0"], row["a1"]) == (n, a0, a1)
+    e = n / 2
+    assert abs(row["chi2_srm"]
+               - ((a0 - e) ** 2 / e + (a1 - e) ** 2 / e)) < 1e-9
+    assert row["chi2_srm"] > 0  # non-degenerate assignment
+    assert abs(row["z"] - (a0 - a1) / n ** 0.5) < 1e-12
+    assert row["srm_flag"] == (abs(row["z"]) > 3)
+    worst = max((round(abs(len(d0) - len(d1))
+                       / (len(d0) + len(d1)) ** 0.5, 9),
+                 str(day)) for day, (d0, d1) in days.items())
+    assert (row["worst_day_abs_z"], row["worst_day"]) == worst
