@@ -2305,3 +2305,100 @@ def q_ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(h, 6) + 0.0).alias("h_rate_nats"),
         F.round(F.exp(h), 6).alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered sequence-pattern match (CEP / MATCH_RECOGNIZE shape) — purchases
+# preceded by a click that was itself preceded by a view, within 24 h of the view: the 3-step ordered funnel q_ts_funnel's 2-step form
+# cannot express.  The Spark side is the SCALE-RIGHT formulation — two
+# running-state window passes over one user-keyed sort, no joins at all —
+# while the oracle cross-checks it with the naive join formulation.
+# ---------------------------------------------------------------------------
+
+# 24 h: at fixture density per-user events sit ~11 h apart, so a 1-hour
+# window NEVER fires (measured 0/1672 matches — a vacuous pattern per the
+# pii_redact lesson); 24 h matches 143/1672 at sf0.01 and 14/170 at
+# sf0.001 — both branches live at every SF.
+_PAT_WINDOW_US = 86_400_000_000
+
+
+@query("q_ts_pattern_match", oracle=f"""
+WITH ev2 AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+), p AS (
+  SELECT * FROM ev2 WHERE event_type = 'purchase'
+), c AS (
+  SELECT * FROM ev2 WHERE event_type = 'click'
+), v AS (
+  SELECT * FROM ev2 WHERE event_type = 'view'
+), lastc AS (
+  SELECT p.user_id, p.event_id AS pid, p.us AS pus,
+         MAX(struct_pack(us := c.us, eid := c.event_id)) AS cb
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND (c.us < p.us OR (c.us = p.us AND c.event_id < p.event_id))
+  GROUP BY 1, 2, 3
+), lastv AS (
+  SELECT lc.user_id, lc.pid, lc.pus, lc.cb,
+         MAX(struct_pack(us := v.us, eid := v.event_id)) AS vb
+  FROM lastc lc JOIN v ON v.user_id = lc.user_id
+   AND (v.us < lc.cb.us OR (v.us = lc.cb.us AND v.event_id < lc.cb.eid))
+  GROUP BY 1, 2, 3, 4
+), per_purchase AS (
+  SELECT p.user_id, p.event_id AS pid,
+         CASE WHEN lv.pid IS NOT NULL
+               AND p.us - lv.vb.us <= {_PAT_WINDOW_US}
+              THEN 1 ELSE 0 END AS matched
+  FROM p LEFT JOIN lastv lv ON lv.pid = p.event_id
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(matched) AS BIGINT) AS n_matched,
+       SUM(matched) > 0 AS converted
+FROM per_purchase GROUP BY 1
+""")
+def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase ordered-pattern match per user (the
+    triple must be strictly ordered by (event-time, event_id), and the
+    view->purchase span must fit in one hour).
+
+    Determinism: event order is the unique (unix_micros, event_id) key;
+    the running states are integer MAXes (monotone under any prefix —
+    the running-sum float trap never applies), and the hour predicate
+    compares exact integer microseconds (epoch_us ↔ unix_micros, the
+    safe pair).  The Spark plan is the CEP shape: ONE user-keyed sort
+    feeding two window passes — pass 1 carries "latest view so far",
+    pass 2 carries "latest click so far WITH its view state" as a
+    struct max — then a user rollup; no joins, no repeated scans.  The
+    oracle is the O(pairs-per-user) JOIN formulation of the same
+    semantics, so parity also cross-checks the window rewrite against
+    the naive definition.  At 100 TB the window form costs one shuffle
+    + per-user sort; the join form explodes quadratically per user —
+    which is exactly why the engine ships the former."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    base = ev.select("user_id", "event_id", "event_type", us.alias("us"))
+    w_prev = (Window.partitionBy("user_id").orderBy("us", "event_id")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    s1 = base.select(
+        "*",
+        F.max(F.when(F.col("event_type") == "view", F.col("us")))
+        .over(w_prev).alias("lv"))
+    s2 = s1.select(
+        "*",
+        F.max(F.when(F.col("event_type") == "click",
+                     F.struct(F.col("us").alias("cus"),
+                              F.col("event_id").alias("ceid"),
+                              F.col("lv").alias("vus"))))
+        .over(w_prev).alias("cb"))
+    per_purchase = (s2.filter(F.col("event_type") == "purchase")
+                    .select(
+                        "user_id",
+                        F.when(F.col("cb").isNotNull()
+                               & F.col("cb.vus").isNotNull()
+                               & ((F.col("us") - F.col("cb.vus"))
+                                  <= _PAT_WINDOW_US), 1)
+                        .otherwise(0).alias("matched")))
+    return per_purchase.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("matched").cast("long").alias("n_matched"),
+        (F.sum("matched") > 0).alias("converted"),
+    )

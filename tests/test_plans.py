@@ -1131,3 +1131,14 @@ def test_srm_two_distinct_passes_no_join(spark, sf_dir):
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_pattern_match_windows_no_joins(spark, sf_dir):
+    """The CEP rewrite must be join-free: one scan, one user-keyed sort
+    feeding both running-state window passes, then the user rollup —
+    the oracle's quadratic join formulation must never appear."""
+    p = _plan(spark, sf_dir, "q_ts_pattern_match")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert "hashpartitioning(user_id" in p

@@ -1365,3 +1365,43 @@ def test_srm_rederivation_nondegenerate(spark, sf_dir):
                        / (len(d0) + len(d1)) ** 0.5, 9),
                  str(day)) for day, (d0, d1) in days.items())
     assert (row["worst_day_abs_z"], row["worst_day"]) == worst
+
+
+def test_pattern_match_rederivation_nonvacuous(spark, sf_dir):
+    """The window rewrite must equal a literal Python scan for the
+    ordered v<c<p pattern, and matches must FIRE on the fixture (the
+    1-hour first cut matched nothing — vacuous)."""
+    from collections import defaultdict
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+    from mu_swarm_logger_service_spark.operators.timeseries import (
+        _PAT_WINDOW_US)
+
+    by_user = defaultdict(list)
+    for r in load(spark, sf_dir, "events").collect():
+        us = (r["ts"] - __import__("datetime").datetime(1970, 1, 1)) \
+            // __import__("datetime").timedelta(microseconds=1)
+        by_user[r["user_id"]].append((us, r["event_id"],
+                                      r["event_type"]))
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        lv, lc_v, n_p, n_m = None, None, 0, 0
+        for us, _, et in evs:
+            if et == "purchase":
+                n_p += 1
+                if lc_v is not None and us - lc_v <= _PAT_WINDOW_US:
+                    n_m += 1
+            if et == "click":
+                lc_v = lv
+            if et == "view":
+                lv = us
+        if n_p:
+            want[uid] = (n_p, n_m)
+    got = {r["user_id"]: (r["n_purchases"], r["n_matched"])
+           for r in QUERIES["q_ts_pattern_match"](spark, sf_dir)
+           .collect()}
+    assert got == want
+    assert sum(m for _, m in got.values()) > 0
+    assert any(m < p_ for p_, m in got.values())
