@@ -848,3 +848,61 @@ def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
     return out
+
+
+from ..operators.timeseries import q_ts_pattern_match as _pat_batch  # noqa: E402,F401
+from ..core.registry import ORACLE as _ORACLE  # noqa: E402
+
+
+@query("q_stream_pattern_match", oracle=_ORACLE["q_ts_pattern_match"])
+def q_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP twin of q_ts_pattern_match with an EXACT oracle:
+    per-user (latest-view, view-at-latest-click, purchase/match
+    counters) state carried across micro-batches — four integers per
+    user — with per-batch snapshots in a batchId-addressed sink and a
+    latest-snapshot merge at read time (no close step needed: every
+    purchase is scored the moment it streams through).  All three
+    formulations — the batch window rewrite, this state fold, and the
+    oracle's naive join — must agree exactly, which is the strongest
+    equivalence the engine can claim for a CEP operator: the
+    stream IS the batch semantics, not an approximation of it.
+
+    At scale: the always-on funnel detector — O(1) state per user, each
+    batch shuffles its own rows on the user key, snapshots merge by
+    latest batch id."""
+    from .stateful import pattern_stateful
+
+    sink = tempfile.mkdtemp(prefix="spark_graft_patsink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_patckpt_")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.withColumn("batch_id", F.lit(batch_id)) \
+           .write.mode("overwrite").parquet(
+               os.path.join(sink, f"batch={batch_id}"))
+
+    q = (
+        pattern_stateful(
+            X.stream_events(spark, sf_dir, max_files_per_trigger=1))
+        .writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window as W
+
+    snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
+    latest = (
+        snaps.withColumn(
+            "mx", F.max("batch_id").over(W.partitionBy("user_id")))
+        .filter(F.col("batch_id") == F.col("mx"))
+        .filter(F.col("n_purchases") > 0)
+    )
+    out = latest.select(
+        "user_id", "n_purchases", "n_matched",
+        (F.col("n_matched") > 0).alias("converted"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return out

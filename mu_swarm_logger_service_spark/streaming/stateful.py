@@ -339,3 +339,68 @@ def hw_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PAT_OUT_SCHEMA = ("user_id long, lv long, lc_v long, "
+                  "n_purchases long, n_matched long")
+PAT_STATE_SCHEMA = ("lv long, lc_v long, n_purchases long, n_matched long")
+
+
+def _pattern_update(key: tuple, pdf_iter, state: GroupState):
+    """view→click→purchase pattern state for one user across a
+    micro-batch: the SAME running states the batch window rewrite
+    carries (latest view µs; the view-state frozen at the latest click)
+    plus the two match counters — O(1) integers per user, folded in
+    event-time order.  A purchase matches when the latest click's
+    frozen view is within the 24 h window (operators.timeseries
+    _PAT_WINDOW_US — shared constant, shared oracle)."""
+    from ..operators.timeseries import _PAT_WINDOW_US
+
+    (user_id,) = key
+    if state.exists:
+        lv, lc_v, n_p, n_m = state.get
+        lv = None if lv < 0 else lv
+        lc_v = None if lc_v < 0 else lc_v
+    else:
+        lv, lc_v, n_p, n_m = None, None, 0, 0
+
+    pdfs = [p for p in pdf_iter if len(p)]
+    if pdfs:
+        whole = pd.concat(pdfs, ignore_index=True)
+        # Timestamp.value is ns; Spark timestamps are µs-resolution, so
+        # the //1000 is exact (the _holt_update ts.value discipline).
+        for ts, et in (whole.sort_values(["ts", "event_id"])
+                       [["ts", "event_type"]].itertuples(index=False)):
+            us = ts.value // 1000
+            if et == "purchase":
+                n_p += 1
+                if lc_v is not None and us - lc_v <= _PAT_WINDOW_US:
+                    n_m += 1
+            if et == "click":
+                lc_v = lv
+            if et == "view":
+                lv = int(us)
+    state.update((-1 if lv is None else lv,
+                  -1 if lc_v is None else lc_v, n_p, n_m))
+    yield pd.DataFrame({
+        "user_id": [user_id],
+        "lv": [-1 if lv is None else lv],
+        "lc_v": [-1 if lc_v is None else lc_v],
+        "n_purchases": [n_p], "n_matched": [n_m],
+    })
+
+
+def pattern_stateful(events: DataFrame) -> DataFrame:
+    """Streaming CEP: the q_ts_pattern_match running states carried
+    across micro-batches per user — the always-on sequential-pattern
+    detector (state is four integers per user; each batch shuffles only
+    its own rows on the user key)."""
+    return events.select("user_id", "event_id", "event_type", "ts").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _pattern_update,
+        outputStructType=PAT_OUT_SCHEMA,
+        stateStructType=PAT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -729,3 +729,49 @@ def test_holt_winters_state_across_batches_equals_batch(
     assert _canon(streamed) == _canon(batch)   # bit-exact double equality
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_pattern_state_across_batches_equals_batch(spark, sf_dir, replay):
+    """Streaming CEP's core claim under REAL multi-batch replay: the
+    four-integer per-user state (latest view, view-at-latest-click,
+    counters) carried across 4 event-time-ordered micro-batches must
+    reproduce the batch window rewrite (q_ts_pattern_match) exactly —
+    patterns STRADDLING batch boundaries are the point (a view in batch
+    1, its click in batch 2, the purchase in batch 4)."""
+    from mu_swarm_logger_service_spark.streaming.stateful import (
+        pattern_stateful)
+
+    src, schema = replay
+    sink = tempfile.mkdtemp(prefix="pat_multi_sink_")
+    ckpt = tempfile.mkdtemp(prefix="pat_multi_ckpt_")
+    batch_ids = []
+
+    def write_batch(bdf, batch_id):
+        batch_ids.append(batch_id)
+        bdf.withColumn("batch_id", F.lit(batch_id)) \
+           .write.mode("overwrite").parquet(
+               os.path.join(sink, f"batch={batch_id}"))
+
+    q = (pattern_stateful(_read_replay(spark, src, schema))
+         .writeStream.outputMode("update")
+         .foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(set(batch_ids)) >= 4
+
+    from pyspark.sql import Window as W
+    snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
+    latest = (snaps.withColumn(
+        "mx", F.max("batch_id").over(W.partitionBy("user_id")))
+        .filter(F.col("batch_id") == F.col("mx"))
+        .filter(F.col("n_purchases") > 0))
+    streamed = latest.select(
+        "user_id", "n_purchases", "n_matched",
+        (F.col("n_matched") > 0).alias("converted"))
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    batch = QUERIES["q_ts_pattern_match"](spark, sf_dir)
+    assert _canon(streamed) == _canon(batch)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
