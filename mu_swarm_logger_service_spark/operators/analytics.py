@@ -2594,3 +2594,69 @@ def q_analytics_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.day").alias("worst_day"),
         (F.col("w.z") + 0.0).alias("worst_day_abs_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Power analysis — the experiment-design number the A/B family still
+# lacked: given each event type's observed value variance, how many users
+# per arm does a two-sample test need to detect a 5% lift in mean value
+# at alpha = 0.05 (two-sided), power = 0.8?  The planning query run
+# BEFORE q_agg_ab_ttest / q_analytics_did ever get their data.
+# ---------------------------------------------------------------------------
+
+_PWR_Z_ALPHA = 1.959963984540054  # 97.5th normal quantile (alpha .05 / 2)
+_PWR_Z_BETA = 0.8416212335729143  # 80th normal quantile (power 0.8)
+_PWR_MDE = 0.05                   # minimum detectable effect: 5% of mean
+
+
+@query("q_analytics_power", oracle=f"""
+WITH s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY 1
+), m AS (
+  SELECT event_type, n, s1 / n AS mu,
+         (s2 - s1 * s1 / n) / (n - 1) AS var_s
+  FROM s
+)
+SELECT event_type, n, mu AS mean_value,
+       CAST({_PWR_MDE} AS DOUBLE) * mu AS delta,
+       CAST(ceil(2 * (CAST({_PWR_Z_ALPHA} AS DOUBLE)
+                 + CAST({_PWR_Z_BETA} AS DOUBLE))
+              * (CAST({_PWR_Z_ALPHA} AS DOUBLE)
+                 + CAST({_PWR_Z_BETA} AS DOUBLE))
+              * var_s
+            / ((CAST({_PWR_MDE} AS DOUBLE) * mu)
+               * (CAST({_PWR_MDE} AS DOUBLE) * mu))) AS BIGINT)
+         AS n_per_arm
+FROM m
+""")
+def q_analytics_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type sample size for a 5%-lift two-sample test
+    (alpha 0.05 two-sided, power 0.8): n/arm = 2(z_a+z_b)^2 sigma^2 / delta^2.
+
+    Determinism: mean and sample variance come from exact decimal sums
+    (one division each — Σy² here stays under the 2^53 window because
+    it is never re-scaled; n_per_arm applies ceil AFTER a fixed IEEE
+    chain whose z-constants enter as the same shortest-repr doubles on
+    both sides (F.lit ↔ CAST literal — the fixed-point-literal gotcha).
+    ceil on an exact-identical double is identical; a boundary-exact
+    integer quotient cannot arise from these irrational z's.  Plan: one
+    scan, one partial-aggregated rollup — a q_agg_stats-weight query."""
+    ev = load(spark, sf_dir, "events")
+    y = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y.cast("decimal(27,6)")).cast("double").alias("s1"),
+        F.sum((y * y).cast("decimal(27,6)")).cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    var_s = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    z = F.lit(_PWR_Z_ALPHA) + F.lit(_PWR_Z_BETA)
+    delta = F.lit(_PWR_MDE) * mu
+    return s.select(
+        "event_type", "n", mu.alias("mean_value"), delta.alias("delta"),
+        F.ceil(2 * z * z * var_s / (delta * delta)).alias("n_per_arm"),
+    )

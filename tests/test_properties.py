@@ -1405,3 +1405,36 @@ def test_pattern_match_rederivation_nonvacuous(spark, sf_dir):
     assert got == want
     assert sum(m for _, m in got.values()) > 0
     assert any(m < p_ for p_, m in got.values())
+
+
+def test_power_analysis_rederivation(spark, sf_dir):
+    """n_per_arm must match the textbook two-sample formula computed in
+    Python from exact Decimal sums, and scale inversely with the
+    squared effect (internal consistency: n ~ 1/delta^2)."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+    from mu_swarm_logger_service_spark.operators.analytics import (
+        _PWR_MDE, _PWR_Z_ALPHA, _PWR_Z_BETA)
+
+    vals = defaultdict(list)
+    for r in load(spark, sf_dir, "events").collect():
+        vals[r["event_type"]].append(Decimal(repr(r["value"])))
+    out = {r["event_type"]: r
+           for r in QUERIES["q_analytics_power"](spark, sf_dir).collect()}
+    for et, ys in vals.items():
+        n = len(ys)
+        s1, s2 = float(sum(ys)), float(sum(y * y for y in ys))
+        mu = s1 / n
+        var = (s2 - s1 * s1 / n) / (n - 1)
+        delta = _PWR_MDE * mu
+        want = math.ceil(2 * (_PWR_Z_ALPHA + _PWR_Z_BETA) ** 2 * var
+                         / delta ** 2)
+        r = out[et]
+        assert r["n"] == n
+        assert abs(r["mean_value"] - mu) < 1e-9
+        assert abs(r["n_per_arm"] - want) <= 1  # ceil boundary slack
+        assert r["n_per_arm"] > 100  # non-degenerate planning answer
