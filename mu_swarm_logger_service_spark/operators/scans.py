@@ -897,3 +897,86 @@ def q_cdc_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         sb.alias("status_believed"), sk.alias("status_known"),
         (sb != sk).alias("corrected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JOIN-view IVM — incremental maintenance of a JOIN+aggregate view, the
+# capability q_cdc_incremental_agg (single-table) stops short of: when
+# BOTH sides of o JOIN l receive inserts, the view delta decomposes as
+#     Δ(O ⋈ L) = ΔO ⋈ L₀  ∪  O₀ ⋈ ΔL  ∪  ΔO ⋈ ΔL
+# and the maintained aggregate merges the three delta-join partials into
+# the stored state — never re-scanning the joined base.
+# ---------------------------------------------------------------------------
+
+
+@query("q_cdc_join_ivm", oracle="""
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+              * 10000 AS BIGINT) AS u4
+  FROM lineitem
+)
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(CAST(SUM(u4) AS BIGINT) AS DOUBLE) / 10000 AS revenue
+FROM orders o JOIN l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""")
+def q_cdc_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view IVM: per-status item counts + revenue over
+    orders ⋈ lineitem, maintained from a two-sided insert batch.
+
+    The fixture derives the changelog deterministically: ΔO = orders
+    with o_orderkey % 17 == 0, ΔL = lineitem rows with
+    (l_orderkey + l_linenumber) % 11 == 0; the bases are the remainders.
+    The Spark side takes ONLY the incremental path — the base-view
+    partial plus the three delta-join partials
+    (ΔO⋈L₀, O₀⋈ΔL, ΔO⋈ΔL), merged by key with integer sums — while the
+    oracle recomputes the view from scratch over the full join.
+    Matching them IS the delta-join correctness statement: maintenance ≡
+    recompute, with no term double-counted and none missed (a property
+    test additionally pins every leg non-empty, so the equality is
+    never vacuous on a dead term).
+
+    Determinism: revenue moves as exact scale-4 integer units (the
+    discounted price is a product of two 2-dp values carrying up to
+    four decimal digits — exact at scale 4, where scale 2 would round
+    divergently across engines); counts and sums are
+    integers, merge order free.  Scale shape: at 100 TB the two
+    big-side terms are delta-keyed joins (ΔO broadcast against L₀'s
+    orderkey partitioning; ΔL shuffles only the delta against the
+    orderkey-bucketed O₀) and the merge touches |status| rows — the
+    stored view is never re-joined; here the base partial stands in for
+    the stored state exactly as in q_cdc_incremental_agg."""
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    d_o = F.col("o_orderkey") % 17 == 0
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        # scale-4 units: the discounted price is a product of two 2-dp
+        # values, so it carries up to FOUR decimal digits — a scale-2
+        # cast would have to round and the engines round differently
+        # (the product-of-2dp gotcha); at scale 4 the cast is exact.
+        ((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+         .cast("decimal(18,4)") * 10000).cast("long").alias("u4"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 11 == 0)
+        .alias("is_delta"))
+    o_base, o_delta = od.filter(~d_o), od.filter(d_o)
+    l_base = li.filter(~F.col("is_delta")).select("l_orderkey", "u4")
+    l_delta = li.filter(F.col("is_delta")).select("l_orderkey", "u4")
+
+    def part(o: DataFrame, l: DataFrame) -> DataFrame:
+        return (o.join(l, o.o_orderkey == l.l_orderkey)
+                .groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("dn"),
+                     F.sum("u4").alias("dc")))
+
+    merged = (part(o_base, l_base)
+              .unionByName(part(o_delta, l_base))
+              .unionByName(part(o_base, l_delta))
+              .unionByName(part(o_delta, l_delta))
+              .groupBy("o_orderstatus")
+              .agg(F.sum("dn").cast("long").alias("n_items"),
+                   F.sum("dc").cast("long").alias("u4")))
+    return merged.select(
+        "o_orderstatus", "n_items",
+        (F.col("u4").cast("double") / 10000).alias("revenue"))

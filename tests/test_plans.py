@@ -1142,3 +1142,12 @@ def test_pattern_match_windows_no_joins(spark, sf_dir):
     assert "Join" not in p
     assert "EvalPython" not in p
     assert "hashpartitioning(user_id" in p
+
+
+def test_join_ivm_four_delta_legs_no_cartesian(spark, sf_dir):
+    """All four view partials must be orderkey equi-joins (no cartesian,
+    no Python); the merge is a status-bounded rollup."""
+    p = _plan(spark, sf_dir, "q_cdc_join_ivm")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert len(re.findall(r"Join", p)) >= 4

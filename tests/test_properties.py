@@ -1438,3 +1438,41 @@ def test_power_analysis_rederivation(spark, sf_dir):
         assert abs(r["mean_value"] - mu) < 1e-9
         assert abs(r["n_per_arm"] - want) <= 1  # ceil boundary slack
         assert r["n_per_arm"] > 100  # non-degenerate planning answer
+
+
+def test_join_ivm_legs_nonempty_and_merge_equals_recompute(spark, sf_dir):
+    """Every delta-join leg must contribute rows (a dead term makes the
+    maintenance==recompute equality vacuous on that term), and the
+    merged view must equal a plain-Python full recompute."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    orders = {r["o_orderkey"]: r["o_orderstatus"]
+              for r in load(spark, sf_dir, "orders").collect()}
+    legs = defaultdict(int)
+    view = defaultdict(lambda: [0, 0])
+    for r in load(spark, sf_dir, "lineitem").collect():
+        ok = r["l_orderkey"]
+        if ok not in orders:
+            continue
+        u4 = int((Decimal(repr(r["l_extendedprice"]))
+                  * (1 - Decimal(repr(r["l_discount"])))
+                  ).quantize(Decimal("0.0001")) * 10000)
+        o_delta = ok % 17 == 0
+        l_delta = (ok + r["l_linenumber"]) % 11 == 0
+        legs[(o_delta, l_delta)] += 1
+        cell = view[orders[ok]]
+        cell[0] += 1
+        cell[1] += u4
+    assert all(legs[k] > 0 for k in
+               [(False, False), (True, False), (False, True),
+                (True, True)])
+    got = {r["o_orderstatus"]: r
+           for r in QUERIES["q_cdc_join_ivm"](spark, sf_dir).collect()}
+    assert set(got) == set(view)
+    for s, (n, u4) in view.items():
+        assert got[s]["n_items"] == n
+        assert abs(got[s]["revenue"] - u4 / 10000) < 1e-6
