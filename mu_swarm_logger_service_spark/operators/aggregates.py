@@ -1048,3 +1048,92 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3, 9)
          + 0.0).alias("excess_kurtosis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — the monotone-association sibling of
+# q_agg_stats' Pearson corr: rank both variables (average ranks over ties),
+# then correlate the ranks.  Robust to the value scale and to outliers, and
+# the standard drift check between two score columns in a data pipeline.
+# ---------------------------------------------------------------------------
+
+
+@query("q_agg_spearman", oracle="""
+WITH ranked AS (
+  SELECT l_returnflag AS rf,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_discount)
+           + COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY l_discount
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS rx2,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS ry2
+  FROM lineitem
+), centered AS (
+  SELECT rf, n, rx2 - (n + 1) AS cx, ry2 - (n + 1) AS cy FROM ranked
+), sums AS (
+  SELECT rf, CAST(MAX(n) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(cx * cy AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(cx * cx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(cy * cy AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM centered GROUP BY rf
+)
+SELECT rf, n_rows, round(sxy / sqrt(sxx * syy), 9) + 0.0 AS rho_s
+FROM sums
+""")
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between discount and quantity per
+    return flag, with exact average-rank tie handling.
+
+    Rank trick: the tie-averaged rank doubled is an INTEGER —
+    ``2·avg_rank = rank_min + rank_max`` where rank_min is ``rank()``
+    and rank_max is the peer-inclusive cumulative count (a RANGE-frame
+    COUNT over the same ordering, so it rides the same sort).  Centering
+    by ``n+1`` makes the doubled ranks sum to zero algebraically, so
+    rho reduces to Σcxcy / √(Σcx²·Σcy²) over integers.
+
+    Determinism: all three sums are exact DECIMAL(38,0) (the ANSI
+    long-overflow gotcha rules out raw BIGINT sums at replication
+    scale); their double casts can round above 2^53, so the final
+    scale-free ratio is rounded at 9 dp with the -0.0 guard — the HHI
+    discipline.  Ranks over doubles are tie-exact because the fixture
+    values carry 2 decimal digits (exact doubles).
+
+    Plan: one scan, ONE exchange on l_returnflag — both rank windows
+    and the peer-count frames ride the same hash partitioning (two
+    in-partition sorts), and the final rollup reuses it."""
+    li = load(spark, sf_dir, "lineitem")
+    w_x = Window.partitionBy("l_returnflag").orderBy("l_discount")
+    w_xc = w_x.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    w_y = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    w_yc = w_y.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    w_n = Window.partitionBy("l_returnflag")
+    # Keep the UN-aliased key through the rollup: grouping on a renamed
+    # column would hide the window partitioning from Catalyst and cost a
+    # second (tiny but pointless) exchange — alias to rf only at the end.
+    ranked = li.select(
+        "l_returnflag",
+        F.count(F.lit(1)).over(w_n).alias("n"),
+        (F.rank().over(w_x) + F.count(F.lit(1)).over(w_xc)).alias("rx2"),
+        (F.rank().over(w_y) + F.count(F.lit(1)).over(w_yc)).alias("ry2"),
+    )
+    cx = F.col("rx2") - (F.col("n") + 1)
+    cy = F.col("ry2") - (F.col("n") + 1)
+    centered = ranked.select("l_returnflag", "n",
+                             cx.alias("cx"), cy.alias("cy"))
+    sums = centered.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.sum((F.col("cx") * F.col("cy")).cast("decimal(38,0)"))
+        .cast("double").alias("sxy"),
+        F.sum((F.col("cx") * F.col("cx")).cast("decimal(38,0)"))
+        .cast("double").alias("sxx"),
+        F.sum((F.col("cy") * F.col("cy")).cast("decimal(38,0)"))
+        .cast("double").alias("syy"),
+    )
+    return sums.select(
+        F.col("l_returnflag").alias("rf"), "n_rows",
+        (F.round(F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy")), 9)
+         + 0.0).alias("rho_s"),
+    )

@@ -2402,3 +2402,108 @@ def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("matched").cast("long").alias("n_matched"),
         (F.sum("matched") > 0).alias("converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b — concordance-based rank association between the daily
+# event-count and daily revenue series per type.  The pair-counting
+# definition stays in integers end-to-end, so unlike Spearman's rho (which
+# needs the 9-dp rounding guard on its big-sum ratio) tau-b is emitted RAW:
+# its one sqrt and one division run on bit-identical exact operands.
+# ---------------------------------------------------------------------------
+
+
+@query("q_ts_kendall", oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CASE WHEN (a.n < b.n AND a.v < b.v)
+                OR (a.n > b.n AND a.v > b.v) THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.n < b.n AND a.v > b.v)
+                OR (a.n > b.n AND a.v < b.v) THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.n = b.n THEN 1 ELSE 0 END AS tie_x,
+         CASE WHEN a.v = b.v THEN 1 ELSE 0 END AS tie_y
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(conc) AS BIGINT) AS concordant,
+         CAST(SUM(disc) AS BIGINT) AS discordant,
+         CAST(COUNT(*) - SUM(tie_x) AS BIGINT) AS dx,
+         CAST(COUNT(*) - SUM(tie_y) AS BIGINT) AS dy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, n_pairs, concordant, discordant,
+       CASE WHEN dx > 0 AND dy > 0
+            THEN CAST(concordant - discordant AS DOUBLE)
+                 / sqrt(CAST(dx * dy AS DOUBLE))
+            ELSE NULL END AS tau_b
+FROM s
+""")
+def q_ts_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between the daily count and daily revenue-cents
+    series per event type.
+
+    Determinism: daily revenue is an exact integer (2-dp values summed
+    as DECIMAL(18,2), scaled to cents), so every pair comparison is an
+    integer comparison; concordant/discordant/tie counts are integers;
+    and tau-b is ONE division by ONE sqrt of an integer product — both
+    IEEE ops are correctly rounded on identical bits, so the value is
+    emitted raw (no 9-dp guard needed).  Tie correction uses the pair
+    form directly: dx/dy = pairs differing in x/y, which equals
+    n0 − Σt(t−1)/2 without materializing tie-group sizes.  The fixture
+    has x-ties (daily counts repeat) and no y-ties, so the tie path is
+    genuinely exercised (vacuity discipline).  Zero-variance series
+    emit NULL via the same CASE on both engines.
+
+    Plan: one fact shuffle into the (type, day) rollup; the pair join
+    rides a type-keyed exchange over span-bounded data (30 days → 435
+    pairs per type; day-grain keeps pairs quadratic in DAYS, never in
+    events — ~13 years before 10⁷ pairs per type)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+             .cast("long").alias("v"))
+    )
+    a = daily.select(F.col("event_type").alias("et"),
+                     F.col("day").alias("d1"),
+                     F.col("n").alias("n1"), F.col("v").alias("v1"))
+    b = daily.select(F.col("event_type").alias("et_b"),
+                     F.col("day").alias("d2"),
+                     F.col("n").alias("n2"), F.col("v").alias("v2"))
+    up = (F.col("n1") < F.col("n2")) & (F.col("v1") < F.col("v2"))
+    dn = (F.col("n1") > F.col("n2")) & (F.col("v1") > F.col("v2"))
+    ud = (F.col("n1") < F.col("n2")) & (F.col("v1") > F.col("v2"))
+    du = (F.col("n1") > F.col("n2")) & (F.col("v1") < F.col("v2"))
+    one = F.lit(1)
+    zero = F.lit(0)
+    pairs = (
+        a.join(b, (F.col("et") == F.col("et_b"))
+               & (F.col("d1") < F.col("d2")))
+        .select(F.col("et").alias("event_type"),
+                F.when(up | dn, one).otherwise(zero).alias("conc"),
+                F.when(ud | du, one).otherwise(zero).alias("disc"),
+                F.when(F.col("n1") == F.col("n2"), one).otherwise(zero)
+                .alias("tie_x"),
+                F.when(F.col("v1") == F.col("v2"), one).otherwise(zero)
+                .alias("tie_y"))
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("conc").cast("long").alias("concordant"),
+        F.sum("disc").cast("long").alias("discordant"),
+        (F.count(F.lit(1)) - F.sum("tie_x")).cast("long").alias("dx"),
+        (F.count(F.lit(1)) - F.sum("tie_y")).cast("long").alias("dy"),
+    )
+    tau = F.when(
+        (F.col("dx") > 0) & (F.col("dy") > 0),
+        (F.col("concordant") - F.col("discordant")).cast("double")
+        / F.sqrt((F.col("dx") * F.col("dy")).cast("double")))
+    return s.select("event_type", "n_pairs", "concordant", "discordant",
+                    tau.alias("tau_b"))

@@ -1151,3 +1151,27 @@ def test_join_ivm_four_delta_legs_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert len(re.findall(r"Join", p)) >= 4
+
+
+def test_spearman_one_exchange_shared_sorts(spark, sf_dir):
+    """Both rank windows and their peer-count frames must share ONE
+    hash exchange on l_returnflag (two in-partition sorts), and the
+    final rollup must reuse it — no join, no Python, no second
+    exchange."""
+    p = _plan(spark, sf_dir, "q_agg_spearman")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(l_returnflag" in p
+    assert "Join" not in p and "EvalPython" not in p
+
+
+def test_kendall_pairs_on_rollup_not_events(spark, sf_dir):
+    """The O(span²) concordance join must run on the (type, day)
+    ROLLUP: equi-join on the type key over day-sized data — no
+    cartesian, no BNLJ, no single-partition collapse, no Python."""
+    p = _plan(spark, sf_dir, "q_ts_kendall")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SinglePartition" not in p
+    assert "hashpartitioning(event_type" in p
+    assert "EvalPython" not in p

@@ -1476,3 +1476,76 @@ def test_join_ivm_legs_nonempty_and_merge_equals_recompute(spark, sf_dir):
     for s, (n, u4) in view.items():
         assert got[s]["n_items"] == n
         assert abs(got[s]["revenue"] - u4 / 10000) < 1e-6
+
+
+def test_spearman_matches_pandas_average_ranks(spark, sf_dir):
+    """Independent rederivation: pandas .rank(method='average') is the
+    exact tie convention the doubled-rank trick implements; Pearson over
+    those ranks (numpy) is Spearman's rho.  (pandas' own
+    corr(method='spearman') delegates to scipy, absent here.)
+    Agreement to 1e-9 per group pins both the rank algebra and the
+    centering identity."""
+    import numpy as np
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    pdf = (load(spark, sf_dir, "lineitem")
+           .select("l_returnflag", "l_discount", "l_quantity")
+           .toPandas())
+    got = {r["rf"]: r for r in
+           QUERIES["q_agg_spearman"](spark, sf_dir).collect()}
+    assert set(got) == set(pdf["l_returnflag"].unique())
+    for rf, g in pdf.groupby("l_returnflag"):
+        rx = g["l_discount"].rank(method="average").to_numpy()
+        ry = g["l_quantity"].rank(method="average").to_numpy()
+        want = float(np.corrcoef(rx, ry)[0, 1])
+        assert abs(got[rf]["rho_s"] - want) < 1e-9
+        assert got[rf]["n_rows"] == len(g)
+        assert abs(got[rf]["rho_s"]) <= 1.0
+
+
+def test_kendall_matches_literal_pair_count(spark, sf_dir):
+    """Independent rederivation: literal O(m²) Python pair scan over the
+    30-day series — concordant/discordant/tie counts and the tau-b
+    formula from the textbook definition."""
+    from math import sqrt
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    daily = (load(spark, sf_dir, "events")
+             .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+                  .cast("long").alias("v"))
+             .collect())
+    series: dict[str, list[tuple[int, int]]] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["n"], r["v"]))
+    got = {r["event_type"]: r for r in
+           QUERIES["q_ts_kendall"](spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        c = d = tx = ty = 0
+        m = len(pts)
+        for i in range(m):
+            for j in range(i + 1, m):
+                dx = pts[i][0] - pts[j][0]
+                dy = pts[i][1] - pts[j][1]
+                if dx == 0:
+                    tx += 1
+                if dy == 0:
+                    ty += 1
+                if dx * dy > 0:
+                    c += 1
+                elif dx != 0 and dy != 0:
+                    d += 1
+        n0 = m * (m - 1) // 2
+        row = got[et]
+        assert (row["n_pairs"], row["concordant"], row["discordant"]) \
+            == (n0, c, d)
+        want = (c - d) / sqrt(float((n0 - tx) * (n0 - ty)))
+        assert abs(row["tau_b"] - want) < 1e-12
+        # the fixture must keep exercising the x-tie path (vacuity rule)
+        assert tx > 0
