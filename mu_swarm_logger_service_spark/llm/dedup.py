@@ -1236,3 +1236,113 @@ def q_llm_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum(F.coalesce("blocked", F.lit(0))).alias("n_blocked"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-level edit-distance near-dup join — the OCR/typo complement of
+# the token-set families above (MinHash/SimHash/fuzzy-token see REORDERED
+# words; only an edit metric sees single-character corruption).  Candidate
+# generation is a banded equi-join on (lang, source, length bucket); the
+# verify step is levenshtein() on 120-char prefixes, JVM-side in both
+# engines.  The fixture corpus has no organic character-level near-dups
+# (random word sequences), so the query MINTS corrupted variants
+# deterministically and must re-find them (the vacuity discipline).
+# ---------------------------------------------------------------------------
+
+EDIT_PREFIX = 120     # DP cost cap: 120x120 per verified candidate pair
+EDIT_MAX_DIST = 3     # keep pairs with prefix edit distance <= 3
+EDIT_LEN_BAND = 4     # candidate pairs must differ by <= 4 chars in length
+EDIT_BUCKET = 16      # length-bucket width; >= band+1 so +-1 buckets cover
+
+
+@query("q_llm_edit_dedup", oracle=f"""
+WITH variants AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, 9) || 'q' || substr(text, 11) AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0 AND n_chars >= 40
+), corpus AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL SELECT * FROM variants
+), pre AS (
+  SELECT doc_id, lang, source, n_chars,
+         substr(text, 1, {EDIT_PREFIX}) AS p
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist,
+       b.doc_id - a.doc_id = 1000000 AS is_planted
+FROM pre a JOIN pre b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE abs(a.n_chars - b.n_chars) <= {EDIT_LEN_BAND}
+  AND levenshtein(a.p, b.p) <= {EDIT_MAX_DIST}
+""")
+def q_llm_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over (lang, source, length-band)
+    blocks, proven non-vacuous by planted single-substitution variants.
+
+    Minting: docs with ``doc_id % 7 == 0`` (and length >= 40 so position
+    10 exists) get a variant with the 10th character substituted —
+    length-preserving, prefix edit distance exactly 1 (0 if that char
+    already matches the substitute), built from substr concatenation so
+    both engines mint identical bytes (Spark's regexp_replace has no
+    first-match-only mode — the F.expr/backslash family of traps is
+    avoided entirely).
+
+    Scale shape: the Spark side NEVER forms per-block cartesian pairs
+    blindly — candidates come from an equi-join on (lang, source,
+    length-bucket), with the probe side exploded to the +-1 neighbor
+    buckets (bucket width {EDIT_BUCKET} > band {EDIT_LEN_BAND}, so every
+    in-band pair lands in the same or an adjacent bucket — soundness is
+    a pigeonhole argument, and the naive-join ORACLE re-proves it on
+    every run: a pair lost to banding would hash-mismatch).  Verify cost
+    is capped by the {EDIT_PREFIX}-char prefix DP.  At 100 TB the block
+    key bounds pair counts the way the MinHash bands do in
+    q_llm_near_dedup; exact distance on capped prefixes keeps the
+    verify step O(1) per candidate."""
+    docs = load(spark, sf_dir, "documents")
+    variants = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("n_chars") >= 40))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.substring("text", 1, 9), F.lit("q"),
+                     F.expr("substr(text, 11)")).alias("text"),
+            "lang", "source", "n_chars",
+        )
+    )
+    corpus = docs.select("doc_id", "text", "lang", "source",
+                         "n_chars").unionByName(variants)
+    pre = corpus.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.substring("text", 1, EDIT_PREFIX).alias("p"),
+        (F.col("n_chars") / EDIT_BUCKET).cast("long").alias("bkt"),
+    )
+    probe = pre.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("l_a"),
+        F.col("source").alias("s_a"), F.col("n_chars").alias("nc_a"),
+        F.col("p").alias("p_a"),
+        F.explode(F.array(F.col("bkt") - 1, F.col("bkt"),
+                          F.col("bkt") + 1)).alias("pb"),
+    )
+    index = pre.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("l_b"),
+        F.col("source").alias("s_b"), F.col("n_chars").alias("nc_b"),
+        F.col("p").alias("p_b"), F.col("bkt").alias("bkt_b"),
+    )
+    cand = probe.join(
+        index,
+        (F.col("l_a") == F.col("l_b")) & (F.col("s_a") == F.col("s_b"))
+        & (F.col("pb") == F.col("bkt_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).filter(
+        F.abs(F.col("nc_a") - F.col("nc_b")) <= EDIT_LEN_BAND
+    )
+    dist = F.levenshtein("p_a", "p_b")
+    return (
+        cand.select("id_a", "id_b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= EDIT_MAX_DIST)
+        .select("id_a", "id_b",
+                F.col("edit_dist").cast("long").alias("edit_dist"),
+                (F.col("id_b") - F.col("id_a") == 1000000)
+                .alias("is_planted"))
+    )

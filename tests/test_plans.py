@@ -1175,3 +1175,14 @@ def test_kendall_pairs_on_rollup_not_events(spark, sf_dir):
     assert "SinglePartition" not in p
     assert "hashpartitioning(event_type" in p
     assert "EvalPython" not in p
+
+
+def test_edit_dedup_banded_equi_join_no_cartesian(spark, sf_dir):
+    """Candidate generation must be the banded (lang, source, bucket)
+    EQUI-join — no cartesian, no BNLJ, no Python; the length band and
+    distance threshold are post-filters on equi-join output."""
+    p = _plan(spark, sf_dir, "q_llm_edit_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+    assert "levenshtein" in p

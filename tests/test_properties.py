@@ -1549,3 +1549,22 @@ def test_kendall_matches_literal_pair_count(spark, sf_dir):
         assert abs(row["tau_b"] - want) < 1e-12
         # the fixture must keep exercising the x-tie path (vacuity rule)
         assert tx > 0
+
+
+def test_edit_dedup_recovers_every_planted_variant(spark, sf_dir):
+    """Every minted single-substitution variant must be re-found by the
+    banded join with prefix edit distance <= 1 — recall proof for the
+    blocking scheme, and the non-vacuity pin for the whole pair."""
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    eligible = {
+        r["doc_id"]
+        for r in load(spark, sf_dir, "documents")
+        .filter("doc_id % 7 = 0 AND n_chars >= 40").collect()
+    }
+    assert eligible, "fixture lost all eligible docs"
+    rows = QUERIES["q_llm_edit_dedup"](spark, sf_dir).collect()
+    planted = {r["id_a"]: r for r in rows if r["is_planted"]}
+    assert set(planted) == eligible
+    assert all(r["edit_dist"] <= 1 for r in planted.values())
