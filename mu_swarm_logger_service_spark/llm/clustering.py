@@ -1327,3 +1327,88 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_c").cast("double") / F.col("d") - kd * kd)
         .alias("q_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity — do high-degree parts attach to high-degree
+# suppliers?  The Newman mixing coefficient over the bipartite
+# part-supplier edge set: Pearson correlation of (deg(part), deg(supplier))
+# across EDGES.  Positive = hubs pair with hubs (assortative), negative =
+# hubs fan out to leaves (disassortative — the typical supply-chain shape).
+# Complements q_graph_modularity (community strength) and q_graph_kcore
+# (cohesion shells) with the third classic structure statistic.
+# ---------------------------------------------------------------------------
+
+
+@query("q_graph_assortativity", oracle="""
+WITH edges AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+), deg AS (
+  SELECT p, s,
+         COUNT(*) OVER (PARTITION BY p) AS dp,
+         COUNT(*) OVER (PARTITION BY s) AS ds
+  FROM edges
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(COUNT(DISTINCT p) AS BIGINT) AS n_parts,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_suppliers,
+         CAST(SUM(CAST(dp AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ds AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(dp * ds AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(dp * dp AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ds * ds AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM deg
+)
+SELECT n_edges, n_parts, n_suppliers,
+       round((n_edges * sxy - sx * sy)
+             / sqrt((n_edges * sxx - sx * sx)
+                    * (n_edges * syy - sy * sy)), 9) + 0.0
+         AS assortativity
+FROM sums
+""")
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the bipartite part-supplier graph.
+
+    Determinism: endpoint degrees are integer window counts over the
+    DISTINCT edge set; all five sums ride DECIMAL(38,0) (the ANSI
+    long-overflow rule); the Pearson ratio is computed in double with
+    identical association on both sides and — because the sum casts can
+    round above 2^53 at scale — rounded at 9 dp with the -0.0 guard
+    (negative assortativity is the expected sign here, and near-zero
+    values can cross it).
+
+    Plan: one scan → one distinct shuffle for the edge set, one
+    exchange per endpoint's degree window (p, then s), then a
+    single-row global rollup.  Degrees-by-window instead of
+    degrees-by-join: no join anywhere, and each exchange carries the
+    edge set, never the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(F.col("l_partkey").alias("p"),
+                      F.col("l_suppkey").alias("s")).distinct()
+    deg = edges.select(
+        "p", "s",
+        F.count(F.lit(1)).over(Window.partitionBy("p")).alias("dp"),
+        F.count(F.lit(1)).over(Window.partitionBy("s")).alias("ds"),
+    )
+    d38 = "decimal(38,0)"
+    sums = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.countDistinct("p").cast("long").alias("n_parts"),
+        F.countDistinct("s").cast("long").alias("n_suppliers"),
+        F.sum(F.col("dp").cast(d38)).cast("double").alias("sx"),
+        F.sum(F.col("ds").cast(d38)).cast("double").alias("sy"),
+        F.sum((F.col("dp") * F.col("ds")).cast(d38)).cast("double")
+        .alias("sxy"),
+        F.sum((F.col("dp") * F.col("dp")).cast(d38)).cast("double")
+        .alias("sxx"),
+        F.sum((F.col("ds") * F.col("ds")).cast(d38)).cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n_edges")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 * (n * F.col("syy") - F.col("sy") * F.col("sy")))
+    return sums.select(
+        "n_edges", "n_parts", "n_suppliers",
+        (F.round(num / den, 9) + 0.0).alias("assortativity"),
+    )

@@ -2507,3 +2507,76 @@ def q_ts_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt((F.col("dx") * F.col("dy")).cast("double")))
     return s.select("event_type", "n_pairs", "concordant", "discordant",
                     tau.alias("tau_b"))
+
+
+# ---------------------------------------------------------------------------
+# Burstiness — the Goh–Barabási B = (σ−μ)/(σ+μ) of per-user inter-event
+# gaps: −1 = metronome, 0 = Poisson, →1 = extreme bursts.  The standard
+# single-number answer to "is this user's activity clumped or steady?",
+# complementing q_ts_sessionize (which segments the clumps) and
+# q_ts_volatility (which tracks the value series, not the arrival process).
+# ---------------------------------------------------------------------------
+
+
+@query("q_ts_burstiness", oracle="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS gap
+  FROM events
+), s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(gap AS DECIMAL(19,0))
+                  * CAST(gap AS DECIMAL(19,0))) AS DOUBLE) AS s2
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id HAVING COUNT(*) >= 2
+)
+SELECT user_id, n_gaps, s1 / n_gaps AS mean_gap_us,
+       round((sqrt(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+              - s1 / n_gaps)
+             / (sqrt(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps))
+                + s1 / n_gaps), 9) + 0.0 AS burstiness
+FROM s
+""")
+def q_ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness of the event arrival process.
+
+    Determinism: gaps are exact integer microseconds (unix_micros /
+    epoch_us — the documented safe pair) under a (ts, event_id)-unique
+    ordering; Σgap rides DECIMAL(38,0) and gap² is squared IN DECIMAL —
+    DECIMAL(19,0) operands so the square never touches int64 (it can
+    reach ~7e24; squaring in LONG overflows under the driver's ANSI
+    default) and DuckDB's multiply takes its int128 path (width>18
+    rule); mean_gap_us is one exact
+    division (Σgap ≤ the 30-day span in µs ≈ 2.6e12 < 2^53, so its
+    double cast is exact) and is emitted raw, while B compounds a
+    divergent-capable Σgap² cast through sqrt and is rounded at 9 dp
+    with the -0.0 guard (near-Poisson users sit near 0).  Population σ,
+    matching the closed-form moment expansion on both sides.
+
+    Plan: one scan, ONE exchange on user_id — the lag window and the
+    per-user rollup share the partitioning.  Skewed power users cost a
+    within-partition sort, never a global one."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    g = ev.select("user_id", (us - F.lag(us).over(w)).alias("gap"))
+    d38 = "decimal(38,0)"
+    s = (
+        g.filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"),
+             F.sum(F.col("gap").cast(d38)).cast("double").alias("s1"),
+             F.sum(F.col("gap").cast("decimal(19,0)")
+                   * F.col("gap").cast("decimal(19,0)"))
+             .cast("double").alias("s2"))
+        .filter(F.col("n_gaps") >= 2)
+    )
+    mu = F.col("s1") / F.col("n_gaps")
+    sigma = F.sqrt(F.col("s2") / F.col("n_gaps") - mu * mu)
+    return s.select(
+        "user_id", "n_gaps", mu.alias("mean_gap_us"),
+        (F.round((sigma - mu) / (sigma + mu), 9) + 0.0)
+        .alias("burstiness"),
+    )

@@ -1186,3 +1186,24 @@ def test_edit_dedup_banded_equi_join_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
     assert "levenshtein" in p
+
+
+def test_assortativity_windows_on_edges_no_join(spark, sf_dir):
+    """Degrees must come from windows over the DISTINCT edge set —
+    no join anywhere, no Python, and the fact scan feeds exactly one
+    distinct shuffle before the edge-sized exchanges."""
+    p = _plan(spark, sf_dir, "q_graph_assortativity")
+    assert "Join" not in p
+    assert "EvalPython" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "hashpartitioning(p" in p and "hashpartitioning(s" in p
+
+
+def test_burstiness_one_user_exchange(spark, sf_dir):
+    """The lag window and the per-user rollup must share ONE user_id
+    exchange — no join, no Python, no second shuffle."""
+    p = _plan(spark, sf_dir, "q_ts_burstiness")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(user_id" in p
+    assert "Join" not in p and "EvalPython" not in p

@@ -1568,3 +1568,71 @@ def test_edit_dedup_recovers_every_planted_variant(spark, sf_dir):
     planted = {r["id_a"]: r for r in rows if r["is_planted"]}
     assert set(planted) == eligible
     assert all(r["edit_dist"] <= 1 for r in planted.values())
+
+
+def test_assortativity_matches_literal_python(spark, sf_dir):
+    """Independent rederivation: collect the distinct edge set, count
+    endpoint degrees in dicts, and run the textbook Pearson-over-edges
+    formula in Python floats."""
+    from math import sqrt
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    edges = {(r["l_partkey"], r["l_suppkey"])
+             for r in load(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct().collect()}
+    dp: dict[int, int] = {}
+    ds: dict[int, int] = {}
+    for p_, s_ in edges:
+        dp[p_] = dp.get(p_, 0) + 1
+        ds[s_] = ds.get(s_, 0) + 1
+    n = len(edges)
+    sx = sum(dp[p_] for p_, _ in edges)
+    sy = sum(ds[s_] for _, s_ in edges)
+    sxy = sum(dp[p_] * ds[s_] for p_, s_ in edges)
+    sxx = sum(dp[p_] ** 2 for p_, _ in edges)
+    syy = sum(ds[s_] ** 2 for _, s_ in edges)
+    want = (n * sxy - sx * sy) / sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    row = QUERIES["q_graph_assortativity"](spark, sf_dir).collect()[0]
+    assert row["n_edges"] == n
+    assert row["n_parts"] == len(dp) and row["n_suppliers"] == len(ds)
+    assert abs(row["assortativity"] - want) < 1e-8
+    assert abs(row["assortativity"]) <= 1.0
+
+
+def test_burstiness_matches_literal_python(spark, sf_dir):
+    """Independent rederivation: literal per-user gap list from sorted
+    (ts, event_id) rows, population moments in Python."""
+    from math import sqrt
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    rows = (load(spark, sf_dir, "events")
+            .select("user_id", F.unix_micros("ts").alias("us"),
+                    "event_id").collect())
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["us"],
+                                                     r["event_id"]))
+    got = {r["user_id"]: r for r in
+           QUERIES["q_ts_burstiness"](spark, sf_dir).collect()}
+    checked = 0
+    for uid, pts in by_user.items():
+        pts.sort()
+        gaps = [b[0] - a[0] for a, b in zip(pts, pts[1:])]
+        if len(gaps) < 2:
+            assert uid not in got
+            continue
+        mu = sum(gaps) / len(gaps)
+        sigma = sqrt(sum(g * g for g in gaps) / len(gaps) - mu * mu)
+        want = (sigma - mu) / (sigma + mu)
+        row = got[uid]
+        assert row["n_gaps"] == len(gaps)
+        assert abs(row["mean_gap_us"] - mu) < 1e-6
+        assert abs(row["burstiness"] - want) < 1e-6
+        assert -1.0 <= row["burstiness"] < 1.0
+        checked += 1
+    assert checked > 0
