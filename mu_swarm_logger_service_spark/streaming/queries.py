@@ -906,3 +906,62 @@ def q_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
     return out
+
+
+@query("q_stream_burstiness", oracle=_ORACLE["q_ts_burstiness"])
+def q_stream_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_ts_burstiness with an EXACT oracle: per-user
+    arrival moments (last event µs/id, gap count, Σgap, Σgap²) carried
+    across micro-batches, snapshotted per batch and merged at read time
+    by latest batch id.  Σgap² exceeds int64, so the state store
+    carries it as an arbitrary-precision DECIMAL STRING (exact Python
+    int arithmetic inside the fold); the read-time cast to
+    DECIMAL(38,0) lands on the identical value the batch SUM produces,
+    so stream ≡ batch ≡ oracle bit-for-bit — the three-way equivalence
+    claim, same as q_stream_pattern_match.
+
+    At scale: the always-on arrival-process monitor — O(1) state per
+    user, each batch shuffles only its own rows on the user key."""
+    from .stateful import burstiness_stateful
+
+    sink = tempfile.mkdtemp(prefix="spark_graft_burstsink_")
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_burstckpt_")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.withColumn("batch_id", F.lit(batch_id)) \
+           .write.mode("overwrite").parquet(
+               os.path.join(sink, f"batch={batch_id}"))
+
+    q = (
+        burstiness_stateful(
+            X.stream_events(spark, sf_dir, max_files_per_trigger=1))
+        .writeStream.outputMode("update")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window as W
+
+    snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
+    latest = (
+        snaps.withColumn(
+            "mx", F.max("batch_id").over(W.partitionBy("user_id")))
+        .filter(F.col("batch_id") == F.col("mx"))
+        .filter(F.col("n_gaps") >= 2)
+    )
+    # Mirror the batch query's final expressions EXACTLY (same double
+    # ops in the same shape on the same exact inputs).
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("decimal(38,0)").cast("double")
+    mu = s1d / F.col("n_gaps")
+    sigma = F.sqrt(s2d / F.col("n_gaps") - mu * mu)
+    out = latest.select(
+        "user_id", "n_gaps", mu.alias("mean_gap_us"),
+        (F.round((sigma - mu) / (sigma + mu), 9) + 0.0)
+        .alias("burstiness"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return out

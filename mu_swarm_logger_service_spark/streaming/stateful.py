@@ -404,3 +404,60 @@ def pattern_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BURST_OUT_SCHEMA = ("user_id long, last_us long, n_gaps long, "
+                    "s1 long, s2 string")
+BURST_STATE_SCHEMA = ("last_us long, last_eid long, n_gaps long, "
+                      "s1 long, s2 string")
+
+
+def _burst_update(key: tuple, pdf_iter, state: GroupState):
+    """Arrival-moment state for one user across a micro-batch: last
+    event (µs, id tiebreak), gap count, Σgap (fits int64 — bounded by
+    the stream's time span) and Σgap² carried as a DECIMAL STRING —
+    gap² reaches ~7e24, past int64, and a float accumulator would break
+    exact equivalence with the batch decimal path, so the state store
+    carries the arbitrary-precision integer in its string rendering
+    (Python int arithmetic is exact; the read-time merge casts the
+    string to DECIMAL(38,0) and lands on the identical value the batch
+    SUM produces)."""
+    (user_id,) = key
+    if state.exists:
+        last_us, last_eid, n, s1, s2s = state.get
+        s2 = int(s2s)
+    else:
+        last_us, last_eid, n, s1, s2 = -1, -1, 0, 0, 0
+
+    pdfs = [p for p in pdf_iter if len(p)]
+    if pdfs:
+        whole = pd.concat(pdfs, ignore_index=True)
+        for ts, eid in (whole.sort_values(["ts", "event_id"])
+                        [["ts", "event_id"]].itertuples(index=False)):
+            us = ts.value // 1000  # µs-exact (the _holt_update rule)
+            if last_us >= 0:
+                gap = us - last_us
+                n += 1
+                s1 += gap
+                s2 += gap * gap
+            last_us, last_eid = int(us), int(eid)
+    state.update((last_us, last_eid, n, s1, str(s2)))
+    yield pd.DataFrame({
+        "user_id": [user_id], "last_us": [last_us],
+        "n_gaps": [n], "s1": [s1], "s2": [str(s2)],
+    })
+
+
+def burstiness_stateful(events: DataFrame) -> DataFrame:
+    """Streaming arrival-process moments per user (O(1) state: last
+    event + three accumulators), shuffled once per micro-batch on the
+    user key."""
+    return events.select("user_id", "event_id", "ts").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _burst_update,
+        outputStructType=BURST_OUT_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

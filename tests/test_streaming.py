@@ -775,3 +775,56 @@ def test_pattern_state_across_batches_equals_batch(spark, sf_dir, replay):
     assert _canon(streamed) == _canon(batch)
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_burstiness_state_across_batches_equals_batch(spark, sf_dir, replay):
+    """Arrival-moment state under REAL multi-batch replay: gaps that
+    STRADDLE batch boundaries (last event of batch k → first event of
+    batch k+1) must be accumulated exactly, including the Σgap²
+    decimal-string carry — the merged latest snapshots must reproduce
+    q_ts_burstiness bit-for-bit."""
+    from mu_swarm_logger_service_spark.streaming.stateful import (
+        burstiness_stateful)
+
+    src, schema = replay
+    sink = tempfile.mkdtemp(prefix="burst_multi_sink_")
+    ckpt = tempfile.mkdtemp(prefix="burst_multi_ckpt_")
+    batch_ids = []
+
+    def write_batch(bdf, batch_id):
+        batch_ids.append(batch_id)
+        bdf.withColumn("batch_id", F.lit(batch_id)) \
+           .write.mode("overwrite").parquet(
+               os.path.join(sink, f"batch={batch_id}"))
+
+    q = (burstiness_stateful(_read_replay(spark, src, schema))
+         .writeStream.outputMode("update")
+         .foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(set(batch_ids)) >= 4
+
+    from pyspark.sql import Window as W
+    snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
+    latest = (snaps.withColumn(
+        "mx", F.max("batch_id").over(W.partitionBy("user_id")))
+        .filter(F.col("batch_id") == F.col("mx"))
+        .filter(F.col("n_gaps") >= 2))
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("decimal(38,0)").cast("double")
+    mu = s1d / F.col("n_gaps")
+    sigma = F.sqrt(s2d / F.col("n_gaps") - mu * mu)
+    streamed = latest.select(
+        "user_id", "n_gaps", mu.alias("mean_gap_us"),
+        (F.round((sigma - mu) / (sigma + mu), 9) + 0.0)
+        .alias("burstiness"))
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    batch = QUERIES["q_ts_burstiness"](spark, sf_dir)
+    assert _canon(streamed) == _canon(batch)
+    # a user with >= 2 gaps must exist and Σgap² must have left int64
+    # somewhere at least at the decimal-string carry level
+    assert streamed.count() > 0
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
