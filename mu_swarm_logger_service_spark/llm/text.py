@@ -2472,3 +2472,98 @@ def q_llm_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_distinct") < LDIV_MIN).alias("at_risk"),
         (F.round(h, 6) + 0.0).alias("entropy_l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering — the training-data ORDERING primitive: stage docs
+# easy→hard by a difficulty signal, then give each stage a deterministic
+# within-shard permutation (the "shuffled shards" layout every large-scale
+# trainer consumes).  Complements q_llm_split (membership) and
+# q_llm_pack_sequences (token packing): this decides WHEN a doc is seen.
+# ---------------------------------------------------------------------------
+
+CURRICULUM_STAGES = 3
+CURRICULUM_SHARDS = 4
+
+
+@query("q_llm_curriculum", oracle=f"""
+WITH diff AS (
+  SELECT doc_id,
+         CAST((n_chars * 1000) // len(string_split(text, ' '))
+              AS BIGINT) AS difficulty
+  FROM documents WHERE len(string_split(text, ' ')) > 0
+), hist AS (
+  SELECT difficulty, COUNT(*) AS n FROM diff GROUP BY difficulty
+), cum AS (
+  SELECT difficulty,
+         COALESCE(SUM(n) OVER (ORDER BY difficulty
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS c,
+         SUM(n) OVER () AS t
+  FROM hist
+), staged AS (
+  SELECT d.doc_id, d.difficulty,
+         CAST(1 + ({CURRICULUM_STAGES} * c) // t AS BIGINT) AS stage,
+         ascii(substr(md5(CAST(d.doc_id AS VARCHAR) || '|shard'), 1, 1))
+           % {CURRICULUM_SHARDS} AS shard,
+         md5(CAST(d.doc_id AS VARCHAR) || '|epoch0') AS k
+  FROM diff d JOIN cum USING (difficulty)
+)
+SELECT doc_id, difficulty, stage, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY stage, shard
+                               ORDER BY k, doc_id) AS BIGINT) AS pos
+FROM staged
+""")
+def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum order: stage by chars-per-token difficulty (integer,
+    ×1000), shard by a content-addressed md5 gate, and permute within
+    (stage, shard) by an epoch-salted md5 key.
+
+    Stage assignment does NOT use a global ntile sort (a 100 TB
+    scale-killer): terciles come from an exclusive prefix sum over the
+    DIFFICULTY HISTOGRAM — bounded by the value domain, not the corpus
+    (the chi2/MI window-marginal discipline) — broadcast-joined back,
+    so equal difficulties always share a stage (deterministic under
+    any partitioning).  Integer stage arithmetic uses truncating
+    division on nonnegative values (Spark cast-long ≡ DuckDB `//` with
+    the BIGINT cast — the documented pair).  The permutation key is the
+    hex md5 string (ASCII ordering identical across engines), doc_id
+    tiebreak; positions are per-(stage, shard) row_numbers, so the sort
+    is shard-bounded at scale.  Epoch re-shuffles = new salt, nothing
+    recomputed but the key."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    diff = (
+        docs.filter(ntok > 0)
+        .select("doc_id",
+                ((F.col("n_chars") * 1000) / ntok).cast("long")
+                .alias("difficulty"))
+    )
+    hist = diff.groupBy("difficulty").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = (Window.orderBy("difficulty")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cum = hist.select(
+        "difficulty",
+        F.coalesce(F.sum("n").over(w_cum), F.lit(0)).alias("c"),
+        F.sum("n").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)).alias("t"),
+    )
+    stage = (F.lit(1)
+             + (F.lit(CURRICULUM_STAGES) * F.col("c") / F.col("t"))
+             .cast("long")).alias("stage")
+    shard = (F.ascii(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit("|shard"))), 1, 1))
+        % CURRICULUM_SHARDS).cast("long").alias("shard")
+    k = F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit("|epoch0"))).alias("k")
+    staged = (
+        diff.join(F.broadcast(cum), "difficulty")
+        .select("doc_id", "difficulty", stage, shard, k)
+    )
+    w_pos = Window.partitionBy("stage", "shard").orderBy("k", "doc_id")
+    return staged.select(
+        "doc_id", "difficulty", "stage", "shard",
+        F.row_number().over(w_pos).cast("long").alias("pos"),
+    )

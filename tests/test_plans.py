@@ -1207,3 +1207,15 @@ def test_burstiness_one_user_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "hashpartitioning(user_id" in p
     assert "Join" not in p and "EvalPython" not in p
+
+
+def test_curriculum_histogram_terciles_broadcast_back(spark, sf_dir):
+    """Stage terciles must come from the difficulty HISTOGRAM (value-
+    domain-bounded single-partition window is the accepted discipline)
+    broadcast-joined back — the corpus itself must never hit a global
+    ntile sort, and positions ride (stage, shard)-keyed windows."""
+    p = _plan(spark, sf_dir, "q_llm_curriculum")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "hashpartitioning(stage" in p

@@ -1636,3 +1636,32 @@ def test_burstiness_matches_literal_python(spark, sf_dir):
         assert -1.0 <= row["burstiness"] < 1.0
         checked += 1
     assert checked > 0
+
+
+def test_curriculum_positions_contiguous_and_stages_monotone(spark, sf_dir):
+    """Structural invariants: positions are 1..n within each (stage,
+    shard) with no gaps; stages are monotone in difficulty (a stage-2
+    doc is never easier than a stage-1 doc); stage sizes are balanced
+    to within the largest difficulty tie-group."""
+    from collections import defaultdict
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+
+    rows = QUERIES["q_llm_curriculum"](spark, sf_dir).collect()
+    assert rows
+    by_ss = defaultdict(list)
+    stage_span: dict[int, list[int]] = {}
+    for r in rows:
+        by_ss[(r["stage"], r["shard"])].append(r["pos"])
+        lo_hi = stage_span.setdefault(r["stage"], [r["difficulty"],
+                                                   r["difficulty"]])
+        lo_hi[0] = min(lo_hi[0], r["difficulty"])
+        lo_hi[1] = max(lo_hi[1], r["difficulty"])
+    for poss in by_ss.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    stages = sorted(stage_span)
+    assert stages == [1, 2, 3]
+    for a, b in zip(stages, stages[1:]):
+        # equal-difficulty docs share a stage, so spans touch at most
+        # at the boundary value — never overlap past it
+        assert stage_span[a][1] <= stage_span[b][0]
