@@ -81,7 +81,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #       q_analytics_hhi, q_ts_sax, q_llm_collocations,
 #       q_analytics_supplier_overlap) plus the session's later additions
 #       (q_ts_theil_sen, q_ts_mad_outliers, q_analytics_wilson_ci,
-#       q_graph_label_prop, q_ts_runs_test, q_cdc_bitemporal, ...).
+#       q_graph_label_prop, q_ts_runs_test, q_cdc_bitemporal, ...,
+#       q_agg_spearman, q_ts_kendall, q_llm_edit_dedup,
+#       q_graph_assortativity, q_ts_burstiness, q_stream_burstiness,
+#       q_llm_curriculum).
 #       The remainder now spans r8 AND r9 (rotate_window reports >50):
 #       with rounds running to r20, window capacity is ~50/round — new
 #       keys simply ride later windows, and every key stays locally

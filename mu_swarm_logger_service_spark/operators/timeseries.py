@@ -2580,3 +2580,98 @@ def q_ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round((sigma - mu) / (sigma + mu), 9) + 0.0)
         .alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical additive decomposition — daily series = trend + seasonal +
+# residual: centered 7-day moving-average trend, day-of-week seasonal
+# indices from the detrended interior, residual as what remains.  The
+# DECOMPOSITION view of the series (q_ts_holt_winters is the forecasting
+# view; q_ts_seasonality detects the cycle, this one splits it out).
+# ---------------------------------------------------------------------------
+
+
+@query("q_ts_decompose", oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ma AS (
+  SELECT event_type, d, n,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+              AS BIGINT) AS s7,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+  FROM daily
+), interior AS (
+  SELECT * FROM ma WHERE c7 = 7
+), seas AS (
+  SELECT event_type, d % 7 AS dow,
+         CAST(7 * SUM(n) - SUM(s7) AS BIGINT) AS a,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM interior GROUP BY 1, 2
+)
+SELECT i.event_type, i.d AS day_index, i.n,
+       CAST(i.s7 AS DOUBLE) / 7 AS trend,
+       CAST(s.a AS DOUBLE) / (7 * s.k) AS seasonal,
+       i.n - CAST(i.s7 AS DOUBLE) / 7
+           - CAST(s.a AS DOUBLE) / (7 * s.k) AS residual
+FROM interior i JOIN seas s
+  ON i.event_type = s.event_type AND i.d % 7 = s.dow
+""")
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of the daily
+    count series per event type.
+
+    Determinism: the trend is Σ(7-day window of integer counts)/7 —
+    integer ROWS-frame sum (exact under any association), ONE division.
+    The day-of-week seasonal mean of the detrended series is NOT a
+    float sum: Σ(n_d − s7_d/7) over a dow group is rewritten as the
+    INTEGER (7·Σn − Σs7)/(7k) — one exact integer aggregate, one
+    division.  The residual chains those two exact quotients through
+    two subtractions in the same shape on both engines — identical
+    bits, raw emit, no rounding guard needed.  Day-of-week is d % 7 on
+    the epoch-day integer (sidesteps the dayofweek() 0=Sunday /
+    1=Sunday cross-engine shift).  Seasonal indices are relative to the
+    trend, not zero-centered (classical decomposition normalization is
+    a constant shift between seasonal and trend; the residuals are
+    invariant to it).
+
+    Plan: one fact shuffle to the (type, day) rollup; the MA window
+    rides a type-keyed exchange over day-grain data; seasonal indices
+    are a 35-row rollup broadcast back."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type",
+                   F.datediff(F.date_trunc("day", "ts").cast("date"),
+                              F.lit("1970-01-01").cast("date")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w7 = (Window.partitionBy("event_type").orderBy("d")
+          .rowsBetween(-3, 3))
+    ma = daily.select(
+        "event_type", "d", "n",
+        F.sum("n").over(w7).cast("long").alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    interior = ma.filter(F.col("c7") == 7)
+    seas = (
+        interior.groupBy("event_type", (F.col("d") % 7).alias("dow"))
+        .agg((7 * F.sum("n") - F.sum("s7")).cast("long").alias("a"),
+             F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    j = interior.join(
+        F.broadcast(seas),
+        (interior["event_type"] == seas["event_type"])
+        & (interior["d"] % 7 == seas["dow"]),
+    ).drop(seas["event_type"])
+    trend = F.col("s7").cast("double") / 7
+    seasonal = F.col("a").cast("double") / (7 * F.col("k"))
+    return j.select(
+        "event_type", F.col("d").alias("day_index"), "n",
+        trend.alias("trend"), seasonal.alias("seasonal"),
+        (F.col("n") - trend - seasonal).alias("residual"),
+    )

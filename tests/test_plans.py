@@ -1219,3 +1219,15 @@ def test_curriculum_histogram_terciles_broadcast_back(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "hashpartitioning(stage" in p
+
+
+def test_decompose_rollup_window_broadcast_back(spark, sf_dir):
+    """The MA window must ride a type-keyed exchange over DAY-grain
+    data; seasonal indices are a tiny rollup BROADCAST back — no
+    cartesian, no single-partition collapse of the fact table, no
+    Python."""
+    p = _plan(spark, sf_dir, "q_ts_decompose")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "hashpartitioning(event_type" in p

@@ -1665,3 +1665,30 @@ def test_curriculum_positions_contiguous_and_stages_monotone(spark, sf_dir):
         # equal-difficulty docs share a stage, so spans touch at most
         # at the boundary value — never overlap past it
         assert stage_span[a][1] <= stage_span[b][0]
+
+
+def test_decompose_reconstructs_and_covers_interior(spark, sf_dir):
+    """Structural invariants: trend+seasonal+residual reconstructs n
+    exactly (they are defined by subtraction — assert to float
+    round-off); every type covers a contiguous interior day range;
+    each dow group's seasonal index equals the mean of its detrended
+    values."""
+    from collections import defaultdict
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+
+    rows = QUERIES["q_ts_decompose"](spark, sf_dir).collect()
+    assert rows
+    days = defaultdict(set)
+    detr = defaultdict(list)
+    for r in rows:
+        assert abs((r["trend"] + r["seasonal"] + r["residual"])
+                   - r["n"]) < 1e-9
+        days[r["event_type"]].add(r["day_index"])
+        detr[(r["event_type"], r["day_index"] % 7)].append(
+            (r["n"] - r["trend"], r["seasonal"]))
+    for et, ds in days.items():
+        assert len(ds) == max(ds) - min(ds) + 1   # contiguous interior
+    for (et, dow), vals in detr.items():
+        mean = sum(v for v, _ in vals) / len(vals)
+        assert all(abs(s - mean) < 1e-9 for _, s in vals)
