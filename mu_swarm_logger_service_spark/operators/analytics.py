@@ -2660,3 +2660,115 @@ def q_analytics_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", mu.alias("mean_value"), delta.alias("delta"),
         F.ceil(2 * z * z * var_s / (delta * delta)).alias("n_per_arm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Price indices — Laspeyres (base-quantity weights), Paasche (current-
+# quantity weights) and their Fisher geometric mean, per ship month against
+# the first month as base: the econometric "is revenue moving because of
+# PRICE or VOLUME?" decomposition that q_analytics_yoy_growth (raw growth)
+# cannot answer.  Prices are part-month unit values from the lineitem fact.
+# ---------------------------------------------------------------------------
+
+
+@query("q_analytics_price_index", oracle="""
+WITH cells AS (
+  SELECT l_partkey AS pk, date_trunc('month', l_shipdate) AS m,
+         CAST(SUM(l_quantity) AS BIGINT) AS q,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   AS DOUBLE) AS DOUBLE) AS rev
+  FROM lineitem GROUP BY 1, 2
+), base AS (
+  SELECT pk, q AS q0, rev / q AS p0
+  FROM cells WHERE m = (SELECT MIN(m) FROM cells)
+), cur AS (
+  SELECT pk, m, q AS q1, rev / q AS p1 FROM cells
+  WHERE m > (SELECT MIN(m) FROM cells)
+), joined AS (
+  SELECT c.m,
+         CAST(FLOOR(c.p1 * b.q0 * 10000) AS BIGINT) AS l_num,
+         CAST(FLOOR(b.p0 * b.q0 * 10000) AS BIGINT) AS l_den,
+         CAST(FLOOR(c.p1 * c.q1 * 10000) AS BIGINT) AS p_num,
+         CAST(FLOOR(b.p0 * c.q1 * 10000) AS BIGINT) AS p_den
+  FROM cur c JOIN base b USING (pk)
+), idx AS (
+  SELECT strftime(m, '%Y-%m') AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(l_num) AS DOUBLE) / CAST(SUM(l_den) AS DOUBLE)
+           AS laspeyres,
+         CAST(SUM(p_num) AS DOUBLE) / CAST(SUM(p_den) AS DOUBLE)
+           AS paasche
+  FROM joined GROUP BY 1
+)
+SELECT month, n_parts,
+       round(laspeyres, 9) + 0.0 AS laspeyres,
+       round(paasche, 9) + 0.0 AS paasche,
+       round(sqrt(laspeyres * paasche), 9) + 0.0 AS fisher
+FROM idx
+""")
+def q_analytics_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices per ship month vs the
+    first month, over parts traded in both periods.
+
+    Determinism: part-month unit values are ONE division of exact
+    operands (decimal revenue sum cast to double — cell revenue is far
+    under the 2^53 window — over an integer quantity), so p0/p1 are
+    bit-identical across engines; each cross-period product p·q is an
+    engine-identical double FLOORED at 4 dp into an integer (the
+    cross_corr product-quantization rule — a raw decimal cast of a
+    many-digit product would round divergently), so the four index sums
+    are exact integers; the final ratios and the Fisher sqrt run on
+    their (possibly >2^53, hence rounded) double casts and carry the
+    9-dp guard.  Basket = inner join on part (matched-sample indices;
+    entering/exiting parts are excluded by construction — documented,
+    standard for fixed-basket indices).
+
+    Plan: one fact shuffle into part-month cells, MATERIALIZED once
+    (eager localCheckpoint — the clustering edge-set discipline; the
+    base slice, the current slice and the base-month 1-row aggregate
+    all reuse it, where the lazy plan re-scanned the fact four times);
+    the base month joins back as two 1-row broadcasts and the pairing
+    is a part-keyed broadcast join; the index rollup is month-grain."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(F.col("l_partkey").alias("pk"),
+                   F.date_trunc("month", "l_shipdate").alias("m"))
+        .agg(F.sum("l_quantity").cast("long").alias("q"),
+             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("double").alias("rev"))
+    ).localCheckpoint(eager=True)
+    m0 = cells.agg(F.min("m").alias("m0"))
+    base = (
+        cells.join(F.broadcast(m0), cells["m"] == m0["m0"])
+        .select("pk", F.col("q").alias("q0"),
+                (F.col("rev") / F.col("q")).alias("p0"))
+    )
+    cur = (
+        cells.join(F.broadcast(m0), cells["m"] > m0["m0"])
+        .select("pk", "m", F.col("q").alias("q1"),
+                (F.col("rev") / F.col("q")).alias("p1"))
+    )
+    q10k = lambda c: F.floor(c * 10000).cast("long")  # noqa: E731
+    joined = cur.join(F.broadcast(base), "pk").select(
+        "m",
+        q10k(F.col("p1") * F.col("q0")).alias("l_num"),
+        q10k(F.col("p0") * F.col("q0")).alias("l_den"),
+        q10k(F.col("p1") * F.col("q1")).alias("p_num"),
+        q10k(F.col("p0") * F.col("q1")).alias("p_den"),
+    )
+    idx = joined.groupBy(
+        F.date_format("m", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        (F.sum("l_num").cast("double")
+         / F.sum("l_den").cast("double")).alias("laspeyres"),
+        (F.sum("p_num").cast("double")
+         / F.sum("p_den").cast("double")).alias("paasche"),
+    )
+    return idx.select(
+        "month", "n_parts",
+        (F.round(F.col("laspeyres"), 9) + 0.0).alias("laspeyres"),
+        (F.round(F.col("paasche"), 9) + 0.0).alias("paasche"),
+        (F.round(F.sqrt(F.col("laspeyres") * F.col("paasche")), 9)
+         + 0.0).alias("fisher"),
+    )

@@ -1231,3 +1231,16 @@ def test_decompose_rollup_window_broadcast_back(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "hashpartitioning(event_type" in p
+
+
+def test_price_index_single_fact_pass_broadcast_base(spark, sf_dir):
+    """Both periods must derive from the MATERIALIZED part-month cell
+    rollup — the final plan reads the checkpointed cells, never the
+    fact parquet (the lazy form re-scanned it four times); the
+    cross-period pairing is a part-keyed broadcast hash join; no
+    cartesian, no Python."""
+    p = _plan(spark, sf_dir, "q_analytics_price_index")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p

@@ -1692,3 +1692,51 @@ def test_decompose_reconstructs_and_covers_interior(spark, sf_dir):
     for (et, dow), vals in detr.items():
         mean = sum(v for v, _ in vals) / len(vals)
         assert all(abs(s - mean) < 1e-9 for _, s in vals)
+
+
+def test_price_index_matches_literal_python(spark, sf_dir):
+    """Independent rederivation: literal Python over collected
+    part-month cells — matched-basket Laspeyres/Paasche from the
+    textbook definitions with the same 4-dp product quantization."""
+    from collections import defaultdict
+    from decimal import Decimal
+    from math import floor, sqrt
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    rows = (load(spark, sf_dir, "lineitem")
+            .select("l_partkey", F.date_trunc("month", "l_shipdate")
+                    .alias("m"), "l_quantity", "l_extendedprice")
+            .collect())
+    cells: dict[tuple, list] = defaultdict(lambda: [0, Decimal(0)])
+    for r in rows:
+        c = cells[(r["l_partkey"], r["m"])]
+        c[0] += int(r["l_quantity"])
+        c[1] += Decimal(repr(r["l_extendedprice"])).quantize(
+            Decimal("0.01"))
+    m0 = min(m for _, m in cells)
+    base = {pk: (q, float(rev) / q)
+            for (pk, m), (q, rev) in cells.items() if m == m0}
+    sums: dict[str, list] = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for (pk, m), (q1, rev) in cells.items():
+        if m == m0 or pk not in base:
+            continue
+        q0, p0 = base[pk]
+        p1 = float(rev) / q1
+        s = sums[m.strftime("%Y-%m")]
+        s[0] += 1
+        s[1] += floor(p1 * q0 * 10000)
+        s[2] += floor(p0 * q0 * 10000)
+        s[3] += floor(p1 * q1 * 10000)
+        s[4] += floor(p0 * q1 * 10000)
+    got = {r["month"]: r for r in
+           QUERIES["q_analytics_price_index"](spark, sf_dir).collect()}
+    assert set(got) == set(sums)
+    for month, (n, ln_, ld, pn, pd_) in sums.items():
+        row = got[month]
+        assert row["n_parts"] == n
+        las, paa = ln_ / ld, pn / pd_
+        assert abs(row["laspeyres"] - las) < 1e-8
+        assert abs(row["paasche"] - paa) < 1e-8
+        assert abs(row["fisher"] - sqrt(las * paa)) < 1e-8
