@@ -2675,3 +2675,109 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         trend.alias("trend"), seasonal.alias("seasonal"),
         (F.col("n") - trend - seasonal).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test — the SIGNIFICANCE complement to q_ts_theil_sen:
+# Theil–Sen answers "how steep is the trend", Mann–Kendall answers "is
+# there one at all" (nonparametric, the standard monitoring/hydrology
+# test).  S = Σ sign(n_j − n_i) over day pairs, variance with the exact
+# tie correction, continuity-corrected z.  Everything up to the final
+# ratio is INTEGER, so z is emitted raw.
+# ---------------------------------------------------------------------------
+
+
+@query("q_ts_mann_kendall", oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.n > a.n THEN 1
+                       WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d > a.d
+  GROUP BY a.event_type
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m_days FROM daily
+  GROUP BY event_type
+), ties AS (
+  SELECT event_type,
+         CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS c
+  FROM (SELECT event_type, n, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY event_type
+)
+SELECT s.event_type, m.m_days, s.s_stat,
+       CAST(m.m_days * (m.m_days - 1) * (2 * m.m_days + 5) - ties.c
+            AS BIGINT) AS var_s_x18,
+       CASE WHEN m.m_days * (m.m_days - 1) * (2 * m.m_days + 5)
+                 - ties.c > 0
+            THEN (s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+                                  WHEN s.s_stat < 0 THEN -1
+                                  ELSE 0 END)
+                 / sqrt(CAST(m.m_days * (m.m_days - 1)
+                             * (2 * m.m_days + 5) - ties.c
+                             AS DOUBLE) / 18)
+            ELSE NULL END AS z
+FROM s JOIN m USING (event_type) JOIN ties USING (event_type)
+""")
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on the daily count series per type.
+
+    Determinism: S and the tie-corrected variance numerator (×18) are
+    integers; z chains ONE division (by 18, exact operands), ONE sqrt
+    and ONE division on identical bits — raw emit, no rounding guard
+    (the q_ts_kendall argument).  The continuity correction (S∓1) is
+    integer.  Zero-variance series (all days tied) emit NULL through
+    the same CASE on both engines.  The fixture's daily counts repeat
+    (x-ties exist), so the tie-correction path is genuinely exercised.
+
+    Plan: one fact shuffle to the (type, day) rollup; the pair join,
+    the tie rollup and the day count all ride type-keyed exchanges
+    over day-grain data (30 days → 435 pairs per type — the Theil–Sen
+    bound argument)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type",
+                   F.datediff(F.date_trunc("day", "ts").cast("date"),
+                              F.lit("1970-01-01").cast("date")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = daily.select(F.col("event_type").alias("et"),
+                     F.col("d").alias("d1"), F.col("n").alias("n1"))
+    b = daily.select(F.col("event_type").alias("et_b"),
+                     F.col("d").alias("d2"), F.col("n").alias("n2"))
+    s = (
+        a.join(b, (F.col("et") == F.col("et_b"))
+               & (F.col("d2") > F.col("d1")))
+        .groupBy(F.col("et").alias("event_type"))
+        .agg(F.sum(F.when(F.col("n2") > F.col("n1"), 1)
+                   .when(F.col("n2") < F.col("n1"), -1)
+                   .otherwise(0)).cast("long").alias("s_stat"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("m_days"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+             .cast("long").alias("c"))
+    )
+    j = s.join(m, "event_type").join(ties, "event_type")
+    md = F.col("m_days")
+    var18 = (md * (md - 1) * (2 * md + 5) - F.col("c")).cast("long")
+    sgn = (F.when(F.col("s_stat") > 0, 1)
+           .when(F.col("s_stat") < 0, -1).otherwise(0))
+    z = F.when(
+        var18 > 0,
+        (F.col("s_stat") - sgn)
+        / F.sqrt(var18.cast("double") / 18))
+    return j.select("event_type", "m_days", "s_stat",
+                    var18.alias("var_s_x18"), z.alias("z"))

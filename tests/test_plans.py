@@ -1244,3 +1244,15 @@ def test_price_index_single_fact_pass_broadcast_base(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_mann_kendall_pairs_on_rollup_not_events(spark, sf_dir):
+    """The O(span²) sign join must run on the (type, day) rollup —
+    type-keyed equi-join over day-grain data, no cartesian, no BNLJ,
+    no single-partition collapse, no Python (the Theil–Sen shape)."""
+    p = _plan(spark, sf_dir, "q_ts_mann_kendall")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SinglePartition" not in p
+    assert "hashpartitioning(event_type" in p
+    assert "EvalPython" not in p

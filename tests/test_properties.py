@@ -1740,3 +1740,48 @@ def test_price_index_matches_literal_python(spark, sf_dir):
         assert abs(row["laspeyres"] - las) < 1e-8
         assert abs(row["paasche"] - paa) < 1e-8
         assert abs(row["fisher"] - sqrt(las * paa)) < 1e-8
+
+
+def test_mann_kendall_matches_literal_python(spark, sf_dir):
+    """Independent rederivation: literal O(m²) pair scan for S, the
+    textbook tie-corrected variance, and the continuity-corrected z —
+    plus agreement in DIRECTION with Theil–Sen's slope sign (the two
+    trend views must not contradict)."""
+    from math import sqrt
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+
+    daily = (load(spark, sf_dir, "events")
+             .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("n")).collect())
+    series: dict[str, list[tuple]] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["d"], r["n"]))
+    got = {r["event_type"]: r for r in
+           QUERIES["q_ts_mann_kendall"](spark, sf_dir).collect()}
+    ts_slopes = {r["event_type"]: r["ts_slope"] for r in
+                 QUERIES["q_ts_theil_sen"](spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    tie_seen = False
+    for et, pts in series.items():
+        pts.sort()
+        ns = [n for _, n in pts]
+        m = len(ns)
+        s_stat = sum(
+            (ns[j] > ns[i]) - (ns[j] < ns[i])
+            for i in range(m) for j in range(i + 1, m))
+        from collections import Counter
+        c = sum(t * (t - 1) * (2 * t + 5)
+                for t in Counter(ns).values() if t > 1)
+        tie_seen = tie_seen or c > 0
+        var18 = m * (m - 1) * (2 * m + 5) - c
+        row = got[et]
+        assert (row["m_days"], row["s_stat"], row["var_s_x18"]) \
+            == (m, s_stat, var18)
+        sgn = (s_stat > 0) - (s_stat < 0)
+        want_z = (s_stat - sgn) / sqrt(var18 / 18)
+        assert abs(row["z"] - want_z) < 1e-12
+        if abs(row["z"]) > 1.96:           # significant trend ⇒ same
+            assert row["s_stat"] * ts_slopes[et] >= 0   # sign as slope
+    assert tie_seen   # the tie-correction path must stay exercised
