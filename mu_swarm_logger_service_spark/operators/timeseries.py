@@ -2781,3 +2781,93 @@ def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt(var18.cast("double") / 18))
     return j.select("event_type", "m_days", "s_stat",
                     var18.alias("var_s_x18"), z.alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# SLO error-budget burn-rate alerts — the SRE-workbook multiwindow,
+# multi-burn-rate policy over the event stream: page when BOTH the fast
+# (1 h) and slow (6 h) windows burn budget too fast, ticket on the 24 h
+# window.  The alerting layer the reference's downstream dashboards
+# [pub:SwarmUI] eyeball by hand, as a deterministic operator.
+# ---------------------------------------------------------------------------
+
+SLO_BUDGET_X4 = 1      # error budget = 1/4 of events (noisy fixture's SLO)
+BURN_PAGE_FAST_X10 = 12   # page: burn_1h > 1.2 AND burn_6h > 1.0
+BURN_TICKET = 1           # ticket: burn_24h > 1.0
+
+
+@query("q_ops_slo_burn", oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS err,
+         CAST(COUNT(*) AS BIGINT) AS tot
+  FROM events GROUP BY 1
+), windows AS (
+  SELECT hour, err, tot,
+         CAST(SUM(err) OVER w6 AS BIGINT) AS err6,
+         CAST(SUM(tot) OVER w6 AS BIGINT) AS tot6,
+         CAST(SUM(err) OVER w24 AS BIGINT) AS err24,
+         CAST(SUM(tot) OVER w24 AS BIGINT) AS tot24
+  FROM hourly
+  WINDOW w6 AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+         w24 AS (ORDER BY hour ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(hour, '%Y-%m-%d %H:00') AS hour,
+       err AS err_1h, tot AS tot_1h,
+       CAST(err * 4 AS DOUBLE) / tot AS burn_1h,
+       CAST(err6 * 4 AS DOUBLE) / tot6 AS burn_6h,
+       CAST(err24 * 4 AS DOUBLE) / tot24 AS burn_24h,
+       err * 40 > tot * 12 AND err6 * 4 > tot6 AS page,
+       err24 * 4 > tot24 AS ticket
+FROM windows
+""")
+def q_ops_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow, multi-burn-rate SLO alerting per hour: burn rate =
+    error rate / budget (budget = 25% of events on this noisy fixture);
+    page when the 1 h burn exceeds 1.2 AND the 6 h burn exceeds 1.0
+    (fast + confirming window — the SRE-workbook policy shape), ticket
+    when the 24 h burn exceeds 1.0.
+
+    Determinism: every burn rate is ONE division of exact integers
+    (err·4 / tot — the ×4 keeps the budget in integer space; no float
+    literal ever enters the math, sidestepping the DuckDB
+    literal-is-DECIMAL trap), and every alert flag is a PURE INTEGER
+    comparison (err·40 > tot·12 ⟺ burn > 1.2) — raw emit, no rounding
+    guards anywhere.  Hours render as strings (dates-as-strings rule).
+    Both fixture directions are non-vacuous: ~28% of hours exceed the
+    page-fast threshold, most do not (probed at sf0.01).
+
+    Plan: one fact shuffle to the hour rollup; the 6 h/24 h frames are
+    integer ROWS windows over the HOUR-GRAIN series (720 rows/month —
+    value-domain bounded, the accepted single-partition discipline;
+    partition by day-range at multi-year scale if ever needed)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.sum(F.when(F.col("event_type") == "error", 1)
+                   .otherwise(0)).cast("long").alias("err"),
+             F.count(F.lit(1)).cast("long").alias("tot"))
+    )
+    w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    w24 = Window.orderBy("hour").rowsBetween(-23, 0)
+    win = hourly.select(
+        "hour", "err", "tot",
+        F.sum("err").over(w6).cast("long").alias("err6"),
+        F.sum("tot").over(w6).cast("long").alias("tot6"),
+        F.sum("err").over(w24).cast("long").alias("err24"),
+        F.sum("tot").over(w24).cast("long").alias("tot24"),
+    )
+    return win.select(
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour"),
+        F.col("err").alias("err_1h"), F.col("tot").alias("tot_1h"),
+        ((F.col("err") * 4).cast("double") / F.col("tot"))
+        .alias("burn_1h"),
+        ((F.col("err6") * 4).cast("double") / F.col("tot6"))
+        .alias("burn_6h"),
+        ((F.col("err24") * 4).cast("double") / F.col("tot24"))
+        .alias("burn_24h"),
+        ((F.col("err") * 40 > F.col("tot") * 12)
+         & (F.col("err6") * 4 > F.col("tot6"))).alias("page"),
+        (F.col("err24") * 4 > F.col("tot24")).alias("ticket"),
+    )

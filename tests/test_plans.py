@@ -1256,3 +1256,13 @@ def test_mann_kendall_pairs_on_rollup_not_events(spark, sf_dir):
     assert "SinglePartition" not in p
     assert "hashpartitioning(event_type" in p
     assert "EvalPython" not in p
+
+
+def test_slo_burn_hour_grain_windows_no_join(spark, sf_dir):
+    """Burn windows must ride the HOUR-GRAIN rollup (one fact scan into
+    one partial-agg shuffle), never the raw events — no join, no
+    Python."""
+    p = _plan(spark, sf_dir, "q_ops_slo_burn")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    assert "EvalPython" not in p

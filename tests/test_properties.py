@@ -1785,3 +1785,26 @@ def test_mann_kendall_matches_literal_python(spark, sf_dir):
         if abs(row["z"]) > 1.96:           # significant trend ⇒ same
             assert row["s_stat"] * ts_slopes[et] >= 0   # sign as slope
     assert tie_seen   # the tie-correction path must stay exercised
+
+
+def test_slo_burn_flags_fire_both_ways(spark, sf_dir):
+    """Vacuity pin: the page flag must be true for SOME hours and false
+    for others (an always-on or never-on alert proves nothing), flags
+    must agree with the emitted burn values, and the 6 h window must
+    equal the trailing sum of the hourly numbers."""
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+
+    rows = sorted(
+        QUERIES["q_ops_slo_burn"](spark, sf_dir).collect(),
+        key=lambda r: r["hour"])
+    assert rows
+    pages = [r["page"] for r in rows]
+    assert any(pages) and not all(pages)
+    errs = [r["err_1h"] for r in rows]
+    tots = [r["tot_1h"] for r in rows]
+    for i, r in enumerate(rows):
+        e6 = sum(errs[max(0, i - 5):i + 1])
+        t6 = sum(tots[max(0, i - 5):i + 1])
+        assert abs(r["burn_6h"] - 4 * e6 / t6) < 1e-12
+        assert r["page"] == (r["burn_1h"] > 1.2 and r["burn_6h"] > 1.0)
+        assert r["ticket"] == (r["burn_24h"] > 1.0)
