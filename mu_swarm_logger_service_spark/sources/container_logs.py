@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.registry import query
@@ -213,6 +213,62 @@ def q_source_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# DuckDB mint of the CLF line, shared by the accesslog decode and the
+# template-mining oracles — one copy to keep in sync with clf_lines().
+CLF_LINES_SQL = """
+WITH minted AS (
+  SELECT event_id,
+         ((user_id * 2654435761) % 4294967296) AS ip32,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 'POST'
+              ELSE 'GET' END AS m0,
+         '/' || event_type || '/' || (event_id % 50) AS p0,
+         CASE WHEN event_type = 'error'
+              THEN CASE WHEN event_id % 2 = 0 THEN 500 ELSE 404 END
+              WHEN event_id % 20 = 0 THEN 304 ELSE 200 END AS s0,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS b0,
+         ts
+  FROM events
+)
+SELECT event_id,
+       (ip32 // 16777216) || '.' || ((ip32 // 65536) % 256) || '.'
+       || ((ip32 // 256) % 256) || '.' || (ip32 % 256)
+       || ' - - [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] "'
+       || m0 || ' ' || p0 || ' HTTP/1.1" ' || s0 || ' ' || b0 AS line
+FROM minted
+"""
+
+
+def clf_lines(ev: DataFrame) -> DataFrame:
+    """Mint deterministic Apache CLF lines (event_id, line) from the
+    events fixture — Knuth-hash IPs, type-derived method/path/status,
+    decimal-exact byte counts.  Shared by q_source_accesslog (decode +
+    ops rollup) and q_ops_log_templates (template mining); the SQL twin
+    is CLF_LINES_SQL."""
+    ip32 = (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
+    o = lambda div: (F.col("ip32") / div).cast("long") % 256  # noqa: E731
+    minted = ev.select(
+        "event_id", "ts", ip32.alias("ip32"),
+        F.when(F.col("event_type").isin("purchase", "signup"), "POST")
+        .otherwise("GET").alias("m0"),
+        F.concat(F.lit("/"), F.col("event_type"), F.lit("/"),
+                 (F.col("event_id") % 50).cast("string")).alias("p0"),
+        F.when(F.col("event_type") == "error",
+               F.when(F.col("event_id") % 2 == 0, 500).otherwise(404))
+        .when(F.col("event_id") % 20 == 0, 304).otherwise(200)
+        .alias("s0"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        .alias("b0"))
+    line = F.concat(
+        o(16777216).cast("string"), F.lit("."), o(65536).cast("string"),
+        F.lit("."), o(256).cast("string"), F.lit("."),
+        (F.col("ip32") % 256).cast("string"),
+        F.lit(" - - ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(" +0000] \""), F.col("m0"), F.lit(" "), F.col("p0"),
+        F.lit(" HTTP/1.1\" "), F.col("s0").cast("string"), F.lit(" "),
+        F.col("b0").cast("string"))
+    return minted.select("event_id", line.alias("line"))
+
+
 @query("q_source_accesslog", oracle="""
 WITH minted AS (
   SELECT event_id,
@@ -266,30 +322,7 @@ def q_source_accesslog(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_agg_percentile precedent) on exact integer bytes.  Plan: one
     scan, per-row mint+parse map, one two-phase rollup (the distinct
     counts) — the same log-pipeline shape as q_source_syslog."""
-    ev = load(spark, sf_dir, "events")
-    ip32 = (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
-    o = lambda div: (F.col("ip32") / div).cast("long") % 256  # noqa: E731
-    minted = ev.select(
-        "event_id", "ts", ip32.alias("ip32"),
-        F.when(F.col("event_type").isin("purchase", "signup"), "POST")
-        .otherwise("GET").alias("m0"),
-        F.concat(F.lit("/"), F.col("event_type"), F.lit("/"),
-                 (F.col("event_id") % 50).cast("string")).alias("p0"),
-        F.when(F.col("event_type") == "error",
-               F.when(F.col("event_id") % 2 == 0, 500).otherwise(404))
-        .when(F.col("event_id") % 20 == 0, 304).otherwise(200)
-        .alias("s0"),
-        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-        .alias("b0"))
-    line = F.concat(
-        o(16777216).cast("string"), F.lit("."), o(65536).cast("string"),
-        F.lit("."), o(256).cast("string"), F.lit("."),
-        (F.col("ip32") % 256).cast("string"),
-        F.lit(" - - ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
-        F.lit(" +0000] \""), F.col("m0"), F.lit(" "), F.col("p0"),
-        F.lit(" HTTP/1.1\" "), F.col("s0").cast("string"), F.lit(" "),
-        F.col("b0").cast("string"))
-    lines = minted.select("event_id", line.alias("line"))
+    lines = clf_lines(load(spark, sf_dir, "events"))
     parsed = lines.select(
         "event_id",
         F.regexp_extract("line", r"^(\S+) - - ", 1).alias("ip"),
@@ -309,4 +342,75 @@ def q_source_accesslog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("path").cast("long").alias("n_paths"),
         F.countDistinct("ip").cast("long").alias("n_ips"),
         F.round(F.expr("percentile(bytes, 0.95)"), 6).alias("p95_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-template mining (Drain-lite) — collapse raw log lines to their
+# constant skeleton by masking variable tokens (numbers, IPs, bracketed
+# timestamps), then group: the "what distinct things does this service
+# actually log, and how often" operator every log platform ships, and the
+# precondition for novelty detection (a NEW template is the alert).
+# ---------------------------------------------------------------------------
+
+
+@query("q_ops_log_templates", oracle=f"""
+WITH lines AS ({CLF_LINES_SQL}
+), masked AS (
+  SELECT event_id, line,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(line, '\\[[^\\]]*\\]', '<TS>', 'g'),
+             '(\\d+\\.){{3}}\\d+', '<IP>', 'g'),
+           '\\d+', '<N>', 'g') AS template
+  FROM lines
+), grouped AS (
+  SELECT template,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(MIN(event_id) AS BIGINT) AS first_event,
+         arg_min(line, event_id) AS example
+  FROM masked GROUP BY template
+)
+SELECT template, n_lines, first_event, example,
+       CAST(n_lines AS DOUBLE) / SUM(n_lines) OVER () AS share
+FROM grouped
+""")
+def q_ops_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template mining over the CLF line stream: mask bracketed
+    timestamps, dotted IPs, then digit runs; group identical skeletons;
+    report count, share, and the earliest concrete example per
+    template.
+
+    Determinism: masking is three regexp_replace passes over identical
+    minted lines — Spark replaces all matches by default, DuckDB needs
+    the 'g' flag (documented gotcha), and patterns ride as Python
+    args / SQL literals, never through F.expr (the backslash-eating
+    trap).  The example line is arg-min by the UNIQUE event id
+    (min_by ↔ arg_min); share is one exact integer division (the
+    template-count window is template-cardinality sized).
+
+    Plan: one scan, per-row mint+mask map, one template rollup; the
+    share window runs over the TEMPLATE table (tens of rows — the
+    value-domain-bounded discipline).  At 100 TB templates stay
+    domain-bounded while lines grow — exactly why platforms store
+    templates, not lines."""
+    lines = clf_lines(load(spark, sf_dir, "events"))
+    template = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("line", r"\[[^\]]*\]", "<TS>"),
+            r"(\d+\.){3}\d+", "<IP>"),
+        r"\d+", "<N>")
+    masked = lines.select("event_id", "line",
+                          template.alias("template"))
+    grouped = masked.groupBy("template").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.min("event_id").cast("long").alias("first_event"),
+        F.min_by("line", "event_id").alias("example"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    return grouped.select(
+        "template", "n_lines", "first_event", "example",
+        (F.col("n_lines").cast("double") / F.sum("n_lines").over(w_all))
+        .alias("share"),
     )

@@ -1266,3 +1266,13 @@ def test_slo_burn_hour_grain_windows_no_join(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_log_templates_map_then_rollup(spark, sf_dir):
+    """Template mining must be a pure per-row mint+mask map into one
+    template rollup — one scan, no join, no Python; the share window
+    runs over the template table."""
+    p = _plan(spark, sf_dir, "q_ops_log_templates")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p
+    assert "EvalPython" not in p

@@ -1808,3 +1808,27 @@ def test_slo_burn_flags_fire_both_ways(spark, sf_dir):
         assert abs(r["burn_6h"] - 4 * e6 / t6) < 1e-12
         assert r["page"] == (r["burn_1h"] > 1.2 and r["burn_6h"] > 1.0)
         assert r["ticket"] == (r["burn_24h"] > 1.0)
+
+
+def test_log_templates_mask_is_complete_and_examples_match(spark, sf_dir):
+    """Structural invariants: no digit survives masking (a leaked
+    variable token would explode template cardinality), every example
+    re-masks to its own template, shares sum to 1, and cardinality is
+    domain-bounded (methods x types x statuses, far below line
+    count)."""
+    import re as _re
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+
+    rows = QUERIES["q_ops_log_templates"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["n_lines"] for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    assert len(rows) <= 30 < total
+    for r in rows:
+        assert not _re.search(r"\d", r["template"])
+        remasked = _re.sub(
+            r"\d+", "<N>",
+            _re.sub(r"(\d+\.){3}\d+", "<IP>",
+                    _re.sub(r"\[[^\]]*\]", "<TS>", r["example"])))
+        assert remasked == r["template"]
