@@ -84,7 +84,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #       q_graph_label_prop, q_ts_runs_test, q_cdc_bitemporal, ...,
 #       q_agg_spearman, q_ts_kendall, q_llm_edit_dedup,
 #       q_graph_assortativity, q_ts_burstiness, q_stream_burstiness,
-#       q_llm_curriculum, q_ts_decompose, q_analytics_price_index).
+#       q_llm_curriculum, q_ts_decompose, q_analytics_price_index,
+#       q_ts_mann_kendall, q_ops_slo_burn, q_ops_log_templates).
 #       The remainder now spans r8 AND r9 (rotate_window reports >50):
 #       with rounds running to r20, window capacity is ~50/round — new
 #       keys simply ride later windows, and every key stays locally
