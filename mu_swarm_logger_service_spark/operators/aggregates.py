@@ -1137,3 +1137,67 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("sxy") / F.sqrt(F.col("sxx") * F.col("syy")), 9)
          + 0.0).alias("rho_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregates — BIT_OR / BIT_AND / BIT_XOR as AGGREGATES (the scalar
+# bitwise family is q_fn_bitwise): per-user action masks, the compact
+# "which event kinds has this user ever/oddly-often produced" encoding a
+# feature store keeps as one integer instead of five booleans.
+# ---------------------------------------------------------------------------
+
+_ACTION_BIT_SQL = ("CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 "
+                   "WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 "
+                   "ELSE 16 END")
+
+
+@query("q_agg_bitwise_agg", oracle=f"""
+WITH b AS (
+  SELECT user_id, event_type, {_ACTION_BIT_SQL} AS bit FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(bit_or(bit) AS BIGINT) AS ever_mask,
+       CAST(bit_xor(bit) AS BIGINT) AS parity_mask,
+       CAST(bit_and(xor(31, bit)) AS BIGINT) AS never_mask,
+       CAST(bit_count(bit_or(bit)) AS BIGINT) AS n_kinds,
+       CAST(bit_count(bit_or(bit)) AS BIGINT)
+         = CAST(COUNT(DISTINCT event_type) AS BIGINT) AS mask_consistent
+FROM b GROUP BY user_id
+""")
+def q_agg_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family over per-user action-bit masks:
+    ever_mask = BIT_OR (the user's capability set), parity_mask =
+    BIT_XOR (bits whose action occurred an ODD number of times — the
+    order-independent parity check), never_mask = BIT_AND of the
+    5-bit complements (actions in NO event; algebraically 31 XOR
+    ever_mask — asserted as a property), and n_kinds = BIT_COUNT of
+    the OR, cross-checked in-row against COUNT(DISTINCT event_type).
+
+    Determinism: bitwise AND/OR/XOR are associative and commutative,
+    so all three aggregates are shuffle-order-exact integers — no
+    decimal path, no rounding, raw emit throughout.
+
+    Plan: one scan, one partial-aggregated user rollup (bitwise
+    partials combine map-side like sums — the whole point of mask
+    encodings at scale)."""
+    ev = load(spark, sf_dir, "events")
+    bit = (F.when(F.col("event_type") == "view", 1)
+           .when(F.col("event_type") == "click", 2)
+           .when(F.col("event_type") == "purchase", 4)
+           .when(F.col("event_type") == "signup", 8)
+           .otherwise(16))
+    b = ev.select("user_id", "event_type", bit.alias("bit"))
+    ever = F.bit_or("bit")
+    agg = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        ever.cast("long").alias("ever_mask"),
+        F.bit_xor("bit").cast("long").alias("parity_mask"),
+        F.bit_and(F.lit(31).bitwiseXOR(F.col("bit"))).cast("long")
+        .alias("never_mask"),
+        F.bit_count(ever).cast("long").alias("n_kinds"),
+        (F.bit_count(ever).cast("long")
+         == F.countDistinct("event_type").cast("long"))
+        .alias("mask_consistent"),
+    )
+    return agg

@@ -1276,3 +1276,11 @@ def test_log_templates_map_then_rollup(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "Join" not in p
     assert "EvalPython" not in p
+
+
+def test_bitwise_agg_one_pass(spark, sf_dir):
+    """All bitwise aggregates must combine map-side in ONE partial+final
+    user rollup — one scan, no join, no Python."""
+    p = _plan(spark, sf_dir, "q_agg_bitwise_agg")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p and "EvalPython" not in p

@@ -1832,3 +1832,19 @@ def test_log_templates_mask_is_complete_and_examples_match(spark, sf_dir):
             _re.sub(r"(\d+\.){3}\d+", "<IP>",
                     _re.sub(r"\[[^\]]*\]", "<TS>", r["example"])))
         assert remasked == r["template"]
+
+
+def test_bitwise_agg_identities(spark, sf_dir):
+    """Algebraic pins: never_mask == 31 XOR ever_mask (AND of
+    complements is the complement of OR — De Morgan on the 5-bit
+    domain); parity_mask ⊆ ever_mask; the in-row consistency flag is
+    true everywhere; parity must be non-trivial somewhere (vacuity)."""
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+
+    rows = QUERIES["q_agg_bitwise_agg"](spark, sf_dir).collect()
+    assert rows
+    assert any(r["parity_mask"] not in (0, r["ever_mask"]) for r in rows)
+    for r in rows:
+        assert r["never_mask"] == 31 ^ r["ever_mask"]
+        assert r["parity_mask"] & ~r["ever_mask"] == 0
+        assert r["mask_consistent"]
