@@ -1201,3 +1201,71 @@ def q_agg_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mask_consistent"),
     )
     return agg
+
+
+# ---------------------------------------------------------------------------
+# Equi-DEPTH histogram — the quantile-bucket companion of q_ts_histogram's
+# fixed-width bins: 8 buckets holding (near-)equal row counts, the summary
+# an optimizer's statistics collector and a monitoring dashboard both keep.
+# Exact, without any global sort of the data: depth boundaries come from
+# the VALUE-DOMAIN histogram (the curriculum-tercile discipline at B=8).
+# ---------------------------------------------------------------------------
+
+EQUIDEPTH_BUCKETS = 8
+
+
+@query("q_agg_equidepth_hist", oracle=f"""
+WITH v AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM events
+), hist AS (
+  SELECT c, COUNT(*) AS n FROM v GROUP BY c
+), cum AS (
+  SELECT c, n,
+         COALESCE(SUM(n) OVER (ORDER BY c
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS cb,
+         SUM(n) OVER () AS t
+  FROM hist
+)
+SELECT CAST(({EQUIDEPTH_BUCKETS} * cb) // t AS BIGINT) AS bucket,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MIN(c) AS BIGINT) AS lo_cents,
+       CAST(MAX(c) AS BIGINT) AS hi_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct
+FROM cum GROUP BY 1
+""")
+def q_agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) histogram of event values in 8 buckets.
+
+    Exactness and scale in one move: bucket boundaries are an exclusive
+    prefix sum over the DISTINCT-CENTS histogram — bounded by the value
+    domain (≤10⁴ distinct 2-dp values), never by the corpus — so no
+    global sort or ntile touches the fact table, ties always share a
+    bucket (deterministic under any partitioning), and every output is
+    an integer (values carried as cents).  Bucket id uses the
+    truncating-division pair (Spark cast-long ≡ DuckDB `//`+CAST on
+    nonnegative operands).
+
+    Plan: one scan → one cents rollup shuffle; the prefix windows run
+    over the tiny histogram; the bucket rollup is 8 rows."""
+    ev = load(spark, sf_dir, "events")
+    c = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    hist = ev.select(c.alias("c")).groupBy("c").agg(
+        F.count(F.lit(1)).alias("n"))
+    w_cum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    cum = hist.select(
+        "c", "n",
+        F.coalesce(F.sum("n").over(w_cum), F.lit(0)).alias("cb"),
+        F.sum("n").over(w_all).alias("t"),
+    )
+    bucket = (F.lit(EQUIDEPTH_BUCKETS) * F.col("cb") / F.col("t")) \
+        .cast("long")
+    return cum.groupBy(bucket.alias("bucket")).agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.min("c").cast("long").alias("lo_cents"),
+        F.max("c").cast("long").alias("hi_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )

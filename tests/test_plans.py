@@ -1284,3 +1284,13 @@ def test_bitwise_agg_one_pass(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_agg_bitwise_agg")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "Join" not in p and "EvalPython" not in p
+
+
+def test_equidepth_prefix_on_value_domain(spark, sf_dir):
+    """Depth boundaries must come from the distinct-cents histogram —
+    one fact scan into one cents rollup; no join, no Python, no global
+    sort of the fact table (the only sorts feed the tiny histogram
+    windows)."""
+    p = _plan(spark, sf_dir, "q_agg_equidepth_hist")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p and "EvalPython" not in p

@@ -1848,3 +1848,31 @@ def test_bitwise_agg_identities(spark, sf_dir):
         assert r["never_mask"] == 31 ^ r["ever_mask"]
         assert r["parity_mask"] & ~r["ever_mask"] == 0
         assert r["mask_consistent"]
+
+
+def test_equidepth_buckets_ordered_and_balanced(spark, sf_dir):
+    """Structural pins: buckets are 0..B-1 with non-overlapping,
+    ordered [lo, hi] cent ranges; row counts sum to the table; depths
+    are balanced to within the largest tie group (equal values must
+    share a bucket, the only legal imbalance source)."""
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.core.tables import load
+    from mu_swarm_logger_service_spark.operators.aggregates import (
+        EQUIDEPTH_BUCKETS)
+
+    rows = sorted(QUERIES["q_agg_equidepth_hist"](spark, sf_dir)
+                  .collect(), key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in rows] == list(range(len(rows)))
+    assert len(rows) <= EQUIDEPTH_BUCKETS
+    total = load(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    for a, b in zip(rows, rows[1:]):
+        assert a["lo_cents"] <= a["hi_cents"] < b["lo_cents"]
+    biggest_tie = (
+        load(spark, sf_dir, "events")
+        .groupBy((F.col("value").cast("decimal(18,2)") * 100)
+                 .cast("long")).count()
+        .agg(F.max("count")).collect()[0][0])
+    target = total / EQUIDEPTH_BUCKETS
+    for r in rows:
+        assert r["n_rows"] <= target + biggest_tie
