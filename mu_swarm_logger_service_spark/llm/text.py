@@ -2567,3 +2567,74 @@ def q_llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "difficulty", "stage", "shard",
         F.row_number().over(w_pos).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights — the mT5/multilingual-sampling rule:
+# sample source i with probability ∝ p_i^(1/T).  q_llm_mixture applies
+# hand-set keep rates; this derives the rates from the corpus itself at
+# T = 2 (exponent 1/2 — upweights tail sources, tempers the head), with
+# the effective epoch count per source (weight/share: how many times each
+# source's data is seen in one pass of the mixed stream).
+# ---------------------------------------------------------------------------
+
+
+@query("q_llm_mixture_temperature", oracle="""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+), q AS (
+  SELECT source, n_docs, n_chars,
+         CAST(SUM(n_chars) OVER () AS BIGINT) AS t_chars,
+         CAST(FLOOR(sqrt(CAST(n_chars AS DOUBLE)) * 1000000)
+              AS BIGINT) AS rt6
+  FROM s
+)
+SELECT source, n_docs, n_chars,
+       CAST(n_chars AS DOUBLE) / t_chars AS share,
+       CAST(rt6 AS DOUBLE) / SUM(rt6) OVER () AS weight,
+       (CAST(rt6 AS DOUBLE) / SUM(rt6) OVER ())
+         / (CAST(n_chars AS DOUBLE) / t_chars) AS epochs_per_pass
+FROM q
+""")
+def q_llm_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-2 mixture weights per source: w_i ∝ √(char share),
+    plus the effective epochs-per-pass ratio (w_i / p_i — >1 means the
+    source is upsampled and will repeat).
+
+    Determinism: √n_chars is one correctly-rounded IEEE op on an exact
+    integer, but a straight SUM of those doubles would be
+    shuffle-order-dependent — so each root is FLOOR-quantized at 6 dp
+    into an integer first (the cross_corr product rule applied to
+    roots); the normalizing sums are then exact, and each emitted
+    ratio is a fixed two-cast division shape (raw emit; t_chars and
+    Σrt6 stay under 2^53 through sf0.1 ×4).  The weight column is a
+    valid distribution by construction (Σw = 1 up to the final
+    divisions — pinned in a property test along with the
+    temperature-direction law: every below-average-share source gets
+    epochs_per_pass > 1).
+
+    Plan: one scan → one source rollup; the normalizing windows run
+    over the SOURCE table (20 rows — value-domain bounded)."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    q = s.select(
+        "source", "n_docs", "n_chars",
+        F.sum("n_chars").over(w_all).cast("long").alias("t_chars"),
+        F.floor(F.sqrt(F.col("n_chars").cast("double")) * 1000000)
+        .cast("long").alias("rt6"),
+    )
+    share = F.col("n_chars").cast("double") / F.col("t_chars")
+    weight = (F.col("rt6").cast("double")
+              / F.sum("rt6").over(w_all))
+    return q.select(
+        "source", "n_docs", "n_chars",
+        share.alias("share"), weight.alias("weight"),
+        (weight / share).alias("epochs_per_pass"),
+    )

@@ -1294,3 +1294,11 @@ def test_equidepth_prefix_on_value_domain(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_agg_equidepth_hist")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "Join" not in p and "EvalPython" not in p
+
+
+def test_mixture_temperature_source_rollup_only(spark, sf_dir):
+    """One scan into one source rollup; normalizing windows over the
+    source table only — no join, no Python."""
+    p = _plan(spark, sf_dir, "q_llm_mixture_temperature")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Join" not in p and "EvalPython" not in p

@@ -1876,3 +1876,24 @@ def test_equidepth_buckets_ordered_and_balanced(spark, sf_dir):
     target = total / EQUIDEPTH_BUCKETS
     for r in rows:
         assert r["n_rows"] <= target + biggest_tie
+
+
+def test_mixture_temperature_is_distribution_and_tempers(spark, sf_dir):
+    """Weights sum to 1; the temperature law holds: weights order the
+    same as shares but CLOSER to uniform (every below-average source
+    is upsampled, every above-average source downsampled), and
+    epochs_per_pass = weight/share row-wise."""
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+
+    rows = QUERIES["q_llm_mixture_temperature"](spark, sf_dir).collect()
+    assert len(rows) > 1
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        assert abs(r["epochs_per_pass"] - r["weight"] / r["share"]) < 1e-12
+        if r["share"] < mean_share - 1e-9:
+            assert r["weight"] > r["share"]   # tail upsampled
+    # ordering preserved: sqrt is monotone
+    by_share = sorted(rows, key=lambda r: r["share"])
+    assert by_share == sorted(rows, key=lambda r: r["weight"])
