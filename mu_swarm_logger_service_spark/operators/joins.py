@@ -623,3 +623,85 @@ def q_join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (feat.filter(F.col("event_type") == "purchase")
             .drop("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join — the sensor-alignment variant completing the as-of
+# family: q_join_asof finds the latest click AT-OR-BEFORE each purchase;
+# this finds the click NEAREST IN TIME in either direction (ties prefer
+# the backward candidate; within a timestamp, backward keeps the max
+# event_id and forward the min — all deterministic).
+# ---------------------------------------------------------------------------
+
+
+@query("q_join_asof_nearest", oracle="""
+-- Explicit ranked formulation (DuckDB ASOF can't express "nearest" and
+-- picks arbitrary rows under ties — the q_join_asof precedent).
+SELECT p_event_id, user_id, p_ts, c_event_id, c_ts, delta_us FROM (
+  SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
+         c.event_id AS c_event_id, c.ts AS c_ts,
+         epoch_us(c.ts) - epoch_us(p.ts) AS delta_us,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                    CASE WHEN c.ts <= p.ts THEN -c.event_id
+                         ELSE c.event_id END) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id
+) WHERE rn = 1
+""")
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join: for each purchase, the same user's
+    click minimizing |Δt| in either direction.
+
+    Spark-first shape: the q_join_asof union-window trick run TWICE
+    over ONE user_id exchange — an ascending pass carries the last
+    click at-or-before (backward candidate, max event_id within a
+    timestamp), a descending pass carries the first click at-or-after
+    (forward candidate, min event_id within a timestamp) — then a
+    row-local nearest pick with backward preferred on distance ties.
+    No join operator, no cross-product buffer: one shuffle, two
+    in-partition sorts, O(1) carried state per row (the 100 TB
+    argument from q_join_asof, doubled).
+
+    Determinism: distances are exact integer µs (unix_micros ↔
+    epoch_us); every ordering carries kind and event_id; the oracle's
+    ranked join mirrors the backward/forward tiebreaks exactly."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind"))
+    unioned = clicks.unionByName(purch)
+    us = F.unix_micros("ts")
+    w_b = (Window.partitionBy("user_id")
+           .orderBy("ts", "kind", "event_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_f = (Window.partitionBy("user_id")
+           .orderBy(F.col("ts").desc(), F.col("kind").asc(),
+                    F.col("event_id").desc())
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    click_struct = F.when(F.col("kind") == 0,
+                          F.struct(F.col("event_id"), F.col("ts"),
+                                   us.alias("us")))
+    both = (
+        unioned
+        .withColumn("bw", F.last(click_struct, ignorenulls=True).over(w_b))
+        .withColumn("fw", F.last(click_struct, ignorenulls=True).over(w_f))
+        .filter(F.col("kind") == 1)
+    )
+    p_us = F.unix_micros("ts")
+    db = p_us - F.col("bw.us")            # >= 0
+    df = F.col("fw.us") - p_us            # >= 0
+    take_bw = F.col("fw").isNull() | (F.col("bw").isNotNull() & (db <= df))
+    nearest = F.when(take_bw, F.col("bw")).otherwise(F.col("fw"))
+    return both.select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        nearest.getField("event_id").alias("c_event_id"),
+        nearest.getField("ts").alias("c_ts"),
+        (nearest.getField("us") - p_us).alias("delta_us"),
+    )

@@ -1302,3 +1302,14 @@ def test_mixture_temperature_source_rollup_only(spark, sf_dir):
     p = _plan(spark, sf_dir, "q_llm_mixture_temperature")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "Join" not in p and "EvalPython" not in p
+
+
+def test_asof_nearest_join_free_one_exchange(spark, sf_dir):
+    """Both direction passes must ride ONE user_id exchange (two
+    in-partition sorts) with NO join operator — the oracle's ranked
+    cross-product must never appear."""
+    p = _plan(spark, sf_dir, "q_join_asof_nearest")
+    assert "Join" not in p.replace("WindowGroupLimit", "")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "hashpartitioning(user_id" in p
+    assert "EvalPython" not in p

@@ -1897,3 +1897,28 @@ def test_mixture_temperature_is_distribution_and_tempers(spark, sf_dir):
     # ordering preserved: sqrt is monotone
     by_share = sorted(rows, key=lambda r: r["share"])
     assert by_share == sorted(rows, key=lambda r: r["weight"])
+
+
+def test_asof_nearest_dominates_backward(spark, sf_dir):
+    """Cross-operator pin: the nearest match is never FARTHER than
+    q_join_asof's backward match (|delta| <= p_ts - backward c_ts),
+    both directions actually occur, and every matched pair shares the
+    user's click stream."""
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+
+    near = {r["p_event_id"]: r for r in
+            QUERIES["q_join_asof_nearest"](spark, sf_dir).collect()}
+    back = {r["p_event_id"]: r for r in
+            QUERIES["q_join_asof"](spark, sf_dir).collect()}
+    assert set(near) == set(back)
+    signs = set()
+    for pid, nr in near.items():
+        br = back[pid]
+        if nr["c_event_id"] is None:
+            assert br["c_event_id"] is None
+            continue
+        if br["c_event_id"] is not None:
+            back_delta = (br["p_ts"] - br["c_ts"]).total_seconds()
+            assert abs(nr["delta_us"]) <= back_delta * 1e6 + 1e-6
+        signs.add(nr["delta_us"] > 0)
+    assert signs == {True, False}   # both directions non-vacuous
