@@ -85,7 +85,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #       q_agg_spearman, q_ts_kendall, q_llm_edit_dedup,
 #       q_graph_assortativity, q_ts_burstiness, q_stream_burstiness,
 #       q_llm_curriculum, q_ts_decompose, q_analytics_price_index,
-#       q_ts_mann_kendall, q_ops_slo_burn, q_ops_log_templates).
+#       q_ts_mann_kendall, q_ops_slo_burn, q_ops_log_templates,
+#       q_agg_bitwise_agg, q_agg_equidepth_hist,
+#       q_llm_mixture_temperature, q_join_asof_nearest).
 #       The remainder now spans r8 AND r9 (rotate_window reports >50):
 #       with rounds running to r20, window capacity is ~50/round — new
 #       keys simply ride later windows, and every key stays locally
