@@ -40,25 +40,45 @@ def normalized_text(col: str = "text") -> Column:
 # ground-truth audit on a mid-size block) via the session conf.
 MAX_QUADRATIC_BLOCK = 5_000
 _CONF_MAX_BLOCK = "spark.mu_swarm_logger.jaccard.max_block"
-_block_guard_ok: set[tuple[str, int]] = set()
+_block_guard_ok: set[tuple[str, int, int | None]] = set()
 
 
-def _guard_quadratic_block(spark: SparkSession, sf_dir: str) -> None:
+def _guard_quadratic_block(spark: SparkSession, sf_dir: str,
+                           bucket_width: int | None = None,
+                           label: str = "blocked exact-Jaccard baseline",
+                           ) -> None:
     """Admission check: one tiny 2-column aggregate before a potentially
-    O(n²) self-join.  Cached per (sf_dir, ceiling): repeated calls (bench
-    reps, shared edge builds) pay it once per session."""
+    O(n²) self-join.  Cached per (sf_dir, ceiling, bucket_width): repeated
+    calls (bench reps, shared edge builds) pay it once per session.
+
+    ``bucket_width`` refines the block key with a length bucket
+    ``floor(n_chars / bucket_width)`` — the admission key used by
+    q_llm_edit_dedup, whose candidate blocks are (lang, source,
+    length-bucket) equi-joins.  A length bucket, unlike a hashed MinHash
+    band, does NOT bound block size by construction (one popular (en, web,
+    bucket) block at 100 TB makes the candidate set quadratic), so the
+    same refusal applies, just on the finer key.  The count runs on the
+    base documents table; callers that union in planted variants add at
+    most a constant factor, which the order-of-magnitude ceiling absorbs."""
     ceiling = int(spark.conf.get(_CONF_MAX_BLOCK, str(MAX_QUADRATIC_BLOCK)))
-    key = (sf_dir, ceiling)
+    key = (sf_dir, ceiling, bucket_width)
     if key in _block_guard_ok:
         return
+    docs = load(spark, sf_dir, "documents")
+    if bucket_width is None:
+        block_cols, block_desc = ["lang", "source"], "(lang, source)"
+    else:
+        docs = docs.withColumn(
+            "_bkt", (F.col("n_chars") / bucket_width).cast("long"))
+        block_cols = ["lang", "source", "_bkt"]
+        block_desc = f"(lang, source, n_chars/{bucket_width} bucket)"
     top = (
-        load(spark, sf_dir, "documents")
-        .groupBy("lang", "source").count()
+        docs.groupBy(*block_cols).count()
         .orderBy(F.desc("count")).first()
     )
     if top is not None and top["count"] > ceiling:
         raise ValueError(
-            f"blocked exact-Jaccard baseline refused: largest (lang, source) "
+            f"{label} refused: largest {block_desc} "
             f"block has {top['count']} documents (> {ceiling}); this path is "
             f"O(block²) ground truth for oracle-scale audits only. Use "
             f"q_llm_near_dedup (MinHash/LSH) or q_llm_prefix_filter_join "
@@ -1296,10 +1316,17 @@ def q_llm_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-band pair lands in the same or an adjacent bucket — soundness is
     a pigeonhole argument, and the naive-join ORACLE re-proves it on
     every run: a pair lost to banding would hash-mismatch).  Verify cost
-    is capped by the {EDIT_PREFIX}-char prefix DP.  At 100 TB the block
-    key bounds pair counts the way the MinHash bands do in
-    q_llm_near_dedup; exact distance on capped prefixes keeps the
-    verify step O(1) per candidate."""
+    is capped by the {EDIT_PREFIX}-char prefix DP.
+
+    Unlike the hash-spread MinHash bands of q_llm_near_dedup, a length
+    bucket does NOT bound block size — one popular (en, web, bucket)
+    block at 100 TB makes the candidate set quadratic.  So this path
+    shares the quadratic-family admission guard with its exact-Jaccard /
+    containment cousins, on the finer (lang, source, length-bucket) key:
+    it REFUSES corpora whose largest block exceeds the ceiling and points
+    at the banded/prefix-filter production paths (r7 verdict task 2)."""
+    _guard_quadratic_block(spark, sf_dir, bucket_width=EDIT_BUCKET,
+                           label="edit-distance near-dup baseline")
     docs = load(spark, sf_dir, "documents")
     variants = (
         docs.filter((F.col("doc_id") % 7 == 0) & (F.col("n_chars") >= 40))

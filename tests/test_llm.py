@@ -241,13 +241,18 @@ def test_quadratic_baseline_quarantined(spark, sf_dir):
             jaccard_half_edges(spark, sf_dir)
         with pytest.raises(ValueError, match="O\\(block"):
             QUERIES["q_llm_containment"](spark, sf_dir)
+        # edit_dedup's (lang, source, length-bucket) blocks are equi-join
+        # blocks too — a length bucket does not bound block size at scale,
+        # so it must share the refusal (r7 verdict task 2).
+        with pytest.raises(ValueError, match="edit-distance near-dup"):
+            QUERIES["q_llm_edit_dedup"](spark, sf_dir)
     finally:
         spark.conf.unset(_CONF_MAX_BLOCK)
     # At the default ceiling the oracle-scale corpus is admitted (cached
     # thereafter: one tiny aggregate per (sf_dir, ceiling) per session).
     jaccard_half_edges(spark, sf_dir)
     from mu_swarm_logger_service_spark.llm.dedup import MAX_QUADRATIC_BLOCK
-    assert (sf_dir, MAX_QUADRATIC_BLOCK) in _block_guard_ok
+    assert (sf_dir, MAX_QUADRATIC_BLOCK, None) in _block_guard_ok
 
 
 def test_ann_ivf_pq_recall_vs_exact(spark, sf_dir):
