@@ -174,6 +174,21 @@ def main() -> None:
     # synchronous SPARQL INSERT per line, O(10^2-10^3) lines/s
     # (SURVEY.md §4.1); micro-batch bulk appends clear it by orders of
     # magnitude on a single node.
+    #
+    # Phase-boundary housekeeping first (r7 verdict task 3): the 72 query
+    # reps above leave dozens of eagerly-materialized localCheckpoint RDDs
+    # pinned in block-manager memory — ContextCleaner only unpins them
+    # after a DRIVER GC collects the RDD handles (Python-side first, so
+    # py4j drops its JVM references).  Left alone, that debt surfaces as
+    # GC pauses inside the ingest micro-batches: r7 recorded 79.2k ev/s
+    # here while the identical code measured 97-107k on an idle session
+    # (tools/ingest_probe.py, which also re-verified repartition_to=8
+    # takes effect: 8 batch partitions).  Collect it so this phase
+    # measures the ingest path, not the query phase's garbage.
+    import gc as _gc
+    _gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
     ingest_rate, ingest_reps = _measure_ingest(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
