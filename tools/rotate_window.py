@@ -30,6 +30,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=50,
                     help="driver window size (observed: 50)")
+    ap.add_argument("--apply", action="store_true",
+                    help="rewrite core/registry.py EXPORT_FIRST in place "
+                         "with the derived window (r7 lesson: the round-7 "
+                         "window was derived but never pasted in, costing "
+                         "a round of driver evidence — one command now "
+                         "does both). Review the diff before committing; "
+                         "hand-edits like swapping a re-queue into the "
+                         "window still happen in the file afterwards.")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -90,6 +98,34 @@ def main() -> None:
     print(")")
     print(f"\nremainder after this window: {len(rest)} keys "
           f"(≈{(len(rest) + args.size - 1) // args.size} more windows)")
+
+    if args.apply:
+        import datetime
+        import re
+
+        reg_path = os.path.join(
+            REPO, "mu_swarm_logger_service_spark", "core", "registry.py")
+        src = open(reg_path).read()
+        lines = [
+            "EXPORT_FIRST: tuple[str, ...] = (",
+            f"    # window auto-applied {datetime.date.today().isoformat()} "
+            "by `tools/rotate_window.py --apply`",
+            f"    # from {len(rounds)} CORRECTNESS file(s); "
+            f"{len(rest)} never-checked keys remain after this window.",
+        ]
+        for i in range(0, len(window), 3):
+            lines.append("    " + " ".join(f'"{k}",'
+                                           for k in window[i:i + 3]))
+        lines.append(")")
+        # The tuple literal closes with the first line that is just ")" at
+        # column 0 (interior lines are indented), so non-greedy to there.
+        new_src, n = re.subn(
+            r"EXPORT_FIRST: tuple\[str, \.\.\.\] = \(.*?\n\)",
+            "\n".join(lines).replace("\\", "\\\\"), src, count=1, flags=re.S)
+        if n != 1:
+            raise SystemExit("EXPORT_FIRST block not found in registry.py")
+        open(reg_path, "w").write(new_src)
+        print(f"applied: EXPORT_FIRST rewritten in {reg_path}")
 
 
 if __name__ == "__main__":
