@@ -1028,8 +1028,8 @@ WITH cp AS (
 ), votes AS (
   SELECT e.c1 AS c, nb.seg AS pred_seg, CAST(SUM(e.w) AS BIGINT) AS vote
   FROM e
-  JOIN lab me ON me.c = e.c1 AND me.masked
-  JOIN lab nb ON nb.c = e.c2 AND NOT nb.masked
+  JOIN lab me ON me.c = e.c1 AND me.masked AND me.seg IS NOT NULL
+  JOIN lab nb ON nb.c = e.c2 AND NOT nb.masked AND nb.seg IS NOT NULL
   GROUP BY 1, 2
 ), best AS (
   SELECT c, pred_seg, vote,
@@ -1077,9 +1077,14 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").cast("string"), F.lit("|lp"))), 1, 1))
          % 10 < LP_MASK_PCT).alias("masked"),
     )
-    me = lab.filter(F.col("masked")).select(
+    # Explicit null-label policy: a node with an unknown (NULL) segment
+    # neither votes nor gets audited — an unlabeled neighbor carries no
+    # label to propagate, and a masked node without recorded truth has
+    # nothing to audit against.  (Also keeps pred_seg non-null, so the
+    # tie ORDER BY never hits the engines' opposite null placement.)
+    me = lab.filter(F.col("masked") & F.col("seg").isNotNull()).select(
         F.col("c").alias("mc"), F.col("seg").alias("true_seg"))
-    nb = lab.filter(~F.col("masked")).select(
+    nb = lab.filter(~F.col("masked") & F.col("seg").isNotNull()).select(
         F.col("c").alias("nc_"), F.col("seg").alias("pred_seg"))
     votes = (
         e.join(me, F.col("c1") == F.col("mc"))

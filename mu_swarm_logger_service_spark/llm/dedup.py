@@ -762,23 +762,35 @@ WITH vocab AS (
   SELECT DISTINCT substr(tok, 1, 1) || substr(tok, 3, length(tok)) AS typo
   FROM vocab WHERE length(tok) >= 4
 ), dict_keys AS (
-  SELECT tok,
-         unnest(list_prepend(tok,
-           list_transform(range(1, length(tok) + 1),
-             i -> substr(tok, 1, CAST(i AS INT) - 1)
-                  || substr(tok, CAST(i AS INT) + 1, length(tok))))) AS v
-  FROM vocab WHERE length(tok) >= 3
+  SELECT tok, u.v AS v, u.i AS i
+  FROM (
+    SELECT tok,
+           unnest(list_prepend(struct_pack(v := tok, i := 0),
+             list_transform(range(1, length(tok) + 1),
+               i -> struct_pack(
+                 v := substr(tok, 1, CAST(i AS INT) - 1)
+                      || substr(tok, CAST(i AS INT) + 1, length(tok)),
+                 i := CAST(i AS INT))))) AS u
+    FROM vocab WHERE length(tok) >= 3
+  )
 ), typo_keys AS (
-  SELECT typo,
-         unnest(list_prepend(typo,
-           list_transform(range(1, length(typo) + 1),
-             i -> substr(typo, 1, CAST(i AS INT) - 1)
-                  || substr(typo, CAST(i AS INT) + 1, length(typo))))) AS v
-  FROM typos
+  SELECT typo, u.v AS v, u.i AS i
+  FROM (
+    SELECT typo,
+           unnest(list_prepend(struct_pack(v := typo, i := 0),
+             list_transform(range(1, length(typo) + 1),
+               i -> struct_pack(
+                 v := substr(typo, 1, CAST(i AS INT) - 1)
+                      || substr(typo, CAST(i AS INT) + 1, length(typo)),
+                 i := CAST(i AS INT))))) AS u
+    FROM typos
+  )
 )
 SELECT DISTINCT t.typo, d.tok AS correction
 FROM typo_keys t JOIN dict_keys d ON t.v = d.v
-WHERE levenshtein(t.typo, d.tok) = 1
+WHERE t.typo != d.tok
+  AND ((t.i = 0 AND d.i > 0) OR (t.i > 0 AND d.i = 0)
+       OR (t.i > 0 AND t.i = d.i))
 """)
 def q_llm_fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy (edit-distance-1) dictionary correction via
@@ -787,9 +799,15 @@ def q_llm_fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab word, standing in for OCR/typo noise) and the dictionary emit
     themselves plus every single-character deletion as blocking keys, so
     candidates come from an EQUI join on the shared variant instead of
-    an O(T x V) cross join; the exact levenshtein==1 check runs only on
-    blocked candidates.  Complete for distance 1: any one-edit pair
-    shares a deletion variant.  At 100 TB the variant join shuffles on
+    an O(T x V) cross join; the distance-1 verify is pure POSITION
+    logic on the variant keys (identity at position 0): a pair is one
+    edit apart iff one side's identity equals the other's deletion
+    (insert/delete) or both deletions share the SAME codepoint position
+    (substitution — deleting the one differing char aligns the rest;
+    deleting anywhere else keeps the difference).  Complete for
+    distance 1, and codepoint-exact in both engines — unlike
+    levenshtein(), which DuckDB computes over UTF-8 BYTES (Spark over
+    codepoints), so any non-ASCII token would diverge cross-engine.  At 100 TB the variant join shuffles on
     the variant string over pre-distinct'ed tokens — work is bounded by
     vocabulary size, not corpus size (and the dictionary side would
     broadcast).  All string ops and the distance are integer-exact
@@ -812,12 +830,19 @@ def q_llm_fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "             substring({w}, i + 1, length({w})))))"
     )
     dict_keys = vocab.filter(F.length("tok") >= 3).select(
-        "tok", F.explode(F.expr(del_keys.format(w="tok"))).alias("v"))
+        "tok",
+        F.posexplode(F.expr(del_keys.format(w="tok"))).alias("di", "v"))
     typo_keys = typos.select(
-        "typo", F.explode(F.expr(del_keys.format(w="typo"))).alias("v"))
+        "typo",
+        F.posexplode(F.expr(del_keys.format(w="typo"))).alias("ti", "v"))
+    one_edit = (
+        ((F.col("ti") == 0) & (F.col("di") > 0))        # typo = del(tok)
+        | ((F.col("ti") > 0) & (F.col("di") == 0))      # tok = del(typo)
+        | ((F.col("ti") > 0) & (F.col("ti") == F.col("di")))  # subst @ i
+    )
     return (
         typo_keys.join(F.broadcast(dict_keys), "v")
-        .filter(F.levenshtein(F.col("typo"), F.col("tok")) == 1)
+        .filter((F.col("typo") != F.col("tok")) & one_edit)
         .select("typo", F.col("tok").alias("correction"))
         .distinct()
     )
@@ -1286,7 +1311,8 @@ WITH variants AS (
   UNION ALL SELECT * FROM variants
 ), pre AS (
   SELECT doc_id, lang, source, n_chars,
-         substr(text, 1, {EDIT_PREFIX}) AS p
+         substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, {EDIT_PREFIX})
+           AS p
   FROM corpus
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1307,7 +1333,10 @@ def q_llm_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     already matches the substitute), built from substr concatenation so
     both engines mint identical bytes (Spark's regexp_replace has no
     first-match-only mode — the F.expr/backslash family of traps is
-    avoided entirely).
+    avoided entirely).  The compared prefix is the printable-ASCII
+    projection of the text (pre-DP normalization, as real OCR dedup
+    does): DuckDB's levenshtein is BYTE-based while Spark's is
+    codepoint-based, and on the projected alphabet the two coincide.
 
     Scale shape: the Spark side NEVER forms per-block cartesian pairs
     blindly — candidates come from an equi-join on (lang, source,
@@ -1339,9 +1368,15 @@ def q_llm_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.select("doc_id", "text", "lang", "source",
                          "n_chars").unionByName(variants)
+    # Pre-DP normalization (standard in OCR/typo dedup): project the
+    # compared prefix to printable ASCII.  On that alphabet byte- and
+    # codepoint-edit-distance coincide, which is REQUIRED cross-engine:
+    # DuckDB's levenshtein counts UTF-8 bytes, Spark's counts
+    # codepoints, so an unnormalized non-ASCII prefix would diverge.
     pre = corpus.select(
         "doc_id", "lang", "source", "n_chars",
-        F.substring("text", 1, EDIT_PREFIX).alias("p"),
+        F.substring(F.regexp_replace("text", "[^ -~]", ""),
+                    1, EDIT_PREFIX).alias("p"),
         (F.col("n_chars") / EDIT_BUCKET).cast("long").alias("bkt"),
     )
     probe = pre.select(

@@ -30,6 +30,18 @@ FEATURE_SCHEMA = (
     "doc_id long, width int, height int, n_pixels long, payload_len long"
 )
 
+# The text-payload stand-in is DEFINED as the printable-ASCII projection
+# of documents.text, cast to binary.  The decode plumbing is byte-based
+# (as a real codec is), but DuckDB has no blob substring/md5, so the
+# oracle can only replay the arithmetic through STRING functions — which
+# count codepoints.  On the projected alphabet bytes == codepoints, so
+# both views of the payload agree for ANY input text (unicode included).
+_ASCII_TEXT_SQL = "regexp_replace(text, '[^ -~]', '', 'g')"
+
+
+def _ascii_payload():
+    return F.regexp_replace("text", "[^ -~]", "").cast("binary")
+
 # The text-payload queries keep the fake decoder (their payloads are not
 # image containers and their oracles replay the fake arithmetic exactly);
 # q_llm_png_roundtrip drives the real codec end-to-end.
@@ -85,18 +97,20 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
-@query("q_llm_multimodal", oracle="""
+@query("q_llm_multimodal", oracle=f"""
 WITH media AS (
-  SELECT doc_id, encode(text) AS payload FROM documents
+  SELECT doc_id, {_ASCII_TEXT_SQL} AS t,
+         encode({_ASCII_TEXT_SQL}) AS payload
+  FROM documents
 )
 SELECT doc_id,
        octet_length(payload) AS payload_len,
        substr(base64(payload), 1, 24) AS b64_prefix,
        octet_length(payload) % 64 + 1 AS width,
-       ascii(substr(text, 1, 1)) % 32 + 1 AS height,
+       ascii(substr(t, 1, 1)) % 32 + 1 AS height,
        CAST((octet_length(payload) % 64 + 1)
-            * (ascii(substr(text, 1, 1)) % 32 + 1) AS BIGINT) AS n_pixels
-FROM media JOIN documents USING (doc_id)
+            * (ascii(substr(t, 1, 1)) % 32 + 1) AS BIGINT) AS n_pixels
+FROM media
 """)
 def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns end-to-end (row 81): text bytes stand in for an
@@ -104,13 +118,12 @@ def q_llm_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the feature columns produced by the REAL mapInPandas decode path
     (fake codec) — every value oracle-checked.
 
-    documents.text is ASCII (word soup), so ascii(first char) in the oracle
-    equals payload[0] in the decoder.
+    The payload is the printable-ASCII projection of text (module
+    convention above), so ascii(first char) in the oracle equals
+    payload[0] in the byte-based decoder for any input text.
     """
     docs = load(spark, sf_dir, "documents")
-    media = docs.select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
+    media = docs.select("doc_id", _ascii_payload().alias("payload"))
     feats = decode_features(media)
     meta = media.select(
         "doc_id",
@@ -158,8 +171,9 @@ def resize_dims(media: DataFrame) -> DataFrame:
 @query("q_llm_media_resize", oracle=f"""
 WITH m AS (
   SELECT doc_id,
-         CAST(length(text) % 64 + 1 AS INT) AS width,
-         CAST(ascii(substr(text, 1, 1)) % 32 + 1 AS INT) AS height
+         CAST(length({_ASCII_TEXT_SQL}) % 64 + 1 AS INT) AS width,
+         CAST(ascii(substr({_ASCII_TEXT_SQL}, 1, 1)) % 32 + 1 AS INT)
+           AS height
   FROM documents
 )
 SELECT doc_id, width, height,
@@ -181,7 +195,7 @@ def q_llm_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical in Python and DuckDB, so even the raw double `scale` column
     is value-exact."""
     docs = load(spark, sf_dir, "documents")
-    media = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    media = docs.select("doc_id", _ascii_payload().alias("payload"))
     return resize_dims(media)
 
 
@@ -222,12 +236,13 @@ def sample_frames(media: DataFrame) -> DataFrame:
 
 @query("q_llm_frame_sample", oracle=f"""
 WITH v AS (
-  SELECT doc_id, text,
-         CAST(length(text) // {FRAME_BYTES} AS BIGINT) AS n_frames
+  SELECT doc_id, {_ASCII_TEXT_SQL} AS t,
+         CAST(length({_ASCII_TEXT_SQL}) // {FRAME_BYTES} AS BIGINT)
+           AS n_frames
   FROM documents
 )
 SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-       md5(substr(text, CAST(i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES}))
+       md5(substr(t, CAST(i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES}))
          AS frame_md5,
        n_frames
 FROM v, unnest(range(0, n_frames, greatest(1, n_frames // {MAX_FRAMES})))
@@ -241,7 +256,7 @@ def q_llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas like a real frame extractor; the oracle replays the same
     slicing on the (ASCII) text so every hash is value-exact."""
     docs = load(spark, sf_dir, "documents")
-    media = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    media = docs.select("doc_id", _ascii_payload().alias("payload"))
     return sample_frames(media)
 
 

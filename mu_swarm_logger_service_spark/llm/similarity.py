@@ -42,6 +42,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine0(a: Column, b: Column) -> Column:
+    """Zero-norm-safe cosine: similarity to a zero vector is DEFINED as
+    0.0 (the neutral "no similarity" convention).  Required wherever a
+    zero norm is reachable — e.g. a Matryoshka PREFIX of a non-zero
+    vector can be all-zero — because the engines disagree on the
+    undefined case (ANSI Spark throws DIVIDE_BY_ZERO, DuckDB's
+    list_cosine_similarity clamps to -1.0).  Oracles of callers must
+    carry the matching CASE WHEN norm-product = 0 THEN 0.0 guard.
+    For non-zero norms the ELSE branch is the exact `cosine` division —
+    identical operands, identical bits."""
+    nprod = norm(a) * norm(b)
+    return F.when(nprod != 0.0, dot(a, b) / nprod).otherwise(F.lit(0.0))
+
+
 _QUERY_FILTER = "vec_id % 100 = 0"
 TOPK = 5
 
@@ -162,9 +176,16 @@ WITH q AS (
   FROM embeddings
 ), s AS (
   SELECT q_id, c_id,
-         round(list_cosine_similarity(qe, ce), 6) + 0.0 AS cos_full,
-         round(list_cosine_similarity(qe[1:{_MRL_DIM}], ce[1:{_MRL_DIM}]), 6)
-           + 0.0 AS cos_trunc
+         CASE WHEN list_sum(list_transform(qe, x -> x*x))
+                   * list_sum(list_transform(ce, x -> x*x)) = 0 THEN 0.0
+              ELSE round(list_cosine_similarity(qe, ce), 6) + 0.0
+         END AS cos_full,
+         CASE WHEN list_sum(list_transform(qe[1:{_MRL_DIM}], x -> x*x))
+                   * list_sum(list_transform(ce[1:{_MRL_DIM}], x -> x*x)) = 0
+              THEN 0.0
+              ELSE round(list_cosine_similarity(qe[1:{_MRL_DIM}],
+                                                ce[1:{_MRL_DIM}]), 6) + 0.0
+         END AS cos_trunc
   FROM q, c WHERE q_id != c_id
 ), ranked AS (
   SELECT q_id, c_id,
@@ -207,10 +228,10 @@ def q_llm_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id", "c_id",
-            (F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0)
+            (F.round(cosine0(F.col("qe"), F.col("ce")), 6) + 0.0)
             .alias("cos_full"),
-            (F.round(cosine(F.slice("qe", 1, _MRL_DIM),
-                            F.slice("ce", 1, _MRL_DIM)), 6) + 0.0)
+            (F.round(cosine0(F.slice("qe", 1, _MRL_DIM),
+                             F.slice("ce", 1, _MRL_DIM)), 6) + 0.0)
             .alias("cos_trunc"),
         )
     )
@@ -244,9 +265,16 @@ WITH q AS (
   FROM embeddings
 ), s AS (
   SELECT q_id, c_id,
-         round(list_cosine_similarity(qe, ce), 6) + 0.0 AS cos_full,
-         round(list_cosine_similarity(qe[1:{_MRL_DIM}], ce[1:{_MRL_DIM}]), 6)
-           + 0.0 AS cos_trunc
+         CASE WHEN list_sum(list_transform(qe, x -> x*x))
+                   * list_sum(list_transform(ce, x -> x*x)) = 0 THEN 0.0
+              ELSE round(list_cosine_similarity(qe, ce), 6) + 0.0
+         END AS cos_full,
+         CASE WHEN list_sum(list_transform(qe[1:{_MRL_DIM}], x -> x*x))
+                   * list_sum(list_transform(ce[1:{_MRL_DIM}], x -> x*x)) = 0
+              THEN 0.0
+              ELSE round(list_cosine_similarity(qe[1:{_MRL_DIM}],
+                                                ce[1:{_MRL_DIM}]), 6) + 0.0
+         END AS cos_trunc
   FROM q, c WHERE q_id != c_id
 ), ranked AS (
   SELECT q_id, c_id,
@@ -293,10 +321,10 @@ def q_llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id", "c_id",
-            (F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0)
+            (F.round(cosine0(F.col("qe"), F.col("ce")), 6) + 0.0)
             .alias("cos_full"),
-            (F.round(cosine(F.slice("qe", 1, _MRL_DIM),
-                            F.slice("ce", 1, _MRL_DIM)), 6) + 0.0)
+            (F.round(cosine0(F.slice("qe", 1, _MRL_DIM),
+                             F.slice("ce", 1, _MRL_DIM)), 6) + 0.0)
             .alias("cos_trunc"),
         )
     )
@@ -1075,11 +1103,11 @@ SELECT q_id,
        CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
        CASE WHEN first_rel_rank = 0 THEN 0.0
             ELSE 1.0 / first_rel_rank END AS mrr,
-       {" + ".join(f"c{i + 1} * CAST({_DCG_W[i]!r} AS DOUBLE)" for i in range(_EVAL_K))}
+       {" + ".join(f"c{i + 1} * {_DCG_W[i]!r}e0" for i in range(_EVAL_K))}
          AS dcg,
        CASE WHEN n_rel = 0 THEN 0.0 ELSE
-         ({" + ".join(f"c{i + 1} * CAST({_DCG_W[i]!r} AS DOUBLE)" for i in range(_EVAL_K))})
-         / ({" + ".join(f"(CASE WHEN n_rel >= {i + 1} THEN 1 ELSE 0 END) * CAST({_DCG_W[i]!r} AS DOUBLE)" for i in range(_EVAL_K))})
+         ({" + ".join(f"c{i + 1} * {_DCG_W[i]!r}e0" for i in range(_EVAL_K))})
+         / ({" + ".join(f"(CASE WHEN n_rel >= {i + 1} THEN 1 ELSE 0 END) * {_DCG_W[i]!r}e0" for i in range(_EVAL_K))})
        END AS ndcg
 FROM per_q JOIN lc ON per_q.q_label = lc.label
 """

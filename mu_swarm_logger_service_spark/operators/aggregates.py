@@ -774,7 +774,9 @@ def q_agg_bayes_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH cells AS (
   SELECT o_orderstatus AS s, o_orderpriority AS p,
          CAST(COUNT(*) AS BIGINT) AS o
-  FROM orders GROUP BY 1, 2
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
 ), rt AS (
   SELECT s, CAST(SUM(o) AS BIGINT) AS row_tot FROM cells GROUP BY 1
 ), ct AS (
@@ -824,6 +826,14 @@ def q_agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SinglePartition stages only ever see the R×C cell table —
     category-domain-bounded, never data-bounded."""
     od = load(spark, sf_dir, "orders")
+    # Explicit null-category policy: a NULL status/priority is not an
+    # observed category — drop it from the contingency table on BOTH
+    # sides.  (Without this the oracle's equi-joins on the category keys
+    # silently drop NULL cells while the window marginals keep them —
+    # divergent chi2 the moment the column has nulls; COUNT(DISTINCT)
+    # already ignores nulls, so exclusion is the consistent test.)
+    od = od.filter(F.col("o_orderstatus").isNotNull()
+                   & F.col("o_orderpriority").isNotNull())
     cells = od.groupBy(F.col("o_orderstatus").alias("s"),
                        F.col("o_orderpriority").alias("p")).agg(
         F.count(F.lit(1)).alias("o"))

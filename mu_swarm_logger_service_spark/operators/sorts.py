@@ -24,7 +24,7 @@ WITH nulled AS (
 )
 SELECT c_custkey, c_mktsegment, bal
 FROM nulled
-ORDER BY c_mktsegment ASC, bal DESC NULLS LAST, c_custkey ASC
+ORDER BY c_mktsegment ASC NULLS LAST, bal DESC NULLS LAST, c_custkey ASC
 LIMIT 100
 """)
 def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,8 +35,12 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment",
         F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
     )
+    # Every sort key carries an explicit null placement: Spark's bare
+    # asc() is NULLS FIRST while ANSI/DuckDB default ASC to NULLS LAST —
+    # under the LIMIT a null segment would select a different rowset the
+    # moment the column has nulls.
     return nulled.orderBy(
-        F.col("c_mktsegment").asc(),
+        F.col("c_mktsegment").asc_nulls_last(),
         F.col("bal").desc_nulls_last(),
         F.col("c_custkey").asc(),
     ).limit(100)

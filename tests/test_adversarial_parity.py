@@ -1,0 +1,69 @@
+"""Oracle parity on ADVERSARIAL data distributions — the regression pin
+for the round-8 hostile-fixture bug batch.
+
+tools/gen_adversarial.py rebuilds (deterministically, seed 777) a fixture
+family with the traps pristine testdata never exercises: null floods in
+group/sort keys, tie-storms on measures and timestamps, hot-key skew,
+duplicate texts/vectors, and unicode-rich strings.  The full sweep runs
+out-of-band (SCALE.md round 8: 9 real cross-engine divergences found);
+this module pins the QUERIES those bugs lived in, plus the shared
+conventions they produced (explicit null policy, null placement in
+sorts, zero-norm cosine, codepoint-safe edit distance, ASCII-projection
+payloads), so the fixes can never silently regress.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import __spark_entry__ as entrymod
+from gen_adversarial import generate
+from mu_swarm_logger_service_spark.core.tables import TABLES
+from tests.oracle_harness import compare
+
+QUERIES = entrymod.queries()
+ORACLE = entrymod.oracle_sql()
+
+# The round-8 bug batch + the proactively-hardened latent sibling.
+SENSITIVE = [
+    "q_agg_chi2",            # null-category policy (join vs window marginals)
+    "q_sort_multi",          # null placement under LIMIT
+    "q_llm_matryoshka",      # zero-norm prefix cosine
+    "q_llm_rrf_fusion",      # zero-norm prefix cosine
+    "q_llm_rank_eval",       # >=17-digit literal decimal double-round
+    "q_graph_label_prop",    # null labels voting / null tie ordering
+    "q_llm_fuzzy_token_join",  # byte vs codepoint levenshtein
+    "q_llm_media_resize",    # byte vs codepoint payload length
+    "q_llm_frame_sample",    # byte vs codepoint frame slicing
+    "q_llm_multimodal",      # ASCII-projection payload convention
+    "q_llm_edit_dedup",      # pre-DP ASCII projection (latent sibling)
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(sf_dir):
+    out = "/tmp/sfadv_test"
+    generate(sf_dir, out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def adv_duck(adv_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{adv_dir}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_adversarial_parity(spark, adv_duck, adv_dir, name):
+    compare(spark, adv_duck, adv_dir, QUERIES[name], ORACLE[name], name)

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Generate an adversarial-distribution fixture family (default /tmp/sfadv).
+
+Same schemas and row counts as the driver's testdata, hostile values:
+
+- **tie-storms**: measure columns quantized to a handful of values and
+  30-40%% of timestamps collapsed onto one instant, so every window /
+  ranking ORDER BY faces massive ties and only the unique-tiebreaker
+  discipline (CLAUDE.md determinism rules) disambiguates.  A query whose
+  ordering lacks a tiebreaker goes nondeterministic here and fails the
+  Spark-vs-DuckDB value hash.
+- **null floods**: 5-15%% nulls in non-key nullable columns (group keys
+  included — null-group semantics differ subtly across engines).
+- **key skew**: 25-30%% of fact-table foreign keys collapsed onto one
+  popular customer / part / supplier / user — the shape AQE skew-join
+  handling sees at 100 TB.
+- **duplicate storms**: exact-duplicate document texts and identical
+  embedding vectors (cosine ties; dedup groups spanning sources).
+- **unicode-rich text**: emoji / CJK / combining accents / zero-width
+  space mixed into free-text columns (names, document text, JSON props)
+  to stress tokenizers, regexes and length semantics cross-engine.
+
+Domains of categorical columns (statuses, flags, langs, brands) are
+preserved so literal-filtering queries stay non-vacuous.  `documents.
+n_chars` is recomputed after text mutation to preserve the generator
+invariant n_chars == len(text).  Output is written with the ORIGINAL
+arrow schema (int32 / timestamp[us] / list<float> preserved).
+
+Deterministic: numpy RandomState(777); same base dir -> same bytes.
+
+Usage:  python tools/gen_adversarial.py [base_sf_dir] [out_dir]
+        (defaults: /root/testdata/sf0.01 -> /tmp/sfadv)
+"""
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 777
+
+# Unicode payloads: emoji, CJK, Greek, combining accent, zero-width space,
+# RTL Hebrew.  All single-codepoint-countable so len() semantics agree.
+UNI_WORDS = [
+    "café", "中文表", "δοκιμή",
+    "naïve", "\U0001f642ok", "שלום",
+    "éclair", "z​w", "Über", "日本語",
+]
+
+
+def _uni(rng, s, frac, rows):
+    """Append a deterministic unicode word to a fraction of strings."""
+    mask = rng.random_sample(rows) < frac
+    pick = rng.randint(0, len(UNI_WORDS), rows)
+    return pd.Series(
+        [f"{v} {UNI_WORDS[p]}" if m and v is not None else v
+         for v, m, p in zip(s, mask, pick)], dtype=object)
+
+
+def _null(rng, s, frac, rows):
+    out = s.copy().astype(object)
+    out[rng.random_sample(rows) < frac] = None
+    return out
+
+
+def _write(out, name, df, schema):
+    tbl = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    pq.write_table(tbl, os.path.join(out, f"{name}.parquet"))
+    print(f"  {name}: {len(df)} rows")
+
+
+def generate(base, out):
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.RandomState(SEED)
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"]:
+        src = os.path.join(base, f"{name}.parquet")
+        schema = pq.read_schema(src)
+        df = pd.read_parquet(src)
+        n = len(df)
+
+        if name == "customer":
+            df["c_acctbal"] = np.floor(df.c_acctbal / 500.0) * 500.0 + 0.0
+            df["c_mktsegment"] = _null(rng, df.c_mktsegment, 0.15, n)
+            df["c_name"] = _uni(rng, df.c_name, 0.20, n)
+        elif name == "supplier":
+            df["s_acctbal"] = np.floor(df.s_acctbal / 500.0) * 500.0 + 0.0
+            df["s_name"] = _uni(rng, df.s_name, 0.10, n)
+        elif name == "part":
+            df["p_retailprice"] = (
+                np.maximum(np.floor(df.p_retailprice / 100.0), 1.0) * 100.0)
+            df["p_name"] = _null(rng, _uni(rng, df.p_name, 0.20, n), 0.05, n)
+        elif name == "orders":
+            hot = df.o_custkey.min()
+            skew = rng.random_sample(n) < 0.30
+            df.loc[skew, "o_custkey"] = hot
+            df["o_totalprice"] = (
+                np.maximum(np.floor(df.o_totalprice / 1000.0), 1.0) * 1000.0)
+            tie_ts = df.o_orderdate.iloc[0].normalize()
+            df.loc[rng.random_sample(n) < 0.35, "o_orderdate"] = tie_ts
+            df["o_orderpriority"] = _null(rng, df.o_orderpriority, 0.10, n)
+        elif name == "lineitem":
+            df.loc[rng.random_sample(n) < 0.25, "l_partkey"] = (
+                df.l_partkey.min())
+            df.loc[rng.random_sample(n) < 0.25, "l_suppkey"] = (
+                df.l_suppkey.min())
+            df["l_quantity"] = (
+                np.floor((df.l_quantity - 1.0) / 10.0) * 10.0 + 1.0)
+            df["l_extendedprice"] = (
+                np.maximum(np.floor(df.l_extendedprice / 500.0), 1.0) * 500.0)
+            df["l_discount"] = np.where(df.l_discount < 0.04, 0.0, 0.05)
+            df["l_tax"] = np.where(df.l_tax < 0.04, 0.0, 0.04)
+            tie_ts = df.l_shipdate.iloc[0].normalize()
+            df.loc[rng.random_sample(n) < 0.30, "l_shipdate"] = tie_ts
+        elif name == "events":
+            tie_ts = df.ts.iloc[0].floor("h")
+            df.loc[rng.random_sample(n) < 0.30, "ts"] = tie_ts
+            hot_user = df.user_id.mode().iloc[0]
+            df.loc[rng.random_sample(n) < 0.30, "user_id"] = hot_user
+            q = np.round(df.value / 2.5) * 2.5
+            df["value"] = np.where(q <= 0.0, 0.01, q) + 0.0
+            tie_props = rng.random_sample(n) < 0.20
+            uni_props = (~tie_props) & (rng.random_sample(n) < 0.10)
+            props = df.props.to_numpy(dtype=object).copy()
+            props[tie_props] = '{"k": 7}'
+            pick = rng.randint(0, len(UNI_WORDS), n)
+            for i in np.where(uni_props)[0]:
+                props[i] = '{"k": 7, "s": "%s"}' % UNI_WORDS[pick[i]]
+            df["props"] = props
+        elif name == "documents":
+            # duplicate storm: 30 anchor texts, each copied onto 2 other
+            # docs (ids stay unique; lang/source untouched -> groups span
+            # sources, the shape exact/near dedup must collapse).
+            n_grp = min(90, max(3, (n * 18) // 100))  # scales to tiny SFs
+            ids = rng.choice(n, size=n_grp, replace=False)
+            anchors, copies = ids[:n_grp // 3], ids[n_grp // 3:]
+            text = df.text.to_numpy(dtype=object).copy()
+            for j, c in enumerate(copies):
+                text[c] = text[anchors[j % len(anchors)]]
+            uni = rng.random_sample(n) < 0.25
+            pick = rng.randint(0, len(UNI_WORDS), n)
+            for i in np.where(uni)[0]:
+                text[i] = f"{text[i]} {UNI_WORDS[pick[i]]}"
+            df["text"] = text
+            df["n_chars"] = [len(t) for t in text]
+        elif name == "embeddings":
+            vecs = [np.asarray(v, dtype=np.float32) for v in df.embedding]
+            vecs = [np.round(v * 4.0) / 4.0 for v in vecs]
+            vecs = [v if np.abs(v).sum() > 0 else
+                    np.array([0.25] + [0.0] * (len(v) - 1), dtype=np.float32)
+                    for v in vecs]
+            n_pair = min(20, max(2, n // 12))
+            ids = rng.choice(n, size=2 * n_pair, replace=False)
+            for j in range(n_pair):  # identical pairs -> cosine ties
+                vecs[ids[n_pair + j]] = vecs[ids[j]].copy()
+            df["embedding"] = [v.astype(np.float32) for v in vecs]
+
+        _write(out, name, df, schema)
+    print(f"adversarial fixtures written to {out}")
+
+
+if __name__ == "__main__":
+    generate(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+             sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfadv")
