@@ -140,9 +140,16 @@ def generate(base, out):
             for j, c in enumerate(copies):
                 text[c] = text[anchors[j % len(anchors)]]
             uni = rng.random_sample(n) < 0.25
+            lead = (~uni) & (rng.random_sample(n) < 0.10)
             pick = rng.randint(0, len(UNI_WORDS), n)
             for i in np.where(uni)[0]:
                 text[i] = f"{text[i]} {UNI_WORDS[pick[i]]}"
+            for i in np.where(lead)[0]:
+                # LEADING unicode: the first codepoint is multi-byte, so
+                # first-byte vs first-char arithmetic (payload height,
+                # prefix hashes) diverges unless the query's convention
+                # really is byte==codepoint safe.
+                text[i] = f"{UNI_WORDS[pick[i]]} {text[i]}"
             df["text"] = text
             df["n_chars"] = [len(t) for t in text]
         elif name == "embeddings":
