@@ -119,8 +119,8 @@ def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_win_analytic", oracle="""
 SELECT event_id, user_id,
        ntile(4)       OVER w AS quartile,
-       ROUND(percent_rank() OVER w, 6) AS pct_rank,
-       ROUND(cume_dist()    OVER w, 6) AS cume,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume,
        first_value(event_id) OVER w AS first_event,
        last_value(event_id)
          OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -139,8 +139,14 @@ def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # RAW quotients: percent_rank=(rank-1)/(n-1) and cume_dist=k/n are
+        # single IEEE divisions of identical exact integers — bit-exact
+        # cross-engine.  round(·, 6) was the only divergence source: at 8×
+        # replication a quotient's shortest repr can terminate at the tie
+        # digit (51250/800000 = .0640625) where Spark's HALF_UP on the
+        # repr string and DuckDB's binary HALF-EVEN disagree.
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         F.first("event_id").over(w).alias("first_event"),
         F.last("event_id").over(full).alias("last_event"),
     )
