@@ -145,13 +145,13 @@ WITH RECURSIVE t AS (
   SELECT doc_id, lang, source,
          list_distinct(string_split(text, ' ')) AS tok
   FROM documents
-), e AS (
+), e AS MATERIALIZED (
   SELECT a.doc_id AS src, b.doc_id AS dst
   FROM t a JOIN t b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
         / (len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.5
-), ed AS (
+), ed AS MATERIALIZED (
   SELECT src, dst FROM e UNION SELECT dst, src FROM e
 ), reach AS (
   SELECT src AS node, dst AS peer FROM ed
@@ -253,7 +253,7 @@ WITH t AS (
   SELECT doc_id, lang, source,
          list_distinct(string_split(text, ' ')) AS tok
   FROM documents
-), e AS (
+), e AS MATERIALIZED (
   SELECT a.doc_id AS src, b.doc_id AS dst
   FROM t a JOIN t b
     ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
@@ -1009,12 +1009,12 @@ LP_MASK_PCT = 3   # ascii(md5) % 10 < 3  →  ~30% of nodes unlabeled
 
 
 @query("q_graph_label_prop", oracle=f"""
-WITH cp AS (
+WITH cp AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
   FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 ), parts_ok AS (
   SELECT p FROM cp GROUP BY p HAVING COUNT(*) <= {LP_HUB_CAP}
-), e AS (
+), e AS MATERIALIZED (
   SELECT a.c AS c1, b.c AS c2, CAST(COUNT(*) AS BIGINT) AS w
   FROM cp a
   JOIN parts_ok ok ON ok.p = a.p
@@ -1119,12 +1119,12 @@ KCORE_ROUNDS = 3
 
 
 @query("q_graph_kcore", oracle=f"""
-WITH cp AS (
+WITH cp AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
   FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 ), parts_ok AS (
   SELECT p FROM cp GROUP BY p HAVING COUNT(*) <= {KCORE_HUB_CAP}
-), e AS (
+), e AS MATERIALIZED (
   SELECT DISTINCT a.c AS c1, b.c AS c2
   FROM cp a JOIN parts_ok ok ON ok.p = a.p
   JOIN cp b ON a.p = b.p AND a.c <> b.c
@@ -1256,12 +1256,12 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q_graph_modularity", oracle=f"""
-WITH cp AS (
+WITH cp AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
   FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 ), parts_ok AS (
   SELECT p FROM cp GROUP BY p HAVING COUNT(*) <= {KCORE_HUB_CAP}
-), e AS (
+), e AS MATERIALIZED (
   SELECT DISTINCT a.c AS c1, b.c AS c2
   FROM cp a JOIN parts_ok ok ON ok.p = a.p
   JOIN cp b ON a.p = b.p AND a.c <> b.c
