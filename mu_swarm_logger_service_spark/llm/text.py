@@ -125,7 +125,9 @@ WITH feat AS (
 SELECT doc_id, n_tokens,
        ROUND(CAST(n_chars_m AS DOUBLE) / n_tokens, 4) AS avg_token_len,
        ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
-       ROUND(CAST(n_punct AS DOUBLE) / n_chars_m, 4) AS punct_ratio,
+       CASE WHEN n_chars_m = 0 THEN NULL
+            ELSE ROUND(CAST(n_punct AS DOUBLE) / n_chars_m, 4)
+       END AS punct_ratio,
        (n_tokens BETWEEN 20 AND 500
         AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5) AS passes_quality
 FROM feat
@@ -146,7 +148,12 @@ def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     avg_len = F.col("n_chars_m").cast("double") / F.col("n_tokens")
     stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
-    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_m")
+    # Empty-document policy: punct density over zero characters is
+    # undefined -> NULL (ANSI Spark would throw DIVIDE_BY_ZERO on an
+    # empty text; n_tokens is never 0 because split('') is ['']).
+    punct_ratio = F.when(
+        F.col("n_chars_m") > 0,
+        F.col("n_punct").cast("double") / F.col("n_chars_m"))
     return feat.select(
         "doc_id", "n_tokens",
         F.round(avg_len, 4).alias("avg_token_len"),
@@ -534,11 +541,14 @@ def q_llm_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage on all cores (compute-dense, single input split at small SF)."""
     docs = spread(load(spark, sf_dir, "documents"))
     arr = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(arr) - 1),
-        lambda i: F.concat(F.element_at(arr, i), F.lit(" "),
-                           F.element_at(arr, i + 1)),
-    )
+    bigrams = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat(F.element_at(arr, i), F.lit(" "),
+                               F.element_at(arr, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     counts = (
         docs.select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
@@ -2245,11 +2255,14 @@ def q_llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-partition partial top-k), NOT a single-partition rank window."""
     docs = spread(load(spark, sf_dir, "documents")).select("text")
     arr = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(arr) - 1),
-        lambda i: F.concat(F.element_at(arr, i), F.lit(" "),
-                           F.element_at(arr, i + 1)),
-    )
+    bigrams = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat(F.element_at(arr, i), F.lit(" "),
+                               F.element_at(arr, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     pair_counts = (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))

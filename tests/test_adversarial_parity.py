@@ -44,6 +44,9 @@ SENSITIVE = [
     "q_llm_frame_sample",    # byte vs codepoint frame slicing
     "q_llm_multimodal",      # ASCII-projection payload convention
     "q_llm_edit_dedup",      # pre-DP ASCII projection (latent sibling)
+    "q_llm_quality",         # empty-doc punct ratio (ANSI divide-by-zero)
+    "q_llm_ngram_stats",     # 1-token doc: Spark sequence(1,0) DESCENDS
+    "q_llm_collocations",    # same descending-sequence bigram trap
 ]
 
 

@@ -150,6 +150,20 @@ def generate(base, out):
                 # prefix hashes) diverges unless the query's convention
                 # really is byte==codepoint safe.
                 text[i] = f"{UNI_WORDS[pick[i]]} {text[i]}"
+            # degenerate documents: empty text, double-space (an EMPTY
+            # token from split-on-space), and one giant unbroken token —
+            # the tokenizer / per-token-count-division / shingle edge
+            # cases (ANSI divide-by-zero bait).  Kept off the dup-storm
+            # ids so the exact-dup groups stay intact.
+            degen = rng.choice(n, size=max(3, n // 33), replace=False)
+            degen = [i for i in degen if i not in set(ids)]
+            for j, i in enumerate(degen):
+                if j % 3 == 0:
+                    text[i] = ""
+                elif j % 3 == 1:
+                    text[i] = text[i].replace(" ", "  ", 1)
+                else:
+                    text[i] = "x" * 300
             df["text"] = text
             df["n_chars"] = [len(t) for t in text]
         elif name == "embeddings":
