@@ -101,31 +101,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # registration order.  The window must never exceed the driver's 50 rows
 # (enforced below and in tests) or the tail silently loses evidence.
 EXPORT_FIRST: tuple[str, ...] = (
-    # r8 window — derived 2026-08-15 by `python tools/rotate_window.py`
-    # against CORRECTNESS_r01-r07 (247 driver-checked, 99 remaining).
-    # Leads with the stats/analytics/timeseries panel and includes the
-    # three vacuous-green re-queues (q_join_anti,
-    # q_analytics_important_parts, q_llm_embed_near_dup had only 0-row
-    # driver greens; all three de-vacuated in r7).  rotate_window's raw
-    # print cut q_llm_embed_near_dup at position 51; swapped in here for
-    # q_ts_decompose (never-checked, rides r9).  49 keys remain for r9.
-    "q_agg_weighted_median", "q_agg_ab_ttest", "q_agg_bayes_rate",
-    "q_agg_chi2", "q_agg_anova", "q_agg_skew_kurtosis",
-    "q_agg_spearman", "q_agg_bitwise_agg", "q_agg_equidepth_hist",
-    "q_cdc_bitemporal", "q_cdc_join_ivm", "q_join_anti",
-    "q_join_spatial_grid", "q_join_pit_features", "q_join_asof_nearest",
-    "q_intersect_all", "q_analytics_important_parts", "q_analytics_abc",
-    "q_audit_benford", "q_analytics_rfm", "q_analytics_hhi",
-    "q_analytics_supplier_overlap", "q_analytics_wilson_ci", "q_analytics_decile_lift",
-    "q_analytics_mann_whitney", "q_analytics_ks_test", "q_analytics_cohort_ltv",
-    "q_analytics_did", "q_analytics_mutual_info", "q_analytics_shapley",
-    "q_analytics_srm", "q_analytics_power", "q_analytics_price_index",
-    "q_ts_holt_trend", "q_ts_streaks", "q_ts_cross_corr",
-    "q_ts_lttb", "q_ts_sax", "q_ts_theil_sen",
-    "q_ts_mad_outliers", "q_ts_runs_test", "q_ts_kaplan_meier",
-    "q_ts_holt_winters", "q_ts_dtw", "q_ts_forecast_backtest",
-    "q_ts_entropy_rate", "q_ts_pattern_match", "q_ts_kendall",
-    "q_ts_burstiness", "q_llm_embed_near_dup",
+    # window auto-applied 2026-08-15 by `tools/rotate_window.py --apply`
+    # from 8 CORRECTNESS file(s); 0 never-checked keys remain after this window.
+    "q_ts_decompose", "q_ts_mann_kendall", "q_ops_slo_burn",
+    "q_sketch_kmv", "q_sketch_kmv_jaccard", "q_fn_normalize_text",
+    "q_fn_ipnet", "q_stream_holt", "q_stream_kmv",
+    "q_stream_cdc_apply", "q_stream_holt_winters", "q_stream_pattern_match",
+    "q_stream_burstiness", "q_source_syslog", "q_source_accesslog",
+    "q_ops_log_templates", "q_llm_rank_eval", "q_llm_cc_largestar",
+    "q_llm_cluster_purity", "q_graph_label_prop", "q_graph_kcore",
+    "q_graph_modularity", "q_graph_assortativity", "q_llm_edit_dedup",
+    "q_llm_bpe_pairs", "q_llm_pack_next_fit", "q_llm_rebalance",
+    "q_llm_gopher_rules", "q_llm_vocab_coverage", "q_llm_perplexity",
+    "q_llm_dpo_pairs", "q_llm_char_entropy", "q_llm_quality_cascade",
+    "q_llm_quantile_normalize", "q_llm_token_budget", "q_llm_bpe_train",
+    "q_llm_bpe_apply", "q_llm_k_anonymity", "q_llm_bm25_topk",
+    "q_llm_winnowing", "q_llm_html_extract", "q_llm_hashed_features",
+    "q_llm_collocations", "q_llm_span_corruption", "q_llm_l_diversity",
+    "q_llm_curriculum", "q_llm_mixture_temperature", "q_udtf_map_arrow",
+    "q_meta_catalog",
 )
 
 # The driver's CORRECTNESS window is 50 rows; a 51st pin would silently push
