@@ -53,6 +53,22 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def stat_sig(sf_dir: str, table: str) -> tuple[int, int]:
+    """(mtime_ns, size) of a source parquet — the freshness component every
+    derived-layout cache key must carry.  A derived layout (partitioned
+    copy, JSONL materialization, generation split) keyed by PATH alone
+    serves stale data the moment its source is regenerated in place —
+    exactly how a refreshed upstream partition behaves at 100 TB.  Found
+    live in round 9: regenerating /tmp/sfadv under path-keyed q_scan_dpp /
+    q_source_docker_events caches red both oracles with stale bytes."""
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return (st.st_mtime_ns, st.st_size)
+
+
+def stat_sig_str(sf_dir: str, table: str) -> str:
+    return "_".join(map(str, stat_sig(sf_dir, table)))
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Give a COMPUTE-dense narrow pipeline full-cluster parallelism.
 

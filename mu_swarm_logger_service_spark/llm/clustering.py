@@ -35,8 +35,23 @@ from ..core.registry import query
 from ..core.tables import load, spread
 from .similarity import _PQ_CB_SQL, _PQ_CODED_SQL, cosine
 
-CENT_MOD = 71       # centroids = vectors with vec_id % 71 == 3  (~n/71 cells)
+# IVF coarse codebook: a FIXED-K id-gated centroid set (the PQ family's
+# `vec_id < K` pattern).  K is corpus-INDEPENDENT by construction, so the
+# index build is O(n·K) cosines with an O(K) broadcast at any corpus size —
+# the r8 8×-replication probe measured the previous corpus-proportional
+# codebook (vec_id % 71) making the build term quadratic (wall ×3.29 at 8×
+# vs brute cosine's ×2.58).  At real scale K is a build-time parameter
+# (~√n, retrained offline via q_llm_kmeans_step); what must NOT happen is
+# K growing implicitly with every scan, which is what the modulus did.
+IVF_K = 32          # centroids = vectors with vec_id < 32 (fixed-size codebook)
 NPROBE = 3          # cells probed per query
+
+# SemDeDup keeps a corpus-PROPORTIONAL codebook on purpose: its in-cell
+# pairing is Σ cell_size², which is linear in n only while cell size stays
+# bounded (~CENT_MOD).  The assignment term there is n·(n/71) — at true
+# scale the assignment itself goes through an ANN quantizer (hierarchical /
+# IVF-assisted), which is why the two operators no longer share a codebook.
+CENT_MOD = 71       # semdedup cells = vectors with vec_id % 71 == 3
 IVF_TOPK = 5
 _IVF_QUERY_FILTER = "vec_id % 100 = 0"
 
@@ -45,7 +60,7 @@ WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ), cent AS (
-  SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id % {CENT_MOD} = 3
+  SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < {IVF_K}
 ), assign AS (
   SELECT vec_id, cell, e FROM (
     SELECT emb.vec_id, cent.cell, emb.e,
@@ -84,14 +99,15 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Index build = one broadcast pass: corpus × broadcast(centroids) with
     the argmax folded into a map-side partial ``max(struct(...))``
     aggregation, so the shuffle carries one (vector → cell) row per
-    corpus vector — O(n·K) compute, O(n) shuffle.  Query = probe the
+    corpus vector — O(n·K) compute with K FIXED (corpus-independent
+    codebook, ``vec_id < IVF_K``), O(n) shuffle.  Query = probe the
     NPROBE nearest cells (window over a broadcast-sized query set) and
     exact-re-rank only within them; the candidate fetch is an equi join
     on cell id, never a crossJoin.  Ranking uses the rounded cosine with
     id tiebreaks so Spark and DuckDB agree bit-for-bit.
     """
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
+    cent = emb.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
     )
     cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
@@ -404,7 +420,7 @@ WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ), cent AS (
-  SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id % {CENT_MOD} = 3
+  SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < {IVF_K}
 ), assign AS (
   SELECT vec_id, cell, e FROM (
     SELECT emb.vec_id, cent.cell, emb.e,
@@ -435,9 +451,12 @@ def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     means order-independent and bit-identical cross-engine; the final
     per-cell regroup carries K x 64 rows (driver-trivial at any corpus
     size), reassembling dimension order via sort-by-position, never
-    collect_list insertion order."""
+    collect_list insertion order.  The codebook is the IVF index's own
+    fixed-K id-gated set (``vec_id < IVF_K``), so the whole Lloyd pass —
+    assignment O(n·K) plus a linear means scan — is linear in the corpus
+    at any scale."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
+    cent = emb.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
     )
     cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
@@ -507,7 +526,14 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic pairing is confined to a cell-local equi self-join —
     O(Σ cell_size²) instead of O(n²), the whole point of clustering
     first — and the dup set flows back through one equi join on vec_id.
-    No crossJoin, no window over the full corpus."""
+    No crossJoin, no window over the full corpus.
+
+    Codebook note: UNLIKE q_llm_ann_ivf (fixed-K), semdedup keeps the
+    corpus-proportional codebook because bounded cell size (~CENT_MOD) is
+    what keeps Σ cell_size² linear.  That makes the brute assignment term
+    n·(n/71) the super-linear piece here; at real scale the assignment is
+    done with the ANN index itself (hierarchical / IVF-assisted quantizer)
+    rather than a flat broadcast — documented trade, not an accident."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")

@@ -458,6 +458,37 @@ def q_llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Admission ceiling for the all-pairs cosine subset below.  The subset is
+# id-gated at 10% of the corpus — corpus-PROPORTIONAL, so both the pair
+# count (subset²/2) and the broadcast side grow with the corpus; past the
+# ceiling the exact form must refuse and point at the LSH composition,
+# exactly like the quadratic-Jaccard family (llm/dedup._guard_quadratic_block).
+MAX_PAIRWISE_SUBSET = 5_000
+_CONF_MAX_SUBSET = "spark.mu_swarm_logger.embed_near_dup.max_subset"
+_NEAR_DUP_FILTER = "vec_id % 10 = 0"
+_subset_guard_ok: set[tuple[str, int]] = set()
+
+
+def _guard_pairwise_subset(spark: SparkSession, sf_dir: str) -> None:
+    """Admission check: one COUNT before the all-pairs cosine self-join.
+    Cached per (sf_dir, ceiling) — bench reps pay it once per session."""
+    ceiling = int(spark.conf.get(_CONF_MAX_SUBSET, str(MAX_PAIRWISE_SUBSET)))
+    key = (sf_dir, ceiling)
+    if key in _subset_guard_ok:
+        return
+    n = (load(spark, sf_dir, "embeddings")
+         .filter(F.expr(_NEAR_DUP_FILTER)).count())
+    if n > ceiling:
+        raise ValueError(
+            f"embedding near-dup exact baseline refused: the id-gated "
+            f"subset has {n} vectors (> {ceiling}); all-pairs cosine is "
+            f"O(subset²) with a corpus-proportional broadcast — oracle-scale "
+            f"audits only. Compose hyperplane_tables bucketing "
+            f"(q_llm_ann_lsh's path) at production scale, or raise "
+            f"{_CONF_MAX_SUBSET!r} explicitly.")
+    _subset_guard_ok.add(key)
+
+
 @query("q_llm_embed_near_dup", oracle="""
 WITH sub AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -483,9 +514,14 @@ def q_llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The subset side is broadcast, so the pair generation is a broadcast
     join with an id-inequality residual, not a shuffled cross-product.
+    The subset is still corpus-proportional, so admission is guarded:
+    past MAX_PAIRWISE_SUBSET vectors the exact form refuses and names the
+    hyperplane-LSH composition (same standard as the quadratic-Jaccard
+    family's _guard_quadratic_block).
     """
+    _guard_pairwise_subset(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings")
-    sub = emb.filter(F.expr("vec_id % 10 = 0")).select("vec_id", "embedding")
+    sub = emb.filter(F.expr(_NEAR_DUP_FILTER)).select("vec_id", "embedding")
     a = spread(
         sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..core.numeric import dsum, dsum_sql
 from ..core.registry import query
-from ..core.tables import load
+from ..core.tables import load, stat_sig, stat_sig_str
 
 SINK_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_sinks")
 
@@ -31,8 +31,7 @@ _COMPACT_FP_CACHE: dict[tuple[str, tuple[int, int]], str] = {}
 
 
 def _events_stat_sig(sf_dir: str) -> tuple[int, int]:
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    return (st.st_mtime_ns, st.st_size)
+    return stat_sig(sf_dir, "events")
 
 
 @query("q_scan_parquet", oracle="SELECT * FROM supplier")
@@ -91,11 +90,17 @@ def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     q_sink_partitioned).  Written once per sf_dir."""
     tag = sf_dir.strip("/").replace("/", "_")
     out = os.path.join(SINK_ROOT, f"events_dpp_{tag}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    # Freshness marker carries the SOURCE stat signature, not just
+    # existence: a regenerated-in-place events.parquet must be a cache
+    # miss (see core.tables.stat_sig).
+    sig = stat_sig_str(sf_dir, "events")
+    marker = os.path.join(out, f"_SUCCESS_SRC_{sig}")
+    if not os.path.exists(marker):
         ev = load(spark, sf_dir, "events").withColumn(
             "event_date", F.date_format("ts", "yyyy-MM-dd")
         )
         ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+        open(marker, "w").close()
     return out
 
 
@@ -242,14 +247,19 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.strip("/").replace("/", "_")
     root = os.path.join(SINK_ROOT, f"evolve_{tag}")
     li = load(spark, sf_dir, "lineitem")
-    if not os.path.exists(os.path.join(root, "_SUCCESS_BOTH")):
+    # Same freshness discipline as _ensure_partitioned_events: the marker
+    # carries the source lineitem's stat signature, so regenerating the
+    # fixture in place invalidates the derived two-generation layout.
+    sig = stat_sig_str(sf_dir, "lineitem")
+    marker = os.path.join(root, f"_SUCCESS_BOTH_SRC_{sig}")
+    if not os.path.exists(marker):
         (li.filter(F.col("l_orderkey") % 2 == 0)
          .select("l_orderkey", "l_quantity")
          .write.mode("overwrite").parquet(os.path.join(root, "gen=0")))
         (li.filter(F.col("l_orderkey") % 2 == 1)
          .select("l_orderkey", "l_quantity", "l_tax")
          .write.mode("overwrite").parquet(os.path.join(root, "gen=1")))
-        open(os.path.join(root, "_SUCCESS_BOTH"), "w").close()
+        open(marker, "w").close()
     merged = (
         spark.read.option("mergeSchema", "true")
         .parquet(os.path.join(root, "gen=0"), os.path.join(root, "gen=1"))

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.registry import query
-from ..core.tables import load
+from ..core.tables import load, stat_sig_str
 
 _LINE_RE = r"^(\S+) (stdout|stderr) (.*)$"
 
@@ -32,7 +32,9 @@ def container_logs_text_dir(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         "spark_graft_container_logs_" + sf_dir.strip("/").replace("/", "_"),
     )
-    marker = os.path.join(out, "_DONE")
+    # Marker carries the source stat signature: regenerating the
+    # fixture in place must be a cache MISS (core.tables.stat_sig).
+    marker = os.path.join(out, "_DONE_SRC_" + stat_sig_str(sf_dir, "events"))
     if os.path.exists(marker):
         return out
     # no marker → any existing dir is a partial write from a crashed run

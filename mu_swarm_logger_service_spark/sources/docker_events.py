@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..core.registry import query
-from ..core.tables import load
+from ..core.tables import load, stat_sig_str
 
 # [spec:Docker Engine API /events] — MapType because label keys are open.
 EVENT_SCHEMA = T.StructType([
@@ -58,7 +58,9 @@ def docker_events_json_dir(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(),
         "spark_graft_docker_events_" + sf_dir.strip("/").replace("/", "_"),
     )
-    marker = os.path.join(out, "_DONE")
+    # Marker carries the source stat signature: regenerating the
+    # fixture in place must be a cache MISS (core.tables.stat_sig).
+    marker = os.path.join(out, "_DONE_SRC_" + stat_sig_str(sf_dir, "events"))
     if os.path.exists(marker):
         return out
     # no marker → any existing dir is a partial write from a crashed run

@@ -47,6 +47,11 @@ SENSITIVE = [
     "q_llm_quality",         # empty-doc punct ratio (ANSI divide-by-zero)
     "q_llm_ngram_stats",     # 1-token doc: Spark sequence(1,0) DESCENDS
     "q_llm_collocations",    # same descending-sequence bigram trap
+    # r9 trap classes (gen_adversarial gap-days + version inversion),
+    # aimed at the r9 evidence-window keys:
+    "q_stream_cdc_apply",    # (ts, event_id) version under id-ts inversion
+    "q_stream_holt",         # day-grain recursion over calendar gap days
+    "q_ts_mad_outliers",     # odd-m median branch on the main fixture
 ]
 
 

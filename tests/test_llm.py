@@ -255,6 +255,25 @@ def test_quadratic_baseline_quarantined(spark, sf_dir):
     assert (sf_dir, MAX_QUADRATIC_BLOCK, None) in _block_guard_ok
 
 
+def test_embed_near_dup_subset_guarded(spark, sf_dir):
+    """The all-pairs cosine subset is corpus-proportional (10% id gate):
+    past the admission ceiling it must REFUSE and point at the
+    hyperplane-LSH composition — the same standard the quadratic-Jaccard
+    family applies (r8 verdict task 3)."""
+    from mu_swarm_logger_service_spark.llm.similarity import (
+        _CONF_MAX_SUBSET, MAX_PAIRWISE_SUBSET, _subset_guard_ok)
+
+    spark.conf.set(_CONF_MAX_SUBSET, "1")
+    try:
+        with pytest.raises(ValueError, match="hyperplane"):
+            QUERIES["q_llm_embed_near_dup"](spark, sf_dir)
+    finally:
+        spark.conf.unset(_CONF_MAX_SUBSET)
+    # Default ceiling admits the oracle-scale corpus (and caches the check).
+    assert QUERIES["q_llm_embed_near_dup"](spark, sf_dir).count() > 0
+    assert (sf_dir, MAX_PAIRWISE_SUBSET) in _subset_guard_ok
+
+
 def test_ann_ivf_pq_recall_vs_exact(spark, sf_dir):
     """The composed IVF-PQ path (coarse cell pruning + 4-bit PQ scoring)
     must still recover a solid fraction of the exact cosine top-5 (the

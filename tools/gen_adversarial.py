@@ -19,6 +19,14 @@ Same schemas and row counts as the driver's testdata, hostile values:
 - **unicode-rich text**: emoji / CJK / combining accents / zero-width
   space mixed into free-text columns (names, document text, JSON props)
   to stress tokenizers, regexes and length semantics cross-engine.
+- **gap days / odd-length series** (r9): three middle calendar days
+  vacated (their events shifted +1 day, counts preserved) so day-grain
+  recursive smoothers see calendar holes and rank-select medians hit the
+  odd-m branch on the main fixture.
+- **version-order inversion** (r9): ~20%% of users get their event_ids
+  permuted to OPPOSE ts order, so CDC latest-state / as-of consumers
+  that version by event_id alone (or tiebreak the wrong way) diverge
+  instead of riding the pristine fixture's id-ts monotonicity.
 
 Domains of categorical columns (statuses, flags, langs, brands) are
 preserved so literal-filtering queries stay non-vacuous.  `documents.
@@ -115,6 +123,41 @@ def generate(base, out):
             tie_ts = df.l_shipdate.iloc[0].normalize()
             df.loc[rng.random_sample(n) < 0.30, "l_shipdate"] = tie_ts
         elif name == "events":
+            # --- r9 trap class A: GAP DAYS / odd-length day series ---
+            # Shift every event on three non-adjacent middle days onto the
+            # following day (row count preserved): the day-grain series
+            # now has calendar HOLES and an ODD number of observed days.
+            # Recursive day-grain smoothers (holt / holt_winters /
+            # decompose) must agree on observed-vs-calendar day policy,
+            # and rank-select medians hit their odd-m branch (the
+            # SKILL.md even-length-fixture trap) on the main fixture,
+            # not just a test variant.
+            day0 = df.ts.iloc[0].normalize()
+            days = sorted(d for d in df.ts.dt.normalize().unique()
+                          if d != day0)
+            vacate = [days[i] for i in (9, 16, 22) if i < len(days)]
+            dnorm = df.ts.dt.normalize()
+            for vd in vacate:
+                df.loc[dnorm == vd, "ts"] += pd.Timedelta(days=1)
+            # --- r9 trap class B: VERSION-ORDER INVERSION ---
+            # For ~20% of users, permute event_ids within the user so that
+            # event_id order OPPOSES ts order (newest ts carries the
+            # SMALLEST id).  Pristine data has event_id monotone with ts,
+            # so a changelog consumer that versions by event_id alone (or
+            # tiebreaks in the wrong direction) is vacuously green there;
+            # here CDC latest-state / as-of joins diverge unless the
+            # version really is (ts, event_id) lexicographic.
+            users = np.sort(df.user_id.unique())
+            inv_users = set(users[rng.random_sample(len(users)) < 0.20])
+            eid = df.event_id.to_numpy().copy()
+            ts_ns = df.ts.to_numpy()
+            uid_arr = df.user_id.to_numpy()
+            for u in inv_users:
+                idx = np.where(uid_arr == u)[0]
+                # rows sorted by (ts, event_id) asc get their own ids desc
+                order = idx[np.lexsort((eid[idx], ts_ns[idx]))]
+                eid[order] = np.sort(eid[idx])[::-1]
+            df["event_id"] = eid
             tie_ts = df.ts.iloc[0].floor("h")
             df.loc[rng.random_sample(n) < 0.30, "ts"] = tie_ts
             hot_user = df.user_id.mode().iloc[0]
