@@ -52,6 +52,37 @@ NPROBE = 3          # cells probed per query
 # scale the assignment itself goes through an ANN quantizer (hierarchical /
 # IVF-assisted), which is why the two operators no longer share a codebook.
 CENT_MOD = 71       # semdedup cells = vectors with vec_id % 71 == 3
+
+# Admission ceiling for semdedup's brute coarse assignment (corpus ×
+# corpus/71 cosines): past it the exact oracle-scale form refuses and
+# names the ANN-assisted assignment, the same standard as the
+# quadratic-Jaccard family and q_llm_embed_near_dup's subset guard.
+# 50k vectors ≈ 35M assignment cosines — generous for audits (the 8×
+# fixture is 16k), refused long before a production corpus.
+MAX_SEMDEDUP_CORPUS = 50_000
+_CONF_MAX_SEMDEDUP = "spark.mu_swarm_logger.semdedup.max_corpus"
+_semdedup_guard_ok: set[tuple[str, int]] = set()
+
+
+def _guard_semdedup_corpus(spark: SparkSession, sf_dir: str) -> None:
+    """Admission check: one COUNT before the corpus × corpus/CENT_MOD
+    assignment.  Cached per (sf_dir, ceiling) per session."""
+    ceiling = int(spark.conf.get(_CONF_MAX_SEMDEDUP,
+                                 str(MAX_SEMDEDUP_CORPUS)))
+    key = (sf_dir, ceiling)
+    if key in _semdedup_guard_ok:
+        return
+    n = load(spark, sf_dir, "embeddings").count()
+    if n > ceiling:
+        raise ValueError(
+            f"semdedup exact baseline refused: corpus has {n} vectors "
+            f"(> {ceiling}); the brute coarse assignment is "
+            f"corpus × corpus/{CENT_MOD} cosines — oracle-scale audits "
+            f"only. At production scale assign cells via the ANN index "
+            f"(hyperplane_tables bucketing or the fixed-K IVF quantizer) "
+            f"before the in-cell pass, or raise "
+            f"{_CONF_MAX_SEMDEDUP!r} explicitly.")
+    _semdedup_guard_ok.add(key)
 IVF_TOPK = 5
 _IVF_QUERY_FILTER = "vec_id % 100 = 0"
 
@@ -533,7 +564,10 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     what keeps Σ cell_size² linear.  That makes the brute assignment term
     n·(n/71) the super-linear piece here; at real scale the assignment is
     done with the ANN index itself (hierarchical / IVF-assisted quantizer)
-    rather than a flat broadcast — documented trade, not an accident."""
+    rather than a flat broadcast — documented trade, and guarded: past
+    MAX_SEMDEDUP_CORPUS vectors the exact form refuses (the
+    quadratic-family admission standard)."""
+    _guard_semdedup_corpus(spark, sf_dir)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")

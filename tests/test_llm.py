@@ -274,6 +274,23 @@ def test_embed_near_dup_subset_guarded(spark, sf_dir):
     assert (sf_dir, MAX_PAIRWISE_SUBSET) in _subset_guard_ok
 
 
+def test_semdedup_corpus_guarded(spark, sf_dir):
+    """SemDeDup's brute coarse assignment is corpus x corpus/CENT_MOD:
+    past the admission ceiling it must REFUSE and name the ANN-assisted
+    assignment (the quadratic-family standard, r9)."""
+    from mu_swarm_logger_service_spark.llm.clustering import (
+        _CONF_MAX_SEMDEDUP, MAX_SEMDEDUP_CORPUS, _semdedup_guard_ok)
+
+    spark.conf.set(_CONF_MAX_SEMDEDUP, "1")
+    try:
+        with pytest.raises(ValueError, match="ANN index"):
+            QUERIES["q_llm_semdedup"](spark, sf_dir)
+    finally:
+        spark.conf.unset(_CONF_MAX_SEMDEDUP)
+    assert QUERIES["q_llm_semdedup"](spark, sf_dir).count() > 0
+    assert (sf_dir, MAX_SEMDEDUP_CORPUS) in _semdedup_guard_ok
+
+
 def test_ann_ivf_pq_recall_vs_exact(spark, sf_dir):
     """The composed IVF-PQ path (coarse cell pruning + 4-bit PQ scoring)
     must still recover a solid fraction of the exact cosine top-5 (the
