@@ -126,6 +126,25 @@ def test_ivf_assignment_partial_aggregates(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_kmeans_step_assignment_partial_aggregates(spark, sf_dir):
+    """kmeans_step shares ann_ivf's assignment: fixed-K centroids
+    broadcast, argmax as partial+final aggregate, no cartesian product
+    (the r9 fixed-K codebook must not change the plan shape)."""
+    p = _plan(spark, sf_dir, "q_llm_kmeans_step")
+    assert "BroadcastNestedLoop" in p or "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2 or p.count("SortAggregate") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_semdedup_incell_pairing_is_equi_join(spark, sf_dir):
+    """semdedup's quadratic pairing must stay confined to a cell-local
+    EQUI self-join (shuffle on cell id) — never a cartesian product over
+    the corpus."""
+    p = _plan(spark, sf_dir, "q_llm_semdedup")
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(" in p or "BroadcastHashJoin" in p
+
+
 def test_decontaminate_broadcasts_eval_hashes(spark, sf_dir):
     """The eval fingerprint set must broadcast — the training-corpus side
     (the 100 TB side) never shuffles for the contamination probe."""
