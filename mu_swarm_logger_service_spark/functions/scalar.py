@@ -354,7 +354,7 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_fn_format", oracle="""
 SELECT event_id,
        printf('%s#%06d', event_type, event_id) AS tagged,
-       printf('%.3f', value) AS val3,
+       printf('%.3f', value) AS val3,  -- NULL in, NULL out (both sides)
        lpad(CAST(user_id AS VARCHAR), 8, '0') AS uid_padded,
        repeat('*', CAST(user_id % 5 AS INT)) AS stars
 FROM events
@@ -369,7 +369,11 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.format_string("%s#%06d", "event_type", "event_id").alias("tagged"),
-        F.format_string("%.3f", "value").alias("val3"),
+        # Java's Formatter renders a null %.3f arg as the STRING "null"
+        # truncated to precision ("nul"); DuckDB printf propagates NULL.
+        # Declared policy: formatting a missing measure yields NULL.
+        F.when(F.col("value").isNotNull(),
+               F.format_string("%.3f", "value")).alias("val3"),
         F.lpad(F.col("user_id").cast("string"), 8, "0").alias("uid_padded"),
         F.repeat(F.lit("*"), (F.col("user_id") % 5).cast("int")).alias("stars"),
     )

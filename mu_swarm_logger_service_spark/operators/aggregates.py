@@ -1226,8 +1226,11 @@ EQUIDEPTH_BUCKETS = 8
 
 @query("q_agg_equidepth_hist", oracle=f"""
 WITH v AS (
+  -- null-measure policy: a histogram is over OBSERVED values; a NULL
+  -- cents group would also ride the engines' opposite null sort orders
+  -- (Spark NULLS FIRST vs DuckDB NULLS LAST) straight into the prefix sum
   SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ), hist AS (
   SELECT c, COUNT(*) AS n FROM v GROUP BY c
 ), cum AS (
@@ -1259,7 +1262,7 @@ def q_agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one scan → one cents rollup shuffle; the prefix windows run
     over the tiny histogram; the bucket rollup is 8 rows."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     c = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     hist = ev.select(c.alias("c")).groupBy("c").agg(
         F.count(F.lit(1)).alias("n"))

@@ -1988,7 +1988,9 @@ def q_analytics_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH f AS (
   SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
          CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
-  FROM events WHERE event_type IN ('view', 'click')
+  -- null-measure policy: CDFs are over observed values (a NULL cents
+  -- group would sit at opposite ends of the two engines' null orders)
+  FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL
 ), by_v AS (
   SELECT v, CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(g1) AS BIGINT) AS a
   FROM f GROUP BY 1
@@ -2034,7 +2036,8 @@ def q_analytics_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size) — and the final aggregate is 1-row.  The only
     data-sized cost is the single groupBy shuffle."""
     ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("view", "click"))
+        F.col("event_type").isin("view", "click")
+        & F.col("value").isNotNull())
     f = ev.select(
         (F.col("value").cast("decimal(18,2)") * 100).cast("long")
         .alias("v"),

@@ -34,7 +34,11 @@ def container_logs_text_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     # Marker carries the source stat signature: regenerating the
     # fixture in place must be a cache MISS (core.tables.stat_sig).
-    marker = os.path.join(out, "_DONE_SRC_" + stat_sig_str(sf_dir, "events"))
+    # v2: mint-logic version rides the marker too, so a CHANGE to the
+    # line-synthesis code (e.g. the r9 null-safe value rendering)
+    # invalidates dirs built by older logic, not just older data.
+    marker = os.path.join(
+        out, "_DONE_V2_SRC_" + stat_sig_str(sf_dir, "events"))
     if os.path.exists(marker):
         return out
     # no marker → any existing dir is a partial write from a crashed run
@@ -48,7 +52,8 @@ def container_logs_text_dir(spark: SparkSession, sf_dir: str) -> str:
         F.when(F.col("event_type") == "error", "stderr").otherwise("stdout"),
         F.concat(F.lit("evt="), F.col("event_id").cast("string"),
                  F.lit(" type="), F.col("event_type"),
-                 F.lit(" value="), F.col("value").cast("string")),
+                 F.lit(" value="),
+                 F.coalesce(F.col("value").cast("string"), F.lit("null"))),
     )
     ev.select(line.alias("value")).coalesce(4).write.mode("overwrite").text(
         out + ".tmp"
@@ -89,7 +94,7 @@ SELECT
 FROM (
   SELECT event_type, ts,
          'evt=' || CAST(event_id AS VARCHAR) || ' type=' || event_type
-           || ' value=' || CAST(value AS VARCHAR) AS message
+           || ' value=' || COALESCE(CAST(value AS VARCHAR), 'null') AS message
   FROM events
 )
 GROUP BY 1
@@ -131,7 +136,7 @@ WITH minted AS (
          '<' || (event_id % 192) || '>'
          || strftime(ts, '%b %-d %H:%M:%S') || ' host'
          || (user_id % 10) || ' app[' || (event_id % 1000) || ']: '
-         || event_type || ' value=' || CAST(value AS VARCHAR) AS line
+         || event_type || ' value=' || COALESCE(CAST(value AS VARCHAR), 'null') AS line
   FROM events
 ), parsed AS (
   SELECT event_id, line,
@@ -179,7 +184,8 @@ def q_source_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("user_id") % 10).cast("string"),
             F.lit(" app["), (F.col("event_id") % 1000).cast("string"),
             F.lit("]: "), F.col("event_type"),
-            F.lit(" value="), F.col("value").cast("string"),
+            F.lit(" value="),
+            F.coalesce(F.col("value").cast("string"), F.lit("null")),
         ).alias("line"))
     parsed = minted.select(
         "event_id", "line",

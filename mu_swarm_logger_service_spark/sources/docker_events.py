@@ -60,7 +60,11 @@ def docker_events_json_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     # Marker carries the source stat signature: regenerating the
     # fixture in place must be a cache MISS (core.tables.stat_sig).
-    marker = os.path.join(out, "_DONE_SRC_" + stat_sig_str(sf_dir, "events"))
+    # v2: mint-logic version rides the marker too, so a CHANGE to the
+    # line-synthesis code (e.g. the r9 null-safe value rendering)
+    # invalidates dirs built by older logic, not just older data.
+    marker = os.path.join(
+        out, "_DONE_V2_SRC_" + stat_sig_str(sf_dir, "events"))
     if os.path.exists(marker):
         return out
     # no marker → any existing dir is a partial write from a crashed run

@@ -38,7 +38,8 @@ def _band_py_fn(value: float) -> str:
 
 @query("q_udf_python", oracle="""
 SELECT event_id,
-       CASE WHEN value >= 400.0 THEN 'high'
+       CASE WHEN value IS NULL THEN 'none'
+            WHEN value >= 400.0 THEN 'high'
             WHEN value >= 100.0 THEN 'mid'
             ELSE 'low' END AS band
 FROM events
@@ -61,16 +62,26 @@ def _log_score_fn(v: pd.Series) -> pd.Series:
 
 
 @query("q_udf_pandas_scalar", oracle="""
-SELECT event_id, ROUND(ln(1 + greatest(value, 0.0)) * 10.0, 6) AS log_score
+SELECT event_id,
+       CASE WHEN value IS NULL THEN NULL
+            ELSE ROUND(ln(1 + greatest(value, 0.0)) * 10.0, 6) END
+         AS log_score
 FROM events
 """)
 def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas UDF (row 68): whole Arrow batches into numpy —
-    vectorized log1p, no per-row Python."""
+    vectorized log1p, no per-row Python.
+
+    Null-measure policy: a missing value scores NULL, gated JVM-side with
+    F.when (pandas sees nulls as NaN, and NaN would flow through
+    clip/log1p as NaN — rendered 'NaN', not NULL — while DuckDB's
+    greatest() SKIPS the NULL and would score it 0.0; both wrong)."""
     ev = load(spark, sf_dir, "events")
     log_score = pandas_udf(_log_score_fn, "double")
     return ev.select(
-        "event_id", F.round(log_score("value"), 6).alias("log_score")
+        "event_id",
+        F.when(F.col("value").isNotNull(),
+               F.round(log_score("value"), 6)).alias("log_score"),
     )
 
 
@@ -185,16 +196,23 @@ def q_udtf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query("q_udf_register_sql", oracle="""
-SELECT event_id, least(value, 250.0) AS value_clipped
+SELECT event_id,
+       CASE WHEN value IS NULL THEN NULL
+            ELSE least(value, 250.0) END AS value_clipped
 FROM events
 """)
 def q_udf_register_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spark.udf.register (row 73): the pandas UDF becomes callable from SQL
-    text — entry point B (SURVEY.md §3.2) reaching the Python tier."""
+    text — entry point B (SURVEY.md §3.2) reaching the Python tier.
+
+    Null-measure policy: clipping a missing value yields NULL, preserved
+    IN the UDF via the nullable Float64 extension dtype (a plain float64
+    return carries the null back as NaN — rendered 'NaN', not NULL —
+    while DuckDB's least() SKIPS the NULL and would emit 250.0)."""
 
     @pandas_udf("double")
     def clip250(v: pd.Series) -> pd.Series:
-        return v.clip(upper=250.0)
+        return v.clip(upper=250.0).astype("Float64")
 
     spark.udf.register("clip250", clip250)
     load(spark, sf_dir, "events").createOrReplaceTempView("events_v")

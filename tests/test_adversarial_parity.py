@@ -52,6 +52,16 @@ SENSITIVE = [
     "q_stream_cdc_apply",    # (ts, event_id) version under id-ts inversion
     "q_stream_holt",         # day-grain recursion over calendar gap days
     "q_ts_mad_outliers",     # odd-m median branch on the main fixture
+    # r9 trap class C (null-measure flood in events.value) — the eight
+    # first-contact divergences, each now an explicit two-sided policy:
+    "q_source_syslog",       # null-safe value rendering in line minting
+    "q_source_container_logs",  # same minting policy, text-dir source
+    "q_fn_format",           # formatted null measure is NULL ('nul' trap)
+    "q_agg_equidepth_hist",  # histogram over observed values only
+    "q_analytics_ks_test",   # CDFs over observed values only
+    "q_udf_python",          # oracle mirrors the UDF's declared None branch
+    "q_udf_pandas_scalar",   # JVM null gate around the pandas score
+    "q_udf_register_sql",    # nullable Float64 passthrough in the UDF
 ]
 
 

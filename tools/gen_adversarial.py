@@ -27,6 +27,14 @@ Same schemas and row counts as the driver's testdata, hostile values:
   permuted to OPPOSE ts order, so CDC latest-state / as-of consumers
   that version by event_id alone (or tiebreak the wrong way) diverge
   instead of riding the pristine fixture's id-ts monotonicity.
+- **null-measure flood** (r9): ~5%% of events.value set to NULL (NaN in
+  the pandas frame; pyarrow converts to parquet null).  Found eight real
+  divergences on first contact: null lines in log minting, Java
+  Formatter rendering a null %%.3f arg as 'nul', NULL-cents groups riding
+  the engines' opposite null sort orders into CDF/histogram prefix sums,
+  DuckDB greatest()/least() SKIPPING the null where pandas carries NaN
+  through, and oracle CASEs falling to ELSE where the UDF declares a
+  'none' branch.
 
 Domains of categorical columns (statuses, flags, langs, brands) are
 preserved so literal-filtering queries stay non-vacuous.  `documents.
@@ -163,7 +171,11 @@ def generate(base, out):
             hot_user = df.user_id.mode().iloc[0]
             df.loc[rng.random_sample(n) < 0.30, "user_id"] = hot_user
             q = np.round(df.value / 2.5) * 2.5
-            df["value"] = np.where(q <= 0.0, 0.01, q) + 0.0
+            v = np.where(q <= 0.0, 0.01, q) + 0.0
+            # r9 trap class C: NULL-MEASURE FLOOD — ~5% of value is null
+            # (np.nan in the float frame; pyarrow writes parquet nulls).
+            v[rng.random_sample(n) < 0.05] = np.nan
+            df["value"] = v
             tie_props = rng.random_sample(n) < 0.20
             uni_props = (~tie_props) & (rng.random_sample(n) < 0.10)
             props = df.props.to_numpy(dtype=object).copy()
