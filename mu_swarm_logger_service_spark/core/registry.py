@@ -126,11 +126,22 @@ EXPORT_FIRST: tuple[str, ...] = (
 # the last key out of the claimed evidence window.
 assert len(EXPORT_FIRST) <= 50, "EXPORT_FIRST exceeds the driver's window"
 
-# r9 window, pre-derived 2026-08-15 (r7 verdict task 6): the 49 keys that
-# remain never-driver-checked once the r8 window above lands.  Paste this
-# tuple into EXPORT_FIRST at the start of round 9 (after re-running
-# ``python tools/rotate_window.py`` to fold in any r8 hard-reds, which
-# would take priority); it closes driver coverage at 346/346.
+# r10 window suggestion, derived 2026-08-15 at the end of round 9: with
+# 0 never-checked keys left, the highest-value re-queue is the surface
+# round 9 TOUCHED — the 8 null-policy keys, the IVF-codebook family, the
+# stale-cache scan/source keys, and the newly guarded pair — so the r10
+# driver run re-proves exactly the changed code.  Paste into EXPORT_FIRST
+# at the start of round 10 (fold in any r9 hard-reds first; they take
+# priority):
+#   "q_source_syslog", "q_source_container_logs", "q_source_docker_events",
+#   "q_source_startup_scan", "q_fn_format", "q_agg_equidepth_hist",
+#   "q_analytics_ks_test", "q_udf_python", "q_udf_pandas_scalar",
+#   "q_udf_register_sql", "q_llm_ann_ivf", "q_llm_ann_recall",
+#   "q_llm_kmeans_step", "q_llm_semdedup", "q_llm_embed_near_dup",
+#   "q_scan_dpp", "q_scan_merge_schema", "q_stream_foreachbatch",
+#
+# (r9 window note, superseded): the 49 keys below were the last
+# never-driver-checked remainder; applied above on 2026-08-15.
 #   "q_ts_decompose", "q_ts_mann_kendall", "q_ops_slo_burn",
 #   "q_sketch_kmv", "q_sketch_kmv_jaccard", "q_fn_normalize_text",
 #   "q_fn_ipnet", "q_stream_holt", "q_stream_kmv",
