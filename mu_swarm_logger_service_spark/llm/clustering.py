@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..core.numeric import dsum
 from ..core.registry import query
 from ..core.tables import load, spread
-from .similarity import _PQ_CB_SQL, _PQ_CODED_SQL, cosine
+from .similarity import _PQ_CB_SQL, _PQ_CODED_SQL, cosine, load_vec
 
 # IVF coarse codebook: a FIXED-K id-gated centroid set (the PQ family's
 # `vec_id < K` pattern).  K is corpus-INDEPENDENT by construction, so the
@@ -72,7 +72,7 @@ def _guard_semdedup_corpus(spark: SparkSession, sf_dir: str) -> None:
     key = (sf_dir, ceiling)
     if key in _semdedup_guard_ok:
         return
-    n = load(spark, sf_dir, "embeddings").count()
+    n = load_vec(spark, sf_dir).count()
     if n > ceiling:
         raise ValueError(
             f"semdedup exact baseline refused: corpus has {n} vectors "
@@ -89,7 +89,9 @@ _IVF_QUERY_FILTER = "vec_id % 100 = 0"
 _IVF_SQL = f"""
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), cent AS (
   SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < {IVF_K}
 ), assign AS (
@@ -137,7 +139,7 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cell id, never a crossJoin.  Ranking uses the rounded cosine with
     id tiebreaks so Spark and DuckDB agree bit-for-bit.
     """
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_vec(spark, sf_dir).select("vec_id", "embedding")
     cent = emb.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
     )
@@ -449,7 +451,9 @@ def q_llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_llm_kmeans_step", oracle=f"""
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), cent AS (
   SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < {IVF_K}
 ), assign AS (
@@ -486,7 +490,7 @@ def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-K id-gated set (``vec_id < IVF_K``), so the whole Lloyd pass —
     assignment O(n·K) plus a linear means scan — is linear in the corpus
     at any scale."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_vec(spark, sf_dir).select("vec_id", "embedding")
     cent = emb.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
     )
@@ -523,7 +527,9 @@ SEM_TAU = 0.7  # within-cell cosine threshold for a semantic duplicate
 @query("q_llm_semdedup", oracle=f"""
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), cent AS (
   SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id % {CENT_MOD} = 3
 ), assign AS (
@@ -568,7 +574,7 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAX_SEMDEDUP_CORPUS vectors the exact form refuses (the
     quadratic-family admission standard)."""
     _guard_semdedup_corpus(spark, sf_dir)
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_vec(spark, sf_dir).select("vec_id", "embedding")
     cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
     )
@@ -654,7 +660,9 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH emb AS (
   SELECT vec_id, label, vec_id % 2 AS half,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), d AS (
   SELECT label, half, generate_subscripts(e, 1) AS pos, unnest(e) AS val
   FROM emb
@@ -694,7 +702,7 @@ def q_llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtraction of identical doubles.  Output is K x 64 rows — tiny at
     any corpus scale; the only event-proportional cost is the explode,
     which stays map-side."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vec(spark, sf_dir)
     d = emb.select(
         "label", (F.col("vec_id") % 2).alias("half"),
         F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
@@ -737,7 +745,9 @@ _ADC_DSQL = (
 WITH cbt AS ({{PQ_CB}}), coded AS ({{PQ_CODED}}),
 emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), cent AS (
   SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id % {CENT_MOD} = 3
 ), assign AS (
@@ -787,7 +797,7 @@ def q_llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact oracle."""
     from .similarity import _pq_codebook, _pq_codes
 
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_vec(spark, sf_dir).select("vec_id", "embedding")
     cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
     )
@@ -985,7 +995,9 @@ def q_llm_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_llm_cluster_purity", oracle=f"""
 WITH emb AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), cent AS (
   SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id % {CENT_MOD} = 3
 ), assign AS (
@@ -1024,7 +1036,7 @@ def q_llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands — raw emit.  At 100 TB this is the cheap audit run after
     every re-clustering: cost is one assignment pass + a cell-sized
     rollup; label here is any golden/weak signal column."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_vec(spark, sf_dir).select(
         "vec_id", "label", "embedding")
     cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))

@@ -56,6 +56,50 @@ def cosine0(a: Column, b: Column) -> Column:
     return F.when(nprod != 0.0, dot(a, b) / nprod).otherwise(F.lit(0.0))
 
 
+# ---------------------------------------------------------------------------
+# Embedding validity contract (round-9 hostile trap class D).
+#
+# Real encoder output at 100 TB contains failures the pristine fixtures
+# never show: all-zero rows (padding / crashed encoder), NULL components
+# (partial writes — pandas NaN becomes a parquet NULL through pyarrow), and
+# non-finite components (overflowed float math).  Similarity against such a
+# vector is undefined, and the engines disagree on the undefined case: ANSI
+# Spark throws DIVIDE_BY_ZERO on a zero norm, DuckDB's
+# list_cosine_similarity rejects NULL elements outright.  Rather than
+# per-query guards, the whole vector family (similarity + clustering)
+# declares ONE ingest-validation policy, the step a production embedding
+# pipeline runs before indexing:
+#
+#     a vector is VALID iff every component is non-NULL and finite
+#     and at least one component is non-zero.
+#
+# Spark side: every vector-space query loads through `load_vec`; oracle
+# side: every oracle reads the identically-filtered subquery (the textual
+# three-line `SELECT * ... WHERE len(list_filter(...)) ...` block).
+# The predicate is a no-op on well-formed corpora, so pristine results are
+# unchanged by construction.  `functions/scalar.py`'s array-function demo
+# deliberately stays unfiltered — it exercises array ops, not vector math.
+# ---------------------------------------------------------------------------
+
+
+def vec_valid(col: Column) -> Column:
+    """True iff `col` is a valid embedding under the family contract."""
+    finite = F.forall(
+        col,
+        lambda x: x.isNotNull() & ~F.isnan(x)
+        & (F.abs(x) != F.lit(float("inf"))),
+    )
+    return finite & F.exists(col, lambda x: x != F.lit(0.0))
+
+
+def load_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table under the validity contract (narrow filter,
+    pushed to the scan's output — no shuffle, prunes nothing on pristine
+    data)."""
+    return load(spark, sf_dir, "embeddings").filter(
+        vec_valid(F.col("embedding")))
+
+
 _QUERY_FILTER = "vec_id % 100 = 0"
 TOPK = 5
 
@@ -63,11 +107,15 @@ _COSINE_TOPK_SQL = f"""
 WITH q AS (
   SELECT vec_id AS q_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-  FROM embeddings WHERE {_QUERY_FILTER}
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings WHERE {_QUERY_FILTER}
 ), c AS (
   SELECT vec_id AS c_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-  FROM embeddings
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), s AS (
   SELECT q_id, c_id, round(list_cosine_similarity(qe, ce), 6) + 0.0 AS cos_sim
   FROM q, c WHERE q_id != c_id
@@ -90,7 +138,7 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines are compute-bound, so the stage must hold every core even when
     the input is one small split.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vec(spark, sf_dir)
     q = emb.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
@@ -115,11 +163,15 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (
   SELECT vec_id AS q_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-  FROM embeddings WHERE {_QUERY_FILTER}
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings WHERE {_QUERY_FILTER}
 ), c AS (
   SELECT vec_id AS c_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-  FROM embeddings
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), s AS (
   SELECT q_id, c_id, label,
          round(list_cosine_similarity(qe, ce), 6) + 0.0 AS cos_sim
@@ -138,7 +190,7 @@ QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) = 1
 def q_llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN majority-label (row 77): 10 nearest neighbors by cosine, majority
     vote with deterministic (count desc, label asc) tie-break."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vec(spark, sf_dir)
     q = emb.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
@@ -169,11 +221,15 @@ _MRL_DIM = 16   # truncated prefix length (full embeddings are 64-d)
 WITH q AS (
   SELECT vec_id AS q_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-  FROM embeddings WHERE {_QUERY_FILTER}
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings WHERE {_QUERY_FILTER}
 ), c AS (
   SELECT vec_id AS c_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-  FROM embeddings
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), s AS (
   SELECT q_id, c_id,
          CASE WHEN list_sum(list_transform(qe, x -> x*x))
@@ -216,7 +272,7 @@ def q_llm_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_numbers share the partition key, differing only in sort order.
     recall = overlap/k is one IEEE division of identical small integers —
     exact cross-engine (same-operand rule)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vec(spark, sf_dir)
     q = emb.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
@@ -258,11 +314,15 @@ _RRF_K = 60     # standard reciprocal-rank-fusion damping constant
 WITH q AS (
   SELECT vec_id AS q_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-  FROM embeddings WHERE {_QUERY_FILTER}
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings WHERE {_QUERY_FILTER}
 ), c AS (
   SELECT vec_id AS c_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-  FROM embeddings
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), s AS (
   SELECT q_id, c_id,
          CASE WHEN list_sum(list_transform(qe, x -> x*x))
@@ -309,7 +369,7 @@ def q_llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     two IEEE divisions of identical small integers plus one addition —
     identical operands in both engines, so ordering and the rounded score
     are exact cross-engine."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vec(spark, sf_dir)
     q = emb.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
@@ -388,7 +448,7 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver (xxhash64 has no DuckDB twin); tests measure recall vs the
     exact top-k.
     """
-    emb = spread(load(spark, sf_dir, "embeddings"))
+    emb = spread(load_vec(spark, sf_dir))
     sig = emb.select(
         "vec_id", "embedding",
         F.posexplode(hyperplane_tables(F.col("embedding")))
@@ -422,7 +482,9 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT label, k AS pos,
        CAST(SUM(CAST(CAST(embedding[k] AS DOUBLE) AS DECIMAL(27,6))) AS DOUBLE)
          / COUNT(*) AS c
-FROM embeddings, unnest([1, 2, 3, 4, 5, 6, 7, 8]) t(k)
+FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings, unnest([1, 2, 3, 4, 5, 6, 7, 8]) t(k)
 GROUP BY label, k
 """)
 def q_llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,7 +508,7 @@ def q_llm_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision (75329.497f snaps to 75329.5 before rounding — measured),
     while Spark goes through double; double-first makes the two cast
     pipelines identical."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vec(spark, sf_dir)
     return (
         emb.select(
             "label",
@@ -476,7 +538,7 @@ def _guard_pairwise_subset(spark: SparkSession, sf_dir: str) -> None:
     key = (sf_dir, ceiling)
     if key in _subset_guard_ok:
         return
-    n = (load(spark, sf_dir, "embeddings")
+    n = (load_vec(spark, sf_dir)
          .filter(F.expr(_NEAR_DUP_FILTER)).count())
     if n > ceiling:
         raise ValueError(
@@ -492,7 +554,9 @@ def _guard_pairwise_subset(spark: SparkSession, sf_dir: str) -> None:
 @query("q_llm_embed_near_dup", oracle="""
 WITH sub AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings WHERE vec_id % 10 = 0
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings WHERE vec_id % 10 = 0
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.e, b.e), 6) + 0.0 AS cos_sim
@@ -520,7 +584,7 @@ def q_llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     family's _guard_quadratic_block).
     """
     _guard_pairwise_subset(spark, sf_dir)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vec(spark, sf_dir)
     sub = emb.filter(F.expr(_NEAR_DUP_FILTER)).select("vec_id", "embedding")
     a = spread(
         sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
@@ -541,7 +605,9 @@ WITH scaled AS (
                                   list_transform(embedding,
                                                  x -> CAST(abs(x) AS DOUBLE))),
                      (a, x) -> greatest(a, x)) AS scale
-  FROM embeddings
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), quant AS (
   SELECT vec_id, label, embedding, scale,
          list_transform(embedding,
@@ -576,7 +642,7 @@ def q_llm_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     to mirror Spark's aggregate(initial, ...)).  Everything is a
     higher-order array expression on the JVM/native side — zero Python,
     zero shuffle: the whole query is a narrow map over the scan."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vec(spark, sf_dir)
     scaled = emb.select(
         "vec_id", "label", "embedding",
         F.expr("aggregate(embedding, CAST(0.0 AS DOUBLE),"
@@ -613,7 +679,9 @@ WITH scaled AS (
                                   list_transform(embedding,
                                                  x -> CAST(abs(x) AS DOUBLE))),
                      (a, x) -> greatest(a, x)) AS scale
-  FROM embeddings
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), codes AS (
   SELECT vec_id, scale,
          list_transform(embedding,
@@ -649,7 +717,7 @@ def q_llm_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quantized query set is broadcast (corpus scanned once, no
     shuffle); ranking shuffles only (q_id, k) survivors.  Recall vs the
     exact float ranking is asserted in tests/test_llm.py."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vec(spark, sf_dir)
     codes = emb.select(
         "vec_id", "embedding",
         F.expr("aggregate(embedding, CAST(0.0 AS DOUBLE),"
@@ -689,11 +757,15 @@ def q_llm_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (
   SELECT vec_id AS q_id, label AS q_label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-  FROM embeddings WHERE {_QUERY_FILTER}
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings WHERE {_QUERY_FILTER}
 ), c AS (
   SELECT vec_id AS c_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-  FROM embeddings
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), s AS (
   SELECT q_id, q_label, c_id, label,
          round(list_cosine_similarity(qe, ce), 6) + 0.0 AS cos_sim
@@ -728,7 +800,7 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cos, -id) struct order, mirroring the oracle's ORDER BY.  The
     margin is one IEEE subtraction of identically-rounded doubles
     (+0.0 normalizes a potential -0.0)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vec(spark, sf_dir)
     q = emb.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
         F.col("embedding").alias("qe"),
@@ -797,7 +869,9 @@ _PQ_DDISTS = (
 _PQ_CB_SQL = f"""
   SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE))
               ORDER BY vec_id) AS cb
-  FROM embeddings WHERE vec_id < {PQ_K}
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings WHERE vec_id < {PQ_K}
 """
 
 _PQ_CODED_SQL = f"""
@@ -807,7 +881,9 @@ _PQ_CODED_SQL = f"""
          ) AS code
   FROM (SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings) v, cbt
+        FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings) v, cbt
 """
 
 
@@ -857,7 +933,7 @@ def q_llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses and an atomic column for the driver contract (the driver's
     pandas canonicalization cannot hash array cells; q_llm_ann_pq /
     q_llm_ann_ivf_pq consume the unpacked codes via _pq_codes)."""
-    return _pq_codes(load(spark, sf_dir, "embeddings")).select(
+    return _pq_codes(load_vec(spark, sf_dir)).select(
         "vec_id",
         F.expr(f"aggregate(code, 0L, (a, c) -> a * {PQ_K} + c)")
         .alias("code_packed"),
@@ -868,7 +944,9 @@ def q_llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH cbt AS ({_PQ_CB_SQL}), coded AS ({_PQ_CODED_SQL}),
 q AS (
   SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-  FROM embeddings WHERE {_QUERY_FILTER}
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings WHERE {_QUERY_FILTER}
 ), s AS (
   SELECT q_id, coded.vec_id AS c_id,
          round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -903,7 +981,7 @@ def q_llm_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ROUNDED distance with a c_id tiebreak (determinism rules);
     broadcast queries + WindowGroupLimit rank pushdown keep the corpus
     scan single-pass, shuffle = (q_id, k) survivors only."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vec(spark, sf_dir)
     qs = (emb.filter(F.expr(_QUERY_FILTER))
           .select(F.col("vec_id").alias("q_id"),
                   F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
@@ -970,7 +1048,9 @@ SELECT CAST(i AS BIGINT) AS dim,
        {sx} / COUNT(*) AS mean,
        {sq} / COUNT(*)
          - ({sx} / COUNT(*)) * ({sx} / COUNT(*)) AS var
-FROM embeddings, UNNEST(range(0, {_EMB_DIM})) AS t(i)
+FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings, UNNEST(range(0, {_EMB_DIM})) AS t(i)
 GROUP BY 1
 """
 
@@ -995,7 +1075,7 @@ def q_llm_embed_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (core/numeric) — order-independent, bit-identical cross-engine;
     mean/var are then fixed-shape IEEE expressions over identical bits.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vec(spark, sf_dir)
     stats = emb.agg(F.count(F.lit(1)).alias("n"), *_moment_aggs())
     stacked = stats.select(
         "n",
@@ -1020,7 +1100,9 @@ WITH per_dim AS (
   SELECT CAST(i AS BIGINT) AS dim,
          {_WHITEN_SX} / COUNT(*) AS mean,
          {_WHITEN_SQ} / COUNT(*) AS sq
-  FROM embeddings, UNNEST(range(0, {_EMB_DIM})) AS t(i)
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings, UNNEST(range(0, {_EMB_DIM})) AS t(i)
   GROUP BY 1
 ), stats AS (
   SELECT list(mean ORDER BY dim) AS means,
@@ -1032,7 +1114,9 @@ WITH per_dim AS (
          list_transform(range(1, {_EMB_DIM} + 1), i ->
            (CAST(embedding[CAST(i AS BIGINT)] AS DOUBLE)
             - means[CAST(i AS BIGINT)]) * isds[CAST(i AS BIGINT)]) AS w
-  FROM embeddings, stats
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings, stats
 )
 SELECT vec_id,
        round(w[1], 6) + 0.0 AS w1,
@@ -1061,7 +1145,7 @@ def q_llm_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     −0.0 gotcha) and the whitened L2 norm via the order-stable left
     fold, so the oracle checks both a point value and a full-vector
     reduction per row."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vec(spark, sf_dir)
     stats = emb.agg(F.count(F.lit(1)).alias("n"), *_moment_aggs()).select(
         F.array(*[(F.col(f"s{i}") / F.col("n")).alias(f"m{i}")
                   for i in range(_EMB_DIM)]).alias("means"),
@@ -1112,11 +1196,15 @@ _RANK_EVAL_SQL = f"""
 WITH q AS (
   SELECT vec_id AS q_id, label AS q_label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-  FROM embeddings WHERE {_QUERY_FILTER}
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings WHERE {_QUERY_FILTER}
 ), c AS (
   SELECT vec_id AS c_id, label AS c_label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
-  FROM embeddings
+  FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), hits AS (
   SELECT q_id, q_label, c_label,
          row_number() OVER (
@@ -1132,7 +1220,9 @@ WITH q AS (
            AS first_rel_rank
   FROM hits GROUP BY q_id
 ), lc AS (
-  SELECT label, COUNT(*) - 1 AS n_rel FROM embeddings GROUP BY label
+  SELECT label, COUNT(*) - 1 AS n_rel FROM (SELECT * FROM embeddings
+        WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
+          AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings GROUP BY label
 )
 SELECT q_id,
        CAST(n_rel AS BIGINT) AS n_rel_corpus,
@@ -1160,7 +1250,7 @@ def q_llm_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted double is a fixed IEEE expression over exact integers —
     bit-identical cross-engine with zero decimal casts.  One corpus
     pass + a q_id shuffle; the label histogram is dimension-sized."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_vec(spark, sf_dir)
     q = emb.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
         F.col("embedding").alias("qe"))

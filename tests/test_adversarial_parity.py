@@ -62,6 +62,22 @@ SENSITIVE = [
     "q_udf_python",          # oracle mirrors the UDF's declared None branch
     "q_udf_pandas_scalar",   # JVM null gate around the pandas score
     "q_udf_register_sql",    # nullable Float64 passthrough in the UDF
+    # r9 trap class D (vector pathologies: zero-norm / NULL-component /
+    # Inf-component embeddings) — the 12-query ANSI-crash + ann_pq
+    # value-divergence batch, all fixed by the ONE family-wide validity
+    # contract (llm/similarity.py vec_valid + mirrored oracle subquery):
+    "q_llm_cosine_topk",     # ANSI DIVIDE_BY_ZERO on zero-norm cosine
+    "q_llm_knn_label",       # same crash, label-vote consumer
+    "q_llm_cluster_purity",  # same crash via cluster assignment
+    "q_llm_embed_near_dup",  # same crash inside the guarded subset
+    "q_llm_hard_negatives",  # same crash, in-label ranking
+    "q_llm_ann_pq",          # VALUE divergence: zero vector in codebook
+    "q_llm_ann_ivf",         # crash in coarse assignment
+    "q_llm_ann_ivf_pq",      # crash in residual path
+    "q_llm_ann_recall",      # crash in the brute ground-truth arm
+    "q_llm_kmeans_step",     # crash in assignment step
+    "q_llm_semdedup",        # crash in cell-local dedup
+    "q_llm_centroid",        # green-by-luck before: now contract-filtered
 ]
 
 

@@ -27,6 +27,12 @@ Same schemas and row counts as the driver's testdata, hostile values:
   permuted to OPPOSE ts order, so CDC latest-state / as-of consumers
   that version by event_id alone (or tiebreak the wrong way) diverge
   instead of riding the pristine fixture's id-ts monotonicity.
+- **vector pathologies** (r9): all-zero embeddings, NULL components and
+  +Inf components — failed/partial encoder output.  The vector family's
+  validity contract (llm/similarity.py vec_valid + the mirrored oracle
+  subquery) must exclude them identically on both sides; first contact
+  crashed 12 queries (ANSI DIVIDE_BY_ZERO on zero norms, DuckDB
+  list_cosine_similarity NULL rejection) and value-diverged q_llm_ann_pq.
 - **null-measure flood** (r9): ~5%% of events.value set to NULL (NaN in
   the pandas frame; pyarrow converts to parquet null).  Found eight real
   divergences on first contact: null lines in log minting, Java
@@ -224,13 +230,33 @@ def generate(base, out):
         elif name == "embeddings":
             vecs = [np.asarray(v, dtype=np.float32) for v in df.embedding]
             vecs = [np.round(v * 4.0) / 4.0 for v in vecs]
-            vecs = [v if np.abs(v).sum() > 0 else
-                    np.array([0.25] + [0.0] * (len(v) - 1), dtype=np.float32)
-                    for v in vecs]
+            # (quantization CAN zero a vector — that used to be dodged with
+            # a stub; since the r9 validity contract it is a welcome trap)
             n_pair = min(20, max(2, n // 12))
             ids = rng.choice(n, size=2 * n_pair, replace=False)
             for j in range(n_pair):  # identical pairs -> cosine ties
                 vecs[ids[n_pair + j]] = vecs[ids[j]].copy()
+            # --- r9 trap class D: VECTOR PATHOLOGIES ---
+            # Failed/partial encoder output: all-zero vectors (~4%), a NULL
+            # component (~3%; np.nan becomes a parquet NULL through
+            # pyarrow), a +Inf component (~1%).  All three violate the
+            # vector family's validity contract (llm/similarity.py
+            # `vec_valid`) and must be EXCLUDED identically by both
+            # engines; unguarded cosine paths crash (ANSI DIVIDE_BY_ZERO /
+            # DuckDB list_cosine_similarity NULL rejection) or diverge.
+            dim = len(vecs[0])
+            n_zero = max(2, n * 4 // 100)
+            n_null = max(2, n * 3 // 100)
+            n_inf = max(1, n // 100)
+            bad = rng.choice(n, size=n_zero + n_null + n_inf, replace=False)
+            for i in bad[:n_zero]:
+                vecs[i] = np.zeros(dim, dtype=np.float32)
+            for j, i in enumerate(bad[n_zero:n_zero + n_null]):
+                vecs[i] = vecs[i].copy()
+                vecs[i][j % dim] = np.float32("nan")  # -> parquet NULL
+            for j, i in enumerate(bad[n_zero + n_null:]):
+                vecs[i] = vecs[i].copy()
+                vecs[i][j % dim] = np.float32("inf")
             df["embedding"] = [v.astype(np.float32) for v in vecs]
 
         _write(out, name, df, schema)
