@@ -295,29 +295,74 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_fn_json", oracle="""
-SELECT
-  event_id,
-  CAST(json_extract(props, '$.k') AS BIGINT) AS k_path,
-  CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k_str,
-  to_json(struct_pack(id := event_id, k := CAST(json_extract(props, '$.k') AS BIGINT)))
-    AS packed
-FROM events
+# ---------------------------------------------------------------------------
+# JSON payload contract (round-9 hostile trap class E).
+#
+# 100 TB of logged JSON contains malformed documents, duplicate keys,
+# numbers beyond int64, wrong-typed and nested values, trailing garbage —
+# and the engines' native parsers disagree on ALL of them (measured):
+# Spark get_json_object takes the FIRST duplicate key, from_json the LAST,
+# try_parse_json rejects the whole document; Jackson accepts trailing
+# garbage that DuckDB's json_valid rejects; DuckDB CAST(json AS BIGINT)
+# ROUNDS 6.9 to 7 where Spark's typed parse yields NULL; exotic doubles
+# render as '1.0E20' vs '100000000000000000000.0'.  So the queries declare
+# an explicit payload contract instead of leaning on parser quirks:
+#
+#   * usable payload = ONE JSON object document, no trailing content
+#     (trim(props) matches ^\{.*\}$); anything else yields NULL columns;
+#   * textual extraction = FIRST occurrence of the key (the
+#     get_json_object <-> json_extract_string agreement surface);
+#   * typed extraction  = strictly integral first-occurrence text
+#     (regex-gated try_cast — no cross-engine rounding);
+#   * numeric rendering of extreme exponents (|x| >= 1e16) is
+#     engine-defined and OUT of contract (Jackson E-notation vs DuckDB
+#     expansion) — the adversarial generator stays inside the domain.
+#
+# Typed schema-on-read JSON parsing stays demonstrated by the Docker
+# event source (sources/docker_events.py read_docker_events, row 3).
+# ---------------------------------------------------------------------------
+
+_JSON_OBJ_RE = r"^\{.*\}$"
+_JSON_INT_RE = "^-?[0-9]+$"
+
+
+@query("q_fn_json", oracle=f"""
+WITH x AS (
+  SELECT event_id,
+         CASE WHEN regexp_matches(trim(props), '{_JSON_OBJ_RE}')
+                   AND json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS k_str
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN regexp_matches(k_str, '{_JSON_INT_RE}')
+            THEN TRY_CAST(k_str AS BIGINT) END AS k_path,
+       k_str,
+       to_json(struct_pack(
+         id := event_id,
+         k := CASE WHEN regexp_matches(k_str, '{_JSON_INT_RE}')
+                   THEN TRY_CAST(k_str AS BIGINT) END)) AS packed
+FROM x
 """)
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family (row 57) on `events.props`: path extraction, typed
-    from_json, to_json re-serialization — the reference consumes raw Docker
-    JSON event dicts the same way [pub:muswarmlogger/main.py]."""
+    integral extraction, to_json re-serialization — the reference consumes
+    raw Docker JSON event dicts the same way [pub:muswarmlogger/main.py].
+    Extraction follows the declared payload contract (module comment
+    above): object-document gate, first-occurrence textual value, strict
+    integral typing, null-keeping re-serialization."""
     ev = load(spark, sf_dir, "events")
-    parsed = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    usable = F.trim(F.col("props")).rlike(_JSON_OBJ_RE)
+    k_str = F.when(usable, F.get_json_object("props", "$.k"))
+    k_path = F.when(k_str.rlike(_JSON_INT_RE), k_str).try_cast("long")
     return ev.select(
         "event_id",
-        parsed.getField("k").alias("k_path"),
-        F.get_json_object("props", "$.k").alias("k_str"),
-        F.to_json(F.struct(
-            F.col("event_id").alias("id"),
-            parsed.getField("k").alias("k"),
-        )).alias("packed"),
+        k_path.alias("k_path"),
+        k_str.alias("k_str"),
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), k_path.alias("k")),
+            {"ignoreNullFields": "false"},
+        ).alias("packed"),
     )
 
 
@@ -517,31 +562,63 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_fn_variant", oracle="""
-SELECT event_id,
-       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
-       CAST(json_extract(props, '$.k') AS BIGINT)
-         * CAST(json_extract(props, '$.k') AS BIGINT) AS k_sq,
-       json_extract(props, '$.missing') IS NULL AS no_extra
-FROM events
+@query("q_fn_variant", oracle=f"""
+WITH x AS (
+  SELECT event_id, props,
+         CASE WHEN regexp_matches(trim(props), '{_JSON_OBJ_RE}')
+                   AND json_valid(props)
+                   AND len(json_keys(props)) =
+                       len(list_distinct(json_keys(props)))
+              THEN props END AS doc
+  FROM events
+), y AS (
+  SELECT event_id,
+         json_type(json_extract(doc, '$.k')) AS t,
+         json_extract_string(doc, '$.k') AS s,
+         doc
+  FROM x
+), z AS (
+  SELECT event_id, doc,
+         CASE
+           WHEN t IN ('BIGINT', 'UBIGINT') THEN TRY_CAST(s AS BIGINT)
+           WHEN t = 'BOOLEAN' THEN CASE WHEN s = 'true' THEN 1 ELSE 0 END
+           WHEN t = 'DOUBLE'
+             THEN TRY_CAST(trunc(CAST(s AS DOUBLE)) AS BIGINT)
+           WHEN t = 'VARCHAR' AND regexp_matches(s, '{_JSON_INT_RE}')
+             THEN TRY_CAST(s AS BIGINT)
+         END AS k
+  FROM y
+)
+SELECT event_id, k,
+       TRY_CAST(CAST(k AS HUGEINT) * CAST(k AS HUGEINT) AS BIGINT) AS k_sq,
+       CASE WHEN doc IS NOT NULL
+            THEN json_extract(doc, '$.missing') IS NULL
+            ELSE TRUE END AS no_extra
+FROM z
 """)
 def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON via the VARIANT type (new in Spark 4): parse
-    once with ``parse_json``, then typed path extraction with
-    ``variant_get`` / ``try_variant_get`` — the successor to
-    get_json_object string re-parsing (q_fn_json): the binary-encoded
-    variant parses the text ONCE and every subsequent path access is a
-    cheap binary traversal, the right cost model when one payload feeds
-    many extractions at 100 TB.  ``try_variant_get`` returns NULL on a
-    missing path instead of erroring — mirrored by the oracle's
-    json_extract IS NULL."""
+    once with ``try_parse_json``, then typed path extraction with
+    ``try_variant_get`` — the successor to get_json_object string
+    re-parsing (q_fn_json): the binary-encoded variant parses the text
+    ONCE and every subsequent path access is a cheap binary traversal,
+    the right cost model when one payload feeds many extractions at
+    100 TB.  Hostile-payload policy (class E): the object-document gate
+    plus variant's own strictness (try_parse_json rejects malformed
+    docs AND any duplicate key — measured) define the usable domain; the
+    typed read coerces bool→0/1, truncates doubles toward zero, accepts
+    integral strings, and NULLs overflow — each branch mirrored
+    explicitly in the oracle's json_type CASE.  k_sq goes through
+    try_multiply (NULL on int64 overflow, the ANSI per-row-overflow
+    trap) mirrored by the oracle's HUGEINT TRY_CAST round-trip."""
     ev = load(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    usable = F.trim(F.col("props")).rlike(_JSON_OBJ_RE)
+    v = F.try_parse_json(F.when(usable, F.col("props")))
+    k = F.try_variant_get(v, "$.k", "long")
     return ev.select(
         "event_id",
-        F.variant_get(v, "$.k", "long").alias("k"),
-        (F.variant_get(v, "$.k", "long")
-         * F.variant_get(v, "$.k", "long")).alias("k_sq"),
+        k.alias("k"),
+        F.try_multiply(k, k).alias("k_sq"),
         F.try_variant_get(v, "$.missing", "long").isNull().alias("no_extra"),
     )
 

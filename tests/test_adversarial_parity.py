@@ -78,6 +78,12 @@ SENSITIVE = [
     "q_llm_kmeans_step",     # crash in assignment step
     "q_llm_semdedup",        # crash in cell-local dedup
     "q_llm_centroid",        # green-by-luck before: now contract-filtered
+    # r9 trap class E (JSON pathologies in events.props) — the declared
+    # payload contract: object-document gate, first-occurrence textual
+    # extraction, strict integral typing, variant coercion matrix,
+    # overflow-NULL k_sq (functions/scalar.py class-E block):
+    "q_fn_json",
+    "q_fn_variant",
 ]
 
 

@@ -33,6 +33,14 @@ Same schemas and row counts as the driver's testdata, hostile values:
   subquery) must exclude them identically on both sides; first contact
   crashed 12 queries (ANSI DIVIDE_BY_ZERO on zero norms, DuckDB
   list_cosine_similarity NULL rejection) and value-diverged q_llm_ann_pq.
+- **JSON pathologies** (r9): ~12%% of events.props replaced with the
+  shapes 100 TB of logged JSON actually contains — malformed docs,
+  duplicate keys, numbers beyond int64 (and int64-overflow squares),
+  wrong-typed/nested/bool values, trailing garbage.  The JSON queries'
+  declared payload contract (functions/scalar.py class-E block) must
+  resolve every shape identically in both engines; the engines' native
+  parsers disagree on ALL of them unaided (first-vs-last duplicate key,
+  Jackson's trailing-garbage tolerance, DuckDB's rounding CAST).
 - **null-measure flood** (r9): ~5%% of events.value set to NULL (NaN in
   the pandas frame; pyarrow converts to parquet null).  Found eight real
   divergences on first contact: null lines in log minting, Java
@@ -189,6 +197,38 @@ def generate(base, out):
             pick = rng.randint(0, len(UNI_WORDS), n)
             for i in np.where(uni_props)[0]:
                 props[i] = '{"k": 7, "s": "%s"}' % UNI_WORDS[pick[i]]
+            # --- r9 trap class E: JSON PATHOLOGIES in props ---
+            # What 100 TB of logged JSON actually contains: malformed
+            # docs, duplicate keys, numbers beyond int64, wrong-typed /
+            # nested / bool values, trailing garbage, int64-overflow
+            # squares.  The JSON queries' declared payload contract
+            # (functions/scalar.py) must resolve every shape identically
+            # in both engines; exotic-exponent doubles (>=1e16) are OUT
+            # of the declared rendering contract and stay un-injected.
+            patho = [
+                '{"k": 6',                      # truncated
+                '',                             # empty string
+                'null',                         # bare JSON null
+                'not json at all',              # garbage
+                '{"k": 3, "k": 9}',             # duplicate key
+                '{"a": 1, "a": 2, "k": 5}',     # duplicate OTHER key
+                '{"k": 9223372036854775808}',   # 2^63, beyond int64
+                '{"k": 6.9}', '{"k": -6.9}',    # non-integral doubles
+                '{"k": {"a": 1}}',              # nested object
+                '{"k": [1, 2]}',                # array value
+                '{"k": "42"}', '{"k": "6.9"}',  # string-typed values
+                '{"k": true}', '{"k": false}',  # booleans
+                '{"j": 5}',                     # missing key entirely
+                ' {"k": 5} trailing',           # trailing garbage
+                '{"k": -3}',                    # negative integer
+                '{"k": 4000000000}',            # k fits, k*k overflows
+                '{"k": null}',                  # explicit JSON null
+            ]
+            patho_mask = ((~tie_props) & (~uni_props)
+                          & (rng.random_sample(n) < 0.12))
+            ppick = rng.randint(0, len(patho), n)
+            for i in np.where(patho_mask)[0]:
+                props[i] = patho[ppick[i]]
             df["props"] = props
         elif name == "documents":
             # duplicate storm: 30 anchor texts, each copied onto 2 other
