@@ -126,19 +126,31 @@ EXPORT_FIRST: tuple[str, ...] = (
 # the last key out of the claimed evidence window.
 assert len(EXPORT_FIRST) <= 50, "EXPORT_FIRST exceeds the driver's window"
 
-# r10 window suggestion, derived 2026-08-15 at the end of round 9: with
+# r10 window suggestion, derived 2026-08-15/16 at the end of round 9: with
 # 0 never-checked keys left, the highest-value re-queue is the surface
 # round 9 TOUCHED — the 8 null-policy keys, the IVF-codebook family, the
-# stale-cache scan/source keys, and the newly guarded pair — so the r10
-# driver run re-proves exactly the changed code.  Paste into EXPORT_FIRST
-# at the start of round 10 (fold in any r9 hard-reds first; they take
-# priority):
+# stale-cache scan/source keys, the newly guarded pair, the class-D
+# embedding-validity-contract family (every query now loading through
+# load_vec + the mirrored oracle subquery), and the class-E JSON-contract
+# pair — so the r10 driver run re-proves exactly the changed code.  47
+# keys; paste into EXPORT_FIRST at the start of round 10 (fold in any r9
+# hard-reds first; they take priority):
 #   "q_source_syslog", "q_source_container_logs", "q_source_docker_events",
 #   "q_source_startup_scan", "q_fn_format", "q_agg_equidepth_hist",
 #   "q_analytics_ks_test", "q_udf_python", "q_udf_pandas_scalar",
 #   "q_udf_register_sql", "q_llm_ann_ivf", "q_llm_ann_recall",
 #   "q_llm_kmeans_step", "q_llm_semdedup", "q_llm_embed_near_dup",
 #   "q_scan_dpp", "q_scan_merge_schema", "q_stream_foreachbatch",
+#   "q_fn_json", "q_fn_variant", "q_llm_cosine_topk", "q_llm_knn_label",
+#   "q_llm_matryoshka", "q_llm_rrf_fusion", "q_llm_ann_lsh",
+#   "q_llm_centroid", "q_llm_quantize_int8", "q_llm_ann_int8",
+#   "q_llm_hard_negatives", "q_llm_pq_encode", "q_llm_ann_pq",
+#   "q_llm_embed_moments", "q_llm_embed_whiten", "q_llm_rank_eval",
+#   "q_llm_embedding_drift", "q_llm_ann_ivf_pq", "q_llm_cluster_purity",
+#   "q_llm_cc_largestar", "q_llm_dedup_groups", "q_llm_dup_triangles",
+#   "q_llm_pagerank", "q_graph_label_prop", "q_graph_kcore",
+#   "q_graph_modularity", "q_graph_assortativity", "q_sort_multi",
+#   "q_agg_chi2",
 #
 # (r9 window note, superseded): the 49 keys below were the last
 # never-driver-checked remainder; applied above on 2026-08-15.

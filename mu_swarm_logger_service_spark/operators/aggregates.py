@@ -598,6 +598,7 @@ WITH cum AS (
          SUM(CAST(l_quantity AS DECIMAL(27,6))) OVER (
            PARTITION BY l_returnflag) AS tw
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
 )
 SELECT l_returnflag,
        MIN(l_extendedprice) AS wmedian,
@@ -616,12 +617,18 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the integer-exact `2*cw >= tw` (no division), and the ORDER BY
     carries the unique (orderkey, linenumber) tiebreak.  The selected
     price is a raw input double — no float aggregation touches it.
+    Null-measure policy (hostile class C2): the weighted median is over
+    rows with BOTH measures observed — a NULL price would otherwise ride
+    the engines' opposite null sort orders into every cumulative weight,
+    and a NULL weight carries no information.
 
     At 100 TB a full per-group sort is the honest cost of an exact
     order statistic; the scale path is two-pass bracketing (approx
     percentile to find a narrow price bracket, exact pass inside it),
     which this formulation reduces to by adding one filter."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull())
     qdec = F.col("l_quantity").cast("decimal(27,6)")
     w_cum = (Window.partitionBy("l_returnflag")
              .orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
@@ -1081,6 +1088,7 @@ WITH ranked AS (
                             RANGE BETWEEN UNBOUNDED PRECEDING
                                       AND CURRENT ROW) AS ry2
   FROM lineitem
+  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
 ), centered AS (
   SELECT rf, n, rx2 - (n + 1) AS cx, ry2 - (n + 1) AS cy FROM ranked
 ), sums AS (
@@ -1109,7 +1117,10 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale); their double casts can round above 2^53, so the final
     scale-free ratio is rounded at 9 dp with the -0.0 guard — the HHI
     discipline.  Ranks over doubles are tie-exact because the fixture
-    values carry 2 decimal digits (exact doubles).
+    values carry 2 decimal digits (exact doubles).  Null-measure policy
+    (hostile class C2): pairwise deletion — only rows with BOTH measures
+    observed enter the ranking (a NULL would rank first in Spark and
+    last in DuckDB, shifting every centered rank).
 
     Plan: one scan, ONE exchange on l_returnflag — both rank windows
     and the peer-count frames ride the same hash partitioning (two
@@ -1119,6 +1130,8 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_xc = w_x.rangeBetween(Window.unboundedPreceding, Window.currentRow)
     w_y = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     w_yc = w_y.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    li = li.filter(F.col("l_discount").isNotNull()
+                   & F.col("l_quantity").isNotNull())
     w_n = Window.partitionBy("l_returnflag")
     # Keep the UN-aliased key through the rollup: grouping on a renamed
     # column would hide the window partitioning from Catalyst and cost a

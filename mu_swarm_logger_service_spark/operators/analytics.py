@@ -784,6 +784,8 @@ WITH eur AS (
          {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')}
                / SUM(l.l_quantity) AS unit_cost
   FROM lineitem l
+  WHERE l.l_extendedprice IS NOT NULL AND l.l_discount IS NOT NULL
+    AND l.l_quantity IS NOT NULL
   GROUP BY l.l_partkey, l.l_suppkey
 )
 SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand, c.unit_cost
@@ -807,7 +809,11 @@ def q_analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     integral-double sum, so the single IEEE division yields identical
     bits in both engines — while round() itself diverges by one ulp on
     boundary values (seen at sf0.1).  Ranking on the raw quotient is
-    therefore deterministic; suppkey breaks genuine ties."""
+    therefore deterministic; suppkey breaks genuine ties.  Null-measure
+    policy (hostile class C2): unit cost is defined over fully-observed
+    lineitems — a row missing any of price/discount/quantity would
+    otherwise bias the quotient or yield a NULL/NaN cost whose rank
+    placement the engines disagree on."""
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eur = (
@@ -821,6 +827,9 @@ def q_analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     cost = (
         load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull()
+                & F.col("l_discount").isNotNull()
+                & F.col("l_quantity").isNotNull())
         .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg((dsum(_revenue()) / F.sum("l_quantity")).alias("unit_cost"))
@@ -1887,6 +1896,7 @@ WITH f AS (
   SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
   FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    AND o_totalprice IS NOT NULL
 ), by_v AS (
   SELECT v, CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(g1) AS BIGINT) AS a
   FROM f GROUP BY 1
@@ -1930,9 +1940,13 @@ def q_analytics_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents values — bounded by the price domain, not the order count (the
     decile-lift score-group pattern) — and the final 1-row aggregate
     folds integers only.  At any corpus size the data-sized cost is the
-    single groupBy shuffle."""
+    single groupBy shuffle.  Null-measure policy (hostile class C2):
+    the test is over observed prices — a NULL-cents group would ride
+    the engines' opposite null sort orders into every cumulative rank
+    (the equidepth-histogram/KS-test mechanism)."""
     od = load(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+        & F.col("o_totalprice").isNotNull())
     f = od.select(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
         .alias("v"),

@@ -84,6 +84,13 @@ SENSITIVE = [
     # overflow-NULL k_sq (functions/scalar.py class-E block):
     "q_fn_json",
     "q_fn_variant",
+    # r9 trap class C2 (null floods in the TPC-H money measures) — the
+    # four rank/order statistics split by null sort order / null-cost
+    # selection, each now an explicit observed-values policy:
+    "q_agg_weighted_median",
+    "q_agg_spearman",
+    "q_analytics_min_cost_supplier",
+    "q_analytics_mann_whitney",
 ]
 
 

@@ -49,6 +49,13 @@ Same schemas and row counts as the driver's testdata, hostile values:
   DuckDB greatest()/least() SKIPPING the null where pandas carries NaN
   through, and oracle CASEs falling to ELSE where the UDF declares a
   'none' branch.
+- **money-measure null flood** (r9, class C2): ~3%% NULLs in the TPC-H
+  fact/dim measures (l_extendedprice/discount/tax/quantity,
+  o_totalprice, acctbals, p_retailprice).  First contact split 4
+  rank/order statistics (weighted median, Spearman, min-cost-supplier
+  argmin, Mann-Whitney) through the same null-sort-order and
+  null-selection mechanisms class C found on events.value — each now an
+  explicit observed-values policy.
 
 Domains of categorical columns (statuses, flags, langs, brands) are
 preserved so literal-filtering queries stay non-vacuous.  `documents.
@@ -89,6 +96,13 @@ def _uni(rng, s, frac, rows):
          for v, m, p in zip(s, mask, pick)], dtype=object)
 
 
+def _nullf(rng, s, frac, rows):
+    """NULL-flood a float measure column (np.nan -> parquet null)."""
+    v = s.to_numpy(dtype=float).copy()
+    v[rng.random_sample(rows) < frac] = np.nan
+    return v
+
+
 def _null(rng, s, frac, rows):
     out = s.copy().astype(object)
     out[rng.random_sample(rows) < frac] = None
@@ -112,22 +126,31 @@ def generate(base, out):
         n = len(df)
 
         if name == "customer":
-            df["c_acctbal"] = np.floor(df.c_acctbal / 500.0) * 500.0 + 0.0
+            df["c_acctbal"] = _nullf(
+                rng, pd.Series(np.floor(df.c_acctbal / 500.0) * 500.0 + 0.0),
+                0.03, n)
             df["c_mktsegment"] = _null(rng, df.c_mktsegment, 0.15, n)
             df["c_name"] = _uni(rng, df.c_name, 0.20, n)
         elif name == "supplier":
-            df["s_acctbal"] = np.floor(df.s_acctbal / 500.0) * 500.0 + 0.0
+            df["s_acctbal"] = _nullf(
+                rng, pd.Series(np.floor(df.s_acctbal / 500.0) * 500.0 + 0.0),
+                0.03, n)
             df["s_name"] = _uni(rng, df.s_name, 0.10, n)
         elif name == "part":
-            df["p_retailprice"] = (
-                np.maximum(np.floor(df.p_retailprice / 100.0), 1.0) * 100.0)
+            df["p_retailprice"] = _nullf(
+                rng, pd.Series(
+                    np.maximum(np.floor(df.p_retailprice / 100.0), 1.0)
+                    * 100.0), 0.03, n)
             df["p_name"] = _null(rng, _uni(rng, df.p_name, 0.20, n), 0.05, n)
         elif name == "orders":
             hot = df.o_custkey.min()
             skew = rng.random_sample(n) < 0.30
             df.loc[skew, "o_custkey"] = hot
-            df["o_totalprice"] = (
-                np.maximum(np.floor(df.o_totalprice / 1000.0), 1.0) * 1000.0)
+            # r9 class C2: null floods reach the money measures too
+            df["o_totalprice"] = _nullf(
+                rng, pd.Series(
+                    np.maximum(np.floor(df.o_totalprice / 1000.0), 1.0)
+                    * 1000.0), 0.03, n)
             tie_ts = df.o_orderdate.iloc[0].normalize()
             df.loc[rng.random_sample(n) < 0.35, "o_orderdate"] = tie_ts
             df["o_orderpriority"] = _null(rng, df.o_orderpriority, 0.10, n)
@@ -136,12 +159,16 @@ def generate(base, out):
                 df.l_partkey.min())
             df.loc[rng.random_sample(n) < 0.25, "l_suppkey"] = (
                 df.l_suppkey.min())
-            df["l_quantity"] = (
-                np.floor((df.l_quantity - 1.0) / 10.0) * 10.0 + 1.0)
-            df["l_extendedprice"] = (
-                np.maximum(np.floor(df.l_extendedprice / 500.0), 1.0) * 500.0)
-            df["l_discount"] = np.where(df.l_discount < 0.04, 0.0, 0.05)
-            df["l_tax"] = np.where(df.l_tax < 0.04, 0.0, 0.04)
+            df["l_quantity"] = _nullf(rng, pd.Series(
+                np.floor((df.l_quantity - 1.0) / 10.0) * 10.0 + 1.0),
+                0.03, n)
+            df["l_extendedprice"] = _nullf(rng, pd.Series(
+                np.maximum(np.floor(df.l_extendedprice / 500.0), 1.0)
+                * 500.0), 0.03, n)
+            df["l_discount"] = _nullf(rng, pd.Series(
+                np.where(df.l_discount < 0.04, 0.0, 0.05)), 0.03, n)
+            df["l_tax"] = _nullf(rng, pd.Series(
+                np.where(df.l_tax < 0.04, 0.0, 0.04)), 0.03, n)
             tie_ts = df.l_shipdate.iloc[0].normalize()
             df.loc[rng.random_sample(n) < 0.30, "l_shipdate"] = tie_ts
         elif name == "events":
