@@ -128,8 +128,10 @@ SELECT
   round(l_extendedprice, 1) AS price_r1,
   CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
   CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
-  round(sqrt(l_extendedprice), 6) AS price_sqrt,
-  round(ln(l_extendedprice), 6) AS price_ln,
+  CASE WHEN l_extendedprice >= 0
+       THEN round(sqrt(l_extendedprice), 6) END AS price_sqrt,
+  CASE WHEN l_extendedprice > 0
+       THEN round(ln(l_extendedprice), 6) END AS price_ln,
   round(pow(l_discount, 2), 6) AS disc_sq,
   l_orderkey % 7 AS key_mod,
   CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
@@ -139,16 +141,24 @@ FROM lineitem
 """)
 def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family (row 52): SPARQL 17.4.4 numerics + analytics extensions.
-    (``rand`` is exercised in the rows-only sampling query, row 79.)"""
+    (``rand`` is exercised in the rows-only sampling query, row 79.)
+    Domain policy (hostile class F — negative refund prices): sqrt/ln
+    are gated to their mathematical domains and yield NULL outside —
+    Spark would emit NaN/NULL where DuckDB hard-errors ("cannot take
+    square root of a negative number"), so the gate is declared on BOTH
+    sides."""
     li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
     return li.select(
         "l_orderkey", "l_linenumber",
         F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
         F.round("l_extendedprice", 1).alias("price_r1"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor("l_quantity").alias("qty_floor"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.when(price >= 0, F.round(F.sqrt("l_extendedprice"), 6))
+        .alias("price_sqrt"),
+        F.when(price > 0, F.round(F.log("l_extendedprice"), 6))
+        .alias("price_ln"),
         F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
         F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),

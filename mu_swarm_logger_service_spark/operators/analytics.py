@@ -1225,6 +1225,7 @@ WITH rev AS (
   FROM orders o
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  WHERE o.o_totalprice IS NOT NULL
   GROUP BY 1, 2
 ), ranked AS (
   SELECT nation, rev,
@@ -1260,8 +1261,13 @@ def q_analytics_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines); ranks tiebreak on c_custkey; i·rev products are IEEE-exact
     identical bits re-summed through the decimal path; the final Gini is
     a fixed-shape expression over identical operands — emitted raw, no
-    round() (SKILL.md boundary-value gotcha)."""
-    orders = load(spark, sf_dir, "orders")
+    round() (SKILL.md boundary-value gotcha).  Null-measure policy
+    (hostile class C2, found only by the COMBINED fixture: 3% null
+    prices x key skew leaves customers whose every order is unpriced,
+    and their NULL revenue rides the engines' opposite null sort orders
+    into every rank): concentration is over observed revenue only."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull())
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = (

@@ -233,7 +233,9 @@ WITH minted AS (
          CASE WHEN event_type = 'error'
               THEN CASE WHEN event_id % 2 = 0 THEN 500 ELSE 404 END
               WHEN event_id % 20 = 0 THEN 304 ELSE 200 END AS s0,
-         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS b0,
+         CASE WHEN value IS NULL OR value < 0 THEN '-'
+              ELSE CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS VARCHAR) END AS b0,
          ts
   FROM events
 )
@@ -251,7 +253,10 @@ def clf_lines(ev: DataFrame) -> DataFrame:
     events fixture — Knuth-hash IPs, type-derived method/path/status,
     decimal-exact byte counts.  Shared by q_source_accesslog (decode +
     ops rollup) and q_ops_log_templates (template mining); the SQL twin
-    is CLF_LINES_SQL."""
+    is CLF_LINES_SQL.  Byte-count convention (hostile class F): a
+    missing or out-of-domain (negative) measure renders as '-' — CLF's
+    own notation for "no size" — so every line always parses; the
+    decoder's gated integral parse reads '-' back as NULL bytes."""
     ip32 = (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
     o = lambda div: (F.col("ip32") / div).cast("long") % 256  # noqa: E731
     minted = ev.select(
@@ -264,7 +269,9 @@ def clf_lines(ev: DataFrame) -> DataFrame:
                F.when(F.col("event_id") % 2 == 0, 500).otherwise(404))
         .when(F.col("event_id") % 20 == 0, 304).otherwise(200)
         .alias("s0"),
-        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        F.when(F.col("value").isNull() | (F.col("value") < 0), F.lit("-"))
+        .otherwise((F.col("value").cast("decimal(18,2)") * 100)
+                   .cast("long").cast("string"))
         .alias("b0"))
     line = F.concat(
         o(16777216).cast("string"), F.lit("."), o(65536).cast("string"),
@@ -287,7 +294,9 @@ WITH minted AS (
          CASE WHEN event_type = 'error'
               THEN CASE WHEN event_id % 2 = 0 THEN 500 ELSE 404 END
               WHEN event_id % 20 = 0 THEN 304 ELSE 200 END AS s0,
-         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS b0,
+         CASE WHEN value IS NULL OR value < 0 THEN '-'
+              ELSE CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS VARCHAR) END AS b0,
          ts
   FROM events
 ), lines AS (
@@ -304,7 +313,10 @@ WITH minted AS (
          regexp_extract(line, '"(\\w+) ([^ ]+) HTTP', 2) AS path,
          CAST(regexp_extract(line, 'HTTP/1.1" (\\d+) ', 1) AS BIGINT)
            AS status,
-         CAST(regexp_extract(line, ' (\\d+)$', 1) AS BIGINT) AS bytes
+         CASE WHEN regexp_matches(regexp_extract(line, ' (\\S+)$', 1),
+                                  '^[0-9]+$')
+              THEN CAST(regexp_extract(line, ' (\\S+)$', 1) AS BIGINT)
+         END AS bytes
   FROM lines
 )
 SELECT (status // 100) || 'xx' AS status_class, method,
@@ -338,7 +350,9 @@ def q_source_accesslog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("line", r'"(\w+) ([^ ]+) HTTP', 2).alias("path"),
         F.regexp_extract("line", r'HTTP/1.1" (\d+) ', 1).cast("long")
         .alias("status"),
-        F.regexp_extract("line", r" (\d+)$", 1).cast("long").alias("bytes"),
+        F.when(F.regexp_extract("line", r" (\S+)$", 1).rlike("^[0-9]+$"),
+               F.regexp_extract("line", r" (\S+)$", 1)).cast("long")
+        .alias("bytes"),
     )
     return parsed.groupBy(
         F.concat((F.col("status") / 100).cast("long").cast("string"),

@@ -91,6 +91,15 @@ SENSITIVE = [
     "q_agg_spearman",
     "q_analytics_min_cost_supplier",
     "q_analytics_mann_whitney",
+    # r9 trap class F (zero / negative measures) — the CLF '-' no-size
+    # byte-count convention with gated re-parse, and declared sqrt/ln
+    # domains (DuckDB hard-errors on sqrt(negative); Spark NaNs):
+    "q_source_accesslog",
+    "q_ops_log_templates",
+    "q_fn_math",
+    # found only by the COMBINED adversarial fixture (C2 nulls x key
+    # skew -> all-orders-unpriced customers with NULL revenue ranks):
+    "q_analytics_revenue_gini",
 ]
 
 

@@ -49,6 +49,12 @@ Same schemas and row counts as the driver's testdata, hostile values:
   DuckDB greatest()/least() SKIPPING the null where pandas carries NaN
   through, and oracle CASEs falling to ELSE where the UDF declares a
   'none' branch.
+- **zero / negative measures** (r9, class F): idle-sensor zeros and
+  refund negatives in events.value and l_extendedprice (the old
+  generator FLOORED these away).  First contact crashed the CLF
+  byte-count mint (ANSI cast of the negative token) and DuckDB's sqrt
+  on refund prices; the policies are the CLF '-' no-size convention
+  with a gated integral re-parse, and declared math-function domains.
 - **money-measure null flood** (r9, class C2): ~3%% NULLs in the TPC-H
   fact/dim measures (l_extendedprice/discount/tax/quantity,
   o_totalprice, acctbals, p_retailprice).  First contact split 4
@@ -162,9 +168,10 @@ def generate(base, out):
             df["l_quantity"] = _nullf(rng, pd.Series(
                 np.floor((df.l_quantity - 1.0) / 10.0) * 10.0 + 1.0),
                 0.03, n)
-            df["l_extendedprice"] = _nullf(rng, pd.Series(
-                np.maximum(np.floor(df.l_extendedprice / 500.0), 1.0)
-                * 500.0), 0.03, n)
+            ep = np.maximum(np.floor(df.l_extendedprice / 500.0), 1.0) * 500.0
+            fneg = rng.random_sample(n) < 0.03  # class F: refund lines
+            df["l_extendedprice"] = _nullf(
+                rng, pd.Series(np.where(fneg, -ep, ep)), 0.03, n)
             df["l_discount"] = _nullf(rng, pd.Series(
                 np.where(df.l_discount < 0.04, 0.0, 0.05)), 0.03, n)
             df["l_tax"] = _nullf(rng, pd.Series(
@@ -211,8 +218,15 @@ def generate(base, out):
             df.loc[rng.random_sample(n) < 0.30, "ts"] = tie_ts
             hot_user = df.user_id.mode().iloc[0]
             df.loc[rng.random_sample(n) < 0.30, "user_id"] = hot_user
+            # --- r9 trap class F: ZERO / NEGATIVE measures ---
+            # The old `where(q <= 0, 0.01, q)` floor DODGED zeros; real
+            # telemetry has idle-sensor zeros and refund negatives, and
+            # first contact crashed the CLF byte-count mint (ANSI cast
+            # of the unparseable negative token) and DuckDB's sqrt.
             q = np.round(df.value / 2.5) * 2.5
-            v = np.where(q <= 0.0, 0.01, q) + 0.0
+            v = np.where(q <= 0.0, 0.0, q) + 0.0
+            fneg = rng.random_sample(n) < 0.04
+            v = np.where(fneg, -np.abs(v) - 0.5, v)
             # r9 trap class C: NULL-MEASURE FLOOD — ~5% of value is null
             # (np.nan in the float frame; pyarrow writes parquet nulls).
             v[rng.random_sample(n) < 0.05] = np.nan
