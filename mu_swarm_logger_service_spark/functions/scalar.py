@@ -32,10 +32,10 @@ SELECT
   lower(source) AS source_l,
   length(text) AS n_chars,
   substr(text, 1, 20) AS prefix20,
-  concat(lang, ':', source) AS lang_source,
+  lang || ':' || source AS lang_source,  -- || propagates NULL like Spark concat
   split_part(text, ' ', 1) AS first_word,
   regexp_replace(text, 'a+', '_', 'g') AS no_as,
-  trim(concat('  ', lang, '  ')) AS trimmed,
+  trim('  ' || lang || '  ') AS trimmed,
   lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
   reverse(lang) AS lang_rev,
   len(string_split(text, ' ')) AS n_words
@@ -43,7 +43,10 @@ FROM documents
 """)
 def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String family (row 49): CONCAT/SUBSTR/UCASE/LCASE/STRLEN/REPLACE/
-    STRBEFORE/trim/lpad/split — the SPARQL 17.4.3 library."""
+    STRBEFORE/trim/lpad/split — the SPARQL 17.4.3 library.  Null-tag
+    policy (hostile class G): assembling with a missing tag yields NULL —
+    Spark concat propagates NULLs but DuckDB's concat() SKIPS them, so
+    the oracle uses || (which propagates) for every assembly."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -408,7 +411,8 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_fn_format", oracle="""
 SELECT event_id,
-       printf('%s#%06d', event_type, event_id) AS tagged,
+       CASE WHEN event_type IS NOT NULL
+            THEN printf('%s#%06d', event_type, event_id) END AS tagged,
        printf('%.3f', value) AS val3,  -- NULL in, NULL out (both sides)
        lpad(CAST(user_id AS VARCHAR), 8, '0') AS uid_padded,
        repeat('*', CAST(user_id % 5 AS INT)) AS stars
@@ -423,7 +427,12 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.expr("event_id % 101 = 0"))
     return ev.select(
         "event_id",
-        F.format_string("%s#%06d", "event_type", "event_id").alias("tagged"),
+        # Java Formatter renders a null %s arg as the STRING "null"
+        # (the class-C %.3f mechanism) — same declared policy: formatting
+        # a missing tag yields NULL (class G).
+        F.when(F.col("event_type").isNotNull(),
+               F.format_string("%s#%06d", "event_type", "event_id"))
+        .alias("tagged"),
         # Java's Formatter renders a null %.3f arg as the STRING "null"
         # truncated to precision ("nul"); DuckDB printf propagates NULL.
         # Declared policy: formatting a missing measure yields NULL.
@@ -469,7 +478,8 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        struct_pack(id := event_id, t := event_type).t AS tagged_type,
        to_json(struct_pack(id := event_id, t := event_type)) AS as_json,
-       (user_id > 500 OR (user_id = 500 AND event_id > 0)) AS after_mark,
+       COALESCE(user_id > 500 OR (user_id = 500 AND event_id > 0),
+                FALSE) AS after_mark,
        struct_pack(u := user_id,
                    inner := struct_pack(e := event_id)).inner.e AS nested_id
 FROM events
@@ -495,9 +505,14 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         s.getField("t").alias("tagged_type"),
-        F.to_json(s).alias("as_json"),
-        (F.struct(F.col("user_id").alias("u"),
-                  F.col("event_id").alias("e")) > mark).alias("after_mark"),
+        F.to_json(s, {"ignoreNullFields": "false"}).alias("as_json"),
+        # class G: an anonymous (NULL-user) event is declared NOT after
+        # the mark — a TOTAL boolean.  A nullable boolean output is a
+        # dtype trap: Spark renders the NULL as None, DuckDB's pandas
+        # fetch as NaN, and the canonicalizer sees different cells.
+        F.coalesce(F.struct(F.col("user_id").alias("u"),
+                            F.col("event_id").alias("e")) > mark,
+                   F.lit(False)).alias("after_mark"),
         nested.getField("inner").getField("e").alias("nested_id"),
     )
 
@@ -505,8 +520,9 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_fn_encode", oracle="""
 SELECT event_id,
        base64(encode(event_type)) AS b64,
-       decode(from_base64(base64(encode(event_type)))) = event_type
-         AS roundtrips,
+       CASE WHEN event_type IS NULL THEN TRUE
+            ELSE decode(from_base64(base64(encode(event_type))))
+                 = event_type END AS roundtrips,
        to_hex(event_id) AS id_hex,
        hex(encode(event_type)) AS raw_hex
 FROM events
@@ -526,8 +542,12 @@ def q_fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.base64(raw).alias("b64"),
-        (F.decode(F.unbase64(F.base64(raw)), "utf-8")
-         == F.col("event_type")).alias("roundtrips"),
+        # Class G: a missing tag trivially roundtrips (vacuous truth) —
+        # a nullable-boolean output would otherwise render None on the
+        # Spark side but NaN through DuckDB's pandas fetch.
+        F.when(F.col("event_type").isNull(), F.lit(True))
+        .otherwise(F.decode(F.unbase64(F.base64(raw)), "utf-8")
+                   == F.col("event_type")).alias("roundtrips"),
         F.hex("event_id").alias("id_hex"),
         F.hex(raw).alias("raw_hex"),
     )
@@ -752,7 +772,7 @@ _CIDR_BLOCKS_SQL = (
 WITH hashed AS (
   SELECT DISTINCT user_id,
          (user_id * 2654435761) % 4294967296 AS base
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ), minted AS (
   -- Deterministic private/public mix so every CIDR matcher FIRES on the
   -- fixture (a raw 32-bit hash lands in 10/8 with p=1/256 — vacuous):
@@ -806,8 +826,10 @@ def q_fn_ipnet(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("user_id") % 4 == 2,
                   F.lit(3232235520) + base % 65536)
             .otherwise(base))
-    minted = ev.select("user_id").distinct().select(
-        "user_id", ip32.alias("ip32"))
+    # Class G: anonymous events (NULL user_id) have no address.
+    minted = (ev.filter(F.col("user_id").isNotNull())
+              .select("user_id").distinct()
+              .select("user_id", ip32.alias("ip32")))
     o1 = (F.col("ip32") / 16777216).cast("long")
     o2 = ((F.col("ip32") / 65536).cast("long")) % 256
     o3 = ((F.col("ip32") / 256).cast("long")) % 256

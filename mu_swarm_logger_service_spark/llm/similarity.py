@@ -172,6 +172,7 @@ WITH q AS (
   FROM (SELECT * FROM embeddings
         WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
           AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
+  WHERE label IS NOT NULL
 ), s AS (
   SELECT q_id, c_id, label,
          round(list_cosine_similarity(qe, ce), 6) + 0.0 AS cos_sim
@@ -194,8 +195,12 @@ def q_llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
-    c = spread(emb.select(F.col("vec_id").alias("c_id"), "label",
-                          F.col("embedding").alias("ce")))
+    # class G: votes come from LABELED neighbors only (a NULL label
+    # group would ride the engines' opposite null sort orders in the
+    # majority tie-break).
+    c = spread(emb.filter(F.col("label").isNotNull())
+               .select(F.col("vec_id").alias("c_id"), "label",
+                       F.col("embedding").alias("ce")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("c_id"))
@@ -805,8 +810,12 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"),
         F.col("embedding").alias("qe"),
     )
-    c = spread(emb.select(F.col("vec_id").alias("c_id"), "label",
-                          F.col("embedding").alias("ce")))
+    # class G: votes come from LABELED neighbors only (a NULL label
+    # group would ride the engines' opposite null sort orders in the
+    # majority tie-break).
+    c = spread(emb.filter(F.col("label").isNotNull())
+               .select(F.col("vec_id").alias("c_id"), "label",
+                       F.col("embedding").alias("ce")))
     cos_r = F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0
     same = F.col("label") == F.col("q_label")
     cand = F.struct(cos_r.alias("cs"), (-F.col("c_id")).alias("nc"))

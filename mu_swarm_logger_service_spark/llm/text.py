@@ -71,13 +71,15 @@ def q_llm_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_llm_tfidf_keywords", oracle="""
 WITH tok AS (
-  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+  -- class G: keywords are per IDENTIFIED language (tagged docs only)
+  SELECT lang, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE lang IS NOT NULL
 ), tf AS (
   SELECT lang, token, COUNT(*) AS tf FROM tok GROUP BY lang, token
 ), df AS (
   SELECT token, COUNT(DISTINCT lang) AS df FROM tok GROUP BY token
 ), n AS (
-  SELECT COUNT(DISTINCT lang) AS n_langs FROM documents
+  SELECT COUNT(DISTINCT lang) AS n_langs FROM documents  -- COUNT(DISTINCT) skips NULL on both sides
 ), scored AS (
   SELECT tf.lang, tf.token,
          ROUND(tf.tf * ln(CAST(n.n_langs AS DOUBLE) / df.df), 6) AS score
@@ -92,7 +94,8 @@ def q_llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy; df reuses the same exploded frame; idf joins are tiny and
     broadcast.  Deterministic (score desc, token asc) ranking."""
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    tok = (docs.filter(F.col("lang").isNotNull())  # class G: tagged only
+           .select("lang", F.explode(F.split("text", " ")).alias("token")))
     tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("token").agg(F.countDistinct("lang").alias("df"))
     n_langs = docs.select(F.countDistinct("lang").alias("n_langs"))
@@ -166,7 +169,10 @@ def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_llm_langid", oracle="""
 WITH tok AS (
-  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+  -- class G: signatures are built from TAGGED documents only; untagged
+  -- (NULL-lang) documents still receive predictions from them.
+  SELECT lang, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE lang IS NOT NULL
 ), sig AS (
   SELECT lang AS sig_lang, token
   FROM (SELECT lang, token, COUNT(*) AS tf FROM tok GROUP BY lang, token)
@@ -191,7 +197,8 @@ def q_llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely from joins + window ranking; the signature table is tiny and
     broadcast."""
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    tok = (docs.filter(F.col("lang").isNotNull())  # class G: tagged only
+           .select("lang", F.explode(F.split("text", " ")).alias("token")))
     tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
     w_sig = Window.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("token"))
     sig = (
@@ -1153,7 +1160,9 @@ VOCAB_TOP_N = 20  # "tokenizer vocabulary" = the N globally most frequent tokens
 
 @query("q_llm_vocab_coverage", oracle=f"""
 WITH tok AS (
-  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+  -- class G: coverage is per IDENTIFIED language (tagged docs only)
+  SELECT lang, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE lang IS NOT NULL
 ), vocab AS (
   SELECT token FROM (
     SELECT token, COUNT(*) AS n FROM tok GROUP BY token
@@ -1183,7 +1192,8 @@ def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang counts and never for the vocab join.  Coverage is one IEEE
     division of exact integers."""
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    tok = (docs.filter(F.col("lang").isNotNull())  # class G: tagged only
+           .select("lang", F.explode(F.split("text", " ")).alias("token")))
     vocab = (
         tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "token")
@@ -1280,6 +1290,9 @@ WITH feat AS (
                                t -> t IN ('a', 'the', 'of', 'and'))) * 1000000)
               // len(string_split(text, ' ')) AS BIGINT) AS noise_ppm
   FROM documents
+  -- class G: pairs are mined per IDENTIFIED domain bucket (the final
+  -- USING join would drop NULL-key buckets the windows kept)
+  WHERE lang IS NOT NULL AND source IS NOT NULL
 ), chosen AS (
   SELECT lang, source, doc_id AS chosen_doc_id, noise_ppm AS chosen_ppm
   FROM feat
@@ -1314,7 +1327,8 @@ def q_llm_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice and re-join.  Ties break on doc_id (lowest for chosen, highest
     for rejected) through the struct order; degenerate buckets (all docs
     equally noisy) emit no pair."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull())
     toks = F.split("text", " ")
     noise = (
         (F.size(F.filter(toks, lambda t: t.isin("a", "the", "of", "and")))

@@ -1322,7 +1322,8 @@ WITH rows_h AS (
              string_split_regex(substr(md5(
                CAST(event_id AS VARCHAR) || '|' ||
                CAST(epoch_us(ts) AS VARCHAR) || '|' ||
-               CAST(user_id AS VARCHAR) || '|' || event_type), 1, 15), ''),
+               COALESCE(CAST(user_id AS VARCHAR), '\\N') || '|' ||
+               COALESCE(event_type, '\\N')), 1, 15), ''),
              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
            (a, b) -> a * 16 + b) AS rh
   FROM events
@@ -1371,12 +1372,16 @@ def event_row_fingerprint():
     (q_audit_dataset_fingerprint) and the streaming incremental variant
     (streaming/queries.q_stream_fingerprint) so both provably sum the
     same per-row values."""
+    # class G: NULLs are CONTENT for a fingerprint — concat_ws would
+    # silently DROP a null field (changing the canonical arity), and the
+    # oracle's || would null the whole hash input; both sides render
+    # missing fields as the explicit \\N sentinel instead.
     canon = F.concat_ws(
         "|",
         F.col("event_id").cast("string"),
         F.unix_micros("ts").cast("string"),
-        F.col("user_id").cast("string"),
-        "event_type",
+        F.coalesce(F.col("user_id").cast("string"), F.lit("\\N")),
+        F.coalesce(F.col("event_type"), F.lit("\\N")),
     )
     return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
 

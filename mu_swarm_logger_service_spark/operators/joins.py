@@ -207,8 +207,10 @@ SELECT p_event_id, user_id, p_ts, c_event_id, c_ts FROM (
          c.event_id AS c_event_id, c.ts AS c_ts,
          row_number() OVER (PARTITION BY p.event_id
                             ORDER BY c.ts DESC, c.event_id DESC) AS rn
-  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  FROM (SELECT * FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+  LEFT JOIN (SELECT * FROM events
+             WHERE event_type = 'click' AND user_id IS NOT NULL) c
     ON p.user_id = c.user_id AND c.ts <= p.ts
 ) WHERE rn = 1
 """)
@@ -223,7 +225,8 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, skew-safe, and exactly the formulation that scales to 100 TB
     (state is one struct per row, not a join buffer).
     """
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull())  # class G: identified users only
     # kind 0 = click (sorts before purchases at identical ts → ">=" semantics)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", F.lit(0).alias("kind")
@@ -647,8 +650,10 @@ SELECT p_event_id, user_id, p_ts, c_event_id, c_ts, delta_us FROM (
                     CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
                     CASE WHEN c.ts <= p.ts THEN -c.event_id
                          ELSE c.event_id END) AS rn
-  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  FROM (SELECT * FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+  LEFT JOIN (SELECT * FROM events
+             WHERE event_type = 'click' AND user_id IS NOT NULL) c
     ON p.user_id = c.user_id
 ) WHERE rn = 1
 """)
@@ -669,7 +674,8 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: distances are exact integer µs (unix_micros ↔
     epoch_us); every ordering carries kind and event_id; the oracle's
     ranked join mirrors the backward/forward tiebreaks exactly."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull())  # class G: identified users only
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", F.lit(0).alias("kind"))
     purch = ev.filter(F.col("event_type") == "purchase").select(

@@ -457,7 +457,10 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_properties.py::test_heavy_hitters_mg_guarantees."""
     import pandas as pd
 
-    ev = load(spark, sf_dir, "events").select(
+    # class G: identified items only (matches the streaming twin —
+    # the replay test asserts stream state == this fold exactly).
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()).select(
         F.pmod(F.xxhash64("event_id"), F.lit(MG_SHARDS)).alias("shard"),
         "event_id", "ts", F.col("user_id").alias("item"),
     )

@@ -173,9 +173,11 @@ FUNNEL_WINDOW_S = 3600
 
 @query("q_ts_funnel", oracle=f"""
 WITH s AS (
-  SELECT user_id, ts FROM events WHERE event_type = 'signup'
+  SELECT user_id, ts FROM events
+  WHERE event_type = 'signup' AND user_id IS NOT NULL
 ), p AS (
-  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+  SELECT user_id, ts FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
 ), converted AS (
   SELECT DISTINCT s.user_id
   FROM s JOIN p ON p.user_id = s.user_id
@@ -194,7 +196,8 @@ def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     range join WITH an equi anchor (user_id), so it hash-partitions on
     the user and evaluates the time band as a residual — never a
     time-cross-product."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull())  # class G: identified users onl)
     s = ev.filter(F.col("event_type") == "signup").select(
         "user_id", F.col("ts").alias("s_ts")
     )
@@ -962,7 +965,7 @@ HOLT_ORACLE_SQL = f"""
 WITH RECURSIVE hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(COUNT(*) AS DOUBLE) AS y
-  FROM events GROUP BY 1, 2
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
 ), ord AS MATERIALIZED (
   -- MATERIALIZED matters: DuckDB inlines CTEs by default, so the
   -- recursive step would otherwise re-scan events and recompute the
@@ -1026,7 +1029,8 @@ def q_ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/queries.q_stream_holt, applyInPandasWithState) carries
     just (l, b, pending-hour) across micro-batches and checks against
     this SAME oracle."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull())  # class G: identified series onl)
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).cast("double").alias("y"))
@@ -1271,7 +1275,7 @@ _LTTB_KEY2_SQL = ("abs((s.px * ns.n - ns.sx) * (c2.y - s.py)"
 @query("q_ts_lttb", oracle=f"""
 WITH RECURSIVE hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS y
-  FROM events GROUP BY 1, 2
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
 ), idx AS MATERIALIZED (
   SELECT event_type,
          CAST(date_diff('hour', MIN(h) OVER (PARTITION BY event_type), h)
@@ -1331,7 +1335,8 @@ def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over the (type, hour) AGGREGATE — series length is bounded by
     the time span, so the arrays stay small at any corpus size; one
     shuffle for the rollup, one for the per-type collect."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull())  # class G: identified series onl)
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).alias("y"))
@@ -1790,7 +1795,7 @@ WITH per_user AS (
          MIN(CASE WHEN event_type = 'purchase'
                    AND value >= CAST({KM_VALUE_MIN} AS DOUBLE)
               THEN date_trunc('day', ts) END) AS conv_day
-  FROM events GROUP BY user_id
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ), dur AS (
   SELECT arm,
          CASE WHEN conv_day IS NOT NULL
@@ -1844,7 +1849,8 @@ def q_ts_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered fold are all domain-bounded, never data-bounded, exactly
     like the decile-lift score-group pattern.  At 100 TB the only
     data-sized cost is the per-user min pass any funnel already pays."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull())  # class G: identified users only
     per_user = ev.groupBy("user_id").agg(
         F.min(F.date_trunc("day", "ts")).alias("first_day"),
         F.min(F.when((F.col("event_type") == "purchase")
@@ -1918,7 +1924,7 @@ HW_ORACLE_SQL = f"""
 WITH RECURSIVE daily AS (
   SELECT event_type, date_trunc('day', ts) AS d,
          CAST(COUNT(*) AS DOUBLE) AS y
-  FROM events GROUP BY 1, 2
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
 ), ord AS MATERIALIZED (
   SELECT event_type, y,
          row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
@@ -1989,7 +1995,8 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type collect of a time-domain-bounded array; per-series state
     is O(m), which is what a streaming twin would carry across
     micro-batches."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull())  # class G: identified series onl)
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("double").alias("y"))
@@ -2140,7 +2147,7 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE daily AS (
   SELECT event_type, date_trunc('day', ts) AS d,
          CAST(COUNT(*) AS DOUBLE) AS y
-  FROM events GROUP BY 1, 2
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
 ), ord AS MATERIALIZED (
   SELECT event_type, y,
          row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
@@ -2187,7 +2194,8 @@ def q_ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     double is bit-identical raw.  Scale shape: fold over the (type,
     day) aggregate — one rollup shuffle, one per-type collect of a
     time-domain-bounded array."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull())  # class G: identified series onl)
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("double").alias("y"))
@@ -2324,7 +2332,8 @@ _PAT_WINDOW_US = 86_400_000_000
 
 @query("q_ts_pattern_match", oracle=f"""
 WITH ev2 AS (
-  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+  FROM events WHERE user_id IS NOT NULL
 ), p AS (
   SELECT * FROM ev2 WHERE event_type = 'purchase'
 ), c AS (
@@ -2373,7 +2382,8 @@ def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive definition.  At 100 TB the window form costs one shuffle
     + per-user sort; the join form explodes quadratically per user —
     which is exactly why the engine ships the former."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull())  # class G: identified users onl)
     us = F.unix_micros("ts")
     base = ev.select("user_id", "event_id", "event_type", us.alias("us"))
     w_prev = (Window.partitionBy("user_id").orderBy("us", "event_id")

@@ -34,11 +34,12 @@ def container_logs_text_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     # Marker carries the source stat signature: regenerating the
     # fixture in place must be a cache MISS (core.tables.stat_sig).
-    # v2: mint-logic version rides the marker too, so a CHANGE to the
+    # v3 (class G: null-safe TYPE rendering joins the null-safe value
+    # rendering).  Mint-logic version rides the marker, so a CHANGE to the
     # line-synthesis code (e.g. the r9 null-safe value rendering)
     # invalidates dirs built by older logic, not just older data.
     marker = os.path.join(
-        out, "_DONE_V2_SRC_" + stat_sig_str(sf_dir, "events"))
+        out, "_DONE_V3_SRC_" + stat_sig_str(sf_dir, "events"))
     if os.path.exists(marker):
         return out
     # no marker → any existing dir is a partial write from a crashed run
@@ -51,7 +52,8 @@ def container_logs_text_dir(spark: SparkSession, sf_dir: str) -> str:
         F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
         F.when(F.col("event_type") == "error", "stderr").otherwise("stdout"),
         F.concat(F.lit("evt="), F.col("event_id").cast("string"),
-                 F.lit(" type="), F.col("event_type"),
+                 F.lit(" type="),
+                 F.coalesce(F.col("event_type"), F.lit("null")),
                  F.lit(" value="),
                  F.coalesce(F.col("value").cast("string"), F.lit("null"))),
     )
@@ -93,7 +95,8 @@ SELECT
        AS BIGINT) AS n_purchase_lines
 FROM (
   SELECT event_type, ts,
-         'evt=' || CAST(event_id AS VARCHAR) || ' type=' || event_type
+         'evt=' || CAST(event_id AS VARCHAR) || ' type='
+           || COALESCE(event_type, 'null')
            || ' value=' || COALESCE(CAST(value AS VARCHAR), 'null') AS message
   FROM events
 )
@@ -136,7 +139,8 @@ WITH minted AS (
          '<' || (event_id % 192) || '>'
          || strftime(ts, '%b %-d %H:%M:%S') || ' host'
          || (user_id % 10) || ' app[' || (event_id % 1000) || ']: '
-         || event_type || ' value=' || COALESCE(CAST(value AS VARCHAR), 'null') AS line
+         || COALESCE(event_type, 'null')
+         || ' value=' || COALESCE(CAST(value AS VARCHAR), 'null') AS line
   FROM events
 ), parsed AS (
   SELECT event_id, line,
@@ -183,7 +187,7 @@ def q_source_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "MMM d HH:mm:ss"), F.lit(" host"),
             (F.col("user_id") % 10).cast("string"),
             F.lit(" app["), (F.col("event_id") % 1000).cast("string"),
-            F.lit("]: "), F.col("event_type"),
+            F.lit("]: "), F.coalesce(F.col("event_type"), F.lit("null")),
             F.lit(" value="),
             F.coalesce(F.col("value").cast("string"), F.lit("null")),
         ).alias("line"))
@@ -198,8 +202,11 @@ def q_source_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("line", r"\]: (\w+) value=", 1).alias("msg_type"),
     )
     sev = F.col("pri") % 8
-    sev_name = F.element_at(
-        F.array(*[F.lit(n) for n in _SYSLOG_SEV]), (sev + 1).cast("int"))
+    # Gate on a parsed PRI: element_at with a NULL index does NOT return
+    # NULL (measured: an unparseable line's severity named 'debug'
+    # Spark-side while the oracle's CASE yields NULL) — class G.
+    sev_name = F.when(sev.isNotNull(), F.element_at(
+        F.array(*[F.lit(n) for n in _SYSLOG_SEV]), (sev + 1).cast("int")))
     return parsed.groupBy(
         (F.col("pri") / 8).cast("long").alias("facility"),
         sev.alias("severity"),

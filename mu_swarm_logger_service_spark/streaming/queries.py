@@ -555,7 +555,8 @@ def q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
                os.path.join(sink, f"batch={batch_id}"))
 
     q = (
-        holt_stateful(X.stream_events(spark, sf_dir, max_files_per_trigger=1))
+        holt_stateful(X.stream_events(spark, sf_dir, max_files_per_trigger=1)
+                      .filter(F.col('event_type').isNotNull()))
         .writeStream.outputMode("update")
         .foreachBatch(write_batch)
         .option("checkpointLocation", ckpt)
@@ -670,11 +671,13 @@ WITH ranked AS (
   SELECT user_id, event_id, value, event_type,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 )
 SELECT user_id, CAST(event_id AS BIGINT) AS last_event_id,
        value AS latest_value
-FROM ranked WHERE rn = 1 AND event_type <> 'error'
+-- class G: only an EXPLICIT 'error' op is a delete; a change with an
+-- unknown (NULL) type defaults to upsert (NULL <> 'error' would drop it)
+FROM ranked WHERE rn = 1 AND (event_type <> 'error' OR event_type IS NULL)
 """)
 def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC materialization: the event stream read as a keyed
@@ -701,7 +704,13 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-shot application exactly."""
     state_dir = tempfile.mkdtemp(prefix="spark_graft_cdcstate_")
     ckpt = tempfile.mkdtemp(prefix="spark_graft_cdcckpt_")
-    result = _run_cdc_apply(spark, X.stream_events(spark, sf_dir), state_dir,
+    # class G: CDC is keyed — a NULL-key change has no identity to
+    # merge on (the full-outer MERGE would never match it and each
+    # batch would accrete a fresh null row).
+    result = _run_cdc_apply(
+        spark,
+        X.stream_events(spark, sf_dir).filter(F.col('user_id').isNotNull()),
+        state_dir,
                             ckpt)
     out = result.localCheckpoint(eager=True)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -809,7 +818,8 @@ def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
                os.path.join(sink, f"batch={batch_id}"))
 
     q = (
-        hw_stateful(X.stream_events(spark, sf_dir, max_files_per_trigger=1))
+        hw_stateful(X.stream_events(spark, sf_dir, max_files_per_trigger=1)
+                    .filter(F.col('event_type').isNotNull()))
         .writeStream.outputMode("update")
         .foreachBatch(write_batch)
         .option("checkpointLocation", ckpt)
@@ -882,7 +892,8 @@ def q_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         pattern_stateful(
-            X.stream_events(spark, sf_dir, max_files_per_trigger=1))
+            X.stream_events(spark, sf_dir, max_files_per_trigger=1)
+            .filter(F.col("user_id").isNotNull()))
         .writeStream.outputMode("update")
         .foreachBatch(write_batch)
         .option("checkpointLocation", ckpt)

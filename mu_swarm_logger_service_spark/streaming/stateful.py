@@ -138,7 +138,10 @@ def mg_sketch_stateful(events: DataFrame) -> DataFrame:
 
     from ..operators.sketches import MG_SHARDS
 
-    keyed = events.select(
+    # class G: heavy hitters over IDENTIFIED items — a NULL user_id
+    # arrives in the pandas fold as NaN and crashes the integer counter
+    # (and NaN != NaN would split its counts anyway).
+    keyed = events.filter(F.col("user_id").isNotNull()).select(
         F.pmod(F.xxhash64("event_id"), F.lit(MG_SHARDS)).alias("shard"),
         "event_id", "ts", F.col("user_id").alias("item"),
     )

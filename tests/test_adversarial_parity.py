@@ -100,6 +100,32 @@ SENSITIVE = [
     # found only by the COMBINED adversarial fixture (C2 nulls x key
     # skew -> all-orders-unpriced customers with NULL revenue ranks):
     "q_analytics_revenue_gini",
+    # r9 trap class G (null entity/category keys: anonymous user_id,
+    # typeless events, untagged docs, unlabeled embeddings) — the
+    # 26-query first-contact batch, five mechanisms (see
+    # tools/gen_adversarial.py class-G bullet).  q_stream_heavy_hitters
+    # is rows-only and is covered by the replay suite instead.
+    "q_fn_ipnet",            # IP mint per identified user
+    "q_fn_string",           # DuckDB concat() skips NULLs; || propagates
+    "q_fn_struct",           # total-boolean after_mark; keep-null to_json
+    "q_fn_encode",           # vacuous-true roundtrip (nullable-bool trap)
+    "q_join_asof",           # identified users (null never joins null)
+    "q_join_asof_nearest",   # same
+    "q_ts_funnel",           # identified users
+    "q_ts_holt_trend",       # identified series (recursive-join drop)
+    "q_ts_holt_winters",     # same
+    "q_ts_forecast_backtest",  # same
+    "q_ts_lttb",             # same
+    "q_ts_kaplan_meier",     # identified users
+    "q_ts_pattern_match",    # identified users
+    "q_stream_holt_winters",  # streaming twin of the series policy
+    "q_stream_pattern_match",  # same
+    "q_stream_fingerprint",  # NULLs are content: \\N sentinel canon
+    "q_audit_dataset_fingerprint",  # batch twin of the sentinel
+    "q_llm_dpo_pairs",       # identified (lang, source) buckets
+    "q_llm_langid",          # signatures from tagged docs only
+    "q_llm_tfidf_keywords",  # keywords per identified language
+    "q_llm_vocab_coverage",  # coverage per identified language
 ]
 
 

@@ -55,6 +55,16 @@ Same schemas and row counts as the driver's testdata, hostile values:
   byte-count mint (ANSI cast of the negative token) and DuckDB's sqrt
   on refund prices; the policies are the CLF '-' no-size convention
   with a gated integral re-parse, and declared math-function domains.
+- **null entity/category keys** (r9, class G): anonymous events
+  (NULL user_id), typeless events (NULL event_type), untagged documents
+  (NULL lang/source), unlabeled embeddings (NULL label).  First contact
+  split 26 queries through five mechanisms: equi-joins dropping the
+  null-key groups that windows/groupBy keep (holt's recursive step, the
+  funnel/dpo USING joins), NULL rank/tie placement (knn votes, langid
+  argmax), minting null-propagation (syslog/container-logs/CLF lines,
+  the fingerprint's concat_ws arity), pandas NaN integer crashes
+  (Misra-Gries items), and nullable-boolean dtype rendering — each now a
+  declared identified-rows / null-safe-render / total-boolean policy.
 - **money-measure null flood** (r9, class C2): ~3%% NULLs in the TPC-H
   fact/dim measures (l_extendedprice/discount/tax/quantity,
   o_totalprice, acctbals, p_retailprice).  First contact split 4
@@ -271,6 +281,11 @@ def generate(base, out):
             for i in np.where(patho_mask)[0]:
                 props[i] = patho[ppick[i]]
             df["props"] = props
+            # --- r9 trap class G: NULL ENTITY/CATEGORY KEYS ---
+            df["event_type"] = _null(rng, df.event_type, 0.04, n)
+            uid = df.user_id.to_numpy(dtype=float).copy()
+            uid[rng.random_sample(n) < 0.03] = np.nan  # anonymous events
+            df["user_id"] = uid
         elif name == "documents":
             # duplicate storm: 30 anchor texts, each copied onto 2 other
             # docs (ids stay unique; lang/source untouched -> groups span
@@ -308,6 +323,9 @@ def generate(base, out):
                     text[i] = "x" * 300
             df["text"] = text
             df["n_chars"] = [len(t) for t in text]
+            # r9 class G: untagged documents
+            df["lang"] = _null(rng, df.lang, 0.04, n)
+            df["source"] = _null(rng, df.source, 0.04, n)
         elif name == "embeddings":
             vecs = [np.asarray(v, dtype=np.float32) for v in df.embedding]
             vecs = [np.round(v * 4.0) / 4.0 for v in vecs]
@@ -339,6 +357,10 @@ def generate(base, out):
                 vecs[i] = vecs[i].copy()
                 vecs[i][j % dim] = np.float32("inf")
             df["embedding"] = [v.astype(np.float32) for v in vecs]
+            # r9 class G: unlabeled embeddings
+            lab = df.label.to_numpy(dtype=float).copy()
+            lab[rng.random_sample(n) < 0.05] = np.nan
+            df["label"] = lab
 
         _write(out, name, df, schema)
     print(f"adversarial fixtures written to {out}")
