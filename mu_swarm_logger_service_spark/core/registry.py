@@ -128,29 +128,30 @@ assert len(EXPORT_FIRST) <= 50, "EXPORT_FIRST exceeds the driver's window"
 
 # r10 window suggestion, derived 2026-08-15/16 at the end of round 9: with
 # 0 never-checked keys left, the highest-value re-queue is the surface
-# round 9 TOUCHED — the 8 null-policy keys, the IVF-codebook family, the
-# stale-cache scan/source keys, the newly guarded pair, the class-D
-# embedding-validity-contract family (every query now loading through
-# load_vec + the mirrored oracle subquery), and the class-E JSON-contract
-# pair — so the r10 driver run re-proves exactly the changed code.  47
-# keys; paste into EXPORT_FIRST at the start of round 10 (fold in any r9
-# hard-reds first; they take priority):
-#   "q_source_syslog", "q_source_container_logs", "q_source_docker_events",
-#   "q_source_startup_scan", "q_fn_format", "q_agg_equidepth_hist",
-#   "q_analytics_ks_test", "q_udf_python", "q_udf_pandas_scalar",
-#   "q_udf_register_sql", "q_llm_ann_ivf", "q_llm_ann_recall",
+# round 9 TOUCHED.  This session's seven hostile trap classes changed
+# policy/code on ~60 queries — more than one 50-key window — so the 50
+# below prioritize (a) every query whose POLICY changed (classes C2/D/
+# E/F/G fixes), then (b) the r9-early fixes (null-policy keys, IVF
+# codebook, stale-cache sources, guards).  Paste into EXPORT_FIRST at
+# the start of round 10 (fold in any r9 hard-reds first; the remainder
+# of the vector family rides r11):
+#   "q_fn_json", "q_fn_variant", "q_fn_string", "q_fn_struct",
+#   "q_fn_encode", "q_fn_format", "q_fn_ipnet", "q_fn_math",
+#   "q_source_syslog", "q_source_container_logs", "q_source_accesslog",
+#   "q_ops_log_templates", "q_agg_weighted_median", "q_agg_spearman",
+#   "q_analytics_min_cost_supplier", "q_analytics_mann_whitney",
+#   "q_analytics_revenue_gini", "q_join_asof", "q_join_asof_nearest",
+#   "q_ts_funnel", "q_ts_holt_trend", "q_ts_holt_winters",
+#   "q_ts_forecast_backtest", "q_ts_lttb", "q_ts_kaplan_meier",
+#   "q_ts_pattern_match", "q_stream_holt", "q_stream_holt_winters",
+#   "q_stream_pattern_match", "q_stream_cdc_apply",
+#   "q_stream_fingerprint", "q_stream_heavy_hitters",
+#   "q_audit_dataset_fingerprint", "q_llm_dpo_pairs", "q_llm_langid",
+#   "q_llm_tfidf_keywords", "q_llm_vocab_coverage", "q_llm_knn_label",
+#   "q_llm_cosine_topk", "q_llm_matryoshka", "q_llm_rrf_fusion",
+#   "q_llm_ann_pq", "q_llm_ann_ivf", "q_llm_ann_recall",
 #   "q_llm_kmeans_step", "q_llm_semdedup", "q_llm_embed_near_dup",
-#   "q_scan_dpp", "q_scan_merge_schema", "q_stream_foreachbatch",
-#   "q_fn_json", "q_fn_variant", "q_llm_cosine_topk", "q_llm_knn_label",
-#   "q_llm_matryoshka", "q_llm_rrf_fusion", "q_llm_ann_lsh",
-#   "q_llm_centroid", "q_llm_quantize_int8", "q_llm_ann_int8",
-#   "q_llm_hard_negatives", "q_llm_pq_encode", "q_llm_ann_pq",
-#   "q_llm_embed_moments", "q_llm_embed_whiten", "q_llm_rank_eval",
-#   "q_llm_embedding_drift", "q_llm_ann_ivf_pq", "q_llm_cluster_purity",
-#   "q_llm_cc_largestar", "q_llm_dedup_groups", "q_llm_dup_triangles",
-#   "q_llm_pagerank", "q_graph_label_prop", "q_graph_kcore",
-#   "q_graph_modularity", "q_graph_assortativity", "q_sort_multi",
-#   "q_agg_chi2",
+#   "q_llm_cluster_purity", "q_scan_dpp", "q_sketch_heavy_hitters",
 #
 # (r9 window note, superseded): the 49 keys below were the last
 # never-driver-checked remainder; applied above on 2026-08-15.

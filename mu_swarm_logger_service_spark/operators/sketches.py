@@ -770,7 +770,9 @@ WITH pu AS (
   SELECT DISTINCT event_type,
          user_id,
          ((user_id * {KMV_A} + {KMV_B}) % {KMV_P1}) * {KMV_STRETCH} AS pri
-  FROM events WHERE value >= 200 AND event_type <> 'purchase'
+  FROM events
+  WHERE value >= 200 AND event_type <> 'purchase'
+    AND user_id IS NOT NULL
 ), types AS (
   SELECT DISTINCT event_type FROM pu
 ), pairs AS (
@@ -825,8 +827,13 @@ def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom-K partials merge losslessly (kmv_bottomk composition), so
     any pair's overlap estimate costs K integers per side, not a
     user-keyed self-join."""
+    # class G: membership sets are of IDENTIFIED users — an anonymous
+    # row's NULL hash priority would ride Spark NULLS FIRST into the
+    # bottom-K sketch while DuckDB's NULLS LAST keeps it out (found by
+    # the combined adversarial fixture at sf0.1 density only).
     ev = load(spark, sf_dir, "events").filter(
-        (F.col("value") >= 200) & (F.col("event_type") != "purchase"))
+        (F.col("value") >= 200) & (F.col("event_type") != "purchase")
+        & F.col("user_id").isNotNull())
     pu = (ev.select("event_type", "user_id").distinct()
           .select("event_type", "user_id",
                   kmv_priority("user_id").alias("pri")))

@@ -126,6 +126,7 @@ SENSITIVE = [
     "q_llm_langid",          # signatures from tagged docs only
     "q_llm_tfidf_keywords",  # keywords per identified language
     "q_llm_vocab_coverage",  # coverage per identified language
+    "q_sketch_kmv_jaccard",  # NULL hash priority vs bottom-K (sf0.1 find)
 ]
 
 
