@@ -749,7 +749,7 @@ emb AS (
         WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
           AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), cent AS (
-  SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id % {CENT_MOD} = 3
+  SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < {IVF_K}
 ), assign AS (
   SELECT vec_id, cell FROM (
     SELECT emb.vec_id, cent.cell,
@@ -792,24 +792,52 @@ def q_llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking and cosine ranking are monotonically equivalent.)  At 100 TB:
     centroids + codebook broadcast, the (cell, codes) index partitions BY
     cell so probes are shuffle-local, and the scan reads 4 B/vector
-    instead of 256 B.  All three pieces (assignment argmax, codes, ADC
-    ranking) are individually bit-deterministic, so the composition keeps
-    an exact oracle."""
-    from .similarity import _pq_codebook, _pq_codes
+    instead of 256 B.  The coarse codebook is the same corpus-INDEPENDENT
+    fixed-K set as q_llm_ann_ivf (``vec_id < IVF_K``): the build is
+    O(n·K) with an O(K) broadcast at any corpus size, instead of the
+    n·(n/71) the modulus codebook paid (the defect the r8 8×-probe
+    measured at ×3.29 on ann_ivf before its fix).  All three pieces
+    (assignment argmax, codes, ADC ranking) are individually
+    bit-deterministic, so the composition keeps an exact oracle.
+
+    Build-plan shape: with the codebook FIXED-K, the cell assignment is a
+    per-row argmax over a broadcast array — so the whole index build
+    (cell + codes) is ONE narrow projection over the corpus scan, zero
+    shuffles (the r9 join+groupBy form shuffled the corpus twice and its
+    tiny exchanges AQE-coalesced onto one core at oracle scale: 26 s at
+    the 8× fixture vs ~2 s for this form).  The per-row argmax is
+    ``array_position(sims, array_max(sims))`` over a cell-id-ordered
+    centroid array — first max == lowest cell id, the exact tiebreak of
+    the oracle's ``ORDER BY cos DESC, cell`` window."""
+    from .similarity import _PQ_CODES, _pq_codebook
 
     emb = load_vec(spark, sf_dir).select("vec_id", "embedding")
-    cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
+    cent = emb.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
     )
-    cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
-    assign = (
-        spread(emb).join(F.broadcast(cent))
-        .groupBy("vec_id")
-        .agg(F.max(F.struct(cos_r.alias("cs"),
-                            (-F.col("cell")).alias("nc"))).alias("best"))
-        .select("vec_id", (-F.col("best.nc")).alias("cell"))
+    # One-row broadcast: centroids as array<struct<cell, ce>>, ordered by
+    # cell id (array_sort on the struct sorts by the leading vec_id).
+    cents = (
+        emb.filter(F.col("vec_id") < IVF_K)
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "embedding")))
+             .alias("cs"))
+        .select(F.expr("transform(cs, s -> struct(s.vec_id AS cell,"
+                       " s.embedding AS ce))").alias("cents"))
     )
-    index = _pq_codes(emb).join(assign, "vec_id")
+    sims = F.transform(
+        F.col("cents"),
+        lambda c: F.round(cosine(F.col("e"), c["ce"]), 6) + F.lit(0.0))
+    cell = F.element_at(
+        F.col("cents"),
+        F.array_position(sims, F.array_max(sims)).cast("int"))["cell"]
+    index = (
+        spread(emb)
+        .crossJoin(F.broadcast(cents))
+        .crossJoin(F.broadcast(_pq_codebook(emb)))
+        .withColumn("e", F.expr("transform(embedding, x -> x)"))
+        .select("vec_id", F.expr(_PQ_CODES).alias("code"),
+                cell.alias("cell"))
+    )
 
     q = emb.filter(F.expr("vec_id % 100 = 0")).select(
         F.col("vec_id").alias("q_id"),
@@ -999,7 +1027,7 @@ WITH emb AS (
         WHERE len(list_filter(embedding, x -> x IS NULL OR NOT isfinite(x))) = 0
           AND len(list_filter(embedding, x -> x <> 0e0)) > 0) embeddings
 ), cent AS (
-  SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id % {CENT_MOD} = 3
+  SELECT vec_id AS cell, e AS ce FROM emb WHERE vec_id < {IVF_K}
 ), assign AS (
   SELECT vec_id, label, cell FROM (
     SELECT emb.vec_id, emb.label, cent.cell,
@@ -1035,14 +1063,18 @@ def q_llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's window.  purity is one int/int IEEE division on identical
     operands — raw emit.  At 100 TB this is the cheap audit run after
     every re-clustering: cost is one assignment pass + a cell-sized
-    rollup; label here is any golden/weak signal column."""
+    rollup; label here is any golden/weak signal column.  The codebook
+    is the corpus-INDEPENDENT fixed-K set shared with the IVF family
+    (``vec_id < IVF_K``) — the audit's cost must stay O(n·K), not the
+    n·(n/71) a corpus-proportional modulus codebook would pay (the
+    defect the r8 probe measured at ×3.29 on ann_ivf pre-fix)."""
     emb = load_vec(spark, sf_dir).select(
         "vec_id", "label", "embedding")
-    cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
+    cent = emb.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
     cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
     assign = (
-        emb.join(F.broadcast(cent))
+        spread(emb).join(F.broadcast(cent))
         .groupBy("vec_id", "label")
         .agg(F.max(F.struct(
             cos_r.alias("cs"), (-F.col("cell")).alias("nc"))).alias("b"))

@@ -910,10 +910,16 @@ def _pq_codebook(emb: DataFrame) -> DataFrame:
 
 def _pq_codes(emb: DataFrame) -> DataFrame:
     """(vec_id, code: array<long>[M]) — per-subspace argmin centroid ids.
-    A narrow map over the corpus scan (the codebook is a broadcast scalar):
-    zero shuffle, embarrassingly parallel at any scale."""
+    A narrow map over the corpus scan (the codebook is a broadcast scalar),
+    embarrassingly parallel at any scale.  The corpus side rides ``spread``
+    because the encode is COMPUTE-dense (~2k interpreted lambda terms per
+    vector): a single-file oracle-scale scan would otherwise serialize the
+    whole encode onto one core (measured 14 s for 16k vectors at the 8×
+    fixture vs <1 s spread).  At real scale the input arrives with natural
+    split parallelism and spread is a no-op — no exchange is inserted."""
     return (
-        emb.select("vec_id", F.expr("transform(embedding, x -> x)").alias("e"))
+        spread(emb.select("vec_id",
+                          F.expr("transform(embedding, x -> x)").alias("e")))
         .crossJoin(F.broadcast(_pq_codebook(emb)))
         .select("vec_id", F.expr(_PQ_CODES).alias("code"))
     )
@@ -932,9 +938,10 @@ def q_llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4 B + shared codebook vs 256 B), the compression that lets a
     billion-vector index live in executor memory next to IVF cells.  Per
     vector the encode is a pure higher-order expression (distances to 16
-    broadcast centroids per subspace, first-min argmin); no shuffle
-    anywhere — the whole query is a narrow map over the scan, so it
-    pipelines into any downstream operator.  Distances are sequential
+    broadcast centroids per subspace, first-min argmin); no data shuffle
+    — the whole query is a narrow map over the scan (plus ``spread``'s
+    conditional round-robin when the scan arrives under-parallel, a
+    no-op at real scale), so it pipelines into any downstream operator.  Distances are sequential
     left-folds of identical doubles, and both engines take the FIRST
     minimal centroid, so codes are bit-deterministic cross-engine (exact
     oracle).  The 8 codes are emitted PACKED big-endian into one BIGINT
