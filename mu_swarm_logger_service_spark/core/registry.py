@@ -101,25 +101,36 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # registration order.  The window must never exceed the driver's 50 rows
 # (enforced below and in tests) or the tail silently loses evidence.
 EXPORT_FIRST: tuple[str, ...] = (
-    # window auto-applied 2026-08-15 by `tools/rotate_window.py --apply`
-    # from 8 CORRECTNESS file(s); 0 never-checked keys remain after this window.
-    "q_ts_decompose", "q_ts_mann_kendall", "q_ops_slo_burn",
-    "q_sketch_kmv", "q_sketch_kmv_jaccard", "q_fn_normalize_text",
-    "q_fn_ipnet", "q_stream_holt", "q_stream_kmv",
-    "q_stream_cdc_apply", "q_stream_holt_winters", "q_stream_pattern_match",
-    "q_stream_burstiness", "q_source_syslog", "q_source_accesslog",
-    "q_ops_log_templates", "q_llm_rank_eval", "q_llm_cc_largestar",
-    "q_llm_cluster_purity", "q_graph_label_prop", "q_graph_kcore",
-    "q_graph_modularity", "q_graph_assortativity", "q_llm_edit_dedup",
-    "q_llm_bpe_pairs", "q_llm_pack_next_fit", "q_llm_rebalance",
-    "q_llm_gopher_rules", "q_llm_vocab_coverage", "q_llm_perplexity",
-    "q_llm_dpo_pairs", "q_llm_char_entropy", "q_llm_quality_cascade",
-    "q_llm_quantile_normalize", "q_llm_token_budget", "q_llm_bpe_train",
-    "q_llm_bpe_apply", "q_llm_k_anonymity", "q_llm_bm25_topk",
-    "q_llm_winnowing", "q_llm_html_extract", "q_llm_hashed_features",
-    "q_llm_collocations", "q_llm_span_corruption", "q_llm_l_diversity",
-    "q_llm_curriculum", "q_llm_mixture_temperature", "q_udtf_map_arrow",
-    "q_meta_catalog",
+    # r10 window, activated 2026-08-16: with never-checked = 0 the window's
+    # job is FRESHNESS — re-prove the surface rounds 8-10 TOUCHED (the
+    # class C2/D/E/F/G policy fixes, the null-policy keys, the IVF
+    # fixed-K codebook family incl. this round's ivf_pq/cluster_purity
+    # propagation, the stale-cache sources, the guards) ahead of r1-era
+    # greens.  Pre-derived at the end of round 9 (commit fd61839), then
+    # adjusted at activation: the 10 pre-derived keys that were ALSO in
+    # the r9 window (q_fn_ipnet, the syslog/accesslog/log_templates
+    # sources, the four r9 stream keys, dpo_pairs, vocab_coverage) went
+    # driver-green in CORRECTNESS_r09 AFTER every r9 policy fix, so their
+    # slots go to the 10 stalest class-D-touched vector-family keys
+    # instead (last driver rows r4/r6, PRE-dating the validity contract;
+    # ann_ivf_pq and pq_encode additionally changed in r10 itself).
+    "q_fn_json", "q_fn_variant", "q_fn_string", "q_fn_struct",
+    "q_fn_encode", "q_fn_format", "q_llm_ann_ivf_pq", "q_fn_math",
+    "q_llm_pq_encode", "q_source_container_logs", "q_llm_ann_lsh",
+    "q_llm_centroid", "q_agg_weighted_median", "q_agg_spearman",
+    "q_analytics_min_cost_supplier", "q_analytics_mann_whitney",
+    "q_analytics_revenue_gini", "q_join_asof", "q_join_asof_nearest",
+    "q_ts_funnel", "q_ts_holt_trend", "q_ts_holt_winters",
+    "q_ts_forecast_backtest", "q_ts_lttb", "q_ts_kaplan_meier",
+    "q_ts_pattern_match", "q_llm_quantize_int8", "q_llm_ann_int8",
+    "q_llm_hard_negatives", "q_llm_embedding_drift",
+    "q_stream_fingerprint", "q_stream_heavy_hitters",
+    "q_audit_dataset_fingerprint", "q_llm_dedup_groups", "q_llm_langid",
+    "q_llm_tfidf_keywords", "q_llm_dup_triangles", "q_llm_knn_label",
+    "q_llm_cosine_topk", "q_llm_matryoshka", "q_llm_rrf_fusion",
+    "q_llm_ann_pq", "q_llm_ann_ivf", "q_llm_ann_recall",
+    "q_llm_kmeans_step", "q_llm_semdedup", "q_llm_embed_near_dup",
+    "q_llm_cluster_purity", "q_scan_dpp", "q_sketch_heavy_hitters",
 )
 
 # The driver's CORRECTNESS window is 50 rows; a 51st pin would silently push
