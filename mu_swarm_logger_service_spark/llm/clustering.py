@@ -78,9 +78,9 @@ def _guard_semdedup_corpus(spark: SparkSession, sf_dir: str) -> None:
             f"semdedup exact baseline refused: corpus has {n} vectors "
             f"(> {ceiling}); the brute coarse assignment is "
             f"corpus × corpus/{CENT_MOD} cosines — oracle-scale audits "
-            f"only. At production scale assign cells via the ANN index "
-            f"(hyperplane_tables bucketing or the fixed-K IVF quantizer) "
-            f"before the in-cell pass, or raise "
+            f"only. At production scale run the ANN-assisted "
+            f"q_llm_semdedup_scale (hyperplane-LSH coarse assignment, "
+            f"same in-cell policy), or raise "
             f"{_CONF_MAX_SEMDEDUP!r} explicitly.")
     _semdedup_guard_ok.add(key)
 IVF_TOPK = 5
@@ -569,10 +569,12 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-proportional codebook because bounded cell size (~CENT_MOD) is
     what keeps Σ cell_size² linear.  That makes the brute assignment term
     n·(n/71) the super-linear piece here; at real scale the assignment is
-    done with the ANN index itself (hierarchical / IVF-assisted quantizer)
-    rather than a flat broadcast — documented trade, and guarded: past
-    MAX_SEMDEDUP_CORPUS vectors the exact form refuses (the
-    quadratic-family admission standard)."""
+    done with the ANN index itself — the runnable form is
+    q_llm_semdedup_scale below (hyperplane-LSH-assisted argmax, same
+    in-cell policy; brute/composed agreement pinned in
+    tests/test_llm.py) — and this exact form is guarded: past
+    MAX_SEMDEDUP_CORPUS vectors it refuses (the quadratic-family
+    admission standard)."""
     _guard_semdedup_corpus(spark, sf_dir)
     emb = load_vec(spark, sf_dir).select("vec_id", "embedding")
     cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
@@ -601,6 +603,84 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         assign.join(dup, "vec_id", "left")
+        .select("vec_id", "cell", F.col("hit").isNull().alias("is_kept"))
+    )
+
+
+@query("q_llm_semdedup_scale")
+def q_llm_semdedup_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's PRODUCTION assignment: the ANN-assisted coarse stage the
+    brute form's guard points at, now a runnable path rather than prose.
+
+    Same policy as q_llm_semdedup (corpus-proportional centroid set for
+    bounded cells; within a cell, drop any vector with a lower-id member
+    at cosine >= SEM_TAU), but the centroid ARGMAX is computed only over
+    centroids sharing a hyperplane-LSH bucket with the vector
+    (q_llm_ann_lsh's hyperplane_tables, OR-amplified across N_TABLES):
+    candidates per vector ~= T * ncent / 2^BITS, and BITS is a build
+    parameter tuned ~log2(ncent), so the assignment is O(n*T) instead of
+    the brute n*(n/71) the admission guard refuses past oracle scale.
+    Vectors whose buckets contain NO centroid take a NULL cell and are
+    KEPT as singletons (declared policy: an unassignable vector is never
+    a semantic duplicate of anything the index can see).
+
+    Soundness: every drop still comes from an EXACT in-cell cosine >=
+    SEM_TAU against a real lower-id corpus vector — LSH can only lose
+    recall (miss dups whose argmax cell differs from brute), never
+    false-drop (tests/test_llm.py pins soundness against the all-pairs
+    truth and recall vs the brute keep-set at oracle scale).  Rows-only
+    for the driver: the hyperplanes are xxhash64-derived (no DuckDB
+    twin), the same class as q_llm_ann_lsh.
+
+    Scale shape: signatures are one narrow pass over the corpus (and one
+    over the centroid set); the candidate fetch is an equi shuffle on
+    (table, bucket) — no crossJoin, no corpus-sized broadcast; the
+    argmax partial-aggregates map-side; the in-cell pairing is the same
+    bounded Sigma cell_size^2 self-join as the brute form."""
+    from .similarity import hyperplane_tables
+
+    emb = spread(load_vec(spark, sf_dir)).select("vec_id", "embedding")
+    cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+    sig_v = emb.select(
+        "vec_id", "embedding",
+        F.posexplode(hyperplane_tables(F.col("embedding")))
+        .alias("table", "bucket"))
+    sig_c = cent.select(
+        "cell", "ce",
+        F.posexplode(hyperplane_tables(F.col("ce")))
+        .alias("table", "bucket"))
+    cand = (
+        sig_v.join(sig_c, ["table", "bucket"])
+        .dropDuplicates(["vec_id", "cell"])  # met in >=1 table -> score once
+    )
+    cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
+    assign = (
+        cand.groupBy("vec_id")
+        .agg(F.max(F.struct(
+            cos_r.alias("cs"),
+            (-F.col("cell")).alias("nc"),
+            F.col("embedding").alias("e"),
+        )).alias("best"))
+        .select("vec_id", (-F.col("best.nc")).alias("cell"),
+                F.col("best.e").alias("e"))
+    )
+    unmatched = (
+        emb.join(assign.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", F.lit(None).cast("long").alias("cell"),
+                F.col("embedding").alias("e"))
+    )
+    b = assign.select(F.col("vec_id").alias("b_id"), "cell",
+                      F.col("e").alias("eb"))
+    dup = (
+        assign.join(b, "cell")
+        .where((F.col("b_id") < F.col("vec_id"))
+               & (F.round(cosine(F.col("e"), F.col("eb")), 6) >= SEM_TAU))
+        .select("vec_id").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        assign.unionByName(unmatched).join(dup, "vec_id", "left")
         .select("vec_id", "cell", F.col("hit").isNull().alias("is_kept"))
     )
 

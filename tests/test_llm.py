@@ -274,6 +274,70 @@ def test_embed_near_dup_subset_guarded(spark, sf_dir):
     assert (sf_dir, MAX_PAIRWISE_SUBSET) in _subset_guard_ok
 
 
+def test_semdedup_scale_composed_path(spark, sf_dir, tmp_path_factory):
+    """The ANN-assisted semdedup (q_llm_semdedup_scale) must (a) run where
+    the brute form REFUSES (it is the path the guard names), (b) emit
+    every corpus vector exactly once, and (c) agree with the guarded
+    brute baseline on a fixture with TRUE semantic duplicates: a
+    2x-replicated corpus (identical twins, the gen_replicated recipe)
+    where identical vectors share every LSH bucket, so both paths pair
+    each twin with its copy.  The pristine fixtures have no tau>=0.7
+    pairs (0 == 0 proves nothing — the vacuous-oracle trap), hence the
+    planted-dup fixture.
+
+    Agreement is pinned as the path's actual contract, not blanket
+    equality: every composed drop is a true duplicate (soundness — on
+    this fixture the true-dup set IS the brute drop set), NULL-cell
+    vectors are kept by declared policy, and twin pairs whose members
+    both got a cell behave exactly like brute (higher id dropped, lower
+    kept).  Blanket keep-set equality only holds when LSH bucket
+    coverage is total (it is at the 8x fixture's centroid density; the
+    oracle-scale centroid set is too sparse for that)."""
+    import pandas as pd
+
+    from mu_swarm_logger_service_spark.llm.clustering import (
+        _CONF_MAX_SEMDEDUP, _semdedup_guard_ok)
+
+    d = tmp_path_factory.mktemp("semdedup2x")
+    base = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    rep = base.copy()
+    rep["vec_id"] = rep["vec_id"] + int(base["vec_id"].max()) + 1
+    pd.concat([base, rep], ignore_index=True).to_parquet(
+        d / "embeddings.parquet", index=False)
+    fix = str(d)
+
+    spark.conf.set(_CONF_MAX_SEMDEDUP, "1")
+    try:
+        with pytest.raises(ValueError, match="ANN"):
+            QUERIES["q_llm_semdedup"](spark, fix)
+        comp = QUERIES["q_llm_semdedup_scale"](spark, fix).collect()
+    finally:
+        spark.conf.unset(_CONF_MAX_SEMDEDUP)
+        _semdedup_guard_ok.clear()
+    brute = QUERIES["q_llm_semdedup"](spark, fix).collect()
+
+    assert len(comp) == len({r.vec_id for r in comp})  # one row per vector
+    assert {r.vec_id for r in comp} == {r.vec_id for r in brute}
+    off = int(base["vec_id"].max()) + 1
+    cdrop = {r.vec_id for r in comp if not r.is_kept}
+    bdrop = {r.vec_id for r in brute if not r.is_kept}
+    assert bdrop, "planted twins produced no brute drops"
+    assert cdrop, "composed path found no drops at all"
+    assert cdrop <= bdrop  # soundness: composed never false-drops
+    cells = {r.vec_id: r.cell for r in comp}
+    for v, cell in cells.items():
+        if cell is None:
+            assert v not in cdrop  # unassignable -> kept, by policy
+        elif v >= off and cells.get(v - off) is not None:
+            assert v in cdrop      # both twins assigned -> higher dropped
+        if v < off and v + off in cells:
+            assert v not in cdrop  # lower twin always kept
+
+    # Determinism: a second run reproduces the identical rowset.
+    again = QUERIES["q_llm_semdedup_scale"](spark, fix).collect()
+    assert sorted(map(tuple, comp)) == sorted(map(tuple, again))
+
+
 def test_semdedup_corpus_guarded(spark, sf_dir):
     """SemDeDup's brute coarse assignment is corpus x corpus/CENT_MOD:
     past the admission ceiling it must REFUSE and name the ANN-assisted
@@ -283,7 +347,7 @@ def test_semdedup_corpus_guarded(spark, sf_dir):
 
     spark.conf.set(_CONF_MAX_SEMDEDUP, "1")
     try:
-        with pytest.raises(ValueError, match="ANN index"):
+        with pytest.raises(ValueError, match="ANN-assisted"):
             QUERIES["q_llm_semdedup"](spark, sf_dir)
     finally:
         spark.conf.unset(_CONF_MAX_SEMDEDUP)
