@@ -17,7 +17,7 @@ Cross-engine gotchas handled here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -321,8 +321,30 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # render as '1.0E20' vs '100000000000000000000.0'.  So the queries declare
 # an explicit payload contract instead of leaning on parser quirks:
 #
-#   * usable payload = ONE JSON object document, no trailing content
-#     (trim(props) matches ^\{.*\}$); anything else yields NULL columns;
+#   * usable payload = ONE JSON object document, no trailing content.
+#     The r10 advice probe showed the regex gate alone is asymmetric:
+#     Jackson tolerates trailing garbage that ENDS in '}' (e.g.
+#     '{"k":1} {"x":2}'), single-quoted strings, and control characters
+#     in strings, while yyjson additionally accepts NaN/Infinity tokens
+#     and trailing commas — so the gate is now a measured FIVE-clause
+#     conjunction computed identically on both sides:
+#       1. trim(props) matches ^\{.*\}$  (object-shaped);
+#       2. '[' || trim(props) || ']' parses as a ONE-element JSON array
+#          (Spark json_array_length = DuckDB json_valid+json_array_length
+#          — the wrap makes trailing content a syntax error in BOTH
+#          parsers, the only mirrorable single-document check);
+#       3. no apostrophe anywhere (Jackson's ALLOW_SINGLE_QUOTES
+#          leniency is out of contract);
+#       4. no NaN/Inf token anywhere (yyjson's ALLOW_INF_AND_NAN is out
+#          of contract);
+#       5. no ',' directly before '}' / ']' and no control characters
+#          anywhere (yyjson trailing-comma leniency and Jackson
+#          unescaped-control-char leniency are out of contract; NDJSON
+#          log lines escape control chars anyway).
+#     Clauses 3-5 reject a few STRICTLY-VALID payloads too (an
+#     apostrophe inside a string, a formatting newline) — deliberately:
+#     each is rejected by the SAME text predicate on both engines, so
+#     the narrowing is symmetric where parser behavior is not;
 #   * textual extraction = FIRST occurrence of the key (the
 #     get_json_object <-> json_extract_string agreement surface);
 #   * typed extraction  = strictly integral first-occurrence text
@@ -338,12 +360,36 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_OBJ_RE = r"^\{.*\}$"
 _JSON_INT_RE = "^-?[0-9]+$"
 
+# The measured two-sided usable-payload gate (clauses 2-5 of the module
+# contract above).  DuckDB spelling; the Spark twin is _usable_payload().
+_USABLE_SQL = f"""regexp_matches(trim(props), '{_JSON_OBJ_RE}')
+                   AND COALESCE((CASE WHEN json_valid('[' || trim(props) || ']')
+                        THEN json_array_length('[' || trim(props) || ']')
+                        END) = 1, FALSE)
+                   AND NOT regexp_matches(props, '''')
+                   AND NOT regexp_matches(props, '(NaN|Inf)')
+                   AND NOT regexp_matches(props, ',\\s*[}}\\]]')
+                   AND NOT regexp_matches(props, '[[:cntrl:]]')"""
+
+
+def _usable_payload() -> Column:
+    """Spark twin of _USABLE_SQL — the five-clause payload gate."""
+    t = F.trim(F.col("props"))
+    wrapped = F.concat(F.lit("["), t, F.lit("]"))
+    return (
+        t.rlike(_JSON_OBJ_RE)
+        & (F.json_array_length(wrapped) == 1)
+        & ~F.col("props").contains("'")
+        & ~F.col("props").rlike("NaN|Inf")
+        & ~F.col("props").rlike(",\\s*[}\\]]")
+        & ~F.col("props").rlike("\\p{Cntrl}")
+    )
+
 
 @query("q_fn_json", oracle=f"""
 WITH x AS (
   SELECT event_id,
-         CASE WHEN regexp_matches(trim(props), '{_JSON_OBJ_RE}')
-                   AND json_valid(props)
+         CASE WHEN {_USABLE_SQL}
               THEN json_extract_string(props, '$.k') END AS k_str
   FROM events
 )
@@ -362,11 +408,12 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     integral extraction, to_json re-serialization — the reference consumes
     raw Docker JSON event dicts the same way [pub:muswarmlogger/main.py].
     Extraction follows the declared payload contract (module comment
-    above): object-document gate, first-occurrence textual value, strict
-    integral typing, null-keeping re-serialization."""
+    above): the five-clause usable gate (_usable_payload — the r10 fix
+    for the regex-only gate's Jackson/yyjson asymmetry),
+    first-occurrence textual value, strict integral typing, null-keeping
+    re-serialization."""
     ev = load(spark, sf_dir, "events")
-    usable = F.trim(F.col("props")).rlike(_JSON_OBJ_RE)
-    k_str = F.when(usable, F.get_json_object("props", "$.k"))
+    k_str = F.when(_usable_payload(), F.get_json_object("props", "$.k"))
     k_path = F.when(k_str.rlike(_JSON_INT_RE), k_str).try_cast("long")
     return ev.select(
         "event_id",
@@ -593,20 +640,40 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q_fn_variant", oracle=f"""
-WITH x AS (
-  SELECT event_id, props,
-         CASE WHEN regexp_matches(trim(props), '{_JSON_OBJ_RE}')
-                   AND json_valid(props)
-                   AND len(json_keys(props)) =
-                       len(list_distinct(json_keys(props)))
+WITH RECURSIVE x AS MATERIALIZED (
+  SELECT event_id,
+         CASE WHEN {_USABLE_SQL}
               THEN props END AS doc
   FROM events
+), walk AS (
+  -- every object node at ANY depth (variant rejects duplicate keys at
+  -- any nesting level — the r10 advice fix; the old top-level-only
+  -- json_keys check missed nested duplicates)
+  SELECT event_id, doc, '$' AS path FROM x WHERE doc IS NOT NULL
+  UNION ALL
+  SELECT w.event_id, w.doc, child
+  FROM walk w, UNNEST(
+    CASE WHEN json_type(json_extract(w.doc, w.path)) = 'OBJECT'
+         THEN list_transform(json_keys(w.doc, w.path),
+                             k -> w.path || '."' || k || '"')
+         WHEN json_type(json_extract(w.doc, w.path)) = 'ARRAY'
+         THEN list_transform(
+                range(CAST(json_array_length(w.doc, w.path) AS BIGINT)),
+                i -> w.path || '[' || i || ']')
+         ELSE [] END) t(child)
+), dupped AS (
+  SELECT DISTINCT event_id FROM walk
+  WHERE json_type(json_extract(doc, path)) = 'OBJECT'
+    AND len(json_keys(doc, path)) != len(list_distinct(json_keys(doc, path)))
+), xd AS (
+  SELECT x.event_id, CASE WHEN d.event_id IS NULL THEN x.doc END AS doc
+  FROM x LEFT JOIN dupped d ON x.event_id = d.event_id
 ), y AS (
   SELECT event_id,
          json_type(json_extract(doc, '$.k')) AS t,
          json_extract_string(doc, '$.k') AS s,
          doc
-  FROM x
+  FROM xd
 ), z AS (
   SELECT event_id, doc,
          CASE
@@ -633,17 +700,20 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-parsing (q_fn_json): the binary-encoded variant parses the text
     ONCE and every subsequent path access is a cheap binary traversal,
     the right cost model when one payload feeds many extractions at
-    100 TB.  Hostile-payload policy (class E): the object-document gate
-    plus variant's own strictness (try_parse_json rejects malformed
-    docs AND any duplicate key — measured) define the usable domain; the
+    100 TB.  Hostile-payload policy (class E, tightened r10): the
+    five-clause usable gate (_usable_payload — try_parse_json is
+    measured LENIENT on trailing garbage ending in '}', exactly like
+    get_json_object, so the wrap clause is load-bearing here too) plus
+    variant's own strictness (try_parse_json rejects malformed docs AND
+    any duplicate key AT ANY DEPTH — mirrored by the oracle's recursive
+    object walk) define the usable domain; the
     typed read coerces bool→0/1, truncates doubles toward zero, accepts
     integral strings, and NULLs overflow — each branch mirrored
     explicitly in the oracle's json_type CASE.  k_sq goes through
     try_multiply (NULL on int64 overflow, the ANSI per-row-overflow
     trap) mirrored by the oracle's HUGEINT TRY_CAST round-trip."""
     ev = load(spark, sf_dir, "events")
-    usable = F.trim(F.col("props")).rlike(_JSON_OBJ_RE)
-    v = F.try_parse_json(F.when(usable, F.col("props")))
+    v = F.try_parse_json(F.when(_usable_payload(), F.col("props")))
     k = F.try_variant_get(v, "$.k", "long")
     return ev.select(
         "event_id",

@@ -197,7 +197,7 @@ def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the user and evaluates the time band as a residual — never a
     time-cross-product."""
     ev = load(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull())  # class G: identified users onl)
+        F.col("user_id").isNotNull())  # class G: identified users only)
     s = ev.filter(F.col("event_type") == "signup").select(
         "user_id", F.col("ts").alias("s_ts")
     )
@@ -1030,7 +1030,7 @@ def q_ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     just (l, b, pending-hour) across micro-batches and checks against
     this SAME oracle."""
     ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isNotNull())  # class G: identified series onl)
+        F.col("event_type").isNotNull())  # class G: identified series only)
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).cast("double").alias("y"))
@@ -1336,7 +1336,7 @@ def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     the time span, so the arrays stay small at any corpus size; one
     shuffle for the rollup, one for the per-type collect."""
     ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isNotNull())  # class G: identified series onl)
+        F.col("event_type").isNotNull())  # class G: identified series only)
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).alias("y"))
@@ -1996,7 +1996,7 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(m), which is what a streaming twin would carry across
     micro-batches."""
     ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isNotNull())  # class G: identified series onl)
+        F.col("event_type").isNotNull())  # class G: identified series only)
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("double").alias("y"))
@@ -2195,7 +2195,7 @@ def q_ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     day) aggregate — one rollup shuffle, one per-type collect of a
     time-domain-bounded array."""
     ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isNotNull())  # class G: identified series onl)
+        F.col("event_type").isNotNull())  # class G: identified series only)
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("double").alias("y"))
@@ -2383,7 +2383,7 @@ def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     + per-user sort; the join form explodes quadratically per user —
     which is exactly why the engine ships the former."""
     ev = load(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull())  # class G: identified users onl)
+        F.col("user_id").isNotNull())  # class G: identified users only)
     us = F.unix_micros("ts")
     base = ev.select("user_id", "event_id", "event_type", us.alias("us"))
     w_prev = (Window.partitionBy("user_id").orderBy("us", "event_id")

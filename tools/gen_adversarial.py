@@ -274,6 +274,17 @@ def generate(base, out):
                 '{"k": -3}',                    # negative integer
                 '{"k": 4000000000}',            # k fits, k*k overflows
                 '{"k": null}',                  # explicit JSON null
+                # r10 advice additions — Jackson-lenient / yyjson-lenient
+                # shapes the regex-only gate could not resolve (all must
+                # resolve identically under the five-clause gate):
+                '{"k": 1} {"x": 2}',            # trailing doc, ends in }
+                '{"k": 1}}',                    # trailing brace junk
+                '{"k": 5, "o": {"a": 1, "a": 2}}',  # NESTED duplicate key
+                "{'k': 1}",                     # single-quoted (Jackson ok)
+                '{"k": NaN}',                   # NaN token (yyjson ok)
+                '{"k": 1,}',                    # trailing comma (yyjson ok)
+                '{"a": "} {", "k": 8}',         # brace pair INSIDE string
+                '{"k": 2, "s": "a\x01b"}',      # control char in string
             ]
             patho_mask = ((~tie_props) & (~uni_props)
                           & (rng.random_sample(n) < 0.12))
