@@ -50,3 +50,19 @@ def dsum_sql(expr: str) -> str:
 def davg_sql(expr: str) -> str:
     """DuckDB mirror of :func:`davg`."""
     return f"{dsum_sql(expr)} / COUNT({expr})"
+
+
+def epoch_s(col: Column | str) -> Column:
+    """Sign-safe epoch SECONDS: ``floor(unix_micros(ts) / 1e6)`` — the
+    Spark twin of the oracles' ``CAST(floor(epoch(ts)) AS BIGINT)``.
+
+    ``F.unix_timestamp`` TRUNCATES sub-second time toward zero while
+    DuckDB's ``epoch()`` + ``floor`` floors — they agree only for
+    non-negative epochs.  The r10 class-H fixture (pre-epoch clock
+    garbage, -1 µs stamps) split six queries on exactly this:
+    unix_timestamp(-1 µs) = 0 vs floor(epoch) = -1.  Both engines here
+    perform the SAME two IEEE ops on the same exact integer (µs fits
+    2^53 through year 2262; the division is one correctly-rounded op on
+    identical bits; floor of identical doubles is identical), so the
+    pair is exact for any representable timestamp, either sign."""
+    return F.floor(F.unix_micros(col) / F.lit(1_000_000.0)).cast("long")

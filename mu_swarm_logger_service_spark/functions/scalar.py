@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..core.numeric import epoch_s
 from ..core.registry import query
 from ..core.tables import load
 
@@ -119,7 +120,7 @@ def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("plus_week"),
         F.datediff(F.col("ts").cast("date"),
                    F.lit("2024-01-01").cast("date")).alias("days_since_y0"),
-        F.unix_timestamp("ts").alias("epoch_s"),
+        epoch_s("ts").alias("epoch_s"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("iso_text"),
     )
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..core.numeric import epoch_s
 from ..core.registry import query
 from ..core.tables import load
 
@@ -37,7 +38,7 @@ def q_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("event_type").alias("etype_u"),
         (F.col("value") * 2.0).alias("value_2x"),
         F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
-        F.unix_timestamp("ts").alias("epoch_s"),
+        epoch_s("ts").alias("epoch_s"),
     )
 
 

@@ -27,16 +27,45 @@ from pyspark.sql import functions as F
 from ..core.registry import query
 from ..core.tables import load
 
+# ---------------------------------------------------------------------------
+# Valid-time domain for CALENDAR-spine analytics (r10 hostile trap class H).
+#
+# A spine generated between raw MIN(ts) and MAX(ts) is RANGE-proportional,
+# not data-proportional: one clock-reset epoch stamp plus one far-future
+# misconfiguration and the hour spine explodes (measured on the class-H
+# fixture: 1969..2200 bounds -> a 2.02-million-hour spine feeding a
+# single-partition global window; the sweep hung there).  Real pipelines
+# quarantine clock garbage before calendar analytics, so the queries that
+# build dense calendar structures (spines, day lattices, pixel buckets on
+# a time axis) declare an explicit valid-time domain and filter events to
+# it IDENTICALLY on both sides.  Only the calendar family applies this —
+# windows/sessionization/fingerprints handle hostile stamps row-wise and
+# keep every event.  The domain also keeps every timestamp strictly
+# post-epoch, so second-grain bucket arithmetic (trunc vs floor division
+# — they differ only below zero) is sign-safe by construction.
+TS_DOMAIN_LO = "1990-01-01"
+TS_DOMAIN_HI = "2100-01-01"
+TS_DOMAIN_SQL = (f"ts >= TIMESTAMP '{TS_DOMAIN_LO}'"
+                 f" AND ts < TIMESTAMP '{TS_DOMAIN_HI}'")
+# oracle spelling: replace `FROM events` with this subquery
+TS_DOMAIN_EVENTS = f"(SELECT * FROM events WHERE {TS_DOMAIN_SQL}) events"
 
-@query("q_ts_gapfill", oracle="""
+
+def ts_domain() -> "F.Column":
+    """Spark twin of TS_DOMAIN_SQL."""
+    return ((F.col("ts") >= F.lit(TS_DOMAIN_LO).cast("timestamp"))
+            & (F.col("ts") < F.lit(TS_DOMAIN_HI).cast("timestamp")))
+
+
+@query("q_ts_gapfill", oracle=f"""
 WITH bounds AS (
   SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
-  FROM events
+  FROM {TS_DOMAIN_EVENTS}
 ), spine AS (
   SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
 ), errs AS (
   SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
-  FROM events WHERE event_type = 'error' GROUP BY 1
+  FROM {TS_DOMAIN_EVENTS} WHERE event_type = 'error' GROUP BY 1
 )
 SELECT s.hour, CAST(COALESCE(e.n, 0) AS BIGINT) AS n_errors
 FROM spine s LEFT JOIN errs e ON s.hour = e.hour
@@ -45,8 +74,10 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-filled hourly error counts: the dense hour spine (generated
     from one global min/max row, exploded, broadcast) left-joins the
     sparse per-hour counts.  Hours with no errors appear with 0 — the
-    rows a bare groupBy cannot produce."""
-    ev = load(spark, sf_dir, "events")
+    rows a bare groupBy cannot produce.  Spine bounds come from the
+    declared valid-time domain (ts_domain above): clock garbage must not
+    size a calendar."""
+    ev = load(spark, sf_dir, "events").filter(ts_domain())
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
@@ -606,19 +637,19 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ts_m4_downsample", oracle="""
+@query("q_ts_m4_downsample", oracle=f"""
 WITH px AS (
   SELECT event_type,
          CAST(floor(epoch(ts) / 900) AS BIGINT) AS bucket,
          epoch_us(ts) AS k, event_id, value
-  FROM events
+  FROM {TS_DOMAIN_EVENTS}
 )
 SELECT event_type, bucket,
        CAST(COUNT(*) AS BIGINT) AS n,
        MIN(value) AS v_min,
        MAX(value) AS v_max,
-       min({'k': k, 'id': event_id, 'v': value}).v AS v_first,
-       max({'k': k, 'id': event_id, 'v': value}).v AS v_last
+       min({{'k': k, 'id': event_id, 'v': value}}).v AS v_first,
+       max({{'k': k, 'id': event_id, 'v': value}}).v AS v_last
 FROM px GROUP BY 1, 2
 """)
 def q_ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,8 +662,12 @@ def q_ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     window pass and no second exchange.  All outputs are selections of
     input doubles — no float arithmetic, exact cross-engine; the bucket
     anchor floors DuckDB's fractional epoch() to match Spark's
-    truncating unix_timestamp."""
-    ev = load(spark, sf_dir, "events")
+    truncating unix_timestamp — an agreement that holds only for
+    POSITIVE epochs (floor != trunc below zero; the class-H sweep
+    caught pre-epoch stamps splitting the bucket ids), which the
+    valid-time domain (ts_domain) guarantees: a dashboard's pixel
+    buckets live on the declared time axis, not on clock garbage."""
+    ev = load(spark, sf_dir, "events").filter(ts_domain())
     px = ev.select(
         "event_type",
         (F.unix_timestamp("ts") / 900).cast("long").alias("bucket"),
@@ -649,25 +684,25 @@ def q_ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ts_interpolate", oracle="""
+@query("q_ts_interpolate", oracle=f"""
 WITH bounds AS (
   SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
-  FROM events
+  FROM {TS_DOMAIN_EVENTS}
 ), spine AS (
   SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds
 ), errs AS (
   SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
-  FROM events WHERE event_type = 'error' GROUP BY 1
+  FROM {TS_DOMAIN_EVENTS} WHERE event_type = 'error' GROUP BY 1
 ), series AS (
   SELECT CAST(floor(epoch(s.hour) / 3600) AS BIGINT) AS xi, s.hour, e.n
   FROM spine s LEFT JOIN errs e ON s.hour = e.hour
 ), fenced AS (
   SELECT xi, hour, n,
-         last_value(CASE WHEN n IS NOT NULL THEN {'x': xi, 'v': n} END
+         last_value(CASE WHEN n IS NOT NULL THEN {{'x': xi, 'v': n}} END
                     IGNORE NULLS)
            OVER (ORDER BY xi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS p,
-         first_value(CASE WHEN n IS NOT NULL THEN {'x': xi, 'v': n} END
+         first_value(CASE WHEN n IS NOT NULL THEN {{'x': xi, 'v': n}} END
                      IGNORE NULLS)
            OVER (ORDER BY xi ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
            AS nx
@@ -690,11 +725,13 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     last observation) stay NULL.  Neighbor positions ride IGNORE-NULLS
     last/first_value windows over (hour-index, value) structs.  The
     window is global but runs on the POST-AGGREGATION hourly series
-    (~10^4 rows/year at any corpus size) — the heavy lifting is the
-    one groupBy shuffle on the raw stream, as in gapfill.  The interp
-    expression is integer-derived with a fixed IEEE op order, so it is
-    bit-identical cross-engine."""
-    ev = load(spark, sf_dir, "events")
+    (~10^4 rows/year at any corpus size — bounded because spine bounds
+    come from the declared valid-time domain, ts_domain; raw MIN/MAX
+    bounds measured a 2M-hour spine on one epoch + one far-future
+    stamp) — the heavy lifting is the one groupBy shuffle on the raw
+    stream, as in gapfill.  The interp expression is integer-derived
+    with a fixed IEEE op order, so it is bit-identical cross-engine."""
+    ev = load(spark, sf_dir, "events").filter(ts_domain())
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
@@ -1117,7 +1154,7 @@ XCORR_MAX_LAG = 7  # days; lattice size is (span - k) pairs per lag
 @query("q_ts_cross_corr", oracle=f"""
 WITH bounds AS (
   SELECT MIN(date_trunc('day', ts)) AS d0, MAX(date_trunc('day', ts)) AS d1
-  FROM events
+  FROM {TS_DOMAIN_EVENTS}
 ), cal AS (
   SELECT UNNEST(generate_series(d0, d1, INTERVAL '1 day')) AS day, d0
   FROM bounds
@@ -1127,7 +1164,7 @@ WITH bounds AS (
               FILTER (WHERE event_type = 'click')) AS DOUBLE) AS a,
          CAST(FLOOR(SUM(CAST(value AS DECIMAL(27,6)))
               FILTER (WHERE event_type = 'purchase')) AS DOUBLE) AS b
-  FROM events GROUP BY day
+  FROM {TS_DOMAIN_EVENTS} GROUP BY day
 ), series AS (
   SELECT date_diff('day', d0, day) AS idx,
          COALESCE(a, 0.0) AS a, COALESCE(b, 0.0) AS b
@@ -1180,8 +1217,10 @@ def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     the day rollup is narrow work on a span-sized single partition (a
     deliberate, bounded SinglePartition: the series is one row per DAY;
     a decade is ~3.7k rows; tests/test_plans.py pins the single-scan
-    shape)."""
-    ev = load(spark, sf_dir, "events")
+    shape).  The day lattice is bounded by the declared valid-time
+    domain (ts_domain): one clock-garbage stamp must not stretch it to
+    a century (class H)."""
+    ev = load(spark, sf_dir, "events").filter(ts_domain())
     day = F.date_trunc("day", "ts")
     dec6 = "decimal(27,6)"
     daily = ev.groupBy(day.alias("day")).agg(

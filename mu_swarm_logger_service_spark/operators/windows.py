@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..core.numeric import epoch_s
 from ..core.registry import query
 from ..core.tables import load
 
@@ -61,7 +62,7 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.lag("event_id").over(w).alias("prev_event"),
         F.lead("event_id").over(w).alias("next_event"),
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        (epoch_s("ts") - epoch_s(F.lag("ts").over(w)))
         .alias("gap_s"),
     )
 
@@ -107,7 +108,7 @@ def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
+        .orderBy(epoch_s("ts"))
         .rangeBetween(-3600, Window.currentRow)
     )
     return ev.select(
@@ -189,16 +190,16 @@ def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-interval RANGE frame: per user, the count/sum of activity in
     the trailing hour of EVENT time (not row count) — the moving-window
     rate every log dashboard draws.  The frame is anchored on WHOLE epoch
-    seconds on both sides — Spark's unix_timestamp truncates while
-    DuckDB's epoch() keeps fractional seconds, and at sf0.1 event density
-    (sub-second spacing) that skew flips frame membership; floor()ing the
-    oracle's anchor restores identical frames.  Rows with equal anchors
+    seconds on both sides via the sign-safe floor pair (core.numeric
+    epoch_s ↔ the oracle's floor(epoch)): fractional-epoch skew flips
+    frame membership at sf0.1 density, and trunc-vs-floor flips it on
+    pre-epoch stamps (class H).  Rows with equal anchors
     share a frame (RANGE semantics).  Decimal-cast sum keeps the frame
     aggregate shuffle-order-proof."""
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
+        .orderBy(epoch_s("ts"))
         .rangeBetween(-3600, 0)
     )
     return ev.select(

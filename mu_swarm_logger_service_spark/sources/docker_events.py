@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..core.numeric import epoch_s
 from ..core.registry import query
 from ..core.tables import load, stat_sig_str
 
@@ -60,11 +61,11 @@ def docker_events_json_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     # Marker carries the source stat signature: regenerating the
     # fixture in place must be a cache MISS (core.tables.stat_sig).
-    # v2: mint-logic version rides the marker too, so a CHANGE to the
+    # v3 (sign-safe epoch_s mint): mint-logic version rides the marker, so a CHANGE to the
     # line-synthesis code (e.g. the r9 null-safe value rendering)
     # invalidates dirs built by older logic, not just older data.
     marker = os.path.join(
-        out, "_DONE_V2_SRC_" + stat_sig_str(sf_dir, "events"))
+        out, "_DONE_V3_SRC_" + stat_sig_str(sf_dir, "events"))
     if os.path.exists(marker):
         return out
     # no marker → any existing dir is a partial write from a crashed run
@@ -85,8 +86,12 @@ def docker_events_json_dir(spark: SparkSession, sf_dir: str) -> str:
                 F.lit("event_id"), F.col("event_id").cast("string"),
             ).alias("Attributes"),
         ).alias("Actor"),
-        F.unix_timestamp("ts").alias("time"),
-        (F.unix_timestamp("ts") * F.lit(1_000_000_000)).alias("timeNano"),
+        # sign-safe floor pair (core.numeric epoch_s): the Docker API
+        # emits unix seconds; a pre-epoch clock-garbage stamp must land
+        # on the same second in the mint and in the oracle's
+        # floor(epoch) (class H: unix_timestamp truncates, -1us -> 0).
+        epoch_s("ts").alias("time"),
+        (epoch_s("ts") * F.lit(1_000_000_000)).alias("timeNano"),
     )).alias("value"))
     docker_shaped.coalesce(4).write.mode("overwrite").text(out + ".tmp")
     os.rename(out + ".tmp", out)

@@ -210,6 +210,13 @@ def _holt_update(key: tuple, pdf_iter, state: GroupState):
                 close_pending()
                 pending_hour, pending_n = h, 1
             # else: late row (h < pending_hour) — dropped, see docstring
+    # NB (class H): -1 is a REAL hour index for pre-epoch stamps; inside
+    # the fold it round-trips correctly (state.exists implies a real
+    # pending hour), but the OUTPUT snapshot uses -1 as the "no pending"
+    # marker, so a stream whose FINAL event sits in hour -1 would lose
+    # its last pending hour at the consumer.  Unreachable on any replay
+    # whose max ts is post-epoch; a has_pending output column is the fix
+    # if that ever changes (the _burst_update has_last precedent).
     state.update((l, b, n_complete,
                   -1 if pending_hour is None else pending_hour, pending_n))
     yield pd.DataFrame({
@@ -383,6 +390,13 @@ def _pattern_update(key: tuple, pdf_iter, state: GroupState):
                 lc_v = lv
             if et == "view":
                 lv = int(us)
+    # NB (class H): an event at exactly -1 µs would collide with the -1
+    # "no view/click yet" marker in the OUTPUT snapshot (the state fold
+    # itself never re-reads these through the None mapping).  A view at
+    # -1 µs can only matter if a purchase follows within the match
+    # window, i.e. within microseconds of the epoch — declared out of
+    # scope; the has_last flag pattern (_burst_update) is the fix if a
+    # fixture ever lands there.
     state.update((-1 if lv is None else lv,
                   -1 if lc_v is None else lc_v, n_p, n_m))
     yield pd.DataFrame({
@@ -412,7 +426,7 @@ def pattern_stateful(events: DataFrame) -> DataFrame:
 BURST_OUT_SCHEMA = ("user_id long, last_us long, n_gaps long, "
                     "s1 long, s2 string")
 BURST_STATE_SCHEMA = ("last_us long, last_eid long, n_gaps long, "
-                      "s1 long, s2 string")
+                      "s1 long, s2 string, has_last integer")
 
 
 def _burst_update(key: tuple, pdf_iter, state: GroupState):
@@ -427,10 +441,10 @@ def _burst_update(key: tuple, pdf_iter, state: GroupState):
     SUM produces)."""
     (user_id,) = key
     if state.exists:
-        last_us, last_eid, n, s1, s2s = state.get
+        last_us, last_eid, n, s1, s2s, has_last = state.get
         s2 = int(s2s)
     else:
-        last_us, last_eid, n, s1, s2 = -1, -1, 0, 0, 0
+        last_us, last_eid, n, s1, s2, has_last = -1, -1, 0, 0, 0, 0
 
     pdfs = [p for p in pdf_iter if len(p)]
     if pdfs:
@@ -438,13 +452,17 @@ def _burst_update(key: tuple, pdf_iter, state: GroupState):
         for ts, eid in (whole.sort_values(["ts", "event_id"])
                         [["ts", "event_id"]].itertuples(index=False)):
             us = ts.value // 1000  # µs-exact (the _holt_update rule)
-            if last_us >= 0:
+            # has_last is an EXPLICIT flag: `last_us >= 0` was the r10
+            # class-H find — a pre-epoch stamp carries a NEGATIVE µs
+            # value that collides with the -1 sentinel and silently
+            # drops every gap that follows it.
+            if has_last:
                 gap = us - last_us
                 n += 1
                 s1 += gap
                 s2 += gap * gap
-            last_us, last_eid = int(us), int(eid)
-    state.update((last_us, last_eid, n, s1, str(s2)))
+            last_us, last_eid, has_last = int(us), int(eid), 1
+    state.update((last_us, last_eid, n, s1, str(s2), has_last))
     yield pd.DataFrame({
         "user_id": [user_id], "last_us": [last_us],
         "n_gaps": [n], "s1": [s1], "s2": [str(s2)],

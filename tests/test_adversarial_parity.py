@@ -127,6 +127,30 @@ SENSITIVE = [
     "q_llm_tfidf_keywords",  # keywords per identified language
     "q_llm_vocab_coverage",  # coverage per identified language
     "q_sketch_kmv_jaccard",  # NULL hash priority vs bottom-K (sf0.1 find)
+    # r10 trap class H (time pathologies: epoch-boundary stamps,
+    # far-future instants, microsecond tie-storms) — two mechanisms:
+    # unix_timestamp TRUNCATES where the oracles' floor(epoch) FLOORS
+    # (they agree only post-epoch; fixed by the sign-safe core.numeric
+    # epoch_s pair), and range-proportional calendar spines explode on
+    # one clock-garbage stamp (fixed by the declared valid-time domain,
+    # operators/timeseries.ts_domain).  q_stream_burstiness's state-fold
+    # `last_us >= 0` sentinel (a -1 µs stamp collides with it) is pinned
+    # here via its exact oracle too:
+    "q_project_compute",     # epoch_s projection (trunc-vs-floor)
+    "q_win_lag_lead",        # gap seconds across a pre-epoch boundary
+    "q_win_frame_range",     # RANGE frame anchored on epoch seconds
+    "q_win_time_range",      # same anchor + decimal frame sum
+    "q_fn_datetime",         # datetime family epoch_s accessor
+    "q_stream_burstiness",   # µs-gap state fold (negative-µs sentinel)
+    "q_source_docker_events",  # unix-seconds mint in the JSONL source
+    "q_ts_gapfill",          # hour spine bounded by the valid-time domain
+    "q_ts_interpolate",      # same spine + global IGNORE NULLS window
+    "q_ts_cross_corr",       # day lattice bounded by the domain
+    "q_ts_m4_downsample",    # pixel buckets: floor-vs-trunc on negatives
+    # r10 advice additions to class E (Jackson/yyjson leniency shapes:
+    # trailing doc ending in '}', nested duplicate keys, single quotes,
+    # NaN token, trailing comma, control char) ride the existing
+    # q_fn_json / q_fn_variant pins above via the regenerated fixture.
 ]
 
 

@@ -65,6 +65,16 @@ Same schemas and row counts as the driver's testdata, hostile values:
   the fingerprint's concat_ws arity), pandas NaN integer crashes
   (Misra-Gries items), and nullable-boolean dtype rendering — each now a
   declared identified-rows / null-safe-render / total-boolean policy.
+- **time pathologies** (r10, class H): epoch-boundary stamps (exact
+  epoch zero, the last pre-epoch microsecond, and sub-microsecond
+  offsets on BOTH sides of the epoch — the ns→µs conversion's
+  floor-vs-truncate sign semantics only differ there), one far-future
+  instant (2200, inside datetime64[ns] range — calendar spines and
+  watermark arithmetic meet a 230-year range), and a microsecond
+  tie-storm (~8%% of events within 2 µs of one instant — any window
+  ORDER BY ts without the unique event_id tiebreak goes
+  nondeterministic).  `ts` was the last fixture column never made
+  hostile.
 - **money-measure null flood** (r9, class C2): ~3%% NULLs in the TPC-H
   fact/dim measures (l_extendedprice/discount/tax/quantity,
   o_totalprice, acctbals, p_retailprice).  First contact split 4
@@ -297,6 +307,34 @@ def generate(base, out):
             uid = df.user_id.to_numpy(dtype=float).copy()
             uid[rng.random_sample(n) < 0.03] = np.nan  # anonymous events
             df["user_id"] = uid
+            # --- r10 trap class H: TIME PATHOLOGIES ---
+            # ts was the last fixture column never made hostile.  Real
+            # century-scale logs contain clock-reset epoch garbage,
+            # misconfigured far-future stamps, and bursts so dense that
+            # MANY events share one microsecond — the window tiebreakers'
+            # real enemy (an ORDER BY ts without the unique event_id
+            # tiebreak is nondeterministic in a microsecond storm), and
+            # the ns->us conversion's sign semantics (Spark `div 1000`
+            # vs DuckDB's parquet NANOS read) only differ pre-epoch /
+            # sub-microsecond.
+            hp = rng.random_sample(n)
+            ts_vals = df.ts.copy()
+            ts_vals[hp < 0.002] = pd.Timestamp("1970-01-01 00:00:00")
+            ts_vals[(hp >= 0.002) & (hp < 0.0035)] = pd.Timestamp(
+                "1969-12-31 23:59:59.999999")       # -1 us, exact
+            ts_vals[(hp >= 0.0035) & (hp < 0.004)] = pd.Timestamp(
+                "1969-12-31 23:59:59.999999750")    # -250 ns, sub-us
+            ts_vals[(hp >= 0.004) & (hp < 0.0045)] = pd.Timestamp(
+                "1970-01-01 00:00:00.000000250")    # +250 ns, sub-us
+            ts_vals[(hp >= 0.0045) & (hp < 0.006)] = pd.Timestamp(
+                "2200-06-15 12:00:00")              # far future (in ns range)
+            # microsecond tie-storm: ~8% of events collapse onto ONE
+            # instant with only 0/1/2-us offsets between them
+            storm = (hp >= 0.006) & (hp < 0.086)
+            storm_base = df.ts.iloc[0].floor("h") + pd.Timedelta(minutes=7)
+            storm_off = pd.to_timedelta(rng.randint(0, 3, n), unit="us")
+            ts_vals[storm] = (storm_base + storm_off)[storm]
+            df["ts"] = ts_vals
         elif name == "documents":
             # duplicate storm: 30 anchor texts, each copied onto 2 other
             # docs (ids stay unique; lang/source untouched -> groups span
