@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core.numeric import dsum, dsum_sql
+from ..core.numeric import dsum, dsum_sql, epoch_s
 from ..core.registry import query
 from ..core.tables import load
 
@@ -430,18 +430,19 @@ def q_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the time predicate as residual — shuffle-partitionable, BNLJ
     eliminated (plan-invariant-tested).  Each qualifying pair meets in
     exactly one bucket (the probe row's own), so no dedup is needed.
-    Both engines compare truncated whole-second epochs, so the band edge
-    is exact cross-engine (DuckDB's epoch() is fractional — the floor is
-    what keeps sub-second rows from straddling the boundary)."""
+    Both engines compare FLOORED whole-second epochs (core.numeric
+    epoch_s <-> the oracle's floor(epoch)) so the band edge is exact
+    cross-engine for either epoch sign — the truncating unix_timestamp
+    only matched the oracle's floor on post-epoch stamps (class H)."""
     ev = load(spark, sf_dir, "events")
     e = ev.filter(F.col("event_type") == "error").select(
-        "event_id", F.unix_timestamp("ts").alias("es")
+        "event_id", epoch_s("ts").alias("es")
     )
     b = F.floor(F.col("es") / BAND_S)
     eb = e.withColumn("band", F.explode(F.array(b - 1, b, b + 1)))
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"),
-        F.unix_timestamp("ts").alias("ps"),
+        epoch_s("ts").alias("ps"),
     ).withColumn("band", F.floor(F.col("ps") / BAND_S))
     joined = eb.join(
         p,

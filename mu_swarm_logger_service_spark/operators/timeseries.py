@@ -213,7 +213,7 @@ WITH s AS (
   SELECT DISTINCT s.user_id
   FROM s JOIN p ON p.user_id = s.user_id
               AND p.ts >= s.ts
-              AND epoch(p.ts) - epoch(s.ts) <= {FUNNEL_WINDOW_S}
+              AND epoch_us(p.ts) - epoch_us(s.ts) <= CAST({FUNNEL_WINDOW_S} AS BIGINT) * 1000000
 )
 SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM s) AS BIGINT) AS n_signup_users,
        CAST((SELECT COUNT(*) FROM converted) AS BIGINT) AS n_converted,
@@ -238,8 +238,12 @@ def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     converted = (
         s.join(p, (s.user_id == p.p_user)
                & (F.col("p_ts") >= F.col("s_ts"))
-               & (F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts")
-                  <= FUNNEL_WINDOW_S))
+               # exact integer-us band (epoch_us <-> unix_micros): the
+               # old truncating unix_timestamp seconds against the
+               # oracle's FRACTIONAL epoch() was a latent sub-second
+               # boundary trap (and sign-unsafe pre-epoch, class H)
+               & (F.unix_micros("p_ts") - F.unix_micros("s_ts")
+                  <= FUNNEL_WINDOW_S * 1_000_000))
         .select("user_id").distinct()
         .agg(F.count(F.lit(1)).alias("n_converted"))
     )

@@ -147,6 +147,10 @@ SENSITIVE = [
     "q_ts_interpolate",      # same spine + global IGNORE NULLS window
     "q_ts_cross_corr",       # day lattice bounded by the domain
     "q_ts_m4_downsample",    # pixel buckets: floor-vs-trunc on negatives
+    "q_join_banded",         # band bucketing on floored whole seconds
+    # NB q_ts_funnel is already pinned under class G above; its r10
+    # audit fix (integer-us band vs the latent fractional-epoch oracle
+    # boundary) rides that same pin.
     # r10 advice additions to class E (Jackson/yyjson leniency shapes:
     # trailing doc ending in '}', nested duplicate keys, single quotes,
     # NaN token, trailing comma, control char) ride the existing
