@@ -111,26 +111,33 @@ EXPORT_FIRST: tuple[str, ...] = (
     # the r9 window (q_fn_ipnet, the syslog/accesslog/log_templates
     # sources, the four r9 stream keys, dpo_pairs, vocab_coverage) went
     # driver-green in CORRECTNESS_r09 AFTER every r9 policy fix, so their
-    # slots go to the 10 stalest class-D-touched vector-family keys
-    # instead (last driver rows r4/r6, PRE-dating the validity contract;
-    # ann_ivf_pq and pq_encode additionally changed in r10 itself).
+    # slots went to the stalest class-D-touched vector-family keys.
+    # Re-adjusted mid-round after trap class H landed: the 12 keys the
+    # class-H fixes CHANGED this round (the epoch_s migration, the
+    # valid-time-domain spine family, the V3 docker mint, the
+    # burstiness state-fold sentinel, the banded/funnel audit) take the
+    # slots of the three rows-only keys (weak driver evidence: rows>0
+    # only) and the unchanged-since-r6 vector extras (matryoshka,
+    # rrf_fusion, quantize_int8, ann_int8, hard_negatives,
+    # embedding_drift, dedup_groups, dup_triangles,
+    # audit_dataset_fingerprint) — those ride the r11 window.
     "q_fn_json", "q_fn_variant", "q_fn_string", "q_fn_struct",
     "q_fn_encode", "q_fn_format", "q_llm_ann_ivf_pq", "q_fn_math",
-    "q_llm_pq_encode", "q_source_container_logs", "q_llm_ann_lsh",
+    "q_llm_pq_encode", "q_source_container_logs", "q_fn_datetime",
     "q_llm_centroid", "q_agg_weighted_median", "q_agg_spearman",
     "q_analytics_min_cost_supplier", "q_analytics_mann_whitney",
     "q_analytics_revenue_gini", "q_join_asof", "q_join_asof_nearest",
     "q_ts_funnel", "q_ts_holt_trend", "q_ts_holt_winters",
     "q_ts_forecast_backtest", "q_ts_lttb", "q_ts_kaplan_meier",
-    "q_ts_pattern_match", "q_llm_quantize_int8", "q_llm_ann_int8",
-    "q_llm_hard_negatives", "q_llm_embedding_drift",
-    "q_stream_fingerprint", "q_stream_heavy_hitters",
-    "q_audit_dataset_fingerprint", "q_llm_dedup_groups", "q_llm_langid",
-    "q_llm_tfidf_keywords", "q_llm_dup_triangles", "q_llm_knn_label",
-    "q_llm_cosine_topk", "q_llm_matryoshka", "q_llm_rrf_fusion",
+    "q_ts_pattern_match", "q_project_compute", "q_win_lag_lead",
+    "q_win_frame_range", "q_win_time_range",
+    "q_stream_fingerprint", "q_ts_gapfill",
+    "q_ts_interpolate", "q_ts_cross_corr", "q_llm_langid",
+    "q_llm_tfidf_keywords", "q_ts_m4_downsample", "q_llm_knn_label",
+    "q_llm_cosine_topk", "q_stream_burstiness", "q_join_banded",
     "q_llm_ann_pq", "q_llm_ann_ivf", "q_llm_ann_recall",
     "q_llm_kmeans_step", "q_llm_semdedup", "q_llm_embed_near_dup",
-    "q_llm_cluster_purity", "q_scan_dpp", "q_sketch_heavy_hitters",
+    "q_llm_cluster_purity", "q_scan_dpp", "q_source_docker_events",
 )
 
 # The driver's CORRECTNESS window is 50 rows; a 51st pin would silently push
