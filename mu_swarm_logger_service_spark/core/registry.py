@@ -140,6 +140,31 @@ EXPORT_FIRST: tuple[str, ...] = (
     "q_llm_cluster_purity", "q_scan_dpp", "q_source_docker_events",
 )
 
+# r11 window suggestion, derived at the end of round 10: with the r10
+# window re-proving every r10-touched key, the next-stalest evidence is
+# the r1-r3-era relational core (42 keys with no driver row since r3,
+# several since touched by r8/r9 null/tie policies) plus the r4-era
+# remainder and the new rows-only q_llm_semdedup_scale.  Mechanically
+# derived (oldest last-driver-row first, current-window keys excluded);
+# re-run the derivation at activation time in case r10 rotates:
+#   "q_llm_semdedup_scale", "q_agg_global", "q_agg_distinct",
+#   "q_agg_approx_distinct", "q_agg_grouping_sets", "q_agg_cube",
+#   "q_agg_collect", "q_agg_stats", "q_agg_percentile",
+#   "q_agg_pivot", "q_agg_having", "q_agg_salted",
+#   "q_agg_approx_percentile", "q_agg_boolean", "q_agg_winsorize",
+#   "q_agg_mode", "q_scan_parquet", "q_scan_pruned",
+#   "q_sink_partitioned", "q_source_formats", "q_sql_surface",
+#   "q_scan_merge_schema", "q_cdc_snapshot_diff", "q_layout_zorder",
+#   "q_filter_status", "q_filter_compound", "q_filter_like_regex",
+#   "q_filter_null", "q_values_inline", "q_join_inner_hash",
+#   "q_join_broadcast", "q_join_sortmerge", "q_join_left",
+#   "q_join_right_full", "q_join_semi", "q_join_cross",
+#   "q_join_theta_range", "q_join_interval", "q_join_self",
+#   "q_join_bucketed", "q_join_salted", "q_win_rank",
+#   "q_win_frame_rows", "q_win_analytic", "q_win_topk_group",
+#   "q_sort_multi", "q_limit_offset", "q_topk",
+#   "q_union_all", "q_union_distinct",
+
 # The driver's CORRECTNESS window is 50 rows; a 51st pin would silently push
 # the last key out of the claimed evidence window.
 assert len(EXPORT_FIRST) <= 50, "EXPORT_FIRST exceeds the driver's window"
