@@ -87,3 +87,56 @@ def test_triples_four_per_event(spark, sf_dir):
     assert {r.g for r in t.select("g").distinct().collect()} == {
         "http://mu.semte.ch/application"
     }
+
+
+def test_events_ts_encoding_matrix(spark, sf_dir, tmp_path_factory):
+    """core.tables claims events.ts loads identically however the parquet
+    writer encoded it — int64 NANOS (legacy flag + div-1000 normalize),
+    NTZ micros (cast), or LTZ micros (pass-through).  The shipped
+    testdata only exercises ONE encoding per generation, so the other
+    branches were claim-without-test until r10.  Re-encode the same
+    events table all three ways and require bit-identical loads
+    (epoch_us per event), plus a DuckDB cross-check on the NANOS dir
+    (its reader does its own ns→µs conversion — the layer class H
+    taught us never to trust untested)."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    base = pq.read_table(f"{sf_dir}/events.parquet")
+    i = base.schema.get_field_index("ts")
+
+    def reencode(unit, tz):
+        t = base.set_column(
+            i, pa.field("ts", pa.timestamp(unit, tz=tz)),
+            base.column("ts").cast(pa.timestamp(unit, tz=tz)))
+        d = tmp_path_factory.mktemp(f"ev_{unit}_{tz or 'ntz'}")
+        pq.write_table(t, os.path.join(str(d), "events.parquet"))
+        return str(d)
+
+    dirs = {
+        "nanos": reencode("ns", None),
+        "ntz_us": reencode("us", None),
+        "ltz_us": reencode("us", "UTC"),
+    }
+
+    def snap(d):
+        return dict(
+            load(spark, d, "events")
+            .select("event_id", F.unix_micros("ts").alias("us"))
+            .collect())
+
+    ref = snap(sf_dir)
+    for name, d in dirs.items():
+        got = snap(d)
+        assert got == ref, f"{name} load diverges from shipped encoding"
+        assert load(spark, d, "events").schema["ts"].dataType.typeName() \
+            == "timestamp", name
+
+    duck = dict(duckdb.sql(
+        f"SELECT event_id, epoch_us(ts) FROM "
+        f"read_parquet('{dirs['nanos']}/events.parquet')").fetchall())
+    assert duck == ref, "DuckDB's ns read disagrees with the engine load"
