@@ -140,3 +140,20 @@ def test_events_ts_encoding_matrix(spark, sf_dir, tmp_path_factory):
         f"SELECT event_id, epoch_us(ts) FROM "
         f"read_parquet('{dirs['nanos']}/events.parquet')").fetchall())
     assert duck == ref, "DuckDB's ns read disagrees with the engine load"
+
+    # Sub-microsecond ns values (which µs-aligned testdata never carries):
+    # both converters must truncate toward zero identically at either
+    # sign — measured r10: Spark's `div 1000` and DuckDB's parquet ns
+    # read agree on every probe (+250ns -> 0, -250ns -> 0, -1250ns -> -1).
+    ns_vals = [0, 250, 750, 999, 1000, 1250, -250, -750, -1000, -1250]
+    t = pa.table({"event_id": pa.array(range(len(ns_vals)), pa.int64()),
+                  "ts": pa.array(ns_vals, pa.timestamp("ns"))})
+    d = tmp_path_factory.mktemp("ev_subus")
+    pq.write_table(t, os.path.join(str(d), "events.parquet"))
+    sp = dict(load(spark, str(d), "events")
+              .select("event_id", F.unix_micros("ts").alias("us")).collect())
+    dk = dict(duckdb.sql(
+        f"SELECT event_id, epoch_us(ts) FROM "
+        f"read_parquet('{d}/events.parquet')").fetchall())
+    assert sp == dk
+    assert sp[1] == 0 and sp[6] == 0 and sp[9] == -1  # trunc-toward-zero
