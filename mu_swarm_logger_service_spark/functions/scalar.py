@@ -327,7 +327,7 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     Jackson tolerates trailing garbage that ENDS in '}' (e.g.
 #     '{"k":1} {"x":2}'), single-quoted strings, and control characters
 #     in strings, while yyjson additionally accepts NaN/Infinity tokens
-#     and trailing commas — so the gate is now a measured FIVE-clause
+#     and trailing commas (ANY case for the tokens) — so the gate is a measured SIX-clause
 #     conjunction computed identically on both sides:
 #       1. trim(props) matches ^\{.*\}$  (object-shaped);
 #       2. '[' || trim(props) || ']' parses as a ONE-element JSON array
@@ -336,16 +336,22 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          parsers, the only mirrorable single-document check);
 #       3. no apostrophe anywhere (Jackson's ALLOW_SINGLE_QUOTES
 #          leniency is out of contract);
-#       4. no NaN/Inf token anywhere (yyjson's ALLOW_INF_AND_NAN is out
-#          of contract);
+#       4. no NaN/Inf token anywhere, CASE-INSENSITIVE (yyjson's
+#          ALLOW_INF_AND_NAN accepts any case; Jackson's leniency is
+#          exact-case — the r10 review find);
 #       5. no ',' directly before '}' / ']' and no control characters
 #          anywhere (yyjson trailing-comma leniency and Jackson
 #          unescaped-control-char leniency are out of contract; NDJSON
-#          log lines escape control chars anyway).
-#     Clauses 3-5 reject a few STRICTLY-VALID payloads too (an
-#     apostrophe inside a string, a formatting newline) — deliberately:
-#     each is rejected by the SAME text predicate on both engines, so
-#     the narrowing is symmetric where parser behavior is not;
+#          log lines escape control chars anyway);
+#       6. no backslash anywhere — escape-sequence decoding (\",
+#          \uXXXX, lone surrogates) is its own cross-engine divergence
+#          surface, and a quote inside a KEY would crash the variant
+#          oracle's recursive path walk (r10 review find).
+#     Clauses 3-6 reject a few STRICTLY-VALID payloads too (an
+#     apostrophe inside a string, a formatting newline, any escaped
+#     string) — deliberately: each is rejected by the SAME text
+#     predicate on both engines, so the narrowing is symmetric where
+#     parser behavior is not;
 #   * textual extraction = FIRST occurrence of the key (the
 #     get_json_object <-> json_extract_string agreement surface);
 #   * typed extraction  = strictly integral first-occurrence text
@@ -368,22 +374,35 @@ _USABLE_SQL = f"""regexp_matches(trim(props), '{_JSON_OBJ_RE}')
                         THEN json_array_length('[' || trim(props) || ']')
                         END) = 1, FALSE)
                    AND NOT regexp_matches(props, '''')
-                   AND NOT regexp_matches(props, '(NaN|Inf)')
+                   AND NOT regexp_matches(props, '(?i)(nan|inf)')
                    AND NOT regexp_matches(props, ',\\s*[}}\\]]')
-                   AND NOT regexp_matches(props, '[[:cntrl:]]')"""
+                   AND NOT regexp_matches(props, '[[:cntrl:]]')
+                   AND NOT contains(props, '\\')"""
 
 
 def _usable_payload() -> Column:
-    """Spark twin of _USABLE_SQL — the five-clause payload gate."""
+    """Spark twin of _USABLE_SQL — the six-clause payload gate.
+
+    r10 review fixes: the NaN/Inf clause is CASE-INSENSITIVE (yyjson
+    accepts 'nan'/'inf'/'Infinity' in any case while Jackson's
+    ALLOW_NON_NUMERIC_NUMBERS is exact-case — a lowercase token passed
+    the oracle gate and not Spark's), and a sixth clause rejects any
+    BACKSLASH: escape-sequence decoding (\\", \\uXXXX, lone surrogates)
+    is its own cross-engine divergence surface, and a quote inside a
+    key would additionally crash the variant oracle's recursive path
+    walk — declaring escapes out of contract closes all of it with one
+    symmetric text predicate (log-payload keys/values in practice are
+    plain text; anything escaped yields NULL columns on BOTH sides)."""
     t = F.trim(F.col("props"))
     wrapped = F.concat(F.lit("["), t, F.lit("]"))
     return (
         t.rlike(_JSON_OBJ_RE)
         & (F.json_array_length(wrapped) == 1)
         & ~F.col("props").contains("'")
-        & ~F.col("props").rlike("NaN|Inf")
+        & ~F.col("props").rlike("(?i)(nan|inf)")
         & ~F.col("props").rlike(",\\s*[}\\]]")
         & ~F.col("props").rlike("\\p{Cntrl}")
+        & ~F.col("props").contains("\\")
     )
 
 
@@ -409,7 +428,7 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     integral extraction, to_json re-serialization — the reference consumes
     raw Docker JSON event dicts the same way [pub:muswarmlogger/main.py].
     Extraction follows the declared payload contract (module comment
-    above): the five-clause usable gate (_usable_payload — the r10 fix
+    above): the six-clause usable gate (_usable_payload — the r10 fix
     for the regex-only gate's Jackson/yyjson asymmetry),
     first-occurrence textual value, strict integral typing, null-keeping
     re-serialization."""
@@ -702,7 +721,7 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE and every subsequent path access is a cheap binary traversal,
     the right cost model when one payload feeds many extractions at
     100 TB.  Hostile-payload policy (class E, tightened r10): the
-    five-clause usable gate (_usable_payload — try_parse_json is
+    six-clause usable gate (_usable_payload — try_parse_json is
     measured LENIENT on trailing garbage ending in '}', exactly like
     get_json_object, so the wrap clause is load-bearing here too) plus
     variant's own strictness (try_parse_json rejects malformed docs AND

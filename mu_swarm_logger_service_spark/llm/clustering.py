@@ -524,6 +524,30 @@ def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_TAU = 0.7  # within-cell cosine threshold for a semantic duplicate
 
 
+def _semdedup_emit(assign: DataFrame, all_rows: DataFrame | None = None
+                   ) -> DataFrame:
+    """The ONE in-cell SemDeDup policy, shared by the brute and
+    ANN-assisted forms (their pinned agreement depends on this being a
+    single implementation): within each cell, drop every vector that has
+    a lower-id member at rounded cosine >= SEM_TAU; emit (vec_id, cell,
+    is_kept) for ``all_rows`` (defaults to the assignment itself — the
+    scale form passes assignment + NULL-cell singletons)."""
+    b = assign.select(F.col("vec_id").alias("b_id"), "cell",
+                      F.col("e").alias("eb"))
+    dup = (
+        assign.join(b, "cell")
+        .where((F.col("b_id") < F.col("vec_id"))
+               & (F.round(cosine(F.col("e"), F.col("eb")), 6) >= SEM_TAU))
+        .select("vec_id").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    base = assign if all_rows is None else all_rows
+    return (
+        base.join(dup, "vec_id", "left")
+        .select("vec_id", "cell", F.col("hit").isNull().alias("is_kept"))
+    )
+
+
 @query("q_llm_semdedup", oracle=f"""
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -592,19 +616,7 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (-F.col("best.nc")).alias("cell"),
                 F.col("best.e").alias("e"))
     )
-    b = assign.select(F.col("vec_id").alias("b_id"), "cell",
-                      F.col("e").alias("eb"))
-    dup = (
-        assign.join(b, "cell")
-        .where((F.col("b_id") < F.col("vec_id"))
-               & (F.round(cosine(F.col("e"), F.col("eb")), 6) >= SEM_TAU))
-        .select("vec_id").distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    return (
-        assign.join(dup, "vec_id", "left")
-        .select("vec_id", "cell", F.col("hit").isNull().alias("is_kept"))
-    )
+    return _semdedup_emit(assign)
 
 
 @query("q_llm_semdedup_scale")
@@ -670,19 +682,7 @@ def q_llm_semdedup_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.lit(None).cast("long").alias("cell"),
                 F.col("embedding").alias("e"))
     )
-    b = assign.select(F.col("vec_id").alias("b_id"), "cell",
-                      F.col("e").alias("eb"))
-    dup = (
-        assign.join(b, "cell")
-        .where((F.col("b_id") < F.col("vec_id"))
-               & (F.round(cosine(F.col("e"), F.col("eb")), 6) >= SEM_TAU))
-        .select("vec_id").distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    return (
-        assign.unionByName(unmatched).join(dup, "vec_id", "left")
-        .select("vec_id", "cell", F.col("hit").isNull().alias("is_kept"))
-    )
+    return _semdedup_emit(assign, assign.unionByName(unmatched))
 
 
 def _recall_sql() -> str:

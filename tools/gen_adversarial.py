@@ -295,6 +295,15 @@ def generate(base, out):
                 '{"k": 1,}',                    # trailing comma (yyjson ok)
                 '{"a": "} {", "k": 8}',         # brace pair INSIDE string
                 '{"k": 2, "s": "a\x01b"}',      # control char in string
+                # r10 review additions (gate clauses 4 and 6):
+                '{"k": nan}',                   # LOWERCASE nan (yyjson ok,
+                                                # Jackson exact-case only)
+                '{"k": Infinity}',              # Infinity token
+                '{"a\\"b": 1, "k": 9}',         # escaped quote in a KEY
+                                                # (crashed the variant
+                                                # oracle's path walk)
+                '{"k": "a\\"b"}',               # escaped quote in a value
+                '{"k": "\\u0041"}',             # unicode escape
             ]
             patho_mask = ((~tie_props) & (~uni_props)
                           & (rng.random_sample(n) < 0.12))
