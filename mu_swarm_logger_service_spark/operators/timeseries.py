@@ -43,6 +43,18 @@ from ..core.tables import load
 # keep every event.  The domain also keeps every timestamp strictly
 # post-epoch, so second-grain bucket arithmetic (trunc vs floor division
 # — they differ only below zero) is sign-safe by construction.
+#
+# POLICY BOUNDARY (deliberate): the domain gates queries whose COST or
+# OUTPUT CARDINALITY is proportional to the time RANGE (dense spines,
+# day lattices, time-axis pixel buckets).  The observed-grain family
+# (holt/holt_winters/decompose/acf/anomaly/slo_burn/...) is NOT gated:
+# their cost tracks OBSERVED buckets, so clock garbage adds O(1) rows,
+# and their declared semantics is "every observed stamp is data" —
+# deterministic and cross-engine exact either way (proven by the
+# class-H sweeps).  Quarantining there would be a silent data-dropping
+# default inside an analytics operator; a production pipeline that
+# wants it composes the same filter upstream, exactly as these four
+# queries do.
 TS_DOMAIN_LO = "1990-01-01"
 TS_DOMAIN_HI = "2100-01-01"
 TS_DOMAIN_SQL = (f"ts >= TIMESTAMP '{TS_DOMAIN_LO}'"
