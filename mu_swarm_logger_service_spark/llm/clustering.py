@@ -629,9 +629,11 @@ def q_llm_semdedup_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cosine >= SEM_TAU), but the centroid ARGMAX is computed only over
     centroids sharing a hyperplane-LSH bucket with the vector
     (q_llm_ann_lsh's hyperplane_tables, OR-amplified across N_TABLES):
-    candidates per vector ~= T * ncent / 2^BITS, and BITS is a build
-    parameter tuned ~log2(ncent), so the assignment is O(n*T) instead of
-    the brute n*(n/71) the admission guard refuses past oracle scale.
+    candidates per vector ~= T * ncent / 2^BITS, and BITS is a REAL
+    build parameter (session conf spark.mu_swarm_logger.lsh.*, the
+    minhash_params pattern) tuned ~log2(ncent), so the assignment is
+    O(n*T) instead of the brute n*(n/71) the admission guard refuses
+    past oracle scale.
     Vectors whose buckets contain NO centroid take a NULL cell and are
     KEPT as singletons (declared policy: an unassignable vector is never
     a semantic duplicate of anything the index can see).
@@ -649,18 +651,19 @@ def q_llm_semdedup_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     (table, bucket) — no crossJoin, no corpus-sized broadcast; the
     argmax partial-aggregates map-side; the in-cell pairing is the same
     bounded Sigma cell_size^2 self-join as the brute form."""
-    from .similarity import hyperplane_tables
+    from .similarity import hyperplane_tables, lsh_params
 
     emb = spread(load_vec(spark, sf_dir)).select("vec_id", "embedding")
+    n_tables, bits = lsh_params(spark)
     cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
     sig_v = emb.select(
         "vec_id", "embedding",
-        F.posexplode(hyperplane_tables(F.col("embedding")))
+        F.posexplode(hyperplane_tables(F.col("embedding"), n_tables, bits))
         .alias("table", "bucket"))
     sig_c = cent.select(
         "cell", "ce",
-        F.posexplode(hyperplane_tables(F.col("ce")))
+        F.posexplode(hyperplane_tables(F.col("ce"), n_tables, bits))
         .alias("table", "bucket"))
     cand = (
         sig_v.join(sig_c, ["table", "bucket"])

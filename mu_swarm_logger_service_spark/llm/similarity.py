@@ -416,6 +416,25 @@ def q_llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_TABLES = 4        # independent hash tables (OR-amplification)
 BITS_PER_TABLE = 6  # 64 buckets per table
 
+# Build parameters as session conf (the minhash_params pattern): at real
+# scale BITS is tuned ~log2(#items-per-bucket-target) so per-bucket
+# candidate counts stay bounded — the knob that keeps hyperplane-LSH
+# candidate generation linear as the corpus (or the semdedup centroid
+# set) grows.  Defaults match the historical constants.
+_CONF_LSH_TABLES = "spark.mu_swarm_logger.lsh.tables"
+_CONF_LSH_BITS = "spark.mu_swarm_logger.lsh.bits_per_table"
+
+
+def lsh_params(spark: SparkSession) -> tuple[int, int]:
+    """(n_tables, bits_per_table) from session conf, validated."""
+    n_tables = int(spark.conf.get(_CONF_LSH_TABLES, str(N_TABLES)))
+    bits = int(spark.conf.get(_CONF_LSH_BITS, str(BITS_PER_TABLE)))
+    if n_tables <= 0 or not (0 < bits <= 62):
+        raise ValueError(
+            f"LSH build parameters out of range: tables={n_tables} "
+            f"(need > 0), bits_per_table={bits} (need 1..62)")
+    return n_tables, bits
+
 
 def _hyperplane_component(table: int, bit: int, j: Column) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
@@ -424,16 +443,17 @@ def _hyperplane_component(table: int, bit: int, j: Column) -> Column:
     return F.xxhash64(F.lit(table), F.lit(bit), j).cast("double") / F.lit(2.0**63)
 
 
-def hyperplane_tables(emb_col: Column) -> Column:
-    """Array of N_TABLES bucket ids (each a BITS_PER_TABLE-bit signature):
+def hyperplane_tables(emb_col: Column, n_tables: int = N_TABLES,
+                      bits: int = BITS_PER_TABLE) -> Column:
+    """Array of n_tables bucket ids (each a bits-bit signature):
     bit b of table t = sign(v . plane_{t,b})."""
     def projector(t: int, b: int):
         return lambda x, j: x.cast("double") * _hyperplane_component(t, b, j)
 
     buckets = []
-    for t in range(N_TABLES):
+    for t in range(n_tables):
         sig = F.lit(0)
-        for b in range(BITS_PER_TABLE):
+        for b in range(bits):
             comp = F.transform(emb_col, projector(t, b))
             d = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
             sig = sig + F.when(d > 0, F.lit(1 << b)).otherwise(0)
@@ -454,9 +474,10 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-k.
     """
     emb = spread(load_vec(spark, sf_dir))
+    n_tables, bits = lsh_params(spark)
     sig = emb.select(
         "vec_id", "embedding",
-        F.posexplode(hyperplane_tables(F.col("embedding")))
+        F.posexplode(hyperplane_tables(F.col("embedding"), n_tables, bits))
         .alias("table", "bucket"),
     )
     q = (

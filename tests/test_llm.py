@@ -274,6 +274,40 @@ def test_embed_near_dup_subset_guarded(spark, sf_dir):
     assert (sf_dir, MAX_PAIRWISE_SUBSET) in _subset_guard_ok
 
 
+def test_lsh_build_params_conf(spark, sf_dir):
+    """The hyperplane-LSH build parameters are session conf (the
+    minhash_params pattern): out-of-range values must raise, and a
+    tighter bucket grid (more bits) must be honored end-to-end — at 12
+    bits per table on this corpus the candidate sets shrink, so the
+    registered query still runs and never emits self-pairs."""
+    from mu_swarm_logger_service_spark.llm.similarity import (
+        _CONF_LSH_BITS, _CONF_LSH_TABLES, lsh_params)
+
+    spark.conf.set(_CONF_LSH_BITS, "63")
+    try:
+        with pytest.raises(ValueError, match="bits_per_table"):
+            lsh_params(spark)
+    finally:
+        spark.conf.unset(_CONF_LSH_BITS)
+
+    spark.conf.set(_CONF_LSH_TABLES, "2")
+    spark.conf.set(_CONF_LSH_BITS, "12")
+    try:
+        rows = QUERIES["q_llm_ann_lsh"](spark, sf_dir).collect()
+    finally:
+        spark.conf.unset(_CONF_LSH_TABLES)
+        spark.conf.unset(_CONF_LSH_BITS)
+    assert all(r.q_id != r.c_id for r in rows)
+    # 2 tables x 12 bits: signatures must actually use the upper bits
+    # somewhere (buckets > 63 exist), proving the knob reached the expr
+    from mu_swarm_logger_service_spark.llm.similarity import (
+        hyperplane_tables, load_vec)
+    sig = (load_vec(spark, sf_dir)
+           .select(F.explode(hyperplane_tables(
+               F.col("embedding"), 2, 12)).alias("b")))
+    assert sig.filter(F.col("b") > 63).count() > 0
+
+
 def test_semdedup_scale_composed_path(spark, sf_dir, tmp_path_factory):
     """The ANN-assisted semdedup (q_llm_semdedup_scale) must (a) run where
     the brute form REFUSES (it is the path the guard names), (b) emit
