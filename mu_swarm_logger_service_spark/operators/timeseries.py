@@ -1264,9 +1264,17 @@ def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.datediff("cday", "d0").alias("idx"),
-            F.when(F.col("cday") == F.col("day"), F.col("a"))
+            # coalesce OBSERVED days too, not just gap days: a day whose
+            # clicks/purchases all carry NULL values (or has none of that
+            # type at all) sums to NULL, and the oracle's COALESCE(x,
+            # 0.0) zero-fills it — leaving it NULL here silently dropped
+            # the day from the lag lattice (caught by the sf0.001-density
+            # adversarial pin; the denser fixtures never empty a day).
+            F.when(F.col("cday") == F.col("day"),
+                   F.coalesce(F.col("a"), F.lit(0.0)))
             .otherwise(0.0).alias("a"),
-            F.when(F.col("cday") == F.col("day"), F.col("b"))
+            F.when(F.col("cday") == F.col("day"),
+                   F.coalesce(F.col("b"), F.lit(0.0)))
             .otherwise(0.0).alias("b"),
         )
     )
