@@ -2731,7 +2731,11 @@ WITH cells AS (
 SELECT month, n_parts,
        round(laspeyres, 9) + 0.0 AS laspeyres,
        round(paasche, 9) + 0.0 AS paasche,
-       round(sqrt(laspeyres * paasche), 9) + 0.0 AS fisher
+       -- declared sqrt domain (class F): refund-heavy months can turn an
+       -- index negative; DuckDB hard-errors on sqrt(negative) where Spark
+       -- NaNs, so the Fisher mean is NULL outside the domain on BOTH sides
+       CASE WHEN laspeyres * paasche >= 0
+            THEN round(sqrt(laspeyres * paasche), 9) + 0.0 END AS fisher
 FROM idx
 """)
 def q_analytics_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2797,6 +2801,7 @@ def q_analytics_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month", "n_parts",
         (F.round(F.col("laspeyres"), 9) + 0.0).alias("laspeyres"),
         (F.round(F.col("paasche"), 9) + 0.0).alias("paasche"),
-        (F.round(F.sqrt(F.col("laspeyres") * F.col("paasche")), 9)
-         + 0.0).alias("fisher"),
+        F.when(F.col("laspeyres") * F.col("paasche") >= 0,
+               F.round(F.sqrt(F.col("laspeyres") * F.col("paasche")), 9)
+               + 0.0).alias("fisher"),
     )

@@ -148,6 +148,10 @@ SENSITIVE = [
     "q_ts_cross_corr",       # day lattice bounded by the domain
     "q_ts_m4_downsample",    # pixel buckets: floor-vs-trunc on negatives
     "q_join_banded",         # band bucketing on floored whole seconds
+    "q_analytics_price_index",  # Fisher sqrt domain: a refund-heavy month
+                                # turns the index product negative ONLY at
+                                # sf0.001 sparsity (found by the first
+                                # full-registry sf0.001-density sweep)
     # NB q_ts_funnel is already pinned under class G above; its r10
     # audit fix (integer-us band vs the latent fractional-epoch oracle
     # boundary) rides that same pin.
