@@ -101,69 +101,34 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # registration order.  The window must never exceed the driver's 50 rows
 # (enforced below and in tests) or the tail silently loses evidence.
 EXPORT_FIRST: tuple[str, ...] = (
-    # r10 window, activated 2026-08-16: with never-checked = 0 the window's
-    # job is FRESHNESS — re-prove the surface rounds 8-10 TOUCHED (the
-    # class C2/D/E/F/G policy fixes, the null-policy keys, the IVF
-    # fixed-K codebook family incl. this round's ivf_pq/cluster_purity
-    # propagation, the stale-cache sources, the guards) ahead of r1-era
-    # greens.  Pre-derived at the end of round 9 (commit fd61839), then
-    # adjusted at activation: the 10 pre-derived keys that were ALSO in
-    # the r9 window (q_fn_ipnet, the syslog/accesslog/log_templates
-    # sources, the four r9 stream keys, dpo_pairs, vocab_coverage) went
-    # driver-green in CORRECTNESS_r09 AFTER every r9 policy fix, so their
-    # slots went to the stalest class-D-touched vector-family keys.
-    # Re-adjusted mid-round after trap class H landed: the 12 keys the
-    # class-H fixes CHANGED this round (the epoch_s migration, the
-    # valid-time-domain spine family, the V3 docker mint, the
-    # burstiness state-fold sentinel, the banded/funnel audit) take the
-    # slots of the three rows-only keys (weak driver evidence: rows>0
-    # only) and the unchanged-since-r6 vector extras (matryoshka,
-    # rrf_fusion, quantize_int8, ann_int8, hard_negatives,
-    # embedding_drift, dedup_groups, dup_triangles,
-    # audit_dataset_fingerprint) — those ride the r11 window.
-    "q_fn_json", "q_fn_variant", "q_fn_string", "q_fn_struct",
-    "q_fn_encode", "q_fn_format", "q_llm_ann_ivf_pq", "q_fn_math",
-    "q_llm_pq_encode", "q_source_container_logs", "q_fn_datetime",
-    "q_llm_centroid", "q_agg_weighted_median", "q_agg_spearman",
-    "q_analytics_min_cost_supplier", "q_analytics_mann_whitney",
-    "q_analytics_revenue_gini", "q_join_asof", "q_join_asof_nearest",
-    "q_ts_funnel", "q_ts_holt_trend", "q_ts_holt_winters",
-    "q_ts_forecast_backtest", "q_ts_lttb", "q_ts_kaplan_meier",
-    "q_ts_pattern_match", "q_project_compute", "q_win_lag_lead",
-    "q_win_frame_range", "q_win_time_range",
-    "q_stream_fingerprint", "q_ts_gapfill",
-    "q_ts_interpolate", "q_ts_cross_corr", "q_llm_langid",
-    "q_llm_tfidf_keywords", "q_ts_m4_downsample", "q_llm_knn_label",
-    "q_llm_cosine_topk", "q_stream_burstiness", "q_join_banded",
-    "q_llm_ann_pq", "q_llm_ann_ivf", "q_llm_ann_recall",
-    "q_llm_kmeans_step", "q_llm_semdedup", "q_llm_embed_near_dup",
-    "q_llm_cluster_purity", "q_scan_dpp", "q_source_docker_events",
+    # r11 window, activated 2026-08-16 from the pre-derived suggestion
+    # (commit 8815af2), re-verified at activation: rotate_window reports
+    # never-checked = 1 (q_llm_semdedup_scale — registered r10 after the
+    # window was pinned, so the registry's ONLY key with zero driver
+    # evidence; leads the window).  The other 49 slots go stalest-first
+    # to the r1-r3-era relational core (no driver row since round 3,
+    # since touched by the r8/r9 null-placement/tie policies and eight
+    # adversarial trap classes) plus the r4-era remainder
+    # (source_formats, sql_surface, cdc/layout, values_inline,
+    # bucketed/salted joins).
+    "q_llm_semdedup_scale", "q_agg_global", "q_agg_distinct",
+    "q_agg_approx_distinct", "q_agg_grouping_sets", "q_agg_cube",
+    "q_agg_collect", "q_agg_stats", "q_agg_percentile",
+    "q_agg_pivot", "q_agg_having", "q_agg_salted",
+    "q_agg_approx_percentile", "q_agg_boolean", "q_agg_winsorize",
+    "q_agg_mode", "q_scan_parquet", "q_scan_pruned",
+    "q_sink_partitioned", "q_source_formats", "q_sql_surface",
+    "q_scan_merge_schema", "q_cdc_snapshot_diff", "q_layout_zorder",
+    "q_filter_status", "q_filter_compound", "q_filter_like_regex",
+    "q_filter_null", "q_values_inline", "q_join_inner_hash",
+    "q_join_broadcast", "q_join_sortmerge", "q_join_left",
+    "q_join_right_full", "q_join_semi", "q_join_cross",
+    "q_join_theta_range", "q_join_interval", "q_join_self",
+    "q_join_bucketed", "q_join_salted", "q_win_rank",
+    "q_win_frame_rows", "q_win_analytic", "q_win_topk_group",
+    "q_sort_multi", "q_limit_offset", "q_topk",
+    "q_union_all", "q_union_distinct",
 )
-
-# r11 window suggestion, derived at the end of round 10: with the r10
-# window re-proving every r10-touched key, the next-stalest evidence is
-# the r1-r3-era relational core (42 keys with no driver row since r3,
-# several since touched by r8/r9 null/tie policies) plus the r4-era
-# remainder and the new rows-only q_llm_semdedup_scale.  Mechanically
-# derived (oldest last-driver-row first, current-window keys excluded);
-# re-run the derivation at activation time in case r10 rotates:
-#   "q_llm_semdedup_scale", "q_agg_global", "q_agg_distinct",
-#   "q_agg_approx_distinct", "q_agg_grouping_sets", "q_agg_cube",
-#   "q_agg_collect", "q_agg_stats", "q_agg_percentile",
-#   "q_agg_pivot", "q_agg_having", "q_agg_salted",
-#   "q_agg_approx_percentile", "q_agg_boolean", "q_agg_winsorize",
-#   "q_agg_mode", "q_scan_parquet", "q_scan_pruned",
-#   "q_sink_partitioned", "q_source_formats", "q_sql_surface",
-#   "q_scan_merge_schema", "q_cdc_snapshot_diff", "q_layout_zorder",
-#   "q_filter_status", "q_filter_compound", "q_filter_like_regex",
-#   "q_filter_null", "q_values_inline", "q_join_inner_hash",
-#   "q_join_broadcast", "q_join_sortmerge", "q_join_left",
-#   "q_join_right_full", "q_join_semi", "q_join_cross",
-#   "q_join_theta_range", "q_join_interval", "q_join_self",
-#   "q_join_bucketed", "q_join_salted", "q_win_rank",
-#   "q_win_frame_rows", "q_win_analytic", "q_win_topk_group",
-#   "q_sort_multi", "q_limit_offset", "q_topk",
-#   "q_union_all", "q_union_distinct",
 
 # The driver's CORRECTNESS window is 50 rows; a 51st pin would silently push
 # the last key out of the claimed evidence window.
