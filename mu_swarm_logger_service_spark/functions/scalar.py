@@ -336,9 +336,17 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 #          parsers, the only mirrorable single-document check);
 #       3. no apostrophe anywhere (Jackson's ALLOW_SINGLE_QUOTES
 #          leniency is out of contract);
-#       4. no NaN/Inf token anywhere, CASE-INSENSITIVE (yyjson's
+#       4. no bare NaN/Inf(inity) token in a VALUE position — anchored to
+#          '[:,[]\\s*[+-]?(nan|inf(inity)?)\\b', CASE-INSENSITIVE (yyjson's
 #          ALLOW_INF_AND_NAN accepts any case; Jackson's leniency is
-#          exact-case — the r10 review find);
+#          exact-case — the r10 review find).  Anchoring is the r10
+#          ADVICE fix: a bare substring test also rejected ordinary
+#          string contents ('{"note": "info"}', '{"fruit": "banana"}');
+#          a lenient token can only start a VALUE, i.e. directly after
+#          ':' / ',' / '[' plus whitespace and optional sign, and the
+#          trailing \\b spares prefixes like 'info'.  A QUOTED "nan"
+#          string is a plain string both parsers read identically, so
+#          it needs no gating;
 #       5. no ',' directly before '}' / ']' and no control characters
 #          anywhere (yyjson trailing-comma leniency and Jackson
 #          unescaped-control-char leniency are out of contract; NDJSON
@@ -374,7 +382,7 @@ _USABLE_SQL = f"""regexp_matches(trim(props), '{_JSON_OBJ_RE}')
                         THEN json_array_length('[' || trim(props) || ']')
                         END) = 1, FALSE)
                    AND NOT regexp_matches(props, '''')
-                   AND NOT regexp_matches(props, '(?i)(nan|inf)')
+                   AND NOT regexp_matches(props, '(?i)[:,\\[]\\s*[+-]?(nan|inf(inity)?)\\b')
                    AND NOT regexp_matches(props, ',\\s*[}}\\]]')
                    AND NOT regexp_matches(props, '[[:cntrl:]]')
                    AND NOT contains(props, '\\')"""
@@ -386,7 +394,11 @@ def _usable_payload() -> Column:
     r10 review fixes: the NaN/Inf clause is CASE-INSENSITIVE (yyjson
     accepts 'nan'/'inf'/'Infinity' in any case while Jackson's
     ALLOW_NON_NUMERIC_NUMBERS is exact-case — a lowercase token passed
-    the oracle gate and not Spark's), and a sixth clause rejects any
+    the oracle gate and not Spark's) and ANCHORED to value positions
+    (r10 ADVICE: the substring form rejected legitimate payloads whose
+    STRING contents merely contain 'nan'/'inf', e.g. {"note": "info"}
+    — a lenient token can only start a value, after ':'/','/'['), and
+    a sixth clause rejects any
     BACKSLASH: escape-sequence decoding (\\", \\uXXXX, lone surrogates)
     is its own cross-engine divergence surface, and a quote inside a
     key would additionally crash the variant oracle's recursive path
@@ -399,7 +411,7 @@ def _usable_payload() -> Column:
         t.rlike(_JSON_OBJ_RE)
         & (F.json_array_length(wrapped) == 1)
         & ~F.col("props").contains("'")
-        & ~F.col("props").rlike("(?i)(nan|inf)")
+        & ~F.col("props").rlike(r"(?i)[:,\[]\s*[+-]?(nan|inf(inity)?)\b")
         & ~F.col("props").rlike(",\\s*[}\\]]")
         & ~F.col("props").rlike("\\p{Cntrl}")
         & ~F.col("props").contains("\\")

@@ -159,6 +159,10 @@ SENSITIVE = [
     # trailing doc ending in '}', nested duplicate keys, single quotes,
     # NaN token, trailing comma, control char) ride the existing
     # q_fn_json / q_fn_variant pins above via the regenerated fixture.
+    # r11 ADVICE fix pins likewise: the anchored NaN/Inf clause must
+    # SPARE string contents ({"note": "info"}, {"fruit": "banana"},
+    # quoted "nan" values, an 'infinity' KEY) while the ','/'[' anchors
+    # still reject bare tokens inside arrays — six new generator shapes.
 ]
 
 

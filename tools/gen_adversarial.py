@@ -304,12 +304,29 @@ def generate(base, out):
                                                 # oracle's path walk)
                 '{"k": "a\\"b"}',               # escaped quote in a value
                 '{"k": "\\u0041"}',             # unicode escape
+                # r11 ADVICE fix pins — the anchored NaN/Inf clause must
+                # SPARE ordinary string contents/keys (all four usable;
+                # the substring-form gate wrongly nulled them) while the
+                # value-position anchors ',' and '[' still REJECT bare
+                # tokens inside arrays:
+                '{"note": "info", "k": 7}',     # 'inf' inside a string
+                '{"fruit": "banana"}',          # 'nan' inside a string
+                '{"k": "nan"}',                 # quoted nan IS the value
+                '{"infinity": 3, "k": 2}',      # token as a KEY name
+                '{"k": [1, NaN]}',              # bare NaN after ','
+                '{"k": [Infinity]}',            # bare Infinity after '['
             ]
             patho_mask = ((~tie_props) & (~uni_props)
                           & (rng.random_sample(n) < 0.12))
             ppick = rng.randint(0, len(patho), n)
-            for i in np.where(patho_mask)[0]:
-                props[i] = patho[ppick[i]]
+            # First cycle through EVERY shape once before random picks: a
+            # uniform draw leaves ~e^-(rows/shapes) of the shapes with zero
+            # occurrences (at sf0.001 two shapes never fired — a vacuous
+            # pin, the q_llm_pii_redact lesson); the cycle guarantees each
+            # shape appears at every density while the rng stream (and so
+            # every downstream column's draw) is unchanged.
+            for k, i in enumerate(np.where(patho_mask)[0]):
+                props[i] = patho[k if k < len(patho) else ppick[i]]
             df["props"] = props
             # --- r9 trap class G: NULL ENTITY/CATEGORY KEYS ---
             df["event_type"] = _null(rng, df.event_type, 0.04, n)
