@@ -61,8 +61,12 @@ def epoch_s(col: Column | str) -> Column:
     non-negative epochs.  The r10 class-H fixture (pre-epoch clock
     garbage, -1 µs stamps) split six queries on exactly this:
     unix_timestamp(-1 µs) = 0 vs floor(epoch) = -1.  Both engines here
-    perform the SAME two IEEE ops on the same exact integer (µs fits
-    2^53 through year 2262; the division is one correctly-rounded op on
-    identical bits; floor of identical doubles is identical), so the
-    pair is exact for any representable timestamp, either sign."""
+    perform the SAME two IEEE ops on the same int64: the identical
+    int64→double conversion (correctly rounded — exact below 2^53 µs,
+    ~year 2255, and the SAME rounded double above it), one
+    correctly-rounded division on identical bits, and floor of identical
+    doubles.  The agreement argument is bit-identical rounding, not
+    exactness, so the pair matches for any representable timestamp,
+    either sign (r10 advice corrected the earlier "exact through 2262"
+    overstatement — int64 µs itself runs to 2262, 2^53 only to ~2255)."""
     return F.floor(F.unix_micros(col) / F.lit(1_000_000.0)).cast("long")

@@ -933,10 +933,14 @@ def q_stream_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale: the always-on arrival-process monitor — O(1) state per
     user, each batch shuffles only its own rows on the user key."""
-    from .stateful import burstiness_stateful
+    from .stateful import BURST_STATE_VERSION, burstiness_stateful
 
+    # The state version rides the checkpoint path (stateful.py's
+    # BURST_STATE_VERSION note): a schema-widening upgrade starts a fresh
+    # checkpoint lineage instead of dying at state restore.
     sink = tempfile.mkdtemp(prefix="spark_graft_burstsink_")
-    ckpt = tempfile.mkdtemp(prefix="spark_graft_burstckpt_")
+    ckpt = tempfile.mkdtemp(
+        prefix=f"spark_graft_burstckpt_v{BURST_STATE_VERSION}_")
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf.withColumn("batch_id", F.lit(batch_id)) \

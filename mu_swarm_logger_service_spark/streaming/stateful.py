@@ -29,13 +29,20 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "event_id long, user_id long, ts timestamp, n_so_far long, value_so_far double"
 )
-STATE_SCHEMA = "n long, total double"
+# v2 (r11): + has_total — the hostile-replay gate caught the fold
+# NaN-POISONING itself on the first NULL event value (pandas renders the
+# null as NaN; `total += nan` is nan forever), where the batch twin's
+# windowed SUM skips nulls and is NULL until the first observed value.
+# The declared two-sided policy is SUM's: skip null values, emit NULL
+# while nothing has been observed.  Schema widening invalidates v1
+# checkpoints — the BURST_STATE_VERSION upgrade contract applies.
+STATE_SCHEMA = "n long, total double, has_total integer"
 
 
 def _accumulate(key: tuple, pdf_iter: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
+    n, total, has_total = state.get if state.exists else (0, 0.0, 0)
     out: list[dict[str, Any]] = []
     # Concatenate chunks before sorting: pdf_iter may yield several Arrow
     # slices per micro-batch, and per-slice sorting would accumulate in
@@ -46,12 +53,15 @@ def _accumulate(key: tuple, pdf_iter: Iterator[pd.DataFrame],
         for row in whole.sort_values(["ts", "event_id"]).itertuples(
                 index=False):
             n += 1
-            total += float(row.value)
+            if pd.notna(row.value):
+                total += float(row.value)
+                has_total = 1
             out.append({
                 "event_id": row.event_id, "user_id": user_id, "ts": row.ts,
-                "n_so_far": n, "value_so_far": total,
+                "n_so_far": n,
+                "value_so_far": total if has_total else None,
             })
-    state.update((n, total))
+    state.update((n, total, has_total))
     yield pd.DataFrame(out, columns=[
         "event_id", "user_id", "ts", "n_so_far", "value_so_far",
     ])
@@ -427,6 +437,16 @@ BURST_OUT_SCHEMA = ("user_id long, last_us long, n_gaps long, "
                     "s1 long, s2 string")
 BURST_STATE_SCHEMA = ("last_us long, last_eid long, n_gaps long, "
                       "s1 long, s2 string, has_last integer")
+# State-schema VERSION for long-lived deployments (r10 advice): the r10
+# class-H fix widened the state tuple 5 -> 6 fields (has_last), which is a
+# state-store schema INCOMPATIBILITY — a stream resumed from a checkpoint
+# written by the 5-field schema fails at restore.  Spark's state store has
+# no migration hook for applyInPandasWithState, so the upgrade contract is
+# the same as the docker mint's V3 marker: embed this version in the
+# checkpoint path (as burstiness' registered query does) so an upgraded
+# job STARTS FRESH instead of dying at restore; v1 (5-field) checkpoints
+# must be discarded.  Bump on ANY change to BURST_STATE_SCHEMA.
+BURST_STATE_VERSION = 2
 
 
 def _burst_update(key: tuple, pdf_iter, state: GroupState):

@@ -1922,3 +1922,35 @@ def test_asof_nearest_dominates_backward(spark, sf_dir):
             assert abs(nr["delta_us"]) <= back_delta * 1e6 + 1e-6
         signs.add(nr["delta_us"] > 0)
     assert signs == {True, False}   # both directions non-vacuous
+
+
+def test_ts_domain_session_conf_override(spark, sf_dir):
+    """The valid-time domain bounds ride session conf (r10 advice): a
+    narrowed domain must shrink the gapfill spine, the defaults must
+    restore on unset, and malformed/empty bounds must refuse loudly
+    rather than silently drop every event."""
+    import pytest as _pytest
+
+    from mu_swarm_logger_service_spark.core.registry import QUERIES
+    from mu_swarm_logger_service_spark.operators.timeseries import (
+        _CONF_TS_HI, _CONF_TS_LO, ts_domain)
+
+    base = QUERIES["q_ts_gapfill"](spark, sf_dir).count()
+    try:
+        # Narrow to a single day inside the fixture's 30-day span: the
+        # hour spine collapses to <= 24 rows (vs ~720 at defaults).
+        spark.conf.set(_CONF_TS_LO, "2024-01-02")
+        spark.conf.set(_CONF_TS_HI, "2024-01-03")
+        narrowed = QUERIES["q_ts_gapfill"](spark, sf_dir).count()
+        assert 0 < narrowed <= 24 < base
+
+        spark.conf.set(_CONF_TS_HI, "not-a-date")
+        with _pytest.raises(ValueError, match="yyyy-MM-dd"):
+            ts_domain(spark)
+        spark.conf.set(_CONF_TS_HI, "2024-01-02")  # == lo: empty domain
+        with _pytest.raises(ValueError, match="empty ts_domain"):
+            ts_domain(spark)
+    finally:
+        spark.conf.unset(_CONF_TS_LO)
+        spark.conf.unset(_CONF_TS_HI)
+    assert QUERIES["q_ts_gapfill"](spark, sf_dir).count() == base
