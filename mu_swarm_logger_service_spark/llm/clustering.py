@@ -651,6 +651,29 @@ def q_llm_semdedup_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     (table, bucket) — no crossJoin, no corpus-sized broadcast; the
     argmax partial-aggregates map-side; the in-cell pairing is the same
     bounded Sigma cell_size^2 self-join as the brute form."""
+    emb, assign = _semdedup_scale_assign(spark, sf_dir)
+    # The assignment feeds FOUR plan arms (both sides of the in-cell
+    # pairing, the anti-join probe, the emit base) — materialize it once
+    # (the clustering edge-set localCheckpoint discipline) instead of
+    # re-running the LSH candidate shuffle per arm.  tests/test_plans.py
+    # pins both halves: the assignment plan's (table,bucket) equi shuffle
+    # with zero broadcasts, and the final plan's single parquet scan.
+    assign = assign.localCheckpoint(eager=True)
+    unmatched = (
+        emb.join(assign.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", F.lit(None).cast("long").alias("cell"),
+                F.col("embedding").alias("e"))
+    )
+    return _semdedup_emit(assign, assign.unionByName(unmatched))
+
+
+def _semdedup_scale_assign(spark: SparkSession, sf_dir: str
+                           ) -> tuple[DataFrame, DataFrame]:
+    """(corpus, LSH-assisted coarse assignment) for the semdedup scale
+    path — split out (un-checkpointed) so the plan test can assert the
+    assignment's shape: candidates via an equi shuffle on (table, bucket),
+    argmax as a partial+final aggregate, NO corpus-sized broadcast and no
+    cartesian product."""
     from .similarity import hyperplane_tables, lsh_params
 
     emb = spread(load_vec(spark, sf_dir)).select("vec_id", "embedding")
@@ -680,12 +703,7 @@ def q_llm_semdedup_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", (-F.col("best.nc")).alias("cell"),
                 F.col("best.e").alias("e"))
     )
-    unmatched = (
-        emb.join(assign.select("vec_id"), "vec_id", "left_anti")
-        .select("vec_id", F.lit(None).cast("long").alias("cell"),
-                F.col("embedding").alias("e"))
-    )
-    return _semdedup_emit(assign, assign.unionByName(unmatched))
+    return emb, assign
 
 
 def _recall_sql() -> str:

@@ -145,6 +145,47 @@ def test_semdedup_incell_pairing_is_equi_join(spark, sf_dir):
     assert "hashpartitioning(" in p or "BroadcastHashJoin" in p
 
 
+def test_semdedup_scale_assignment_shape(spark, sf_dir):
+    """The ANN-assisted semdedup assignment (the 100 TB form) must fetch
+    centroid candidates through an EQUI shuffle on (table, bucket) with
+    NO broadcast anywhere — every side is corpus-proportional (vectors,
+    and centroids at n/71), so a broadcast here is a corpus-sized
+    broadcast — and the argmax must partial-aggregate map-side.
+    Broadcasts are judged with AQE's small-input shortcut disabled: at
+    test SF everything fits a broadcast, which is exactly the plan that
+    dies at scale."""
+    from mu_swarm_logger_service_spark.llm.clustering import (
+        _semdedup_scale_assign)
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _, assign = _semdedup_scale_assign(spark, sf_dir)
+        p = assign._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "BroadcastExchange" not in p          # no corpus-sized broadcast
+    assert re.search(r"hashpartitioning\(table\S*, bucket\S*", p), \
+        "candidate fetch lost the (table, bucket) equi shuffle"
+    assert p.count("HashAggregate") >= 2 or p.count("SortAggregate") >= 2
+
+
+def test_semdedup_scale_assignment_materialized_once(spark, sf_dir):
+    """The assignment feeds four plan arms; the registered query must
+    checkpoint it so the final plan re-reads the materialized RDD, not
+    the LSH shuffle per arm — exactly one parquet scan may remain (the
+    corpus re-read for NULL-cell singletons)."""
+    p = _plan(spark, sf_dir, "q_llm_semdedup_scale")
+    # formatted mode prints each node twice (tree line + detail header);
+    # count the numbered detail headers only.
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Scan ExistingRDD" in p
+    assert "CartesianProduct" not in p
+
+
 def test_decontaminate_broadcasts_eval_hashes(spark, sf_dir):
     """The eval fingerprint set must broadcast — the training-corpus side
     (the 100 TB side) never shuffles for the contamination probe."""
