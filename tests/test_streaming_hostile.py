@@ -1,0 +1,344 @@
+"""Hostile-timestamp streaming replays (r10 verdict task 4).
+
+The 21 streaming replays in tests/test_streaming.py run on PRISTINE
+timing, while trap class H proved ts pathologies split engines in batch
+(eight r10 finds).  This module composes the two gates: the class-H
+events (epoch-boundary stamps, -1 µs / ±250 ns sub-microsecond garbage,
+far-future 2200 stamps, a microsecond tie-storm, plus the class-G null
+user/type keys riding the same fixture) are replayed through the
+watermark/dedup/session/stateful operators across real micro-batches,
+and the final state must equal the batch twin on the SAME hostile data
+— state that straddles a batch boundary at a hostile instant is the
+point.  One test additionally pins the DECLARED failure mode of event
+time itself: a single far-future stamp in an early batch advances the
+watermark past every later row (the reason the calendar family
+quarantines clock garbage upstream — operators/timeseries.ts_domain).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from gen_adversarial import generate
+from mu_swarm_logger_service_spark.core.registry import QUERIES
+from mu_swarm_logger_service_spark.core.tables import load
+from mu_swarm_logger_service_spark.streaming import transforms as X
+from mu_swarm_logger_service_spark.streaming.stateful import (
+    burstiness_stateful,
+    pattern_stateful,
+    running_user_counters_stateful,
+)
+from tests.test_streaming import (
+    _read_replay,
+    _replay_dir,
+    _run_stream,
+)
+
+
+def _canon(df):
+    """None-safe canonical rows: the hostile fixture puts NULLs in sort
+    keys (user_id, event_type), which Python's tuple sort cannot order
+    against ints/strs — compare sorted repr-tuples instead (repr is
+    injective on the value domain here: None / int / str / float,
+    including -0.0 vs 0.0)."""
+    return sorted(tuple(repr(x) for x in r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def adv_dir(sf_dir):
+    out = "/tmp/sfadv_test"  # shared with test_adversarial_parity (cached)
+    generate(sf_dir, out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def hostile_replay(spark, adv_dir):
+    """Class-H events split into 4 ts-ordered files: the pre-epoch and
+    storm stamps land early batches, the far-future stamps the last."""
+    src = _replay_dir(spark, adv_dir)
+    schema = load(spark, adv_dir, "events").schema
+    yield src, schema
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_hostile_fixture_is_actually_hostile(spark, adv_dir):
+    """Guard against a vacuous module: the replayed events must contain
+    pre-epoch stamps, far-future stamps, a microsecond tie-storm, and
+    null user ids — otherwise every test below reduces to the pristine
+    suite."""
+    ev = load(spark, adv_dir, "events")
+    agg = ev.agg(
+        F.sum((F.col("ts") < F.lit("1970-01-01").cast("timestamp"))
+              .cast("int")).alias("pre_epoch"),
+        F.sum((F.col("ts") > F.lit("2100-01-01").cast("timestamp"))
+              .cast("int")).alias("far_future"),
+        F.sum(F.col("user_id").isNull().cast("int")).alias("null_users"),
+        (F.count("*") - F.countDistinct("ts")).alias("ts_ties"),
+    ).collect()[0]
+    assert agg["pre_epoch"] > 0
+    assert agg["far_future"] > 0
+    assert agg["null_users"] > 0
+    assert agg["ts_ties"] > 10  # the storm collapses ~8% onto one instant
+
+
+def test_hostile_tumbling_stream_equals_batch(spark, adv_dir, hostile_replay):
+    """Tumbling window counts over hostile stamps (complete mode): the
+    1970-boundary and 2200 windows must aggregate identically to batch —
+    window bucketing is pure event-time arithmetic, no late-drop."""
+    src, schema = hostile_replay
+    stream = _read_replay(spark, src, schema)
+    got = _run_stream(X.tumbling_counts(stream), "complete")
+    want = X.tumbling_counts(load(spark, adv_dir, "events"))
+    assert _canon(got) == _canon(want)
+
+
+def test_hostile_session_stream_equals_batch(spark, adv_dir, hostile_replay):
+    """Session windows across hostile replay: sessions anchored at the
+    epoch boundary and inside the microsecond storm (many events, one
+    instant, one session) must flush to exactly the batch sessionization.
+    The flush sentinel must clear the FAR-FUTURE stamps too — a 2200
+    session only leaves the state store once the watermark passes 2200."""
+    src, schema = hostile_replay
+    ev = load(spark, adv_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(hours=2), -1, "view", 0.0, "{}")],
+        schema,
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "f999"))
+    try:
+        stream = _read_replay(spark, src, schema).withWatermark(
+            "ts", "1 minute")
+        got = _run_stream(X.session_windows(stream), "append").filter(
+            F.col("user_id") >= 0)
+        want = X.session_windows(ev).filter(F.col("user_id") >= 0)
+        assert _canon(got) == _canon(want)
+    finally:
+        shutil.rmtree(os.path.join(src, "f999"), ignore_errors=True)
+
+
+def test_hostile_dedup_exactly_once_minus_born_late_rows(spark, adv_dir,
+                                                         hostile_replay):
+    """At-least-once delivery of hostile events (every file doubled in
+    its own batch): dropDuplicatesWithinWatermark must restore
+    exactly-once for every WATERMARK-ADMISSIBLE row, including the
+    tie-storm instant.  Find pinned here (measured, boundary included):
+    Spark initializes the watermark at the EPOCH (1970), not -infinity,
+    and dropDuplicatesWithinWatermark's late filter is INCLUSIVE
+    (drops ts <= watermark) — so pre-epoch stamps AND epoch-exact
+    stamps are BORN LATE, dropped before any data-derived watermark
+    exists.  Declared policy, not a bug to paper over: epoch-and-older
+    clock garbage cannot ride a watermarked stream, the same
+    quarantine-upstream contract as ts_domain."""
+    src, schema = hostile_replay
+    ev = load(spark, adv_dir, "events")
+    n_events = ev.count()
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    n_born_late = ev.filter(F.col("ts") <= epoch).count()
+    n_pre = ev.filter(F.col("ts") < epoch).count()
+    # non-vacuous: both the pre-epoch and the epoch-EXACT case must fire
+    assert n_pre > 0 and n_born_late > n_pre
+    stream = _read_replay(spark, src, schema).withWatermark(
+        "ts", "10 minutes")
+    doubled = stream.unionByName(stream)
+    got = _run_stream(doubled.dropDuplicatesWithinWatermark(["event_id"]))
+    assert got.count() == n_events - n_born_late
+    assert got.select("event_id").distinct().count() == n_events - n_born_late
+    assert got.filter(F.col("ts") <= epoch).count() == 0
+
+
+def test_hostile_stateful_counters_equals_batch(spark, adv_dir,
+                                                hostile_replay):
+    """applyInPandasWithState running counters across hostile batches ==
+    batch cumulative window, including the NULL-user group (class G) and
+    null event values riding the same fixture."""
+    src, schema = hostile_replay
+    stream = _read_replay(spark, src, schema)
+    got = _run_stream(running_user_counters_stateful(stream)).toPandas()
+    want = X.running_user_counters(load(spark, adv_dir, "events")).toPandas()
+    g = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    w = want.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    assert (g["n_so_far"] == w["n_so_far"]).all()
+    diff = (g["value_so_far"] - w["value_so_far"]).abs()
+    assert diff.fillna(0.0).max() < 1e-6
+    # the r11 find this test exists for: the fold must not NaN-POISON on
+    # a null value (pandas `total += nan` is nan forever, so every later
+    # row of that user diverged from batch SUM — masked by tolerance
+    # checks because NaN-NaN comparisons fillna away); SUM semantics =
+    # skip nulls.  Non-vacuity: the fixture must actually contain null
+    # values followed by later events.
+    assert (g["value_so_far"].isna() == w["value_so_far"].isna()).all()
+    ev = load(spark, adv_dir, "events")
+    assert ev.filter(F.col("value").isNull()).count() > 0
+    assert g["value_so_far"].notna().any()
+
+
+def test_null_prefix_emits_null_not_zero(spark):
+    """The other half of the SUM policy the hostile fixture happens not
+    to reach (no user's FIRST event carries a null value there): until a
+    user's first NON-NULL value, the running total is NULL — as batch
+    SUM defines — not the fold's 0.0 seed.  Hand-built replay: one user,
+    null-value event first."""
+    import time
+    src = tempfile.mkdtemp(prefix="nullprefix_src_")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    base = dt.datetime(2024, 2, 1, 9, 0, 0)
+    rows1 = [(1, base, 5, "view", None, "{}")]
+    rows2 = [(2, base + dt.timedelta(minutes=1), 5, "view", 2.5, "{}"),
+             (3, base + dt.timedelta(minutes=2), 5, "view", None, "{}")]
+    try:
+        for name, rows in (("f000", rows1), ("f001", rows2)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite").parquet(os.path.join(src, name))
+            time.sleep(1.05)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(src, "f*")))
+        got = {r["event_id"]: r for r in
+               _run_stream(running_user_counters_stateful(stream)).collect()}
+        assert got[1]["value_so_far"] is None          # null prefix
+        assert got[2]["value_so_far"] == 2.5           # first real value
+        assert got[3]["value_so_far"] == 2.5           # null skipped, kept
+        assert [got[i]["n_so_far"] for i in (1, 2, 3)] == [1, 2, 3]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def _latest_snapshots(spark, stateful_fn, src, schema):
+    """Run a stateful op over the replay, return latest per-user rows."""
+    sink = tempfile.mkdtemp(prefix="hostile_sink_")
+    ckpt = tempfile.mkdtemp(prefix="hostile_ckpt_")
+    batch_ids = []
+
+    def write_batch(bdf, batch_id):
+        batch_ids.append(batch_id)
+        bdf.withColumn("batch_id", F.lit(batch_id)) \
+           .write.mode("overwrite").parquet(
+               os.path.join(sink, f"batch={batch_id}"))
+
+    q = (stateful_fn(_read_replay(spark, src, schema))
+         .writeStream.outputMode("update")
+         .foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(set(batch_ids)) >= 4
+    snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
+    latest = (snaps.withColumn(
+        "mx", F.max("batch_id").over(W.partitionBy("user_id")))
+        .filter(F.col("batch_id") == F.col("mx"))
+        .localCheckpoint(eager=True))
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return latest
+
+
+def test_hostile_burstiness_equals_batch(spark, adv_dir, hostile_replay):
+    """The r10 class-H fix's REPLAY test: a pre-epoch stamp carries a
+    NEGATIVE µs value that collided with the old -1 state sentinel — in
+    replay the collision happens AT A BATCH BOUNDARY (state restored
+    with last_us = -1 µs), which the batch sweep could never exercise.
+    Merged latest snapshots must reproduce q_ts_burstiness bit-for-bit
+    on the hostile fixture."""
+    src, schema = hostile_replay
+    latest = _latest_snapshots(spark, burstiness_stateful, src, schema) \
+        .filter(F.col("n_gaps") >= 2)
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("decimal(38,0)").cast("double")
+    mu = s1d / F.col("n_gaps")
+    sigma = F.sqrt(s2d / F.col("n_gaps") - mu * mu)
+    streamed = latest.select(
+        "user_id", "n_gaps", mu.alias("mean_gap_us"),
+        (F.round((sigma - mu) / (sigma + mu), 9) + 0.0).alias("burstiness"))
+    batch = QUERIES["q_ts_burstiness"](spark, adv_dir)
+    assert _canon(streamed) == _canon(batch)
+    assert streamed.count() > 0
+
+
+def test_hostile_pattern_equals_batch(spark, adv_dir, hostile_replay):
+    """Streaming CEP over hostile stamps: view->click->purchase chains
+    whose steps collapse onto ONE microsecond (the tie-storm) or span
+    the epoch boundary must match the batch window rewrite exactly."""
+    src, schema = hostile_replay
+    # identified-users policy at the FEED, exactly as the registered
+    # q_stream_pattern_match wires it (an anonymous event stream has no
+    # per-user funnel; the batch twin declares the same class-G policy)
+    latest = _latest_snapshots(
+        spark,
+        lambda s: pattern_stateful(s.filter(F.col("user_id").isNotNull())),
+        src, schema,
+    ).filter(F.col("n_purchases") > 0)
+    streamed = latest.select(
+        "user_id", "n_purchases", "n_matched",
+        (F.col("n_matched") > 0).alias("converted"))
+    batch = QUERIES["q_ts_pattern_match"](spark, adv_dir)
+    assert _canon(streamed) == _canon(batch)
+    assert streamed.count() > 0
+
+
+def test_far_future_stamp_poisons_watermark_by_design(spark):
+    """DECLARED failure mode, pinned: one 2200 clock-garbage stamp in an
+    early batch advances the watermark ~175 years, so every later
+    real-time row is late beyond any sane delay and (after the
+    one-batch lag of Spark's previous-batch watermark rule) silently
+    dropped from watermarked aggregations.  This is WHY ingestion must
+    quarantine clock garbage before event-time streaming (the batch
+    calendar family's ts_domain is the same policy) — the engine cannot
+    distinguish a misconfigured clock from a fast-forward of time."""
+    src = tempfile.mkdtemp(prefix="poison_src_")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    base = dt.datetime(2024, 1, 5, 12, 0, 0)
+
+    def write(name, rows):
+        import time
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(src, name))
+        time.sleep(1.05)
+
+    try:
+        # batch 1: two normal rows AND the clock-garbage stamp
+        write("f000", [
+            (1, base, 10, "view", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=1), 10, "view", 1.0, "{}"),
+            (3, dt.datetime(2200, 6, 15, 12, 0, 0), 11, "view", 1.0, "{}"),
+        ])
+        # batches 2-3: on-time rows by wall clock — already ~175 years
+        # late by event time.  Late filtering uses the PREVIOUS batch's
+        # committed watermark, which after batch 1 is ALREADY
+        # 2200-minus-delay, so every row after the garbage batch drops.
+        write("f001", [
+            (4, base + dt.timedelta(minutes=2), 10, "view", 1.0, "{}"),
+        ])
+        write("f002", [
+            (5, base + dt.timedelta(minutes=3), 10, "view", 1.0, "{}"),
+            (6, base + dt.timedelta(minutes=4), 10, "view", 1.0, "{}"),
+        ])
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(src, "f*"))
+                  .withWatermark("ts", "10 minutes"))
+        counts = stream.groupBy(
+            F.window("ts", "5 minutes").alias("w")
+        ).agg(F.count("*").alias("n"))
+        got = _run_stream(counts, "append")
+        total = got.agg(F.sum("n")).collect()[0][0]
+        # only batch 1 survives: rows 1,2 + the garbage row itself;
+        # rows 4,5,6 — every row of every later batch — are lost
+        assert total == 3, f"expected the poisoned stream to keep 3, got {total}"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
