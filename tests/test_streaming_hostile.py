@@ -342,3 +342,112 @@ def test_far_future_stamp_poisons_watermark_by_design(spark):
         assert total == 3, f"expected the poisoned stream to keep 3, got {total}"
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_hostile_cdc_apply_equals_batch(spark, adv_dir, hostile_replay):
+    """CDC materialization across hostile batches: the per-key newest-
+    version rule is (unix_micros(ts), event_id) — the microsecond
+    tie-storm makes the event_id tiebreak LOAD-BEARING (hundreds of
+    changes share one instant), and sub-µs stamps collapse onto -1/0 µs
+    where version comparison must still be deterministic.  Feed policy
+    mirrors the registered q_stream_cdc_apply (class G: a NULL-key
+    change has no identity to merge on)."""
+    import tempfile as _tf
+
+    from pyspark.sql import Window as _W
+
+    from mu_swarm_logger_service_spark.streaming.queries import (
+        _run_cdc_apply)
+
+    src, schema = hostile_replay
+    state = _tf.mkdtemp(prefix="cdc_hostile_state_")
+    ckpt = _tf.mkdtemp(prefix="cdc_hostile_ckpt_")
+    batch_ids = []
+    got = _run_cdc_apply(
+        spark,
+        _read_replay(spark, src, schema).filter(
+            F.col("user_id").isNotNull()),
+        state, ckpt, batch_ids,
+    ).localCheckpoint(eager=True)
+    assert len(set(batch_ids)) >= 4
+
+    ev = load(spark, adv_dir, "events").filter(F.col("user_id").isNotNull())
+    w = _W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    want = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        # the registered oracle's declared class-G policy: only an
+        # EXPLICIT 'error' op deletes; a NULL-typed change is an upsert
+        # (a bare != 'error' NULLs the comparison and drops the key —
+        # this twin had exactly that latent miss until the hostile
+        # fixture put a NULL-typed row LAST for one user)
+        .filter((F.col("event_type") != "error")
+                | F.col("event_type").isNull())
+        .select("user_id", F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("latest_value"))
+    )
+    assert _canon(got) == _canon(want)
+    # the tie-storm must actually stress the version tiebreak
+    ties = (ev.groupBy("ts").count().filter(F.col("count") > 1).count())
+    assert ties > 0
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_hostile_holt_winters_equals_batch(spark, adv_dir, hostile_replay):
+    """Streaming Holt-Winters across hostile batches == batch fold,
+    bit-exact: hostile stamps insert pre-epoch days, a 2200 far-future
+    day, and a tie-storm day into the per-type day sequence; the
+    state-machine's pending-day/init logic must close them exactly as
+    the one-shot batch recursion does.  Feed policy mirrors the
+    registered q_stream_holt_winters (identified series)."""
+    import tempfile as _tf
+
+    from mu_swarm_logger_service_spark.operators.timeseries import (
+        _HW_ALPHA as a, _HW_BETA as bb, _HW_GAMMA as g, _HW_M as m)
+    from mu_swarm_logger_service_spark.streaming.stateful import hw_stateful
+
+    src, schema = hostile_replay
+    sink = _tf.mkdtemp(prefix="hw_hostile_sink_")
+    ckpt = _tf.mkdtemp(prefix="hw_hostile_ckpt_")
+    batch_ids = []
+
+    def write_batch(bdf, batch_id):
+        batch_ids.append(batch_id)
+        bdf.withColumn("batch_id", F.lit(batch_id)) \
+           .write.mode("overwrite").parquet(
+               os.path.join(sink, f"batch={batch_id}"))
+
+    q = (hw_stateful(_read_replay(spark, src, schema).filter(
+            F.col("event_type").isNotNull()))
+         .writeStream.outputMode("update")
+         .foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(set(batch_ids)) >= 4
+
+    snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
+    latest = (snaps.withColumn(
+        "mx", F.max("batch_id").over(W.partitionBy("event_type")))
+        .filter(F.col("batch_id") == F.col("mx"))
+        .filter((F.col("n_complete") >= 2 * m)
+                & (F.col("pending_day") >= 0)))
+    y = F.col("pending_n").cast("double")
+    s1 = F.element_at("s", 1)
+    lt = a * (y - s1) + (1 - a) * (F.col("l") + F.col("b"))
+    bt = bb * (lt - F.col("l")) + (1 - bb) * F.col("b")
+    st = g * (y - lt) + (1 - g) * s1
+    s_next = F.element_at(F.concat(F.slice("s", 2, m - 1), F.array(st)), 1)
+    streamed = latest.select(
+        "event_type",
+        (F.col("n_complete") + 1).cast("long").alias("n_days"),
+        lt.alias("level"), bt.alias("trend"),
+        s_next.alias("season_next"),
+        (lt + bt + s_next).alias("forecast_next"))
+    batch = QUERIES["q_ts_holt_winters"](spark, adv_dir)
+    assert _canon(streamed) == _canon(batch)
+    assert streamed.count() > 0
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
