@@ -88,6 +88,31 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(n)
 
 
+# ---------------------------------------------------------------------------
+# Observed-time policy (r11 hostile trap class I: NULL timestamps).
+#
+# An event with no timestamp has no position on the time axis, so every
+# operator for which TIME IS THE AXIS — windows ordered by ts, session /
+# gap analytics, as-of joins, day/hour-grain series, event-time streams —
+# declares observed-time events only, with the identical predicate on the
+# oracle side (TS_OBSERVED_SQL).  This is the time-axis member of the
+# existing policy family: class C2 (observed measures), class G
+# (identified keys).  It is also FORCED on the streaming side: Spark's
+# watermark operators drop null event-time rows outright, and a pandas
+# state fold reading NaT.value gets int64-min garbage, so a batch twin
+# that kept null-ts rows could never equal its stream.  Operators where
+# ts is CONTENT, not the axis (fingerprints, minted log lines), instead
+# render NULL through their format's own missing marker (\N sentinel,
+# CLF '-') — never silently drop.  The calendar family's ts_domain
+# already excludes NULL on both sides (NULL fails ts >= lo identically).
+TS_OBSERVED_SQL = "ts IS NOT NULL"
+
+
+def observed_time(df: DataFrame) -> DataFrame:
+    """Spark twin of TS_OBSERVED_SQL: keep observed-time events only."""
+    return df.filter(F.col("ts").isNotNull())
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

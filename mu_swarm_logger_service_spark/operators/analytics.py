@@ -1321,7 +1321,7 @@ WITH rows_h AS (
            list_transform(
              string_split_regex(substr(md5(
                CAST(event_id AS VARCHAR) || '|' ||
-               CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+               COALESCE(CAST(epoch_us(ts) AS VARCHAR), '\\N') || '|' ||
                COALESCE(CAST(user_id AS VARCHAR), '\\N') || '|' ||
                COALESCE(event_type, '\\N')), 1, 15), ''),
              c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
@@ -1376,10 +1376,14 @@ def event_row_fingerprint():
     # silently DROP a null field (changing the canonical arity), and the
     # oracle's || would null the whole hash input; both sides render
     # missing fields as the explicit \\N sentinel instead.
+    # class I: ts is CONTENT here too — an unstamped row still has an
+    # identity to fingerprint; concat_ws would silently DROP the null
+    # micros field (arity change) while the oracle's || nulls the whole
+    # hash input, so both sides render the \N sentinel.
     canon = F.concat_ws(
         "|",
         F.col("event_id").cast("string"),
-        F.unix_micros("ts").cast("string"),
+        F.coalesce(F.unix_micros("ts").cast("string"), F.lit("\\N")),
         F.coalesce(F.col("user_id").cast("string"), F.lit("\\N")),
         F.coalesce(F.col("event_type"), F.lit("\\N")),
     )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..core.numeric import dsum, dsum_sql, epoch_s
 from ..core.registry import query
-from ..core.tables import load
+from ..core.tables import load, observed_time
 
 
 @query("q_join_inner_hash", oracle="""
@@ -208,9 +208,11 @@ SELECT p_event_id, user_id, p_ts, c_event_id, c_ts FROM (
          row_number() OVER (PARTITION BY p.event_id
                             ORDER BY c.ts DESC, c.event_id DESC) AS rn
   FROM (SELECT * FROM events
-        WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+          AND ts IS NOT NULL) p
   LEFT JOIN (SELECT * FROM events
-             WHERE event_type = 'click' AND user_id IS NOT NULL) c
+             WHERE event_type = 'click' AND user_id IS NOT NULL
+               AND ts IS NOT NULL) c
     ON p.user_id = c.user_id AND c.ts <= p.ts
 ) WHERE rn = 1
 """)
@@ -225,8 +227,9 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, skew-safe, and exactly the formulation that scales to 100 TB
     (state is one struct per row, not a join buffer).
     """
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull())  # class G: identified users only
+    ev = observed_time(load(spark, sf_dir, "events")).filter(
+        F.col("user_id").isNotNull())  # class G + class I: identified
+        # users on the observed timeline only (the as-of axis is ts)
     # kind 0 = click (sorts before purchases at identical ts → ">=" semantics)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", F.lit(0).alias("kind")
@@ -591,7 +594,7 @@ FROM (
          COUNT(*) OVER w AS n_prior_events,
          LAST_VALUE(value) OVER w AS last_value,
          CAST(LAST_VALUE(epoch_us(ts)) OVER w AS BIGINT) AS prev_us
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 )
@@ -612,7 +615,7 @@ def q_join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride the same window sort, and the label filter prunes after — at
     100 TB this is the minimum any per-entity feature extraction can
     cost (q_join_asof's union trick, amortized over k features)."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     us = F.unix_micros("ts")
     w = (Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id"))
          .rowsBetween(Window.unboundedPreceding, -1))
@@ -652,9 +655,11 @@ SELECT p_event_id, user_id, p_ts, c_event_id, c_ts, delta_us FROM (
                     CASE WHEN c.ts <= p.ts THEN -c.event_id
                          ELSE c.event_id END) AS rn
   FROM (SELECT * FROM events
-        WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+          AND ts IS NOT NULL) p
   LEFT JOIN (SELECT * FROM events
-             WHERE event_type = 'click' AND user_id IS NOT NULL) c
+             WHERE event_type = 'click' AND user_id IS NOT NULL
+               AND ts IS NOT NULL) c
     ON p.user_id = c.user_id
 ) WHERE rn = 1
 """)
@@ -675,8 +680,9 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: distances are exact integer µs (unix_micros ↔
     epoch_us); every ordering carries kind and event_id; the oracle's
     ranked join mirrors the backward/forward tiebreaks exactly."""
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull())  # class G: identified users only
+    ev = observed_time(load(spark, sf_dir, "events")).filter(
+        F.col("user_id").isNotNull())  # class G + class I: identified
+        # users on the observed timeline only (the as-of axis is ts)
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", F.lit(0).alias("kind"))
     purch = ev.filter(F.col("event_type") == "purchase").select(

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..core.numeric import dsum, dsum_sql
 from ..core.registry import query
-from ..core.tables import load, stat_sig, stat_sig_str
+from ..core.tables import load, observed_time, stat_sig, stat_sig_str
 
 SINK_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_sinks")
 
@@ -334,7 +334,7 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER w AS prev_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), changes AS (
   SELECT user_id, event_type, ts, event_id FROM ordered
@@ -363,7 +363,8 @@ def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the changelog is date-partitioned and the rebuild is
     incremental per partition; ties on ts break on event_id in both
     engines, so the version chain is deterministic."""
-    ev = load(spark, sf_dir, "events")
+    # class I: version validity is a ts interval — observed time only
+    ev = observed_time(load(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
@@ -674,7 +675,7 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(DISTINCT event_id % 8) AS BIGINT) AS files_before,
        CAST(1 AS BIGINT) AS files_after
-FROM events GROUP BY 1
+FROM events WHERE ts IS NOT NULL GROUP BY 1
 """)
 def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (the OPTIMIZE / bin-packing maintenance pass):
@@ -699,7 +700,9 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.strip("/").replace("/", "_")
     debris = os.path.join(SINK_ROOT, f"compact_debris_{tag}")
     packed = os.path.join(SINK_ROOT, f"compact_packed_{tag}")
-    ev = load(spark, sf_dir, "events").select(
+    # class I: ts is the PARTITION key here — a row with no timestamp
+    # has no day directory (hive-default-partition round-trips diverge)
+    ev = observed_time(load(spark, sf_dir, "events")).select(
         "event_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
     # Marker keyed on a CONTENT fingerprint, not just the path: if the
     # parquet fixtures are regenerated, or a prior run died between the

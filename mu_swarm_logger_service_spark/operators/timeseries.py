@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.registry import query
-from ..core.tables import load
+from ..core.tables import load, observed_time
 
 # ---------------------------------------------------------------------------
 # Valid-time domain for CALENDAR-spine analytics (r10 hostile trap class H).
@@ -207,7 +207,7 @@ WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT prev_type, event_type AS next_type,
        CAST(COUNT(*) AS BIGINT) AS n
@@ -221,7 +221,7 @@ def q_ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag is shuffle-order-proof), then a global (prev, next) count.  Two
     shuffles: user_id for the sequence, the tiny transition key for the
     count — the funnel/journey primitive dashboards build on."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
     return (
@@ -400,7 +400,7 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_ts_changepoint", oracle="""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), stats AS (
   SELECT event_type, hour,
          SUM(n) OVER (PARTITION BY event_type ORDER BY hour
@@ -433,7 +433,7 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     T, C — any association order is exact) and converts to double only
     in the final two IEEE ops, which both engines evaluate identically.
     Two shuffles: (type, hour) rollup, then type for the windows."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -467,7 +467,7 @@ def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH marked AS (
   SELECT user_id, ts, event_id,
          CASE WHEN event_type = 'purchase' THEN value END AS pv
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT user_id, ts, event_id,
        last_value(pv IGNORE NULLS) OVER (
@@ -486,7 +486,7 @@ def q_ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering so the carried value is shuffle-order-proof.  Values pass
     through untouched (no arithmetic), so cross-engine equality is
     trivial."""
-    ev = load(spark, sf_dir, "events").filter(F.expr("user_id % 50 = 0"))
+    ev = observed_time(load(spark, sf_dir, "events")).filter(F.expr("user_id % 50 = 0"))
     pv = F.when(F.col("event_type") == "purchase", F.col("value"))
     w = (
         Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -819,7 +819,7 @@ WITH hourly AS (
   SELECT event_type,
          CAST(floor(epoch(date_trunc('hour', ts)) / 3600) AS BIGINT) AS xi,
          COUNT(*) AS y
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), framed AS (
   SELECT event_type, xi, y,
          COUNT(*) OVER w AS c,
@@ -846,7 +846,7 @@ def q_ts_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     — bit-identical cross-engine with no decimal cast.  One shuffle on
     event_type feeds the hourly rollup AND both frames; rows are
     hours x types, so the window state is trivial at any corpus age."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     hourly = ev.repartition("event_type").groupBy(
         "event_type",
         (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
@@ -876,7 +876,8 @@ SELECT
                  * 1000000) AS window_start,
   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
   CAST(COUNT(*) AS BIGINT) AS n_events
-FROM events, unnest([0, 1, 2, 3]) AS t(k)
+FROM (SELECT * FROM events WHERE ts IS NOT NULL) events,
+     unnest([0, 1, 2, 3]) AS t(k)
 GROUP BY 1
 """)
 def q_ts_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,7 +892,7 @@ def q_ts_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact form is for daily reconciliation; the streaming dashboard path
     swaps COUNT(DISTINCT) for approx_count_distinct (q_agg_approx_distinct)
     and keeps this query as its audit."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(F.countDistinct("user_id").alias("n_users"),
@@ -959,7 +960,7 @@ WITH o AS (
   SELECT user_id, event_id, epoch_us(ts) AS us,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                  ORDER BY epoch_us(ts), event_id) AS prev
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), b AS (
   SELECT user_id, event_id, us,
          CASE WHEN prev IS NULL OR us - prev > {_SESS_GAP_US}
@@ -997,7 +998,7 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-partition refinement of the user key, so no second exchange).
     Per-user state is a sort — skewed power users sort within their
     partition, never on one reducer for the whole corpus."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     us = F.unix_micros("ts")
     wo = Window.partitionBy("user_id").orderBy(us, "event_id")
     brk = F.when(
@@ -1038,7 +1039,8 @@ HOLT_ORACLE_SQL = f"""
 WITH RECURSIVE hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(COUNT(*) AS DOUBLE) AS y
-  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
 ), ord AS MATERIALIZED (
   -- MATERIALIZED matters: DuckDB inlines CTEs by default, so the
   -- recursive step would otherwise re-scan events and recompute the
@@ -1102,8 +1104,9 @@ def q_ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/queries.q_stream_holt, applyInPandasWithState) carries
     just (l, b, pending-hour) across micro-batches and checks against
     this SAME oracle."""
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isNotNull())  # class G: identified series only)
+    ev = observed_time(load(spark, sf_dir, "events")).filter(
+        F.col("event_type").isNotNull())  # class G + class I: identified
+        # series over observed-time events only
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).cast("double").alias("y"))
@@ -1136,7 +1139,8 @@ def q_ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_ts_streaks", oracle="""
 WITH activity AS (
-  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+  FROM events WHERE ts IS NOT NULL
 ), runs AS (
   SELECT user_id,
          date_diff('day', DATE '1970-01-01', day)
@@ -1161,7 +1165,7 @@ def q_ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plans ONE shuffle on user_id for the whole pipeline (the final
     per-user rollup rides the same exchange); at 100 TB that single fact
     shuffle is the floor for any per-user sequence analysis."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     activity = (ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
                 .repartition("user_id").distinct())
     w = Window.partitionBy("user_id").orderBy("day")
@@ -1358,7 +1362,8 @@ _LTTB_KEY2_SQL = ("abs((s.px * ns.n - ns.sx) * (c2.y - s.py)"
 @query("q_ts_lttb", oracle=f"""
 WITH RECURSIVE hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS y
-  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
 ), idx AS MATERIALIZED (
   SELECT event_type,
          CAST(date_diff('hour', MIN(h) OVER (PARTITION BY event_type), h)
@@ -1418,8 +1423,9 @@ def q_ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over the (type, hour) AGGREGATE — series length is bounded by
     the time span, so the arrays stay small at any corpus size; one
     shuffle for the rollup, one for the per-type collect."""
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isNotNull())  # class G: identified series only)
+    ev = observed_time(load(spark, sf_dir, "events")).filter(
+        F.col("event_type").isNotNull())  # class G + class I: identified
+        # series over observed-time events only
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
     ).agg(F.count(F.lit(1)).alias("y"))
@@ -1511,7 +1517,7 @@ SAX_ALPHABET = 4
 @query("q_ts_sax", oracle=f"""
 WITH daily AS (
   SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), segs AS (
   SELECT event_type, n,
          CAST(date_diff('day', MIN(day) OVER (PARTITION BY event_type), day)
@@ -1550,7 +1556,7 @@ def q_ts_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters (type, seg), so Catalyst plans no third shuffle).  At 100 TB
     the series side is |types|×|days| rows — the symbolization cost is
     independent of event volume."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     daily = (
         ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1779,7 +1785,7 @@ def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_ts_runs_test", oracle="""
 WITH daily AS (
   SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), diffs AS (
   SELECT event_type, day,
          n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS d
@@ -1823,7 +1829,7 @@ def q_ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     days; the cast makes both chains the same double op sequence at any
     length).  Plan: one fact shuffle into the (type, day) rollup;
     the lag windows and the final rollup ride one type-keyed exchange."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     daily = (
         ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -2007,7 +2013,8 @@ HW_ORACLE_SQL = f"""
 WITH RECURSIVE daily AS (
   SELECT event_type, date_trunc('day', ts) AS d,
          CAST(COUNT(*) AS DOUBLE) AS y
-  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
 ), ord AS MATERIALIZED (
   SELECT event_type, y,
          row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
@@ -2078,8 +2085,9 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type collect of a time-domain-bounded array; per-series state
     is O(m), which is what a streaming twin would carry across
     micro-batches."""
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isNotNull())  # class G: identified series only)
+    ev = observed_time(load(spark, sf_dir, "events")).filter(
+        F.col("event_type").isNotNull())  # class G + class I: identified
+        # series over observed-time events only
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("double").alias("y"))
@@ -2128,9 +2136,11 @@ _DTW_INF = 1 << 40  # unreachable-cell sentinel, far above any path cost
 
 @query("q_ts_dtw", oracle=f"""
 WITH daily AS (
+  -- class I: observed-time series (a NULL day's position in the sorted
+  -- series differs across engines; found by the sf0.001-density sweep)
   SELECT event_type, date_trunc('day', ts) AS d,
          CAST(COUNT(*) AS BIGINT) AS y
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), s AS (
   SELECT event_type, list(y ORDER BY d) AS ys,
          CAST(COUNT(*) AS BIGINT) AS n
@@ -2181,7 +2191,7 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the pair table is |types|² rows, so the O(n·m) DP cost is fixed
     per pair regardless of corpus size; the single BNLJ join is a
     5×5 type-domain cross, not a data cross."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("long").alias("y"))
@@ -2230,7 +2240,8 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH RECURSIVE daily AS (
   SELECT event_type, date_trunc('day', ts) AS d,
          CAST(COUNT(*) AS DOUBLE) AS y
-  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
 ), ord AS MATERIALIZED (
   SELECT event_type, y,
          row_number() OVER (PARTITION BY event_type ORDER BY d) AS i
@@ -2277,8 +2288,9 @@ def q_ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     double is bit-identical raw.  Scale shape: fold over the (type,
     day) aggregate — one rollup shuffle, one per-type collect of a
     time-domain-bounded array."""
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type").isNotNull())  # class G: identified series only)
+    ev = observed_time(load(spark, sf_dir, "events")).filter(
+        F.col("event_type").isNotNull())  # class G + class I: identified
+        # series over observed-time events only
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("double").alias("y"))
@@ -2326,7 +2338,7 @@ WITH seq AS (
   SELECT user_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), cells AS (
   SELECT prev AS cur, event_type AS nxt, CAST(COUNT(*) AS BIGINT) AS o
   FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
@@ -2366,7 +2378,7 @@ def q_ts_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity exponentiates the UNROUNDED fold on both sides, then
     rounds).  Plan: one scan, the per-user lag window (user-keyed),
     the cell rollup, then domain-bounded windows and a 1-row fold."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select("user_id", "event_type",
                     F.lag("event_type").over(w).alias("prev"))
@@ -2416,7 +2428,7 @@ _PAT_WINDOW_US = 86_400_000_000
 @query("q_ts_pattern_match", oracle=f"""
 WITH ev2 AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-  FROM events WHERE user_id IS NOT NULL
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ), p AS (
   SELECT * FROM ev2 WHERE event_type = 'purchase'
 ), c AS (
@@ -2465,8 +2477,8 @@ def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive definition.  At 100 TB the window form costs one shuffle
     + per-user sort; the join form explodes quadratically per user —
     which is exactly why the engine ships the former."""
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull())  # class G: identified users only)
+    ev = observed_time(load(spark, sf_dir, "events")).filter(
+        F.col("user_id").isNotNull())  # class G + class I
     us = F.unix_micros("ts")
     base = ev.select("user_id", "event_id", "event_type", us.alias("us"))
     w_prev = (Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -2617,7 +2629,7 @@ WITH g AS (
          epoch_us(ts) - lag(epoch_us(ts))
            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
            AS gap
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), s AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
          CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS s1,
@@ -2651,7 +2663,7 @@ def q_ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one scan, ONE exchange on user_id — the lag window and the
     per-user rollup share the partitioning.  Skewed power users cost a
     within-partition sort, never a global one."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))  # class I
     us = F.unix_micros("ts")
     w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
     g = ev.select("user_id", (us - F.lag(us).over(w)).alias("gap"))
@@ -2690,7 +2702,7 @@ WITH daily AS (
          date_diff('day', DATE '1970-01-01',
                    CAST(date_trunc('day', ts) AS DATE)) AS d,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), ma AS (
   SELECT event_type, d, n,
          CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY d
@@ -2736,7 +2748,7 @@ def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one fact shuffle to the (type, day) rollup; the MA window
     rides a type-keyed exchange over day-grain data; seasonal indices
     are a 35-row rollup broadcast back."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     daily = (
         ev.groupBy("event_type",
                    F.datediff(F.date_trunc("day", "ts").cast("date"),
@@ -2895,7 +2907,7 @@ WITH hourly AS (
          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
               AS BIGINT) AS err,
          CAST(COUNT(*) AS BIGINT) AS tot
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), windows AS (
   SELECT hour, err, tot,
          CAST(SUM(err) OVER w6 AS BIGINT) AS err6,
@@ -2935,7 +2947,7 @@ def q_ops_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ROWS windows over the HOUR-GRAIN series (720 rows/month —
     value-domain bounded, the accepted single-partition discipline;
     partition by day-range at multi-year scale if ever needed)."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     hourly = (
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
         .agg(F.sum(F.when(F.col("event_type") == "error", 1)

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..core.numeric import epoch_s
 from ..core.registry import query
-from ..core.tables import load
+from ..core.tables import load, observed_time
 
 
 @query("q_win_rank", oracle="""
@@ -29,12 +29,12 @@ SELECT event_id, user_id,
        row_number() OVER w AS rn,
        rank()       OVER w AS rnk,
        dense_rank() OVER w AS drnk
-FROM events
+FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """)
 def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number / rank / dense_rank per user timeline (row 36)."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "event_id", "user_id",
@@ -50,13 +50,13 @@ SELECT event_id, user_id,
        lead(event_id) OVER w AS next_event,
        CAST(floor(epoch(ts)) AS BIGINT)
          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_s
-FROM events
+FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """)
 def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead + inter-event gap seconds (row 37) — the sessionization
     primitive (row 60 builds on this exact shape)."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "event_id", "user_id",
@@ -77,12 +77,12 @@ SELECT event_id, user_id,
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS sliding_value_4
-FROM events
+FROM events WHERE ts IS NOT NULL
 """)
 def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running + sliding ROWS-frame sums (row 38).  Decimal-cast inside the
     frame so partial sums are order-exact vs the oracle."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     base = Window.partitionBy("user_id").orderBy("ts", "event_id")
     running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sliding = base.rowsBetween(-3, Window.currentRow)
@@ -99,13 +99,13 @@ SELECT event_id, user_id,
        COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
          AS n_last_hour
-FROM events
+FROM events WHERE ts IS NOT NULL
 """)
 def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over event-time (row 39): events in the trailing hour,
     value-based so same-timestamp rows share a frame (no tiebreak needed —
     RANGE frames are peer-inclusive by definition)."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     w = (
         Window.partitionBy("user_id")
         .orderBy(epoch_s("ts"))
@@ -127,14 +127,14 @@ SELECT event_id, user_id,
          OVER (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          AS last_event
-FROM events
+FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """)
 def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist / first / last (row 40).
     last_value needs the full-partition frame in both engines (default frame
     stops at CURRENT ROW)."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return ev.select(
@@ -156,7 +156,7 @@ def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_win_topk_group", oracle="""
 SELECT user_id, event_id, ts, event_type
 FROM events
-QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 10
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC) <= 10
 """)
 def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group (row 41) — "last 10 log lines per container", the
@@ -167,8 +167,12 @@ def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition before the shuffle) — scales to any group count.
     """
     ev = load(spark, sf_dir, "events")
+    # null placement pinned on both sides (class I): a line with no
+    # timestamp is never among the "last 10" — engines happen to share
+    # the DESC NULLS LAST default, but a rank-limited rowset must not
+    # ride defaults (the q_sort_multi lesson).
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        F.col("ts").desc_nulls_last(), F.col("event_id").desc()
     )
     return (
         ev.withColumn("rn", F.row_number().over(w))
@@ -182,7 +186,7 @@ SELECT event_id,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
        CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
          AS sum_last_hour
-FROM events
+FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """)
@@ -196,7 +200,7 @@ def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-epoch stamps (class H).  Rows with equal anchors
     share a frame (RANGE semantics).  Decimal-cast sum keeps the frame
     aggregate shuffle-order-proof."""
-    ev = load(spark, sf_dir, "events")
+    ev = observed_time(load(spark, sf_dir, "events"))
     w = (
         Window.partitionBy("user_id")
         .orderBy(epoch_s("ts"))

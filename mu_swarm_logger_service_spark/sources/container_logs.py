@@ -34,12 +34,14 @@ def container_logs_text_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     # Marker carries the source stat signature: regenerating the
     # fixture in place must be a cache MISS (core.tables.stat_sig).
-    # v3 (class G: null-safe TYPE rendering joins the null-safe value
-    # rendering).  Mint-logic version rides the marker, so a CHANGE to the
+    # v4 (class I: a NULL ts renders as the '-' missing marker — the CLF
+    # convention; concat_ws used to DROP the null timestamp token, which
+    # shifted 'stdout' into the timestamp slot and crashed the ANSI
+    # re-parse).  Mint-logic version rides the marker, so a CHANGE to the
     # line-synthesis code (e.g. the r9 null-safe value rendering)
     # invalidates dirs built by older logic, not just older data.
     marker = os.path.join(
-        out, "_DONE_V3_SRC_" + stat_sig_str(sf_dir, "events"))
+        out, "_DONE_V4_SRC_" + stat_sig_str(sf_dir, "events"))
     if os.path.exists(marker):
         return out
     # no marker → any existing dir is a partial write from a crashed run
@@ -49,7 +51,8 @@ def container_logs_text_dir(spark: SparkSession, sf_dir: str) -> str:
     ev = load(spark, sf_dir, "events")
     line = F.concat_ws(
         " ",
-        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        F.coalesce(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+                   F.lit("-")),
         F.when(F.col("event_type") == "error", "stderr").otherwise("stdout"),
         F.concat(F.lit("evt="), F.col("event_id").cast("string"),
                  F.lit(" type="),
@@ -69,9 +72,14 @@ def parse_log_lines(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """One-regexp parse of the Docker log-line format (row 4's core
     transform).  Returns (ts timestamp, stream, message)."""
     v = F.col(value_col)
+    # try_to_timestamp: the docker daemon always stamps, but the minted
+    # stand-ins carry the '-' missing marker for unstamped events (class
+    # I), and a tolerant parser (NULL ts, line kept) matches the
+    # reference's behavior on malformed lines better than an ANSI crash.
     return raw.select(
-        F.to_timestamp(
-            F.regexp_extract(v, _LINE_RE, 1), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+        F.try_to_timestamp(
+            F.regexp_extract(v, _LINE_RE, 1),
+            F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
         ).alias("ts"),
         F.regexp_extract(v, _LINE_RE, 2).alias("stream"),
         F.regexp_extract(v, _LINE_RE, 3).alias("message"),

@@ -43,7 +43,7 @@ SELECT
   event_type,
   COUNT(*) AS n,
   {dsum_sql('value')} AS sum_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -59,7 +59,8 @@ SELECT
     AS window_start,
   event_type,
   COUNT(*) AS n
-FROM events, unnest([0, 1, 2, 3]) AS t(k)
+FROM (SELECT * FROM events WHERE ts IS NOT NULL) events,
+     unnest([0, 1, 2, 3]) AS t(k)
 GROUP BY 1, 2
 """)
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +76,7 @@ WITH flagged AS (
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS brk
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   -- event_id tiebreaker is LOAD-BEARING: under duplicate (user_id, ts)
@@ -121,7 +122,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id, ts,
        COUNT(*) OVER w AS n_so_far,
        CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS value_so_far
-FROM events
+FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """)
@@ -349,7 +350,7 @@ def rollup_upsert(spark: SparkSession, store: str):
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date,
        date_trunc('hour', ts) AS hour, event_type,
        CAST(COUNT(*) AS BIGINT) AS n
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
 """)
 def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,7 +376,9 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Stage the source as TWO files so the rollup genuinely increments
     # across micro-batches (maxFilesPerTrigger=1 → two triggers).
-    ev = load(spark, sf_dir, "events")
+    from ..core.tables import observed_time
+    ev = observed_time(load(spark, sf_dir, "events"))  # class I: the
+    # store is day-partitioned — an unstamped row has no partition
     ev.filter(F.col("event_id") % 2 == 0).write.parquet(
         os.path.join(src, "half=0"))
     ev.filter(F.col("event_id") % 2 == 1).write.parquet(

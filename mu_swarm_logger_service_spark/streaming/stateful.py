@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..core.tables import observed_time
+
 OUTPUT_SCHEMA = (
     "event_id long, user_id long, ts timestamp, n_so_far long, value_so_far double"
 )
@@ -73,7 +75,10 @@ def running_user_counters_stateful(events: DataFrame) -> DataFrame:
     a batch DataFrame this degenerates to a single "micro-batch", so batch
     output == first-trigger streaming output — tests exploit that, then
     replay multi-batch and assert state carries across triggers."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    # class I (observed-time policy, core/tables.py): a pandas fold
+    # reading NaT.value gets int64-min garbage — unstamped events are
+    # filtered at the operator, identically to the batch twin.
+    return observed_time(events).groupBy("user_id").applyInPandasWithState(
         _accumulate,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
@@ -244,9 +249,9 @@ def holt_stateful(events: DataFrame) -> DataFrame:
     LATEST snapshot per type and closes the still-pending hour with one
     more fold step (streaming/queries.q_stream_holt), after which the
     result equals the batch q_ts_holt_trend bit-for-bit."""
-    return events.select("event_type", "event_id", "ts").groupBy(
-        "event_type"
-    ).applyInPandasWithState(
+    return observed_time(events).select(
+        "event_type", "event_id", "ts"
+    ).groupBy("event_type").applyInPandasWithState(  # class I at the feed
         _holt_update,
         outputStructType=HOLT_OUT_SCHEMA,
         stateStructType=HOLT_STATE_SCHEMA,
@@ -350,9 +355,9 @@ def hw_stateful(events: DataFrame) -> DataFrame:
     which the result equals the batch q_ts_holt_winters bit-for-bit.
     (Package shipping rides transforms.stream_events, like every
     stateful source here.)"""
-    return events.select("event_type", "event_id", "ts").groupBy(
-        "event_type"
-    ).applyInPandasWithState(
+    return observed_time(events).select(
+        "event_type", "event_id", "ts"
+    ).groupBy("event_type").applyInPandasWithState(  # class I at the feed
         _hw_update,
         outputStructType=HW_OUT_SCHEMA,
         stateStructType=HW_STATE_SCHEMA,
@@ -422,9 +427,9 @@ def pattern_stateful(events: DataFrame) -> DataFrame:
     across micro-batches per user — the always-on sequential-pattern
     detector (state is four integers per user; each batch shuffles only
     its own rows on the user key)."""
-    return events.select("user_id", "event_id", "event_type", "ts").groupBy(
-        "user_id"
-    ).applyInPandasWithState(
+    return observed_time(events).select(
+        "user_id", "event_id", "event_type", "ts"
+    ).groupBy("user_id").applyInPandasWithState(  # class I at the feed
         _pattern_update,
         outputStructType=PAT_OUT_SCHEMA,
         stateStructType=PAT_STATE_SCHEMA,
@@ -493,9 +498,9 @@ def burstiness_stateful(events: DataFrame) -> DataFrame:
     """Streaming arrival-process moments per user (O(1) state: last
     event + three accumulators), shuffled once per micro-batch on the
     user key."""
-    return events.select("user_id", "event_id", "ts").groupBy(
-        "user_id"
-    ).applyInPandasWithState(
+    return observed_time(events).select(
+        "user_id", "event_id", "ts"
+    ).groupBy("user_id").applyInPandasWithState(  # class I at the feed
         _burst_update,
         outputStructType=BURST_OUT_SCHEMA,
         stateStructType=BURST_STATE_SCHEMA,

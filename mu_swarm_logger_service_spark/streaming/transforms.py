@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.numeric import dsum
+from ..core.tables import observed_time
 
 
 def stream_events(spark: SparkSession, sf_dir: str,
@@ -39,7 +40,8 @@ def stream_events(spark: SparkSession, sf_dir: str,
     At real scale batches span many files and arrive pre-split — leave
     this None there; it exists for compute-dense, few-file micro-batches.
     """
-    from ..core.tables import _normalize_events_ts, _read_events, _ship_package
+    from ..core.tables import (_normalize_events_ts, _read_events,
+                               _ship_package)
 
     # Stateful streaming queries pickle module functions into executors the
     # same way pandas-UDF batch queries do, but a streaming query can be the
@@ -71,6 +73,7 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     """Row 58: per-hour, per-type counts/sums — errors-per-minute class
     query, the log-analytics bread-and-butter the reference delegates to
     SPARQL date filters [pub]."""
+    events = observed_time(events)  # class I: time is the axis here
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value"))
@@ -82,6 +85,7 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
 def sliding_counts(events: DataFrame) -> DataFrame:
     """Row 59: 1-hour windows sliding every 15 minutes (each event lands in
     4 overlapping windows, epoch-aligned)."""
+    events = observed_time(events)  # class I
     return (
         events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
                        "event_type")
@@ -95,6 +99,7 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     ``session_window`` works identically in batch and micro-batch mode;
     the batch gaps-and-islands formulation (sessionize_batch) is the
     independent cross-check."""
+    events = observed_time(events)  # class I
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
@@ -109,6 +114,7 @@ def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     lag + cumulative sum of session-break flags.  Produces the same
     (user_id, session_start, n_events) sets as session_window; the oracle
     checks this form exactly and tests assert both forms agree."""
+    events = observed_time(events)  # class I (matches session_windows)
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Exact microseconds, strict > gap: measured, session_window MERGES an
     # event exactly gap after its predecessor (closed interval), and the
@@ -146,6 +152,9 @@ def running_user_counters(events: DataFrame) -> DataFrame:
     value total at every event — the cumulative-window shape whose
     streaming twin is the transformWithState/applyInPandasWithState
     accumulator in streaming/stateful.py."""
+    events = observed_time(events)  # class I: a running state over the
+    # user's TIMELINE has no slot for an unstamped event (and the
+    # stateful twin's pandas fold would read NaT.value as int64-min)
     w = (
         Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

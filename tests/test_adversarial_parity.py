@@ -163,6 +163,25 @@ SENSITIVE = [
     # SPARE string contents ({"note": "info"}, {"fruit": "banana"},
     # quoted "nan" values, an 'infinity' KEY) while the ','/'[' anchors
     # still reject bare tokens inside arrays — six new generator shapes.
+    # r11 trap class I (NULL timestamps) — the 37-query first-contact
+    # batch, five mechanisms (tools/gen_adversarial.py class-I bullet),
+    # all fixed as the observed-time / \\N-sentinel / '-'-marker policy
+    # family (core/tables.observed_time):
+    "q_win_rank", "q_win_frame_rows", "q_win_analytic", "q_win_topk_group",
+    "q_cdc_scd2", "q_layout_compaction",
+    "q_join_pit_features",
+    "q_ts_transitions", "q_ts_changepoint", "q_ts_locf", "q_ts_volatility",
+    "q_ts_sliding_distinct", "q_ts_sessionize", "q_ts_streaks", "q_ts_sax",
+    "q_ts_runs_test", "q_ts_entropy_rate", "q_ts_decompose",
+    "q_ops_slo_burn",
+    "q_ts_dtw",              # null-day list position: sf0.001-density find
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_stateful", "q_stream_output_modes", "q_stream_rollup",
+    # (q_join_asof / q_join_asof_nearest / q_ts_holt_winters /
+    #  q_ts_forecast_backtest / q_stream_holt / q_stream_holt_winters /
+    #  q_stream_pattern_match / q_stream_burstiness / q_stream_fingerprint /
+    #  q_audit_dataset_fingerprint / q_source_container_logs already ride
+    #  pins above; their class-I arms share those rows.)
 ]
 
 

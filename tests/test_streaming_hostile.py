@@ -84,11 +84,13 @@ def test_hostile_fixture_is_actually_hostile(spark, adv_dir):
         F.sum((F.col("ts") > F.lit("2100-01-01").cast("timestamp"))
               .cast("int")).alias("far_future"),
         F.sum(F.col("user_id").isNull().cast("int")).alias("null_users"),
+        F.sum(F.col("ts").isNull().cast("int")).alias("null_ts"),
         (F.count("*") - F.countDistinct("ts")).alias("ts_ties"),
     ).collect()[0]
     assert agg["pre_epoch"] > 0
     assert agg["far_future"] > 0
     assert agg["null_users"] > 0
+    assert agg["null_ts"] > 0       # r11 trap class I rides this module too
     assert agg["ts_ties"] > 10  # the storm collapses ~8% onto one instant
 
 
@@ -154,9 +156,14 @@ def test_hostile_dedup_exactly_once_minus_born_late_rows(spark, adv_dir,
         "ts", "10 minutes")
     doubled = stream.unionByName(stream)
     got = _run_stream(doubled.dropDuplicatesWithinWatermark(["event_id"]))
+    # NULL event times (class I) are NOT born late — a null ts fails the
+    # <=-watermark comparison, so the op keeps and dedups those rows
+    # (measured; the count below includes the fixture's NaT rows).
     assert got.count() == n_events - n_born_late
     assert got.select("event_id").distinct().count() == n_events - n_born_late
     assert got.filter(F.col("ts") <= epoch).count() == 0
+    assert got.filter(F.col("ts").isNull()).count() == ev.filter(
+        F.col("ts").isNull()).count() > 0
 
 
 def test_hostile_stateful_counters_equals_batch(spark, adv_dir,

@@ -75,6 +75,20 @@ Same schemas and row counts as the driver's testdata, hostile values:
   ORDER BY ts without the unique event_id tiebreak goes
   nondeterministic).  `ts` was the last fixture column never made
   hostile.
+- **null timestamps** (r11, class I): ~1.5%% NaT in events.ts (a parse
+  failure / missing-field reality class H's VALUE pathologies cannot
+  reach).  First contact split 37 queries through five mechanisms:
+  ts-ordered windows (Spark NULLS FIRST vs DuckDB NULLS LAST changes
+  every lag/rank/prefix), Spark's F.window() DROPPING null-ts rows
+  where time_bucket keeps a null bucket, pandas state folds reading
+  NaT.value as int64-min garbage, fingerprint concat_ws arity collapse,
+  and the container-log mint's ANSI re-parse crash.  The declared
+  policy family: OBSERVED-TIME events only wherever time is the axis
+  (core/tables.observed_time ↔ "ts IS NOT NULL" — forced by streaming,
+  where watermarks drop null event times outright), the \\N sentinel
+  where ts is CONTENT (fingerprints), and the '-' missing marker where
+  ts is RENDERED (container logs, with a tolerant try_to_timestamp
+  re-parse).
 - **money-measure null flood** (r9, class C2): ~3%% NULLs in the TPC-H
   fact/dim measures (l_extendedprice/discount/tax/quantity,
   o_totalprice, acctbals, p_retailprice).  First contact split 4
@@ -361,6 +375,14 @@ def generate(base, out):
             storm_off = pd.to_timedelta(rng.randint(0, 3, n), unit="us")
             ts_vals[storm] = (storm_base + storm_off)[storm]
             df["ts"] = ts_vals
+            # --- r11 trap class I: NULL TIMESTAMPS ---
+            # Independent RandomState: the class A-H draws above and the
+            # documents/embeddings streams below stay byte-identical to
+            # the r10 fixtures; class I composes on top.
+            rng_i = np.random.RandomState(779)
+            ts2 = df.ts.copy()
+            ts2[rng_i.random_sample(n) < 0.015] = pd.NaT
+            df["ts"] = ts2
         elif name == "documents":
             # duplicate storm: 30 anchor texts, each copied onto 2 other
             # docs (ids stay unique; lang/source untouched -> groups span
