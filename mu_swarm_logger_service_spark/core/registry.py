@@ -130,6 +130,33 @@ EXPORT_FIRST: tuple[str, ...] = (
     "q_union_all", "q_union_distinct",
 )
 
+# r12 window suggestion, derived at the end of round 11 (stalest driver
+# row first, current-window keys excluded; re-derive at activation).
+# The r4-era remainder leads — it includes the five batch-checked
+# streaming keys whose class-I observed-time policy CHANGED this round
+# (q_stream_tumbling/sliding/session/stateful/output_modes) — followed
+# by the r5-era TPC-H analytics block:
+#   "q_except", "q_fn_array", "q_fn_cast",
+#   "q_fn_conditional", "q_fn_hash_uuid", "q_fn_map",
+#   "q_intersect", "q_llm_decontaminate", "q_llm_dedup_groups",
+#   "q_llm_exact_dedup", "q_llm_lang_filter", "q_llm_minhash_jaccard",
+#   "q_llm_multimodal", "q_llm_near_dedup", "q_llm_text_stats",
+#   "q_sink_triples", "q_source_startup_scan", "q_sparql_path",
+#   "q_stream_dedup", "q_stream_foreachbatch", "q_stream_join",
+#   "q_stream_output_modes", "q_stream_session", "q_stream_sliding",
+#   "q_stream_stateful", "q_stream_tumbling", "q_stream_watermark",
+#   "q_udaf_pandas", "q_udf_pandas_scalar", "q_udf_python",
+#   "q_udf_register_sql", "q_udtf_grouped_map", "q_udtf_map_iter",
+#   "q_udtf_sql", "q_analytics_blocking_supplier",
+#   "q_analytics_disjunctive_revenue", "q_analytics_dominant_supplier",
+#   "q_analytics_forecast_revenue", "q_analytics_idle_customers",
+#   "q_analytics_large_orders", "q_analytics_late_orders",
+#   "q_analytics_market_basket", "q_analytics_market_share",
+#   "q_analytics_order_distribution", "q_analytics_part_supp_counts",
+#   "q_analytics_product_profit", "q_analytics_promo_revenue",
+#   "q_analytics_regional_revenue", "q_analytics_returned_items",
+#   "q_analytics_shipmode_priority",
+
 # The driver's CORRECTNESS window is 50 rows; a 51st pin would silently push
 # the last key out of the claimed evidence window.
 assert len(EXPORT_FIRST) <= 50, "EXPORT_FIRST exceeds the driver's window"
