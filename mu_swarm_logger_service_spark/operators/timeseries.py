@@ -47,14 +47,24 @@ from ..core.tables import load, observed_time
 # POLICY BOUNDARY (deliberate): the domain gates queries whose COST or
 # OUTPUT CARDINALITY is proportional to the time RANGE (dense spines,
 # day lattices, time-axis pixel buckets).  The observed-grain family
-# (holt/holt_winters/decompose/acf/anomaly/slo_burn/...) is NOT gated:
-# their cost tracks OBSERVED buckets, so clock garbage adds O(1) rows,
-# and their declared semantics is "every observed stamp is data" —
-# deterministic and cross-engine exact either way (proven by the
-# class-H sweeps).  Quarantining there would be a silent data-dropping
-# default inside an analytics operator; a production pipeline that
-# wants it composes the same filter upstream, exactly as these four
-# queries do.
+# (holt/holt_winters/decompose/acf/anomaly/slo_burn/...) is NOT
+# domain-gated: their cost tracks OBSERVED buckets, so clock garbage
+# adds O(1) rows, and their declared semantics is "every observed stamp
+# is data" — deterministic and cross-engine exact either way (proven by
+# the class-H sweeps).  Quarantining there would be a silent
+# data-dropping default inside an analytics operator; a production
+# pipeline that wants it composes the same filter upstream, exactly as
+# these four queries do.
+#
+# DISTINCT from the domain gate: the class-I OBSERVED-TIME policy
+# (core/tables.observed_time, r11) — a NULL ts is not a hostile VALUE
+# but a missing coordinate, so every ts-AXIS query (including the
+# observed-grain family above) filters "ts IS NOT NULL" identically on
+# both sides.  The two gates compose: domain bounds the calendar family
+# against range-proportional blowup; observed-time gives every time
+# operator a defined position for each row it keeps.  (The domain
+# predicate already excludes NULL on both engines, so the four
+# domain-gated queries need no second filter.)
 TS_DOMAIN_LO = "1990-01-01"
 TS_DOMAIN_HI = "2100-01-01"
 # Deployment override (r10 advice): like the other tunables in this repo
