@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..core.numeric import dsum, dsum_sql
 from ..core.registry import query
-from ..core.tables import load
+from ..core.tables import load, observed_time
 
 _P = 1000003  # prime modulus for the affine hash family
 
@@ -457,9 +457,13 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_properties.py::test_heavy_hitters_mg_guarantees."""
     import pandas as pd
 
-    # class G: identified items only (matches the streaming twin —
-    # the replay test asserts stream state == this fold exactly).
-    ev = load(spark, sf_dir, "events").filter(
+    # class G: identified items only; class I: observed-time only — the
+    # fold consumes items in (ts, event_id) order, and an unstamped event
+    # has no position in that order (the streaming twin's replay splits
+    # batches by ts, so a NaT row would fold FIRST there but LAST here —
+    # the hostile-replay gate's fold-order divergence).  Matches the
+    # streaming twin; the replay test asserts stream state == this fold.
+    ev = observed_time(load(spark, sf_dir, "events")).filter(
         F.col("user_id").isNotNull()).select(
         F.pmod(F.xxhash64("event_id"), F.lit(MG_SHARDS)).alias("shard"),
         "event_id", "ts", F.col("user_id").alias("item"),

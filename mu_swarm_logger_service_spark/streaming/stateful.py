@@ -156,7 +156,8 @@ def mg_sketch_stateful(events: DataFrame) -> DataFrame:
     # class G: heavy hitters over IDENTIFIED items — a NULL user_id
     # arrives in the pandas fold as NaN and crashes the integer counter
     # (and NaN != NaN would split its counts anyway).
-    keyed = events.filter(F.col("user_id").isNotNull()).select(
+    keyed = observed_time(events).filter(
+        F.col("user_id").isNotNull()).select(  # class G + class I
         F.pmod(F.xxhash64("event_id"), F.lit(MG_SHARDS)).alias("shard"),
         "event_id", "ts", F.col("user_id").alias("item"),
     )

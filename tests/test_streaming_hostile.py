@@ -458,3 +458,110 @@ def test_hostile_holt_winters_equals_batch(spark, adv_dir, hostile_replay):
     assert streamed.count() > 0
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_hostile_heavy_hitters_equals_batch_sketch(spark, adv_dir,
+                                                   hostile_replay):
+    """Sharded Misra-Gries across hostile batches == the batch sketch
+    EXACTLY.  The composition that forced the class-I policy onto both
+    twins: the replay splits batches by ts, so a NaT row folds in batch
+    0 there but sorts LAST in the batch twin's one-shot fold — MG is
+    decrement-based and ORDER-SENSITIVE, so the fold orders must be
+    made equal by construction (observed-time items only)."""
+    from mu_swarm_logger_service_spark.operators.sketches import mg_merge
+    from mu_swarm_logger_service_spark.streaming.stateful import (
+        MG_SNAPSHOT_SENTINEL, mg_sketch_stateful)
+
+    src, schema = hostile_replay
+    latest = _latest_snapshots_by(spark, mg_sketch_stateful, src, schema,
+                                  key="shard")
+    latest = (latest.filter(F.col("item") != MG_SNAPSHOT_SENTINEL)
+              .select("shard", "item", "est"))
+    got = mg_merge(latest)
+    want = QUERIES["q_sketch_heavy_hitters"](spark, adv_dir)
+    assert _canon(got) == _canon(want)
+    assert got.count() > 0
+
+
+def test_hostile_fingerprint_merge_equals_batch(spark, adv_dir,
+                                                hostile_replay):
+    """Incremental fingerprint partials over hostile batches, merged by
+    decimal addition, == the one-shot batch fingerprint — including the
+    NULL-ts rows, whose canonical tuple renders the \\N sentinel (ts is
+    CONTENT for a fingerprint) and whose day group is NULL on both
+    sides."""
+    import tempfile as _tf
+
+    from mu_swarm_logger_service_spark.operators.analytics import (
+        event_row_fingerprint)
+
+    src, schema = hostile_replay
+    sink = _tf.mkdtemp(prefix="fp_hostile_sink_")
+    ckpt = _tf.mkdtemp(prefix="fp_hostile_ckpt_")
+    batch_ids = []
+
+    def write_batch(bdf, batch_id):
+        batch_ids.append(batch_id)
+        (bdf.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                    event_row_fingerprint().alias("rh"))
+         .groupBy("day")
+         .agg(F.count(F.lit(1)).alias("n_part"),
+              F.sum(F.col("rh").cast("decimal(38,0)")).alias("fp_part"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(sink, f"batch={batch_id}")))
+
+    q = (_read_replay(spark, src, schema)
+         .writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(set(batch_ids)) >= 4
+    merged = (
+        spark.read.parquet(os.path.join(sink, "batch=*"))
+        .groupBy("day")
+        .agg(F.sum("n_part").cast("long").alias("n_rows"),
+             F.sum("fp_part").cast("decimal(38,0)").cast("string")
+             .alias("fingerprint")))
+    ev = load(spark, adv_dir, "events")
+    want = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                  event_row_fingerprint().alias("rh"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("rh").cast("decimal(38,0)")).cast("decimal(38,0)")
+             .cast("string").alias("fingerprint")))
+    assert _canon(merged) == _canon(want)
+    # the NULL-day group (class I, ts as content) must exist on both sides
+    assert merged.filter(F.col("day").isNull()).count() == 1
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _latest_snapshots_by(spark, stateful_fn, src, schema, key):
+    """Like _latest_snapshots but for an arbitrary state key column."""
+    import tempfile as _tf
+    sink = _tf.mkdtemp(prefix="hostile_sink_")
+    ckpt = _tf.mkdtemp(prefix="hostile_ckpt_")
+    batch_ids = []
+
+    def write_batch(bdf, batch_id):
+        batch_ids.append(batch_id)
+        bdf.withColumn("batch_id", F.lit(batch_id)) \
+           .write.mode("overwrite").parquet(
+               os.path.join(sink, f"batch={batch_id}"))
+
+    q = (stateful_fn(_read_replay(spark, src, schema))
+         .writeStream.outputMode("update")
+         .foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert len(set(batch_ids)) >= 4
+    snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
+    latest = (snaps.withColumn(
+        "mx", F.max("batch_id").over(W.partitionBy(key)))
+        .filter(F.col("batch_id") == F.col("mx"))
+        .localCheckpoint(eager=True))
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return latest
