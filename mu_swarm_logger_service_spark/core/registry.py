@@ -101,61 +101,49 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # registration order.  The window must never exceed the driver's 50 rows
 # (enforced below and in tests) or the tail silently loses evidence.
 EXPORT_FIRST: tuple[str, ...] = (
-    # r11 window, activated 2026-08-16 from the pre-derived suggestion
-    # (commit 8815af2), re-verified at activation: rotate_window reports
-    # never-checked = 1 (q_llm_semdedup_scale — registered r10 after the
-    # window was pinned, so the registry's ONLY key with zero driver
-    # evidence; leads the window).  The other 49 slots go stalest-first
-    # to the r1-r3-era relational core (no driver row since round 3,
-    # since touched by the r8/r9 null-placement/tie policies and eight
-    # adversarial trap classes) plus the r4-era remainder
-    # (source_formats, sql_surface, cdc/layout, values_inline,
-    # bucketed/salted joins).
-    "q_llm_semdedup_scale", "q_agg_global", "q_agg_distinct",
-    "q_agg_approx_distinct", "q_agg_grouping_sets", "q_agg_cube",
-    "q_agg_collect", "q_agg_stats", "q_agg_percentile",
-    "q_agg_pivot", "q_agg_having", "q_agg_salted",
-    "q_agg_approx_percentile", "q_agg_boolean", "q_agg_winsorize",
-    "q_agg_mode", "q_scan_parquet", "q_scan_pruned",
-    "q_sink_partitioned", "q_source_formats", "q_sql_surface",
-    "q_scan_merge_schema", "q_cdc_snapshot_diff", "q_layout_zorder",
-    "q_filter_status", "q_filter_compound", "q_filter_like_regex",
-    "q_filter_null", "q_values_inline", "q_join_inner_hash",
-    "q_join_broadcast", "q_join_sortmerge", "q_join_left",
-    "q_join_right_full", "q_join_semi", "q_join_cross",
-    "q_join_theta_range", "q_join_interval", "q_join_self",
-    "q_join_bucketed", "q_join_salted", "q_win_rank",
-    "q_win_frame_rows", "q_win_analytic", "q_win_topk_group",
-    "q_sort_multi", "q_limit_offset", "q_topk",
-    "q_union_all", "q_union_distinct",
+    # r12 window, activated 2026-08-16, re-derived stalest-first at
+    # activation (per the r11 suggestion's instruction): latest green
+    # driver row per key over CORRECTNESS_r01-r11, ascending, r11-window
+    # keys excluded.  The derivation matched the pre-derived suggestion
+    # except four analytics tail keys (the true stalest are
+    # shipping_priority/small_qty_revenue/volume_shipping/cdc_scd2, not
+    # blocking/dominant/market_basket/part_supp — those four got r10
+    # rows).  q_win_topk_group LEADS although its row is fresh (r11):
+    # this session applied the class-I observed-time policy to it (r11
+    # ADVICE), changing observable semantics, so its driver evidence
+    # predates its own code — exactly the staleness class this rotation
+    # exists for.  It displaces q_analytics_order_distribution (r5 row,
+    # untouched since).  The five streaming keys whose class-I policy
+    # changed in r11 (tumbling/sliding/session/stateful/output_modes)
+    # ride at positions 8-14 as the verdict required.
+    "q_win_topk_group", "q_intersect", "q_except",
+    "q_fn_hash_uuid", "q_fn_conditional", "q_fn_cast",
+    "q_fn_array", "q_fn_map", "q_stream_tumbling",
+    "q_stream_sliding", "q_stream_session", "q_stream_dedup",
+    "q_stream_stateful", "q_stream_join", "q_stream_output_modes",
+    "q_stream_watermark", "q_stream_foreachbatch",
+    "q_source_startup_scan", "q_sink_triples", "q_sparql_path",
+    "q_llm_dedup_groups", "q_llm_exact_dedup", "q_llm_minhash_jaccard",
+    "q_llm_near_dedup", "q_llm_decontaminate", "q_llm_multimodal",
+    "q_llm_text_stats", "q_llm_lang_filter", "q_udf_python",
+    "q_udf_pandas_scalar", "q_udaf_pandas", "q_udtf_grouped_map",
+    "q_udtf_map_iter", "q_udtf_sql", "q_udf_register_sql",
+    "q_cdc_scd2", "q_analytics_shipping_priority",
+    "q_analytics_regional_revenue", "q_analytics_promo_revenue",
+    "q_analytics_returned_items", "q_analytics_large_orders",
+    "q_analytics_late_orders", "q_analytics_small_qty_revenue",
+    "q_analytics_disjunctive_revenue", "q_analytics_volume_shipping",
+    "q_analytics_market_share", "q_analytics_idle_customers",
+    "q_analytics_forecast_revenue", "q_analytics_product_profit",
+    "q_analytics_shipmode_priority",
 )
 
-# r12 window suggestion, derived at the end of round 11 (stalest driver
-# row first, current-window keys excluded; re-derive at activation).
-# The r4-era remainder leads — it includes the five batch-checked
-# streaming keys whose class-I observed-time policy CHANGED this round
-# (q_stream_tumbling/sliding/session/stateful/output_modes) — followed
-# by the r5-era TPC-H analytics block:
-#   "q_except", "q_fn_array", "q_fn_cast",
-#   "q_fn_conditional", "q_fn_hash_uuid", "q_fn_map",
-#   "q_intersect", "q_llm_decontaminate", "q_llm_dedup_groups",
-#   "q_llm_exact_dedup", "q_llm_lang_filter", "q_llm_minhash_jaccard",
-#   "q_llm_multimodal", "q_llm_near_dedup", "q_llm_text_stats",
-#   "q_sink_triples", "q_source_startup_scan", "q_sparql_path",
-#   "q_stream_dedup", "q_stream_foreachbatch", "q_stream_join",
-#   "q_stream_output_modes", "q_stream_session", "q_stream_sliding",
-#   "q_stream_stateful", "q_stream_tumbling", "q_stream_watermark",
-#   "q_udaf_pandas", "q_udf_pandas_scalar", "q_udf_python",
-#   "q_udf_register_sql", "q_udtf_grouped_map", "q_udtf_map_iter",
-#   "q_udtf_sql", "q_analytics_blocking_supplier",
-#   "q_analytics_disjunctive_revenue", "q_analytics_dominant_supplier",
-#   "q_analytics_forecast_revenue", "q_analytics_idle_customers",
-#   "q_analytics_large_orders", "q_analytics_late_orders",
-#   "q_analytics_market_basket", "q_analytics_market_share",
-#   "q_analytics_order_distribution", "q_analytics_part_supp_counts",
-#   "q_analytics_product_profit", "q_analytics_promo_revenue",
-#   "q_analytics_regional_revenue", "q_analytics_returned_items",
-#   "q_analytics_shipmode_priority",
+# r13 window suggestion: re-derive stalest-first at activation (the
+# derivation lives in round notes / tools/rotate_window.py's accounting;
+# with never-checked=0 the window is simply the 50 keys whose latest green
+# driver row is oldest, excluding the r12 window above).  Fold in first:
+# any key whose SEMANTICS change during r12 (the q_win_topk_group
+# precedent — a policy fix makes a fresh row stale) and any r12 hard-reds.
 
 # The driver's CORRECTNESS window is 50 rows; a 51st pin would silently push
 # the last key out of the claimed evidence window.

@@ -88,11 +88,20 @@ def ts_domain(spark: "SparkSession | None" = None) -> "F.Column":
     if spark is not None:
         lo = spark.conf.get(_CONF_TS_LO, TS_DOMAIN_LO)
         hi = spark.conf.get(_CONF_TS_HI, TS_DOMAIN_HI)
+        import datetime
         import re
         for v in (lo, hi):
             if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", v):
                 raise ValueError(
                     f"ts_domain bound {v!r} is not a yyyy-MM-dd date")
+            # The shape regex admits calendar-impossible dates
+            # ('2024-02-30'), which cast to NULL (non-ANSI) and silently
+            # drop every row — the exact failure this guard must refuse.
+            try:
+                datetime.date.fromisoformat(v)
+            except ValueError:
+                raise ValueError(
+                    f"ts_domain bound {v!r} is not a valid calendar date")
         if not lo < hi:
             raise ValueError(f"empty ts_domain: lo={lo} >= hi={hi}")
     return ((F.col("ts") >= F.lit(lo).cast("timestamp"))

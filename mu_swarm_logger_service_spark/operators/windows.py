@@ -155,7 +155,7 @@ def q_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_win_topk_group", oracle="""
 SELECT user_id, event_id, ts, event_type
-FROM events
+FROM events WHERE ts IS NOT NULL
 QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC) <= 10
 """)
 def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,11 +166,15 @@ def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-limit pushdown (Spark's WindowGroupLimit takes only k rows per key
     per partition before the shuffle) — scales to any group count.
     """
-    ev = load(spark, sf_dir, "events")
-    # null placement pinned on both sides (class I): a line with no
-    # timestamp is never among the "last 10" — engines happen to share
-    # the DESC NULLS LAST default, but a rank-limited rowset must not
-    # ride defaults (the q_sort_multi lesson).
+    # ts is the AXIS here (the ranking coordinate), so the class-I
+    # observed-time policy applies on both sides: an unstamped line has no
+    # position on the "last 10" axis.  Without the filter, a user with <10
+    # stamped rows pads the tail with null-ts rows (r11 ADVICE) — the
+    # NULLS LAST pin made that parity-stable but policy-inconsistent.
+    ev = observed_time(load(spark, sf_dir, "events"))
+    # Explicit null placement retained: a rank-limited rowset must not
+    # ride ordering defaults (the q_sort_multi lesson), even now that the
+    # axis filter makes NULLS LAST vacuous for ts.
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc_nulls_last(), F.col("event_id").desc()
     )

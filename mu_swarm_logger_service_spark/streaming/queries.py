@@ -136,23 +136,30 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_stream_join", oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-JOIN (SELECT * FROM events WHERE event_type = 'click') c
+FROM (SELECT * FROM events WHERE event_type = 'purchase'
+         AND ts IS NOT NULL AND user_id IS NOT NULL) p
+JOIN (SELECT * FROM events WHERE event_type = 'click'
+         AND ts IS NOT NULL AND user_id IS NOT NULL) c
   ON p.user_id = c.user_id
  AND c.ts >= p.ts - INTERVAL 1 HOUR
  AND c.ts < p.ts
 """)
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream join (row 64), batch shape; the watermarked streaming
-    run with identical results is asserted in tests/test_streaming.py."""
+    run with identical results is asserted in tests/test_streaming.py and
+    on hostile timestamps in tests/test_streaming_hostile.py.  Both sides
+    filter observed time (class I; vacuous for the INNER band predicate,
+    pinned for symmetry with the outer variant)."""
     return X.purchase_click_attribution(load(spark, sf_dir, "events"))
 
 
 @query("q_stream_join_outer", oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id,
        p.user_id AS user_id
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+FROM (SELECT * FROM events WHERE event_type = 'purchase'
+         AND ts IS NOT NULL AND user_id IS NOT NULL) p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click'
+           AND ts IS NOT NULL AND user_id IS NOT NULL) c
   ON p.user_id = c.user_id
  AND c.ts >= p.ts - INTERVAL 1 HOUR
  AND c.ts < p.ts
@@ -164,9 +171,16 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution the outer row is emitted only when BOTH watermarks pass the
     purchase's band (state eviction proves no match can still arrive) —
     Spark's two-watermark outer-join semantics; this batch shape is the
-    end-state twin the oracle can check exactly.  Same plan as the inner
-    form: equi join on user_id with the time band as residual, never a
-    cartesian."""
+    end-state twin the oracle can check exactly.  Two r12 policies are
+    LOAD-BEARING here where they are vacuous on the inner form: class I —
+    a null-ts purchase has no event time for the watermark to pass, so the
+    streaming twin holds its state forever and never emits the outer row;
+    class G — a null-USER purchase survives a batch LEFT join (outer rows
+    outlive equi-key null-dropping) but the streaming state store drops
+    keyless rows outright.  Both measured in tests/test_streaming_hostile
+    .py; both engine sides drop such rows identically.  Same plan as the
+    inner form: equi join on user_id with the time band as residual,
+    never a cartesian."""
     return X.purchase_click_attribution(
         load(spark, sf_dir, "events"), how="left")
 

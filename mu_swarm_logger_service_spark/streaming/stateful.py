@@ -39,6 +39,15 @@ OUTPUT_SCHEMA = (
 # while nothing has been observed.  Schema widening invalidates v1
 # checkpoints — the BURST_STATE_VERSION upgrade contract applies.
 STATE_SCHEMA = "n long, total double, has_total integer"
+# State-schema version for long-lived deployments (r11 ADVICE): the r11
+# NaN-poisoning fix widened the state tuple 2 -> 3 fields (has_total), a
+# state-store INCOMPATIBILITY under applyInPandasWithState (no migration
+# hook) — a stream resumed from a v1 checkpoint dies at state restore.
+# Same upgrade contract as BURST_STATE_VERSION below: the version rides
+# the checkpoint path (COUNTER_CKPT_PREFIX), so an upgraded job starts a
+# fresh lineage instead of dying.  Bump on ANY change to STATE_SCHEMA.
+COUNTER_STATE_VERSION = 2
+COUNTER_CKPT_PREFIX = f"spark_graft_counterckpt_v{COUNTER_STATE_VERSION}_"
 
 
 def _accumulate(key: tuple, pdf_iter: Iterator[pd.DataFrame],

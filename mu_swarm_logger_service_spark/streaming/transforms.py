@@ -195,6 +195,20 @@ def purchase_click_attribution(events: DataFrame, how: str = "inner") -> DataFra
     unattributed ones with a NULL click (in the streaming twin, outer
     rows are emitted when the watermark evicts the purchase's state, i.e.
     once no matching click can still arrive)."""
+    # class I (r12): ts is the AXIS (the join band), so the observed-time
+    # policy applies on both sides.  For the inner join the band predicate
+    # already excludes NULL ts; for the LEFT join the filter is
+    # LOAD-BEARING — the streaming twin can never emit an outer row for a
+    # null-ts purchase (no event time means no watermark ever evicts its
+    # state; measured: such rows silently vanish from the stream), so the
+    # batch twin and oracle must drop them identically or batch ≢ stream.
+    # class G (r12): same shape for a NULL join KEY — a null-user purchase
+    # has no identity to attribute; the batch LEFT join would still emit
+    # it (outer rows survive equi-key null-dropping) while the streaming
+    # join state store drops keyless rows outright (measured: 7 rows on
+    # the hostile fixture).  The declared policy is the CDC/label-prop
+    # one: NULL keys neither match nor get outer-emitted, on both sides.
+    events = observed_time(events).filter(F.col("user_id").isNotNull())
     p = events.filter(F.col("event_type") == "purchase").alias("p")
     c = events.filter(F.col("event_type") == "click").alias("c")
     cond = (

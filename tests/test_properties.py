@@ -1947,6 +1947,13 @@ def test_ts_domain_session_conf_override(spark, sf_dir):
         spark.conf.set(_CONF_TS_HI, "not-a-date")
         with _pytest.raises(ValueError, match="yyyy-MM-dd"):
             ts_domain(spark)
+        # r11 ADVICE: a calendar-impossible date passes the shape regex
+        # but casts to NULL (non-ANSI) and silently empties the domain —
+        # the guard must refuse it loudly.
+        for bad in ("2024-02-30", "2024-13-01", "2023-00-15"):
+            spark.conf.set(_CONF_TS_HI, bad)
+            with _pytest.raises(ValueError, match="calendar"):
+                ts_domain(spark)
         spark.conf.set(_CONF_TS_HI, "2024-01-02")  # == lo: empty domain
         with _pytest.raises(ValueError, match="empty ts_domain"):
             ts_domain(spark)

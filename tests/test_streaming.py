@@ -49,9 +49,9 @@ def _read_replay(spark, src, schema):
     )
 
 
-def _run_stream(df, mode="append"):
+def _run_stream(df, mode="append", ckpt_prefix="ckpt_"):
     name = f"t_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = tempfile.mkdtemp(prefix=ckpt_prefix)
     q = (
         df.writeStream.format("memory").queryName(name).outputMode(mode)
         .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
@@ -141,13 +141,42 @@ def test_stateful_counters_stream_equals_batch(spark, sf_dir, replay):
     state must carry across micro-batches."""
     src, schema = replay
     stream = _read_replay(spark, src, schema)
-    got = _run_stream(running_user_counters_stateful(stream)).toPandas()
+    # The counter state-schema version rides the checkpoint path
+    # (stateful.COUNTER_CKPT_PREFIX) — the BURST_STATE_VERSION upgrade
+    # contract, applied to this operator's lineage (r11 ADVICE).
+    from mu_swarm_logger_service_spark.streaming.stateful import (
+        COUNTER_CKPT_PREFIX,
+    )
+    got = _run_stream(running_user_counters_stateful(stream),
+                      ckpt_prefix=COUNTER_CKPT_PREFIX).toPandas()
     want = X.running_user_counters(load(spark, sf_dir, "events")).toPandas()
     g = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
     w = want.sort_values(["user_id", "event_id"]).reset_index(drop=True)
     assert len(g) == len(w)
     assert (g["n_so_far"] == w["n_so_far"]).all()
     assert (g["value_so_far"] - w["value_so_far"]).abs().max() < 1e-6
+
+
+def test_state_versions_ride_checkpoint_paths():
+    """Upgrade contract for long-lived deployments (r10 + r11 ADVICE):
+    every applyInPandasWithState schema with a registered checkpoint
+    lineage embeds its version in the path prefix, and the (version,
+    schema) pairs are pinned here — widening a state schema without
+    bumping its version is exactly the silent checkpoint-killer this
+    contract exists to prevent."""
+    from mu_swarm_logger_service_spark.streaming.stateful import (
+        BURST_STATE_SCHEMA,
+        BURST_STATE_VERSION,
+        COUNTER_CKPT_PREFIX,
+        COUNTER_STATE_VERSION,
+        STATE_SCHEMA,
+    )
+    assert f"v{COUNTER_STATE_VERSION}_" in COUNTER_CKPT_PREFIX
+    assert (COUNTER_STATE_VERSION, STATE_SCHEMA) == (
+        2, "n long, total double, has_total integer")
+    assert (BURST_STATE_VERSION, BURST_STATE_SCHEMA) == (
+        2, "last_us long, last_eid long, n_gaps long, "
+           "s1 long, s2 string, has_last integer")
 
 
 def test_stream_stream_join_equals_batch(spark, sf_dir, replay):

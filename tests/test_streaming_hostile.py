@@ -173,7 +173,11 @@ def test_hostile_stateful_counters_equals_batch(spark, adv_dir,
     null event values riding the same fixture."""
     src, schema = hostile_replay
     stream = _read_replay(spark, src, schema)
-    got = _run_stream(running_user_counters_stateful(stream)).toPandas()
+    from mu_swarm_logger_service_spark.streaming.stateful import (
+        COUNTER_CKPT_PREFIX,
+    )
+    got = _run_stream(running_user_counters_stateful(stream),
+                      ckpt_prefix=COUNTER_CKPT_PREFIX).toPandas()
     want = X.running_user_counters(load(spark, adv_dir, "events")).toPandas()
     g = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
     w = want.sort_values(["user_id", "event_id"]).reset_index(drop=True)
@@ -565,3 +569,271 @@ def _latest_snapshots_by(spark, stateful_fn, src, schema, key):
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
     return latest
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (row 64) — the one stateful family the r11
+# gate didn't cover, and the only one with TWO watermarks and an
+# asymmetric late rule (r11 verdict task 2).
+# ---------------------------------------------------------------------------
+
+def _attribution_stream(raw, how="inner", delay="2 hours"):
+    """The watermarked streaming form of purchase_click_attribution —
+    kept textually in sync with test_streaming.py's pristine twin."""
+    p = (raw.filter(F.col("event_type") == "purchase")
+         .withWatermark("ts", delay)
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")))
+    c = (raw.filter(F.col("event_type") == "click")
+         .withWatermark("ts", delay)
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")))
+    joined = p.join(
+        c,
+        (F.col("p_uid") == F.col("c_uid"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftOuter" if how == "left" else "inner",
+    )
+    return joined.select("purchase_id", "click_id",
+                         F.col("p_uid").alias("user_id"))
+
+
+def test_hostile_stream_join_inner_equals_batch(spark, adv_dir,
+                                                hostile_replay):
+    """Watermarked inner interval join across hostile batches == batch
+    twin: the microsecond tie-storm sits at the strict c_ts < p_ts bound,
+    NULL user_ids must drop on the equi key (class G) on both forms, and
+    the far-future stamps ride the LAST batch (ts-ordered replay) where
+    they can no longer poison earlier state."""
+    src, schema = hostile_replay
+    got = _run_stream(_attribution_stream(_read_replay(spark, src, schema)))
+    want = X.purchase_click_attribution(load(spark, adv_dir, "events"))
+    assert _canon(got) == _canon(want)
+    assert got.count() > 0
+
+
+def test_hostile_stream_join_outer_equals_batch(spark, adv_dir,
+                                                hostile_replay):
+    """LEFT-OUTER join across hostile batches == batch twin — the test
+    that found BOTH r12 outer-join gaps on first contact: (class I) a
+    NULL-ts purchase can NEVER leave the streaming state store (no event
+    time means no watermark ever passes its band), and (class G) a
+    NULL-USER purchase survives a batch LEFT join while the streaming
+    state store drops keyless rows outright — 8 silently-missing outer
+    rows versus the then-unfiltered batch twin.  Fixed as two-sided
+    policies on purchase_click_attribution and both q_stream_join*
+    oracles; this test pins batch == stream on data where both filters
+    are load-bearing.  The one remaining declared divergence is the
+    dedup suite's born-late contract: a pre-epoch purchase is older than
+    the watermark's EPOCH initialization and is dropped before any
+    data-derived watermark exists — excluded from the batch side here,
+    non-vacuously.  The flush sentinel advances both watermarks past the
+    far-future stamps so every outer row leaves the state store."""
+    src, schema = hostile_replay
+    ev = load(spark, adv_dir, "events")
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    # non-vacuity: the fixture must exercise all three policies — null-ts
+    # purchases (class I), null-user purchases (class G), and a born-late
+    # pre-epoch purchase.
+    assert ev.filter((F.col("event_type") == "purchase")
+                     & F.col("ts").isNull()).count() > 0
+    assert ev.filter((F.col("event_type") == "purchase")
+                     & F.col("user_id").isNull()).count() > 0
+    assert ev.filter((F.col("event_type") == "purchase")
+                     & (F.col("ts") <= epoch)).count() > 0
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(days=2), -1, "purchase", 0.0, "{}"),
+         (-2, max_ts + dt.timedelta(days=2), -1, "click", 0.0, "{}")],
+        schema,
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "f999"))
+    try:
+        got = _run_stream(
+            _attribution_stream(_read_replay(spark, src, schema), how="left")
+        ).filter(F.col("user_id") >= 0)
+        want = X.purchase_click_attribution(
+            ev.filter(F.col("ts") > epoch), how="left")
+        assert _canon(got) == _canon(want)
+        # the outer rows themselves must be non-vacuous
+        assert got.filter(F.col("click_id").isNull()).count() > 0
+    finally:
+        shutil.rmtree(os.path.join(src, "f999"), ignore_errors=True)
+
+
+def test_stream_join_null_event_times_each_side(spark):
+    """Hand-built class-I replay, NULL event times on EACH side
+    independently: the inner join drops them via the band predicate on
+    both forms (vacuous agreement), and the outer join drops the null-ts
+    purchase on both forms ONLY because the observed-time policy is
+    applied to the batch twin — without it the batch side emits
+    (purchase=1, click=NULL) forever while the stream holds the row's
+    state until shutdown (measured divergence, r12)."""
+    import time
+    src = tempfile.mkdtemp(prefix="jnull_src_")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    base = dt.datetime(2024, 1, 5, 12, 0, 0)
+
+    def mins(k):
+        return base + dt.timedelta(minutes=k)
+
+    f1 = [(1, None, 7, "purchase", 1.0, "{}"),     # null-ts purchase
+          (2, mins(0), 7, "click", 1.0, "{}"),
+          (3, mins(30), 7, "purchase", 1.0, "{}")]
+    f2 = [(4, None, 7, "click", 1.0, "{}"),        # null-ts click
+          (5, mins(40), 7, "purchase", 1.0, "{}"),
+          (6, mins(50), 7, "click", 1.0, "{}"),
+          (7, mins(55), 7, "purchase", 1.0, "{}"),
+          # flush sentinel: a distant pair advances both watermarks so
+          # outer state drains under availableNow
+          (8, mins(60 * 24), 99, "purchase", 0.0, "{}"),
+          (9, mins(60 * 24), 99, "click", 0.0, "{}")]
+    try:
+        for name, rows in (("f000", f1), ("f001", f2)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite").parquet(os.path.join(src, name))
+            time.sleep(1.05)
+        raw = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(os.path.join(src, "f*")))
+        all_rows = spark.createDataFrame(f1 + f2, schema)
+        for how in ("inner", "left"):
+            got = _run_stream(_attribution_stream(
+                (spark.readStream.schema(schema)
+                 .option("maxFilesPerTrigger", 1)
+                 .parquet(os.path.join(src, "f*"))), how=how)
+            ).filter(F.col("user_id") == 7)
+            want = X.purchase_click_attribution(all_rows, how=how).filter(
+                F.col("user_id") == 7)
+            assert _canon(got) == _canon(want), how
+            ids = {r["purchase_id"] for r in got.collect()}
+            # purchase 1 (null ts) appears on NEITHER side; purchases
+            # 3/5/7 attribute to click 2 (and 7 also to 6)
+            assert 1 not in ids
+            assert {3, 5, 7} <= ids
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_join_far_future_one_side_min_policy(spark):
+    """A far-future clock-garbage stamp on ONE side only does NOT poison
+    the two-watermark join (measured, pinned): Spark's default
+    multipleWatermarkPolicy=min takes the GLOBAL watermark as the MIN of
+    the two sides, so the sane side's watermark holds the join's late
+    filter down and every later real-time row on BOTH sides still joins.
+    This is the asymmetric-late-rule counterpart of
+    test_far_future_stamp_poisons_watermark_by_design — one garbage
+    SOURCE poisons a single-watermark aggregation, but a join needs
+    garbage on BOTH sides to lose rows (see the companion test below)."""
+    import time
+    src = tempfile.mkdtemp(prefix="jff1_src_")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    base = dt.datetime(2024, 1, 5, 12, 0, 0)
+    ff = dt.datetime(2200, 6, 15, 12, 0, 0)
+
+    def mins(k):
+        return base + dt.timedelta(minutes=k)
+
+    g1 = [(1, mins(0), 7, "click", 1.0, "{}"),
+          (2, ff, 8, "click", 1.0, "{}")]          # garbage, click side only
+    g2 = [(3, mins(30), 7, "purchase", 1.0, "{}"),
+          (4, mins(31), 7, "click", 1.0, "{}")]
+    g3 = [(5, mins(90), 7, "purchase", 1.0, "{}")]
+    try:
+        for name, rows in (("f000", g1), ("f001", g2), ("f002", g3)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite").parquet(os.path.join(src, name))
+            time.sleep(1.05)
+        raw = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(os.path.join(src, "f*")))
+        got = sorted(tuple(r) for r in _run_stream(
+            _attribution_stream(raw)).collect())
+        # nothing lost: purchase 3 matches click 1; purchase 5 (two
+        # batches after the garbage) still matches click 4
+        assert got == [(3, 1, 7), (5, 4, 7)]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_join_far_future_both_sides_poisons_by_design(spark):
+    """DECLARED failure mode, pinned: clock garbage on BOTH sides of the
+    join advances the global min-watermark ~175 years, so rows arriving
+    ≥2 batches later (Spark filters with the PREVIOUS batch's committed
+    watermark) are silently dropped — the batch answer keeps the
+    purchase-5/click-4 match that the stream loses.  Same quarantine-
+    upstream contract as ts_domain: the engine cannot tell a
+    misconfigured clock from a fast-forward of time, so clock garbage
+    must be fenced BEFORE event-time streaming."""
+    import time
+    src = tempfile.mkdtemp(prefix="jff2_src_")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    base = dt.datetime(2024, 1, 5, 12, 0, 0)
+    ff = dt.datetime(2200, 6, 15, 12, 0, 0)
+
+    def mins(k):
+        return base + dt.timedelta(minutes=k)
+
+    g1 = [(1, mins(0), 7, "click", 1.0, "{}"),
+          (2, ff, 8, "click", 1.0, "{}"),                     # garbage click
+          (3, ff + dt.timedelta(minutes=1), 9, "purchase", 1.0, "{}")]
+    g2 = [(4, mins(30), 7, "purchase", 1.0, "{}"),  # 1-batch lag: survives
+          (5, mins(31), 7, "click", 1.0, "{}")]
+    g3 = [(6, mins(90), 7, "purchase", 1.0, "{}")]  # ≥2 batches late: lost
+    try:
+        for name, rows in (("f000", g1), ("f001", g2), ("f002", g3)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite").parquet(os.path.join(src, name))
+            time.sleep(1.05)
+        raw = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(os.path.join(src, "f*")))
+        got = sorted(tuple(r) for r in _run_stream(
+            _attribution_stream(raw)).collect())
+        assert got == [(4, 1, 7)], got      # (6, 5, 7) silently lost
+        # the batch twin on identical data keeps both matches
+        want = sorted(tuple(r) for r in X.purchase_click_attribution(
+            spark.createDataFrame(g1 + g2 + g3, schema)).collect())
+        assert want == [(4, 1, 7), (6, 5, 7)]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_join_tie_storm_at_band_bounds(spark):
+    """Microsecond ties exactly AT the band bounds, replayed across a
+    batch boundary: c_ts == p_ts is excluded (strict <), c_ts == p_ts -
+    1h is included (>=), one µs past the hour is excluded — streaming
+    and batch must agree row-for-row at µs precision."""
+    import time
+    src = tempfile.mkdtemp(prefix="jtie_src_")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    t0 = dt.datetime(2024, 1, 5, 12, 0, 0)
+    h1 = [(1, t0, 7, "click", 1.0, "{}"),
+          (2, t0, 7, "purchase", 1.0, "{}"),                  # == : excluded
+          (3, t0 + dt.timedelta(hours=1), 7, "purchase", 1.0, "{}"),
+          (4, t0 + dt.timedelta(hours=1, microseconds=1), 7,
+           "purchase", 1.0, "{}")]                            # 1 µs past: out
+    h2 = [(5, t0 + dt.timedelta(microseconds=1), 7, "purchase", 1.0, "{}"),
+          (6, t0, 8, "click", 1.0, "{}"),
+          (7, t0, 8, "purchase", 1.0, "{}")]                  # == : excluded
+    try:
+        for name, rows in (("f000", h1), ("f001", h2)):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite").parquet(os.path.join(src, name))
+            time.sleep(1.05)
+        raw = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(os.path.join(src, "f*")))
+        got = sorted(tuple(r) for r in _run_stream(
+            _attribution_stream(raw)).collect())
+        want = sorted(tuple(r) for r in X.purchase_click_attribution(
+            spark.createDataFrame(h1 + h2, schema)).collect())
+        assert got == want == [(3, 1, 7), (5, 1, 7)]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
