@@ -21,10 +21,31 @@ from ..core.registry import query
 from ..core.tables import load, spread
 
 
+# Oracle twin of normalized_text() below — interpolate into every oracle
+# that hashes the canonical form; NEVER respell it inline (the r12 class-J
+# find: the old `lower(trim(text))`+ASCII-`\s` pair diverged on unicode
+# whitespace because DuckDB's trim strips Unicode whitespace while Spark's
+# strips ASCII space only).  The RE2 class spells out Unicode White_Space
+# exactly — \p{Zs} (has NBSP/EM/IDEOGRAPHIC) + the ASCII controls + NEL +
+# LS/PS — matching Java's (?U)\s on the Spark side; the '^ | $' pass
+# strips the at-most-one edge space left after collapsing, replacing the
+# engine-divergent trim() entirely.
+NORM_TEXT_SQL = (
+    r"regexp_replace(regexp_replace(lower(text), "
+    r"'[\t\n\r\x{0B}\x{0C}\x{85}\x{2028}\x{2029}\p{Zs}]+', ' ', 'g'), "
+    r"'^ | $', '', 'g')"
+)
+
+
 def normalized_text(col: str = "text") -> Column:
-    """lower → trim → collapse whitespace; the canonical form every dedup
-    method hashes."""
-    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    """lower → collapse UNICODE whitespace → strip edges; the canonical
+    form every dedup method hashes.  Whitespace is Unicode White_Space
+    ((?U)\\s — NBSP, EM SPACE, IDEOGRAPHIC SPACE included): a document
+    differing only in exotic spaces IS a duplicate, and the ASCII-\\s +
+    trim() form was engine-divergent (see NORM_TEXT_SQL)."""
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(col)), r"(?U)\s+", " "),
+        "^ | $", "")
 
 
 # Quadratic-family quarantine (r4 verdict task 6).  The blocked exact
@@ -150,7 +171,7 @@ def jaccard_half_edges(
 
 @query("q_llm_exact_dedup", oracle=r"""
 SELECT
-  sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+  sha256(regexp_replace(regexp_replace(lower(text), '[\t\n\r\x{0B}\x{0C}\x{85}\x{2028}\x{2029}\p{Zs}]+', ' ', 'g'), '^ | $', '', 'g')) AS content_hash,
   MIN(doc_id) AS keeper_doc_id,
   COUNT(*) AS n_copies
 FROM documents
@@ -172,7 +193,7 @@ def q_llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_llm_incremental_dedup", oracle=r"""
 WITH hashed AS (
   SELECT doc_id,
-         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+         sha256(regexp_replace(regexp_replace(lower(text), '[\t\n\r\x{0B}\x{0C}\x{85}\x{2028}\x{2029}\p{Zs}]+', ' ', 'g'), '^ | $', '', 'g'))
            AS content_hash
   FROM documents
 ), corpus AS (
@@ -554,7 +575,7 @@ _EVAL_GATE = "doc_id % 50 = 7"  # stand-in for the benchmark/eval corpus
 @query("q_llm_decontaminate", oracle=rf"""
 WITH hashed AS (
   SELECT doc_id, source,
-         sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+         sha256({NORM_TEXT_SQL}) AS h
   FROM documents
 ), eval_h AS (
   SELECT DISTINCT h FROM hashed WHERE {_EVAL_GATE}
@@ -640,7 +661,7 @@ def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_llm_dedup_keep_best", oracle=r"""
 WITH t AS (
-  SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+  SELECT sha256(regexp_replace(regexp_replace(lower(text), '[\t\n\r\x{0B}\x{0C}\x{85}\x{2028}\x{2029}\p{Zs}]+', ' ', 'g'), '^ | $', '', 'g')) AS h,
          doc_id, len(string_split(text, ' ')) AS n_tokens
   FROM documents
 ), g AS (
@@ -693,10 +714,14 @@ _NGRAM_N = 8  # decontamination shingle width (tokens)
 WITH toks AS (
   SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
 ), sh AS (
+  -- element accesses, never slices, in the shingle lambda: a DuckDB
+  -- list SLICE inside list_transform copies the whole list per element
+  -- — O(T^2), measured never-finishing on multi-MB class-J docs (r12)
   SELECT doc_id, source,
-         unnest(list_transform(generate_series(1, len(t) - {_NGRAM_N - 1}),
-                               i -> array_to_string(t[i:i+{_NGRAM_N - 1}],
-                                                    ' '))) AS g
+         unnest(list_filter(list_transform(t, (x, i) ->
+           CASE WHEN i <= len(t) - {_NGRAM_N - 1} THEN
+             {' || '.join(['x'] + [f"' ' || t[i+{j}]" for j in range(1, _NGRAM_N)])}
+           END), s -> s IS NOT NULL)) AS g
   FROM toks
 ), eval_g AS (
   SELECT DISTINCT g FROM sh WHERE {_EVAL_GATE}
@@ -727,15 +752,24 @@ def q_llm_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribute no shingles on either engine (Spark's sequence() needs
     the explicit size guard — it counts DOWN for negative spans)."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # The token array is MATERIALIZED as a column before the shingle
+    # lambda references it (r12 class J): `slice(split(text,' '), i, N)`
+    # written inside the lambda re-splits the WHOLE text per shingle —
+    # O(T^2) in document tokens, measured never-finishing on the
+    # multi-megabyte hostile documents.  With `toks` a projected column
+    # (referenced 2x here, so CollapseProject keeps the projection; the
+    # plan pin in tests/test_plans.py guards the inlining) the lambda
+    # body is an O(k) array slice and shingling is O(T·k).
+    tokd = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("toks"))
     grams = F.when(
-        F.size(toks) >= _NGRAM_N,
+        F.size("toks") >= _NGRAM_N,
         F.expr(
-            f"transform(sequence(1, size(split(text, ' ')) - {_NGRAM_N - 1}),"
-            f" i -> concat_ws(' ', slice(split(text, ' '), i, {_NGRAM_N})))"
+            f"transform(sequence(1, size(toks) - {_NGRAM_N - 1}),"
+            f" i -> concat_ws(' ', slice(toks, i, {_NGRAM_N})))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select("doc_id", "source", F.explode(grams).alias("g"))
+    sh = tokd.select("doc_id", "source", F.explode(grams).alias("g"))
     eval_g = sh.filter(F.expr(_EVAL_GATE)).select("g").distinct()
     hits = (
         sh.filter(~F.expr(_EVAL_GATE))
@@ -988,13 +1022,21 @@ _REP_N = 5  # repeated-span window (tokens); Lee et al. use 50 BPE tokens
 @query("q_llm_repeated_ngrams", oracle=f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS tok FROM documents
-), g AS (
-  SELECT doc_id, unnest(range(1, greatest(len(tok) - {_REP_N - 2}, 1))) AS pos
-  FROM t
 ), g2 AS (
-  SELECT g.doc_id, g.pos,
-         array_to_string(t.tok[g.pos : g.pos + {_REP_N - 1}], ' ') AS gram
-  FROM g JOIN t USING (doc_id)
+  -- struct-building lambda with ELEMENT accesses (never slices, and no
+  -- positions-join carrying the token list per row): a DuckDB slice in
+  -- a lambda/per-row position copies the whole list per evaluation —
+  -- O(T^2), measured never-finishing on multi-MB class-J docs (r12)
+  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.gram AS gram
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(list_transform(tok, (x, i) ->
+             CASE WHEN i <= len(tok) - {_REP_N - 1} THEN
+               {{'pos': i, 'gram':
+                 {' || '.join(['x'] + [f"' ' || tok[i+{j}]" for j in range(1, _REP_N)])}}}
+             END), s -> s IS NOT NULL)) AS u
+    FROM t
+  )
 ), rep AS (
   SELECT gram FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
 ), hits AS (
@@ -1088,11 +1130,19 @@ _PARA_W = 15  # words per span: the corpus is a flat word stream, so spans
 @query("q_llm_paragraph_dedup", oracle=f"""
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), tw AS (
+  -- per-word rows + group-by span rebuild instead of per-span list
+  -- SLICES (a DuckDB slice in a per-row position copies the whole list
+  -- per evaluation — O(T^2/W), measured never-finishing on multi-MB
+  -- class-J docs, r12)
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, u.x AS x
+  FROM (SELECT doc_id,
+               unnest(list_transform(w, (x, i) -> {{'i': i, 'x': x}})) AS u
+        FROM words)
 ), spans AS (
-  SELECT doc_id, CAST(t.pidx AS BIGINT) AS pidx,
-         array_to_string(w[t.pidx * {_PARA_W} + 1 : t.pidx * {_PARA_W} + {_PARA_W}], ' ') AS span
-  FROM words, UNNEST(range(0, CAST(ceil(len(w) / {_PARA_W}.0) AS BIGINT)))
-       AS t(pidx)
+  SELECT doc_id, CAST((i - 1) // {_PARA_W} AS BIGINT) AS pidx,
+         string_agg(x, ' ' ORDER BY i) AS span
+  FROM tw GROUP BY doc_id, (i - 1) // {_PARA_W}
 ), keepers AS (
   SELECT doc_id, pidx, span,
          ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pidx) AS rn

@@ -292,13 +292,21 @@ CHUNK_TOKENS = 64
 @query("q_llm_chunk", oracle=f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+), tw AS (
+  -- per-token rows instead of per-chunk list SLICES: a DuckDB slice in
+  -- a per-row/lambda position copies the whole list per evaluation
+  -- (measured 37 s for ONE multi-MB class-J doc); the per-token unnest
+  -- + group-by rebuild is linear (r12)
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, u.w AS w
+  FROM (SELECT doc_id,
+               unnest(list_transform(arr, (x, i) -> {{'i': i, 'w': x}})) AS u
+        FROM t)
 )
-SELECT doc_id, k - 1 AS chunk_id,
-       array_to_string(arr[(k - 1) * {CHUNK_TOKENS} + 1 : k * {CHUNK_TOKENS}], ' ')
-         AS chunk_text,
-       len(arr[(k - 1) * {CHUNK_TOKENS} + 1 : k * {CHUNK_TOKENS}]) AS n_tokens
-FROM t, unnest(range(1, CAST(ceil(len(arr) / {CHUNK_TOKENS}.0) AS BIGINT) + 1))
-       AS u(k)
+SELECT doc_id, CAST((i - 1) // {CHUNK_TOKENS} AS BIGINT) AS chunk_id,
+       string_agg(w, ' ' ORDER BY i) AS chunk_text,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tw
+GROUP BY doc_id, (i - 1) // {CHUNK_TOKENS}
 """)
 def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking (training-data staple): split each document into
@@ -306,13 +314,19 @@ def q_llm_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM higher-order transform over the token array; one posexplode emits
     the chunk rows — no Python, no per-chunk re-tokenization."""
     docs = load(spark, sf_dir, "documents")
-    arr = F.split("text", " ")
+    # Token array materialized before the lambda references it (r12
+    # class J): the raw split expression inside the slice lambda would
+    # re-tokenize the whole text per CHUNK — O(T^2/chunk) on the
+    # multi-megabyte hostile documents.  Two references (size + lambda)
+    # keep CollapseProject from inlining it back.
+    tokd = docs.select("doc_id", F.split("text", " ").alias("arr"))
     chunks = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(arr) / CHUNK_TOKENS).cast("int") - 1),
-        lambda k: F.slice(arr, k * CHUNK_TOKENS + 1, CHUNK_TOKENS),
+        F.sequence(F.lit(0),
+                   F.ceil(F.size("arr") / CHUNK_TOKENS).cast("int") - 1),
+        lambda k: F.slice(F.col("arr"), k * CHUNK_TOKENS + 1, CHUNK_TOKENS),
     )
     return (
-        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        tokd.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
         .select(
             "doc_id", "chunk_id",
             F.concat_ws(" ", F.col("chunk")).alias("chunk_text"),
@@ -489,11 +503,9 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-       CAST(COUNT(DISTINCT sha256(regexp_replace(lower(trim(text)),
-                                                 '\s+', ' ', 'g')))
+       CAST(COUNT(DISTINCT sha256(regexp_replace(regexp_replace(lower(text), '[\t\n\r\x{0B}\x{0C}\x{85}\x{2028}\x{2029}\p{Zs}]+', ' ', 'g'), '^ | $', '', 'g')))
             AS BIGINT) AS n_unique,
-       round(1.0 - CAST(COUNT(DISTINCT sha256(regexp_replace(lower(trim(text)),
-                                                             '\s+', ' ', 'g')))
+       round(1.0 - CAST(COUNT(DISTINCT sha256(regexp_replace(regexp_replace(lower(text), '[\t\n\r\x{0B}\x{0C}\x{85}\x{2028}\x{2029}\p{Zs}]+', ' ', 'g'), '^ | $', '', 'g')))
                         AS DOUBLE) / COUNT(*), 6) + 0.0 AS dup_rate,
        round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
 FROM documents
@@ -608,13 +620,20 @@ REPETITION_THRESHOLD = 0.2  # duplicate-trigram fraction that flags a doc
 
 
 @query("q_llm_repetition", oracle=f"""
-WITH tri AS (
-  SELECT doc_id,
-         list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                        i -> array_to_string(string_split(text, ' ')[i:i+2],
-                                             ' ')) AS trigrams
-  FROM documents
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
   WHERE len(string_split(text, ' ')) >= 3
+), tri AS (
+  -- element accesses, never slices, inside the lambda: a DuckDB list
+  -- SLICE inside list_transform copies the whole list per element
+  -- (O(T^2) — measured never-finishing on multi-MB class-J docs),
+  -- while element accesses are O(1) (r12; same rule as the Spark side)
+  SELECT doc_id,
+         list_filter(list_transform(t, (x, i) ->
+           CASE WHEN i <= len(t) - 2
+                THEN x || ' ' || t[i+1] || ' ' || t[i+2] END),
+           g -> g IS NOT NULL) AS trigrams
+  FROM toks
 )
 SELECT doc_id,
        CAST(len(trigrams) AS BIGINT) AS n_trigrams,
@@ -638,23 +657,30 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorter than one trigram are excluded on both sides (Spark's
     sequence(1, n) would count DOWN for n < 1)."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    tri = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    # Token array and trigram list materialize as columns in STAGES
+    # (r12 class J): `slice(split(text,' '), i, 3)` inside the lambda
+    # re-splits the whole text per trigram — O(T^2), never finishes on
+    # the multi-megabyte hostile documents; and referencing the
+    # transform expression from four output columns would evaluate the
+    # O(T) shingling four times.  Each stage's alias is referenced more
+    # than once downstream, so CollapseProject keeps the projections
+    # (plan-pinned in tests/test_plans.py).
+    tokd = (docs.select("doc_id", F.split("text", " ").alias("toks"))
+            .filter(F.size("toks") >= 3))
+    trid = tokd.select("doc_id", F.expr(
+        "transform(sequence(1, size(toks) - 2), "
+        "i -> concat_ws(' ', slice(toks, i, 3)))").alias("tri"))
+    staged = trid.select(
+        "doc_id",
+        F.size("tri").cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct("tri")).cast("long").alias("n_distinct"),
     )
-    d = F.size(F.array_distinct(tri)).cast("double")
-    t = F.size(tri)
-    ratio = F.lit(1.0) - d / t
-    return (
-        docs.filter(F.size(toks) >= 3)
-        .select(
-            "doc_id",
-            F.size(tri).cast("long").alias("n_trigrams"),
-            F.size(F.array_distinct(tri)).cast("long").alias("n_distinct"),
-            ratio.alias("dup_ratio"),
-            (ratio > REPETITION_THRESHOLD).alias("is_repetitious"),
-        )
+    ratio = (F.lit(1.0)
+             - F.col("n_distinct").cast("double") / F.col("n_trigrams"))
+    return staged.select(
+        "doc_id", "n_trigrams", "n_distinct",
+        ratio.alias("dup_ratio"),
+        (ratio > REPETITION_THRESHOLD).alias("is_repetitious"),
     )
 
 

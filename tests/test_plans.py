@@ -1373,3 +1373,27 @@ def test_asof_nearest_join_free_one_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "hashpartitioning(user_id" in p
     assert "EvalPython" not in p
+
+
+@pytest.mark.parametrize("key", [
+    "q_llm_repetition", "q_llm_chunk", "q_llm_decontaminate",
+    "q_llm_doc_fingerprint", "q_llm_paragraph_dedup",
+    "q_llm_repeated_ngrams",
+])
+def test_no_tokenize_inside_shingle_lambda(spark, sf_dir, key):
+    """r12 class-J pin: no O(T) tokenization inside a higher-order
+    lambda body.  `slice(split(text,' '), i, k)` written in a transform
+    lambda re-splits the WHOLE document per shingle — O(T^2) in document
+    tokens, measured never-finishing on multi-megabyte hostile documents
+    (three queries on first contact).  The fix materializes the token
+    array as a projected column; this pin guards the other direction —
+    Catalyst's CollapseProject may only keep that projection while the
+    alias is referenced more than once, so a refactor that drops a
+    reference would silently re-inline the split into the lambda.  The
+    OPTIMIZED plan (where collapsing has already happened) must show no
+    split( call inside any lambdafunction."""
+    if key not in QUERIES:
+        pytest.skip(f"{key} not registered")
+    df = QUERIES[key](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not re.search(r"lambdafunction\([^\n]*\bsplit\(", plan), key

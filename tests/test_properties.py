@@ -1961,3 +1961,55 @@ def test_ts_domain_session_conf_override(spark, sf_dir):
         spark.conf.unset(_CONF_TS_LO)
         spark.conf.unset(_CONF_TS_HI)
     assert QUERIES["q_ts_gapfill"](spark, sf_dir).count() == base
+
+
+def test_normalized_text_unicode_whitespace_policy(spark):
+    """r12 class-J pin: the dedup canonical form treats UNICODE
+    whitespace (NBSP, EM SPACE, IDEOGRAPHIC SPACE, NEL, LS/PS) as
+    whitespace -- collapse + edge-strip -- identically in both engines.
+    The pre-r12 form (Spark trim+ASCII-\\s vs DuckDB trim) diverged on
+    whitespace-only docs because DuckDB's trim strips Unicode whitespace
+    while Spark's strips ASCII space only (two hostile docs split
+    q_llm_dedup_keep_best's group count on first contact)."""
+    import duckdb
+
+    from mu_swarm_logger_service_spark.llm.dedup import (
+        NORM_TEXT_SQL,
+        normalized_text,
+    )
+
+    cases = [
+        "\u00a0\u00a0x\u00a0\u00a0",              # NBSP runs
+        "\u2003\u2003\u3000mixed\u3000\u2003",   # EM + IDEOGRAPHIC
+        " \t\r\n plain \x0b\x0c ",               # ASCII controls
+        "\u2028line\u2029sep\u0085nel",            # LS / PS / NEL
+        "\u2003\u00a0\u3000" * 3,                  # whitespace-only -> ''
+        "", "a  b", " MiXeD  Case ",
+    ]
+    sdf = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [r["n"] for r in
+           sdf.select(normalized_text().alias("n")).collect()]
+    con = duckdb.connect()
+    want = [con.execute(
+        "SELECT " + NORM_TEXT_SQL.replace("lower(text)", "lower(?)"),
+        [c]).fetchone()[0] for c in cases]
+    assert got == want
+    assert got[4] == "" and got[0] == "x"
+
+
+def test_norm_text_sql_never_respelled():
+    """Every oracle hashing the canonical text form must carry the ONE
+    blessed spelling (NORM_TEXT_SQL) -- an inline respell is how the
+    engine-divergent trim() form survived eleven rounds."""
+    import __spark_entry__ as entry
+
+    from mu_swarm_logger_service_spark.llm.dedup import NORM_TEXT_SQL
+
+    oracles = entry.oracle_sql()
+    users = [k for k, sql in oracles.items()
+             if "sha256(regexp_replace" in sql]
+    assert len(users) >= 5, users   # exact/incremental/keep_best/stats/...
+    for k in users:
+        assert NORM_TEXT_SQL in oracles[k], k
+    for k, sql in oracles.items():
+        assert "lower(trim(text))" not in sql, k

@@ -96,6 +96,26 @@ Same schemas and row counts as the driver's testdata, hostile values:
   argmin, Mann-Whitney) through the same null-sort-order and
   null-selection mechanisms class C found on events.value — each now an
   explicit observed-values policy.
+- **content pathologies** (r12, class J): the ts axis got three hostile
+  classes (H, I, C/G null keys) while the TEXT axis only ever saw
+  class A's unicode-rich strings.  Four document shapes — MULTI-MEGABYTE
+  single documents (fixed count per density: 1-3 MB of repeated prose
+  with per-doc salt tokens, the "someone pasted a log file into the
+  corpus" reality), WHITESPACE-ONLY documents (ASCII runs plus
+  NBSP/EM-SPACE/IDEOGRAPHIC-SPACE — split-on-' ' sees one giant token
+  where a unicode-aware tokenizer sees none), REGEX-BAIT documents
+  (long runs of near-matching prefixes against the CLF/token-shape
+  patterns: 'GET /a HTT ' runs, 100k-char single tokens, digit runs —
+  backtracking engines go quadratic where RE2 stays linear, so these
+  are a wall-clock trap as much as a value trap), ASTRAL/COMBINING
+  STORMS (ZWJ emoji families, astral-plane letters, 12-deep combining
+  stacks — aimed at the byte-vs-codepoint seams the printable-ASCII
+  payload convention exists for) — plus three events.props shapes:
+  64-DEEP nested JSON (with a duplicate key at depth 32 and the usable
+  top-level k the payload contract extracts), a 1000-element array
+  value, and a ~16 KB string value carrying regex bait INSIDE a JSON
+  string.  Independent RandomState(781) so classes A-I stay
+  byte-identical.
 
 Domains of categorical columns (statuses, flags, langs, brands) are
 preserved so literal-filtering queries stay non-vacuous.  `documents.
@@ -383,6 +403,28 @@ def generate(base, out):
             ts2 = df.ts.copy()
             ts2[rng_i.random_sample(n) < 0.015] = pd.NaT
             df["ts"] = ts2
+            # --- r12 trap class J: CONTENT PATHOLOGIES in props ---
+            # Independent RandomState(781); overwrites ride on top of
+            # whatever class E left in the slot (composition, the
+            # "always re-sweep the combined fixture" lesson).  All three
+            # shapes are USABLE under the payload contract (top-level
+            # integral k, no bare NaN/Inf in value position) — the trap
+            # is depth, width, and bait-in-string, not malformedness.
+            rng_j = np.random.RandomState(781)
+            props = df.props.to_numpy(dtype=object).copy()
+            deep = ('{"k": 3, "d": ' + '{"x": ' * 31
+                    + '{"dup": 1, "dup": 2, "y": ' + '{"x": ' * 31
+                    + '7' + '}' * 63 + '}')
+            wide = '{"k": 2, "a": [%s]}' % ",".join(
+                str(i % 7) for i in range(1000))
+            bait_s = ('GET /a HTT ' * 700 + 'x' * 4000
+                      + ' 1' * 2000).replace('/', '_')
+            big_str = '{"k": 4, "s": "%s"}' % bait_s
+            jshapes = [deep, wide, big_str]
+            jmask = np.where(rng_j.random_sample(n) < 0.01)[0]
+            for k, i in enumerate(jmask):
+                props[i] = jshapes[k % len(jshapes)]
+            df["props"] = props
         elif name == "documents":
             # duplicate storm: 30 anchor texts, each copied onto 2 other
             # docs (ids stay unique; lang/source untouched -> groups span
@@ -418,6 +460,66 @@ def generate(base, out):
                     text[i] = text[i].replace(" ", "  ", 1)
                 else:
                     text[i] = "x" * 300
+            # --- r12 trap class J: CONTENT PATHOLOGIES ---
+            # Independent RandomState(781) keeps classes A-I untouched;
+            # rows drawn disjointly from the dup-storm ids so exact-dup
+            # groups stay intact (the degen discipline).
+            rng_j = np.random.RandomState(781)
+            taken = set(ids)
+            jpool = [i for i in rng_j.choice(n, size=min(n, 16 + n // 25),
+                                             replace=False)
+                     if i not in taken]
+            # J1 — multi-megabyte documents, FIXED count per density
+            # (fraction-scaling would put 400x2MB in the sf0.1 fixture):
+            # repeated prose with a per-doc salt token every sentence so
+            # the big docs are neither exact nor near duplicates of each
+            # other, plus one digit run and one unicode word so the
+            # token-shape extractors fire inside the megabytes.
+            sent = ("the quick brown fox jumps over the lazy dog 12345 "
+                    "while zephyrs vex a daft jumbled sphinx quartz 67 ")
+            n_big = min(4, len(jpool))
+            for j in range(n_big):
+                reps = 12000 + 6000 * j          # ~1.1 MB .. ~2.8 MB
+                text[jpool[j]] = "".join(
+                    f"{sent}salt{j}x{r % 97} " for r in range(reps))
+            # J2 — whitespace-only documents: ASCII runs and unicode
+            # whitespace (NBSP, EM SPACE, IDEOGRAPHIC SPACE).  split-on-
+            # ' ' sees empty tokens or one giant "token" of 　s where
+            # a unicode-aware tokenizer sees nothing — the policy seam.
+            ws_shapes = [" " * 120, "\t\n \t\n  ", " " * 40,
+                         "   　　", "\n\n\n\n"]
+            j2 = jpool[n_big:n_big + max(4, len(jpool) // 4)]
+            for j, i in enumerate(j2):
+                text[i] = ws_shapes[j % len(ws_shapes)]
+            # J3 — regex bait: long runs of near-matching prefixes (the
+            # CLF verb shape 'GET <tok> HTT…' that never completes), a
+            # 100k single token, an 'ab'*k+'c' run, and a long digit run
+            # — quadratic-scan bait for backtracking engines (RE2 stays
+            # linear), plus the {10,}/{4,} token-shape extractors' worst
+            # case.
+            bait_shapes = [
+                "GET /x HTT " * 4000,
+                "a" * 100000 + "!",
+                "ab" * 30000 + "c",
+                "7" * 50000 + " end",
+            ]
+            j3 = j2_rest = jpool[n_big + len(j2):]
+            j3 = j2_rest[:max(4, len(j2_rest) // 2)]
+            for j, i in enumerate(j3):
+                text[i] = bait_shapes[j % len(bait_shapes)]
+            # J4 — astral-plane + combining-character storms: ZWJ emoji
+            # families (7 codepoints, 25 UTF-8 bytes, ONE grapheme),
+            # astral math letters, 12-deep combining stacks — aimed at
+            # the byte-vs-codepoint seams (payload height arithmetic,
+            # prefix hashes, printable-ASCII projections).
+            fam = "\U0001f469‍\U0001f469‍\U0001f467‍\U0001f466"
+            stack = "e" + "́̀̂̈̃̄̆" \
+                          "̇̉̊̋̌"
+            astral = "\U0001d51e\U0001d51f\U0001d520 "
+            j4 = j2_rest[len(j3):]
+            for j, i in enumerate(j4):
+                unit = [fam + " ", stack + " ", astral][j % 3]
+                text[i] = unit * 400
             df["text"] = text
             df["n_chars"] = [len(t) for t in text]
             # r9 class G: untagged documents
