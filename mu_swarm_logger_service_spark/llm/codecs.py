@@ -554,8 +554,18 @@ def encode_mp4_skeleton(width: int, height: int, duration_ms: int,
         return struct.pack(">I", 8 + len(body)) + tag + body
 
     duration = duration_ms * timescale // 1000
-    mvhd = (b"\x00" + b"\x00" * 3 + struct.pack(">II", 0, 0)
-            + struct.pack(">II", timescale, duration) + bytes(80))
+    if duration <= 0xFFFFFFFF:
+        mvhd = (b"\x00" + b"\x00" * 3 + struct.pack(">II", 0, 0)
+                + struct.pack(">II", timescale, duration) + bytes(80))
+    else:
+        # ISO-BMFF mvhd version 1: 64-bit creation/modification/duration
+        # — the spec's escape for durations past u32 (r12 class J: a
+        # multi-megabyte caption doc mints a ~91-hour clip whose 90 kHz
+        # duration exceeds 2^32; v0 struct-packing crashed the mint).
+        # probe_mp4 already parses both versions.
+        mvhd = (b"\x01" + b"\x00" * 3 + struct.pack(">QQ", 0, 0)
+                + struct.pack(">I", timescale) + struct.pack(">Q", duration)
+                + bytes(80))
     tkhd = (b"\x00" + b"\x00" * 3 + bytes(72)
             + struct.pack(">II", width << 16, height << 16))
     trak = box(b"trak", box(b"tkhd", tkhd))

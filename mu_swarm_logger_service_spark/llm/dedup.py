@@ -329,13 +329,31 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_MINHASH,
     0.93→0.73); (b) Arrow/numpy pandas-UDF over per-token base hashes:
     warm 0.62 s — still behind, and it adds a Python boundary.  The
     per-(token, perm) xxhash64 form wins warm, which is what the
-    steady-state 100 TB posture prices."""
-    toks = F.array_distinct(F.split("text", " "))
-    sig = F.transform(
+    steady-state 100 TB posture prices.
+
+    r12 class J: the token array is MATERIALIZED in a first projection —
+    captured as a raw expression, the outer per-permutation lambda
+    re-tokenized the document n_perm (64) times (linear, unlike the
+    O(T^2) slice-in-lambda finds, but 64 split+distinct passes over a
+    multi-megabyte document is real money at scale)."""
+    tokd = docs.select(
+        "doc_id", *keep,
+        F.array_distinct(F.split("text", " ")).alias("_toks"))
+    raw_sig = F.transform(
         F.sequence(F.lit(0), F.lit(n_perm - 1)),
-        lambda i: F.array_min(F.transform(toks, lambda t: F.xxhash64(t, i))),
+        lambda i: F.array_min(
+            F.transform(F.col("_toks"), lambda t: F.xxhash64(t, i))),
     )
-    return docs.select("doc_id", *keep, sig.alias("sig"))
+    # The always-true size() guard is LOAD-BEARING: it makes _toks a
+    # SECOND reference, and CollapseProject only refuses to inline a
+    # non-cheap alias when it is referenced more than once — with a
+    # single reference the tokenization collapses back into the
+    # per-permutation lambda and runs n_perm times again (verified in
+    # the optimized plan; tests/test_plans.py pins it).  size(null) is
+    # null, so the null-text row still yields a null signature exactly
+    # like the unguarded form.
+    sig = F.when(F.size(F.col("_toks")) >= 0, raw_sig)
+    return tokd.select("doc_id", *keep, sig.alias("sig"))
 
 
 def lsh_band_rows(sig: DataFrame, n_bands: int, rows_per_band: int,
@@ -520,26 +538,32 @@ def simhash(docs: DataFrame, keep: tuple[str, ...] = (),
     multiset.
 
     bit b of the signature = sign of sum over tokens of ±1 according to
-    bit b of xxhash64(token).  One narrow higher-order expression per row
-    (tokens hashed once into an array, then n_bits per-bit lambda sums) —
+    bit b of xxhash64(token).  One narrow higher-order expression per row,
+    ONE pass over the token hashes (r12 class J: the old per-bit form
+    put `aggregate(hashes, ...)` inside the per-bit lambda, and
+    CollapseProject inlined the hashes alias — referenced once — back
+    into that lambda, re-tokenizing and re-hashing the document n_bits
+    times; the single-pass form keeps the token expression in the
+    AGGREGATE'S ARGUMENT position, which is evaluated once no matter
+    what the optimizer inlines, and is n_bits× less arithmetic anyway) —
     zero shuffle, no wide aggregate codegen, per-document = the right
     100 TB shape (same rationale as minhash_signatures).  ``keep`` carries
     blocking columns through so callers need no join-back.  Note bit 63
     of a 64-bit signature lands in the long's sign bit — hamming distance
     via bit_count(a XOR b) is sign-agnostic, so pairing logic is
     unchanged at any width."""
-    hashes = F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
     sh = F.expr(f"""
       aggregate(
-        transform(sequence(0, {n_bits - 1}), b ->
-          IF(aggregate(hashes, 0L,
-                       (acc, h) -> acc + IF((h >> b) & 1 = 1, 1L, -1L)) > 0,
-             shiftleft(1L, b), 0L)),
-        0L, (acc, x) -> acc + x)
+        transform(split(text, ' '), t -> xxhash64(t)),
+        array_repeat(0L, {n_bits}),
+        (acc, h) -> zip_with(acc, sequence(0, {n_bits - 1}),
+                             (a, b) -> a + IF((h >> b) & 1 = 1, 1L, -1L)),
+        acc -> aggregate(
+          zip_with(acc, sequence(0, {n_bits - 1}),
+                   (c, b) -> IF(c > 0, shiftleft(1L, b), 0L)),
+          0L, (s, x) -> s + x))
     """)
-    return docs.select(
-        "doc_id", *keep, hashes.alias("hashes")
-    ).select("doc_id", *keep, sh.alias("simhash"))
+    return docs.select("doc_id", *keep, sh.alias("simhash"))
 
 
 @query("q_llm_simhash")
@@ -789,9 +813,25 @@ def q_llm_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_llm_fuzzy_token_join", oracle="""
+# Fuzzy-correction word-length domain (r12 class J): see the oracle note
+# inside q_llm_fuzzy_token_join.  24 covers real natural-language words
+# (longest common English entries ~22); anything longer is a URL / hash /
+# unbroken run where distance-1 "correction" is meaningless and the
+# O(L^2)-character variant expansion is a memory bomb.
+_FUZZY_MAX_TOKEN = 24
+
+
+@query("q_llm_fuzzy_token_join", oracle=f"""
 WITH vocab AS (
-  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents
+  -- word-length domain (r12 class J): deletion-variant expansion is
+  -- O(L^2) characters per token, so ONE 100k-char bait token generated
+  -- ~10 GB of variants and OOM'd the JVM.  Distance-1 correction is a
+  -- WORD operation; tokens past {_FUZZY_MAX_TOKEN} chars (URLs, hashes,
+  -- unbroken runs) are not words and are excluded on both sides — the
+  -- same cap production SymSpell dictionaries apply.
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE length(tok) <= {_FUZZY_MAX_TOKEN}
 ), typos AS (
   SELECT DISTINCT substr(tok, 1, 1) || substr(tok, 3, length(tok)) AS typo
   FROM vocab WHERE length(tok) >= 4
@@ -849,6 +889,10 @@ def q_llm_fuzzy_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        # word-length domain (r12 class J, two-sided — see the oracle
+        # note): one 100k-char bait token's O(L^2) variant expansion
+        # OOM'd the JVM inside the broadcast.
+        .filter(F.length("tok") <= _FUZZY_MAX_TOKEN)
         .distinct()
     )
     typos = (

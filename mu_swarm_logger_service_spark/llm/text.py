@@ -536,12 +536,16 @@ def q_llm_dataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q_llm_ngram_stats", oracle="""
-WITH grams AS (
+WITH toks AS (
+  SELECT lang, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  -- element accesses over the ONE tokenization (r12 class J: re-splitting
+  -- the text inside the lambda is O(T^2) on multi-MB docs)
   SELECT lang,
-         unnest(list_transform(range(1, len(string_split(text, ' '))),
-                               i -> string_split(text, ' ')[i] || ' ' ||
-                                    string_split(text, ' ')[i + 1])) AS bigram
-  FROM documents
+         unnest(list_filter(list_transform(t, (x, i) ->
+           CASE WHEN i < len(t) THEN x || ' ' || t[i + 1] END),
+           g -> g IS NOT NULL)) AS bigram
+  FROM toks
 ), counts AS (
   SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
   FROM grams GROUP BY lang, bigram
@@ -559,7 +563,13 @@ def q_llm_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, bigram).  `spread` keeps the transform+explode+partial-agg
     stage on all cores (compute-dense, single input split at small SF)."""
     docs = spread(load(spark, sf_dir, "documents"))
-    arr = F.split("text", " ")
+    # token array materialized before the lambda captures it (r12 class
+    # J: element_at on the RAW split expression re-splits the whole text
+    # per element — O(T^2) on multi-MB docs, the element_at sibling of
+    # the slice(split()) find; two references keep CollapseProject from
+    # inlining it back)
+    tokd = docs.select("lang", F.split("text", " ").alias("arr"))
+    arr = F.col("arr")
     bigrams = F.when(
         F.size(arr) >= 2,
         F.transform(
@@ -569,7 +579,7 @@ def q_llm_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     counts = (
-        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        tokd.select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -2249,11 +2259,14 @@ PMI_TOP_K = 20
 
 
 @query("q_llm_collocations", oracle=f"""
-WITH grams AS (
-  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
-                i -> string_split(text, ' ')[i] || ' ' ||
-                     string_split(text, ' ')[i + 1])) AS bigram
-  FROM documents
+WITH toks0 AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), grams AS (
+  -- element accesses over the ONE tokenization (r12 class J)
+  SELECT unnest(list_filter(list_transform(t, (x, i) ->
+           CASE WHEN i < len(t) THEN x || ' ' || t[i + 1] END),
+           g -> g IS NOT NULL)) AS bigram
+  FROM toks0
 ), pair_counts AS (
   SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_ab
   FROM grams GROUP BY 1
@@ -2294,7 +2307,9 @@ def q_llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the global top-k is orderBy+limit → TakeOrderedAndProject
     (per-partition partial top-k), NOT a single-partition rank window."""
     docs = spread(load(spark, sf_dir, "documents")).select("text")
-    arr = F.split("text", " ")
+    # r12 class J: hoist the tokenization (see q_llm_ngram_stats)
+    tokd = docs.select(F.split("text", " ").alias("arr"))
+    arr = F.col("arr")
     bigrams = F.when(
         F.size(arr) >= 2,
         F.transform(
@@ -2304,11 +2319,11 @@ def q_llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     pair_counts = (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        tokd.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab"))
     )
     uni_counts = (
-        docs.select(F.explode(arr).alias("tok"))
+        tokd.select(F.explode(arr).alias("tok"))
         .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     )
     tot = uni_counts.agg(F.sum("n").alias("t"))

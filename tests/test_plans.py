@@ -1375,25 +1375,53 @@ def test_asof_nearest_join_free_one_exchange(spark, sf_dir):
     assert "EvalPython" not in p
 
 
-@pytest.mark.parametrize("key", [
-    "q_llm_repetition", "q_llm_chunk", "q_llm_decontaminate",
-    "q_llm_doc_fingerprint", "q_llm_paragraph_dedup",
-    "q_llm_repeated_ngrams",
-])
-def test_no_tokenize_inside_shingle_lambda(spark, sf_dir, key):
-    """r12 class-J pin: no O(T) tokenization inside a higher-order
-    lambda body.  `slice(split(text,' '), i, k)` written in a transform
-    lambda re-splits the WHOLE document per shingle — O(T^2) in document
-    tokens, measured never-finishing on multi-megabyte hostile documents
-    (three queries on first contact).  The fix materializes the token
-    array as a projected column; this pin guards the other direction —
+def test_no_tokenize_inside_lambda_any_llm_query(spark, sf_dir):
+    """r12 class-J pin, registry-wide over the batch text/LLM family: no
+    O(T) tokenization inside a higher-order lambda body.  Both
+    `slice(split(text,' '), i, k)` AND `element_at(split(text,' '), i)`
+    written in a transform lambda re-split the WHOLE document per
+    element — O(T^2) in document tokens, measured never-finishing on
+    multi-megabyte hostile documents (five queries on first contact:
+    repetition/chunk/decontaminate_ngram via slice, ngram_stats/
+    collocations via element_at).  The fix materializes the token array
+    as a projected column; this pin guards the other direction —
     Catalyst's CollapseProject may only keep that projection while the
     alias is referenced more than once, so a refactor that drops a
     reference would silently re-inline the split into the lambda.  The
     OPTIMIZED plan (where collapsing has already happened) must show no
-    split( call inside any lambdafunction."""
-    if key not in QUERIES:
-        pytest.skip(f"{key} not registered")
-    df = QUERIES[key](spark, sf_dir)
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert not re.search(r"lambdafunction\([^\n]*\bsplit\(", plan), key
+    split( call inside any lambdafunction, for EVERY q_llm_* key (all
+    batch-shaped, so plan compilation is cheap)."""
+    def lambda_bodies(plan: str):
+        """Balanced-paren spans of every lambdafunction( in the plan —
+        a flat regex over-matches past the lambda's closing paren and
+        flagged five innocent queries whose split( sat in a SIBLING
+        projection expression."""
+        i = 0
+        while True:
+            i = plan.find("lambdafunction(", i)
+            if i < 0:
+                return
+            depth, j = 0, i + len("lambdafunction")
+            while j < len(plan):
+                if plan[j] == "(":
+                    depth += 1
+                elif plan[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            yield plan[i:j]
+            i += len("lambdafunction(")
+
+    bad = []
+    for key in QUERIES:
+        if not key.startswith("q_llm_"):
+            continue
+        df = QUERIES[key](spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # only DOCUMENT-text tokenization is unbounded; bounded splits
+        # (host labels in q_llm_domain_filter) are fine inside lambdas
+        if any("split(text#" in b or "split(lower(text#" in b
+               for b in lambda_bodies(plan)):
+            bad.append(key)
+    assert not bad, bad
