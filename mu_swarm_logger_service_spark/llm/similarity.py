@@ -1122,7 +1122,11 @@ def q_llm_embed_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                       for i in range(_EMB_DIM)))),
     )
     mean = F.col("s") / F.col("n")
-    return stacked.select(
+    # class K: an EMPTY (or fully invalid-vector) corpus emits no rows —
+    # the oracle's unnest-join over zero vectors produces nothing, while
+    # the stack() enumeration would mint 64 all-NULL dimension rows.
+    # Moments of zero observations are no observation, not a row.
+    return stacked.filter(F.col("n") > 0).select(
         "dim", "n", mean.alias("mean"),
         (F.col("q") / F.col("n") - mean * mean).alias("var"),
     )

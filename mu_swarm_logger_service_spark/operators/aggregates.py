@@ -145,8 +145,16 @@ SELECT
   COUNT(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """)
 def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-cardinality policy (class K): a rollup of an EMPTY
+    relation emits no rows — Spark's distributed semantics (partials
+    from nothing produce nothing) — while ANSI/DuckDB synthesize the
+    grand-total () row with COUNT 0.  Declared observed-groups-only;
+    the oracle's HAVING COUNT(*) > 0 drops exactly that synthetic row
+    (every group from a real row has COUNT >= 1, including the grand
+    total of a non-empty input)."""
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         dsum(F.col("l_quantity")).alias("sum_qty"),
@@ -164,13 +172,16 @@ SELECT
   COUNT(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """)
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (row 30's third variant beyond GROUPING SETS/ROLLUP): all 2^k
     grouping combinations in one pass — Catalyst expands to a single
     Expand + aggregate, so the input is scanned once and each row feeds
     every combination map-side.  GROUPING() markers disambiguate real
-    NULL keys from subtotal rows, exactly as in the oracle."""
+    NULL keys from subtotal rows, exactly as in the oracle.  Class-K
+    observed-groups-only policy as in q_agg_grouping_sets (the oracle's
+    HAVING drops ANSI's synthetic grand-total row of an empty input)."""
     li = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("long").alias("g_flag"),
@@ -801,7 +812,11 @@ WITH cells AS (
   FROM cells c
   JOIN rt r USING (s) JOIN ct USING (p) CROSS JOIN tot t
 ), folded AS (
-  SELECT MAX(n) AS n, MAX(n_rows) AS n_rows, MAX(n_cols) AS n_cols,
+  -- class K: COALESCE the empty-input NULLs to 0 (no observations, no
+  -- categories) so both engines report the same zero-observation row.
+  SELECT COALESCE(MAX(n), 0) AS n,
+         COALESCE(MAX(n_rows), 0) AS n_rows,
+         COALESCE(MAX(n_cols), 0) AS n_cols,
          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            list_transform(
              list_sort(list(struct_pack(s := s, p := p, term := term))),
@@ -810,7 +825,9 @@ WITH cells AS (
   FROM terms
 )
 SELECT n, n_rows, n_cols,
-       CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof, chi2,
+       CAST(greatest(n_rows - 1, 0) * greatest(n_cols - 1, 0) AS BIGINT)
+         AS dof,
+       chi2,
        sqrt(chi2 / (n * least(n_rows - 1, n_cols - 1))) AS cramers_v
 FROM folded
 """)
@@ -859,7 +876,9 @@ def q_agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s", "p", "n",
         ((F.col("o") - e) * (F.col("o") - e) / e).alias("term"))
     folded = terms.agg(
-        F.max("n").alias("n"),
+        # class K: 0 observations, not NULL, when the table is empty
+        # (mirrors the oracle's COALESCE; countDistinct is already 0).
+        F.coalesce(F.max("n"), F.lit(0).cast("long")).alias("n"),
         F.countDistinct("s").cast("long").alias("n_rows"),
         F.countDistinct("p").cast("long").alias("n_cols"),
         F.aggregate(
@@ -870,14 +889,21 @@ def q_agg_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x.getField("term"),
         ).alias("chi2"),
     )
+    # class K / degenerate cardinality: dof clamps at 0 (the raw
+    # (r-1)(c-1) is 1 for an empty table), and cramers_v rides
+    # try_divide — a SINGLE-category dimension (r=1 or c=1, legal data)
+    # makes the denominator n*least(r-1,c-1) zero, which ANSI division
+    # would crash on while DuckDB's /0 yields NULL.
     return folded.select(
         "n", "n_rows", "n_cols",
-        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long")
+        (F.greatest(F.col("n_rows") - 1, F.lit(0))
+         * F.greatest(F.col("n_cols") - 1, F.lit(0))).cast("long")
         .alias("dof"),
         "chi2",
-        F.sqrt(F.col("chi2")
-               / (F.col("n") * F.least(F.col("n_rows") - 1,
-                                       F.col("n_cols") - 1)))
+        F.sqrt(F.try_divide(
+            F.col("chi2"),
+            F.col("n") * F.least(F.col("n_rows") - 1,
+                                 F.col("n_cols") - 1)))
         .alias("cramers_v"),
     )
 
@@ -977,12 +1003,20 @@ def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
              - e.getField("s") * e.getField("s") / e.getField("n"))
         .alias("ssw"),
     )
+    # class K / degenerate cardinality: every division rides try_divide
+    # (NULL on a zero divisor, mirroring DuckDB's /0 -> NULL) — k=1
+    # (single group: k-1 = 0), ssw=0 (constant values within groups:
+    # ssb+ssw can be 0), and the empty table (ssb+ssw = 0.0) are all
+    # reachable shapes where ANSI division would crash instead.
     return parts.select(
         "n_total", "k",
-        (F.round((F.col("ssb") / (F.col("k") - 1))
-                 / (F.col("ssw") / (F.col("n_total") - F.col("k"))), 9)
+        (F.round(F.try_divide(
+            F.try_divide(F.col("ssb"), F.col("k") - 1),
+            F.try_divide(F.col("ssw"),
+                         F.col("n_total") - F.col("k"))), 9)
          + 0.0).alias("f_stat"),
-        (F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 12) + 0.0)
+        (F.round(F.try_divide(F.col("ssb"),
+                              F.col("ssb") + F.col("ssw")), 12) + 0.0)
         .alias("eta_sq"),
     )
 

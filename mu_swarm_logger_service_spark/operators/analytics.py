@@ -957,15 +957,20 @@ WITH stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_custkey,
          CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey,
-         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
-           AS bad_price,
-         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
-                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
-         CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
-                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_priority,
-         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1900-01-01'
+         -- class K: a violation count is a COUNT — 0 on an empty batch,
+         -- never NULL (SUM over zero rows), so every rule VACUOUSLY
+         -- PASSES on empty input instead of emitting a NULL flag (whose
+         -- boolean-NULL pandas rendering additionally differs per engine)
+         CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END),
+                       0) AS BIGINT) AS bad_price,
+         CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad_status,
+         CAST(COALESCE(SUM(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                                        '^[1-5]-')
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad_priority,
+         CAST(COALESCE(SUM(CASE WHEN o_orderdate < TIMESTAMP '1900-01-01'
                          OR o_orderdate >= TIMESTAMP '2100-01-01'
-                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_date
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad_date
   FROM orders
 )
 SELECT 'not_null_custkey' AS rule, n AS n_checked,
@@ -1000,16 +1005,20 @@ def q_audit_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
         .alias("dup_orderkey"),
-        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
-        .alias("bad_price"),
-        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
-              .otherwise(0)).alias("bad_status"),
-        F.sum(F.when(~F.col("o_orderpriority").rlike("^[1-5]-"), 1)
-              .otherwise(0)).alias("bad_priority"),
-        F.sum(F.when((F.col("o_orderdate") < F.lit("1900-01-01").cast(
-            "timestamp"))
+        # class K: COALESCE to 0 — a violation count over an empty batch
+        # is 0 (vacuous pass), mirroring the oracle's COALESCE(SUM, 0)
+        F.coalesce(F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)),
+                   F.lit(0)).alias("bad_price"),
+        F.coalesce(F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"),
+                                1).otherwise(0)),
+                   F.lit(0)).alias("bad_status"),
+        F.coalesce(F.sum(F.when(~F.col("o_orderpriority").rlike("^[1-5]-"),
+                                1).otherwise(0)),
+                   F.lit(0)).alias("bad_priority"),
+        F.coalesce(F.sum(F.when(
+            (F.col("o_orderdate") < F.lit("1900-01-01").cast("timestamp"))
             | (F.col("o_orderdate") >= F.lit("2100-01-01").cast("timestamp")),
-            1).otherwise(0)).alias("bad_date"),
+            1).otherwise(0)), F.lit(0)).alias("bad_date"),
     )
     report = stats.select(
         "n",
@@ -2398,10 +2407,15 @@ def q_analytics_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.aggregate(F.col("ls"), F.lit(0.0),
                            lambda acc, e: acc + t(e))
 
+    # class K / degenerate cardinality: NMI's denominator sqrt(Hx*Hy) is
+    # 0 when either marginal entropy is 0 — a SINGLE event type (or
+    # single weekday), and the empty table, are both legal shapes.
+    # try_divide yields NULL there, mirroring DuckDB's /0 -> NULL;
+    # ANSI division would crash instead.
     return packed.select(
         "n",
         (F.round(mi, 6) + 0.0).alias("mi_nats"),
-        (F.round(mi / F.sqrt(h("rx") * h("cy")), 6) + 0.0)
+        (F.round(F.try_divide(mi, F.sqrt(h("rx") * h("cy"))), 6) + 0.0)
         .alias("nmi"),
     )
 
@@ -2573,6 +2587,7 @@ SELECT t.n, t.a0, t.a1,
          AS srm_flag,
        w.w.day AS worst_day, w.w.z + 0.0 AS worst_day_abs_z
 FROM tot t, worst w
+WHERE t.n > 0
 """)
 def q_analytics_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch check on the hash-bit-21 assignment:
@@ -2617,6 +2632,11 @@ def q_analytics_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, a0, a1 = F.col("n"), F.col("a0"), F.col("a1")
     e = n / 2.0
     z = (a0 - a1).cast("double") / F.sqrt(n.cast("double"))
+    # class K: an assignment audit with ZERO observed users emits no row
+    # (both sides filter n > 0) — the all-NULL statistics row it would
+    # otherwise produce renders its NULL boolean flag differently per
+    # engine (pandas None vs NaN) and asserts nothing anyway.
+    tot = tot.filter(F.col("n") > 0)
     return tot.crossJoin(F.broadcast(worst)).select(
         "n", "a0", "a1",
         ((a0 - e).cast("double") * (a0 - e) / e

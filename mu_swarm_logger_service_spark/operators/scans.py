@@ -79,7 +79,10 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
     ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
-    back = spark.read.parquet(out)
+    # class K: read back with the writer's schema (an empty source writes
+    # a layout with no part files — inference fails).  This also keeps
+    # event_date a STRING on read-back instead of the inferred DATE.
+    back = spark.read.schema(ev.schema).parquet(out)
     return back.groupBy(F.col("event_date").cast("string").alias("event_date")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -95,13 +98,15 @@ def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     # miss (see core.tables.stat_sig).
     sig = stat_sig_str(sf_dir, "events")
     marker = os.path.join(out, f"_SUCCESS_SRC_{sig}")
+    ev = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
     if not os.path.exists(marker):
-        ev = load(spark, sf_dir, "events").withColumn(
-            "event_date", F.date_format("ts", "yyyy-MM-dd")
-        )
         ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
         open(marker, "w").close()
-    return out
+    # class K: hand the writer's schema to readers — an empty source
+    # writes a layout schema inference cannot read.
+    return out, ev.schema
 
 
 @query("q_scan_dpp", oracle="""
@@ -122,8 +127,8 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     PartitionFilters, so only the dim's dates are read from disk
     (tests/test_plans.py asserts it).  At 100 TB this is the difference
     between scanning 3 days and scanning the year."""
-    path = _ensure_partitioned_events(spark, sf_dir)
-    fact = spark.read.parquet(path)
+    path, layout_schema = _ensure_partitioned_events(spark, sf_dir)
+    fact = spark.read.schema(layout_schema).parquet(path)
     dim = (
         load(spark, sf_dir, "events")
         .filter(F.dayofmonth("ts") <= 3)
@@ -736,18 +741,22 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
              .write.mode("overwrite" if s == 0 else "append")
              .partitionBy("day").parquet(debris))
         open(marker, "w").close()
+    # class K: both layouts read back under the writer's schema (an
+    # empty source leaves no part files for inference), and the
+    # compactor's task count clamps at 1 — repartition(0) is an error.
+    layout_schema = ev.schema  # (event_id, day) — day is the partition col
     before = (
-        spark.read.parquet(debris)
+        spark.read.schema(layout_schema).parquet(debris)
         .select("day", F.input_file_name().alias("f"))
         .groupBy("day")
         .agg(F.countDistinct("f").alias("files_before"))
     )
     n_days = ev.select("day").distinct().count()
-    (spark.read.parquet(debris)
-     .repartition(n_days, "day")
+    (spark.read.schema(layout_schema).parquet(debris)
+     .repartition(max(n_days, 1), "day")
      .write.mode("overwrite").partitionBy("day").parquet(packed))
     after = (
-        spark.read.parquet(packed)
+        spark.read.schema(layout_schema).parquet(packed)
         .select("day", "event_id", F.input_file_name().alias("f"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("n_rows"),

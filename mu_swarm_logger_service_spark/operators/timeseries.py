@@ -301,12 +301,16 @@ def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     signups = s.select("user_id").distinct().agg(
         F.count(F.lit(1)).alias("n_signup_users")
     )
+    # class K: zero signup users (an empty batch, or a day with no
+    # signups) keeps the count row — (0, 0, NULL rate) — via try_divide,
+    # mirroring DuckDB's /0 -> NULL where ANSI division would crash.
     return (
         signups.crossJoin(F.broadcast(converted))
         .select(
             "n_signup_users", "n_converted",
-            F.round(F.col("n_converted").cast("double")
-                    / F.col("n_signup_users"), 6).alias("conversion_rate"),
+            F.round(F.try_divide(F.col("n_converted").cast("double"),
+                                 F.col("n_signup_users")), 6)
+            .alias("conversion_rate"),
         )
     )
 

@@ -91,9 +91,14 @@ def q_sink_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     triples = events_to_triples(load(spark, sf_dir, "events"))
     # predicate-partitioned layout: queries touching one predicate (the
     # SPARQL access pattern) prune 3/4 of the data at the directory level.
-    (triples.withColumn("p_part", F.regexp_replace("p", "[^a-zA-Z]", "_"))
-     .write.mode("overwrite").partitionBy("p_part").parquet(sink))
-    back = spark.read.parquet(sink)
+    part = triples.withColumn(
+        "p_part", F.regexp_replace("p", "[^a-zA-Z]", "_"))
+    part.write.mode("overwrite").partitionBy("p_part").parquet(sink)
+    # class K: read back with the WRITER's schema — a zero-row source
+    # writes a layout with no part files, which schema inference cannot
+    # read (UNABLE_TO_INFER_SCHEMA).  Every sink→read-back pair carries
+    # its schema explicitly.
+    back = spark.read.schema(part.schema).parquet(sink)
     return (
         back.groupBy("p")
         .agg(F.count(F.lit(1)).alias("n"),

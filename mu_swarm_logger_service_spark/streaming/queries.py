@@ -305,6 +305,14 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# The rollup store's declared layout (class K: an all-empty-batch run
+# writes no part files, so every read of the store must carry this
+# schema explicitly — inference has nothing to infer from).
+# event_date is the partition column and stays a STRING.
+ROLLUP_STORE_SCHEMA = ("hour TIMESTAMP, event_type STRING, n BIGINT, "
+                       "batch_id BIGINT, event_date STRING")
+
+
 def rollup_upsert(spark: SparkSession, store: str):
     """Build the idempotent hourly-rollup upsert for ``foreachBatch``:
     partial counts carry their batch_id, and an upsert first drops any
@@ -341,10 +349,10 @@ def rollup_upsert(spark: SparkSession, store: str):
                 "event_type",
             )
             .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("batch_id", F.lit(batch_id))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
         )
         try:
-            existing = spark.read.parquet(store)
+            existing = spark.read.schema(ROLLUP_STORE_SCHEMA).parquet(store)
             days = [r.event_date for r in
                     part.select("event_date").distinct().collect()]
             keep = existing.filter(
@@ -401,6 +409,10 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     schema = ev.schema
     upsert = rollup_upsert(spark, store)
+    # class K: pre-seed the store so it exists (with zero partitions)
+    # even when every micro-batch is empty and the upsert never writes.
+    (spark.createDataFrame([], ROLLUP_STORE_SCHEMA)
+     .write.mode("overwrite").partitionBy("event_date").parquet(store))
 
     q = (
         spark.readStream.schema(schema)
@@ -413,7 +425,7 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     out = (
-        spark.read.parquet(store)
+        spark.read.schema(ROLLUP_STORE_SCHEMA).parquet(store)
         .groupBy("event_date", "hour", "event_type")
         .agg(F.sum("n").cast("long").alias("n"))
         .localCheckpoint(eager=True)
