@@ -117,6 +117,19 @@ Same schemas and row counts as the driver's testdata, hostile values:
   string.  Independent RandomState(781) so classes A-I stay
   byte-identical.
 
+- **non-finite measures** (r12, class L): TRUE IEEE NaN, ±Inf, -0.0, and
+  magnitude garbage (1e308, 1e22) in events.value, l_extendedprice and
+  o_totalprice.  Every earlier "NaN" fixture was silently a NULL fixture
+  (pandas NaN -> parquet NULL through from_pandas); class L ships real
+  non-finite doubles via an arrow post-pass in _write.  What a corrupt
+  sensor / price feed emits at 100 TB: a divide-by-zero upstream is +Inf,
+  a bit flip is 1e308, a failed conversion is NaN.  Measured engine
+  splits this class exists for: both engines CRASH casting NaN/Inf/1e308
+  to DECIMAL (the dsum determinism path), DuckDB hard-errors STDDEV with
+  an Inf where Spark yields NaN, and string renderings diverge
+  ('NaN'/'Infinity'/'1.0E308' vs 'nan'/'inf'/'1e+308').  Independent
+  RandomState(783) so classes A-K stay byte-identical.
+
 Domains of categorical columns (statuses, flags, langs, brands) are
 preserved so literal-filtering queries stay non-vacuous.  `documents.
 n_chars` is recomputed after text mutation to preserve the generator
@@ -169,10 +182,60 @@ def _null(rng, s, frac, rows):
     return out
 
 
-def _write(out, name, df, schema):
+def _write(out, name, df, schema, nan_at=None):
+    """Write df under the original schema.  ``nan_at`` maps column name ->
+    row indices that must carry a TRUE IEEE NaN in the parquet file.
+    pandas cannot express that distinction — ``pa.Table.from_pandas``
+    converts every float NaN to a parquet NULL (the round-9 "NaN fixtures
+    are really null fixtures" gotcha), which is why eleven rounds of
+    hostile fixtures never actually shipped a NaN double.  The arrow
+    post-pass rebuilds the column from numpy (``from_pandas=False`` path:
+    NaN is a VALUE) with the original null mask re-applied."""
     tbl = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    for col, idx in (nan_at or {}).items():
+        if len(idx) == 0:
+            continue
+        import pyarrow.compute as pc
+        i = tbl.schema.get_field_index(col)
+        arr = tbl.column(i).combine_chunks()
+        null_mask = pc.is_null(arr).to_numpy(zero_copy_only=False).copy()
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.float64).copy()
+        vals[idx] = np.nan
+        null_mask[idx] = False
+        new = pa.array(vals, type=tbl.schema.field(i).type, mask=null_mask)
+        tbl = tbl.set_column(i, tbl.schema.field(i), new)
     pq.write_table(tbl, os.path.join(out, f"{name}.parquet"))
     print(f"  {name}: {len(df)} rows")
+
+
+def _class_l(rng_l, vals, n, nan_frac, pinf_frac, ninf_frac, big_rows):
+    """r12 trap class L: NON-FINITE / OUT-OF-DOMAIN measures in a float
+    column.  Returns (new_vals, nan_idx): ±Inf, -0.0, and huge-but-finite
+    magnitudes are set in the pandas frame (they survive from_pandas);
+    TRUE NaN positions are returned for the _write arrow post-pass.
+    All draws come from the caller's dedicated RandomState so classes
+    A-K stay byte-identical."""
+    v = vals.astype(np.float64).copy()
+    finite = np.isfinite(v)  # don't confound class-C nulls (nan here)
+    cand = np.where(finite)[0]
+    rng_l.shuffle(cand)
+    k_nan = max(2, int(n * nan_frac))
+    k_pinf = max(1, int(n * pinf_frac))
+    k_ninf = max(1, int(n * ninf_frac))
+    pos = 0
+    nan_idx = cand[pos:pos + k_nan]; pos += k_nan
+    v[cand[pos:pos + k_pinf]] = np.inf; pos += k_pinf
+    v[cand[pos:pos + k_ninf]] = -np.inf; pos += k_ninf
+    # negative zero: distinct bits from class F's +0.0, equal under =
+    k_nz = max(1, n // 500)
+    v[cand[pos:pos + k_nz]] = -0.0; pos += k_nz
+    # huge-but-finite: 1e308 (overflows DECIMAL(27,6) and doubles the
+    # moment two are summed) and 1e22 (finite, castable nowhere in the
+    # engine's declared measure domain) — magnitude garbage is as much
+    # ingest corruption as clock garbage was for ts_domain
+    for mag in big_rows:
+        v[cand[pos:pos + 2]] = mag; pos += 2
+    return v, nan_idx
 
 
 def generate(base, out):
@@ -184,6 +247,7 @@ def generate(base, out):
         schema = pq.read_schema(src)
         df = pd.read_parquet(src)
         n = len(df)
+        nan_at = {}  # class L: column -> true-NaN row indices (see _write)
 
         if name == "customer":
             df["c_acctbal"] = _nullf(
@@ -214,6 +278,12 @@ def generate(base, out):
             tie_ts = df.o_orderdate.iloc[0].normalize()
             df.loc[rng.random_sample(n) < 0.35, "o_orderdate"] = tie_ts
             df["o_orderpriority"] = _null(rng, df.o_orderpriority, 0.10, n)
+            # --- r12 trap class L: non-finite money (corrupt price feed)
+            rng_l = np.random.RandomState(783)
+            tp2, ord_nan = _class_l(rng_l, df.o_totalprice.to_numpy(), n,
+                                    0.002, 0.001, 0.0005, (1e22,))
+            df["o_totalprice"] = tp2
+            nan_at["o_totalprice"] = ord_nan
         elif name == "lineitem":
             df.loc[rng.random_sample(n) < 0.25, "l_partkey"] = (
                 df.l_partkey.min())
@@ -232,6 +302,12 @@ def generate(base, out):
                 np.where(df.l_tax < 0.04, 0.0, 0.04)), 0.03, n)
             tie_ts = df.l_shipdate.iloc[0].normalize()
             df.loc[rng.random_sample(n) < 0.30, "l_shipdate"] = tie_ts
+            # --- r12 trap class L: non-finite money (corrupt price feed)
+            rng_l = np.random.RandomState(783)
+            ep2, li_nan = _class_l(rng_l, df.l_extendedprice.to_numpy(), n,
+                                   0.002, 0.0015, 0.0005, (1e308,))
+            df["l_extendedprice"] = ep2
+            nan_at["l_extendedprice"] = li_nan
         elif name == "events":
             # --- r9 trap class A: GAP DAYS / odd-length day series ---
             # Shift every event on three non-adjacent middle days onto the
@@ -425,6 +501,18 @@ def generate(base, out):
             for k, i in enumerate(jmask):
                 props[i] = jshapes[k % len(jshapes)]
             df["props"] = props
+            # --- r12 trap class L: NON-FINITE MEASURES in events.value ---
+            # True NaN (via the _write arrow post-pass), ±Inf, -0.0,
+            # 1e308 / 1e22 magnitude garbage.  A sensor that divides by
+            # zero or bit-flips ships exactly this at 100 TB scale, and
+            # eleven rounds of "NaN" fixtures never actually contained
+            # one (pandas NaN -> parquet NULL).  RandomState(783) keeps
+            # classes A-K byte-identical.
+            rng_l = np.random.RandomState(783)
+            v2, ev_nan = _class_l(rng_l, df.value.to_numpy(), n,
+                                  0.004, 0.0025, 0.001, (1e308, 1e22))
+            df["value"] = v2
+            nan_at["value"] = ev_nan
         elif name == "documents":
             # duplicate storm: 30 anchor texts, each copied onto 2 other
             # docs (ids stay unique; lang/source untouched -> groups span
@@ -561,7 +649,7 @@ def generate(base, out):
             lab[rng.random_sample(n) < 0.05] = np.nan
             df["label"] = lab
 
-        _write(out, name, df, schema)
+        _write(out, name, df, schema, nan_at=nan_at)
     print(f"adversarial fixtures written to {out}")
 
 
