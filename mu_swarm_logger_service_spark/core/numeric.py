@@ -31,25 +31,70 @@ from pyspark.sql import functions as F
 # Row values up to ~1e20 with 6 exact decimal digits; SUM widens precision.
 DEC = "decimal(27,6)"
 
+# ---------------------------------------------------------------------------
+# Measure-domain contract (r12 hostile trap class L: non-finite measures).
+#
+# A NaN, ±Inf, or magnitude-garbage double (1e308 from a bit flip, 1e22
+# from a unit blunder) is ingest corruption, not a measure: one such row
+# must not crash a 100 TB revenue rollup.  Without this gate it does —
+# BOTH engines raise casting a non-finite double to DECIMAL (Spark ANSI
+# NUMERIC_VALUE_OUT_OF_RANGE, DuckDB Invalid Input / Conversion Error),
+# so the first corrupt sensor reading aborts every decimal-path aggregate.
+# The declared domain is exactly the decimal path's representable range,
+# |v| < 1e21 = DECIMAL(27,6)'s integral capacity; out-of-domain values are
+# MISSING (NULL), which hands them to the existing observed-measures
+# policy family (class C/C2) — row counts never change, only the value is
+# quarantined.  The predicate abs(v) < 1e21 needs no isnan/isfinite
+# special-casing on either engine: both order NaN greater than every
+# other value, so NaN and ±Inf fail the comparison identically (measured
+# on nine shapes — NaN/±Inf/NULL/1e308/1e22/-0.0/9.9e20 agree
+# bit-for-bit across engines).  This is the measure-axis member of the
+# ingest-validation family: vec_valid (class D) quarantines broken
+# embeddings, ts_domain (class H) quarantines clock garbage, and
+# measure() quarantines magnitude/finiteness garbage.
+MEASURE_MAX = 1e21
+
+
+def in_measure_domain(col: Column) -> Column:
+    """True iff the double is a usable measure (finite, |v| < 1e21)."""
+    return F.abs(col) < F.lit(MEASURE_MAX)
+
+
+def measure(col: Column) -> Column:
+    """Nullify out-of-domain doubles (NaN/±Inf/magnitude garbage -> NULL)."""
+    return F.when(in_measure_domain(col), col)
+
+
+def measure_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`measure`."""
+    return f"CASE WHEN abs({expr}) < 1e21 THEN ({expr}) END"
+
 
 def dsum(col: Column) -> Column:
-    """Order-independent SUM of a double column (exact decimal internally)."""
-    return F.sum(col.cast(DEC)).cast("double")
+    """Order-independent SUM of a double column (exact decimal internally).
+
+    Gated by the measure-domain contract: out-of-domain rows contribute
+    NULL (skipped by SUM) instead of crashing the decimal cast."""
+    return F.sum(measure(col).cast(DEC)).cast("double")
 
 
 def davg(col: Column) -> Column:
-    """Order-independent AVG: exact decimal SUM / COUNT, divided as double."""
-    return dsum(col) / F.count(col)
+    """Order-independent AVG: exact decimal SUM / COUNT, divided as double.
+
+    COUNT is over in-domain values only, so avg = sum/count is the mean
+    of exactly the values the sum admitted."""
+    return dsum(col) / F.count(measure(col))
 
 
 def dsum_sql(expr: str) -> str:
     """DuckDB mirror of :func:`dsum`."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE)"
+    return (f"CAST(SUM(CAST(({measure_sql(expr)}) AS DECIMAL(27,6))) "
+            f"AS DOUBLE)")
 
 
 def davg_sql(expr: str) -> str:
     """DuckDB mirror of :func:`davg`."""
-    return f"{dsum_sql(expr)} / COUNT({expr})"
+    return f"{dsum_sql(expr)} / COUNT({measure_sql(expr)})"
 
 
 def epoch_s(col: Column | str) -> Column:

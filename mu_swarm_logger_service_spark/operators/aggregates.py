@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core.numeric import davg, davg_sql, dsum, dsum_sql
+from ..core.numeric import (davg, davg_sql, dsum, dsum_sql,
+                            in_measure_domain, measure, measure_sql)
 from ..core.registry import query
 from ..core.tables import load
 
@@ -97,21 +98,24 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Row 28 — DISTINCT aggregates (SPARQL COUNT(DISTINCT ...)).
 # ---------------------------------------------------------------------------
 
-@query("q_agg_distinct", oracle="""
+@query("q_agg_distinct", oracle=f"""
 SELECT
   event_type,
   COUNT(DISTINCT user_id) AS n_users,
   COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
-  CAST(SUM(DISTINCT CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_distinct_value
+  CAST(SUM(DISTINCT CAST(({measure_sql('value')}) AS DECIMAL(27,6)))
+       AS DOUBLE) AS sum_distinct_value
 FROM events
 GROUP BY event_type
 """)
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measure(): class-L non-finite doubles crash the DISTINCT decimal
+    # cast on both engines; out-of-domain values are missing by contract.
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct(F.col("ts").cast("date")).alias("n_days"),
-        F.sum_distinct(F.col("value").cast("decimal(27,6)"))
+        F.sum_distinct(measure(F.col("value")).cast("decimal(27,6)"))
         .cast("double").alias("sum_distinct_value"),
     )
 
@@ -221,25 +225,30 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round(4) on both sides (values O(1e2); error O(1e-11); safe margin).
 # ---------------------------------------------------------------------------
 
-@query("q_agg_stats", oracle="""
+@query("q_agg_stats", oracle=f"""
 SELECT
   event_type,
-  ROUND(stddev_samp(value), 4) AS sd_value,
-  ROUND(var_pop(value), 4) AS var_value,
-  ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS corr_vu,
-  ROUND(covar_pop(value, CAST(user_id AS DOUBLE)), 4) + 0.0 AS covar_vu
+  ROUND(stddev_samp({measure_sql('value')}), 4) AS sd_value,
+  ROUND(var_pop({measure_sql('value')}), 4) AS var_value,
+  ROUND(corr({measure_sql('value')}, CAST(user_id AS DOUBLE)), 4) + 0.0
+    AS corr_vu,
+  ROUND(covar_pop({measure_sql('value')}, CAST(user_id AS DOUBLE)), 4) + 0.0
+    AS covar_vu
 FROM events
 GROUP BY event_type
 """)
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measure(): one class-L Inf makes DuckDB STDDEV hard-error ("out of
+    # range") where Spark yields NaN — moments run over in-domain values.
     ev = load(spark, sf_dir, "events")
     uid = F.col("user_id").cast("double")
+    mv = measure(F.col("value"))
     return ev.groupBy("event_type").agg(
-        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
-        F.round(F.var_pop("value"), 4).alias("var_value"),
+        F.round(F.stddev_samp(mv), 4).alias("sd_value"),
+        F.round(F.var_pop(mv), 4).alias("var_value"),
         # + 0.0: normalize negative zero (see functions/scalar.py note)
-        (F.round(F.corr(F.col("value"), uid), 4) + 0.0).alias("corr_vu"),
-        (F.round(F.covar_pop(F.col("value"), uid), 4) + 0.0).alias("covar_vu"),
+        (F.round(F.corr(mv, uid), 4) + 0.0).alias("corr_vu"),
+        (F.round(F.covar_pop(mv, uid), 4) + 0.0).alias("covar_vu"),
     )
 
 
@@ -247,19 +256,29 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Row 33 — exact percentiles (NOT percentile_approx: oracle-checked).
 # ---------------------------------------------------------------------------
 
-@query("q_agg_percentile", oracle="""
+@query("q_agg_percentile", oracle=f"""
 SELECT
   event_type,
-  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
-  ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS p95
+  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY {measure_sql('value')}),
+        6) AS p50,
+  ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY {measure_sql('value')}),
+        6) AS p95
 FROM events
 GROUP BY event_type
 """)
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measure(): class-L NaN/Inf sort greatest in BOTH engines but their
+    # interpolation arms differ once a non-finite lands in the top band
+    # (measured p95 132.5 vs 132.125) — order statistics run over
+    # in-domain values only (both percentile flavors skip NULL).
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr(
+            "percentile(CASE WHEN abs(value) < 1e21 THEN value END, 0.5)"),
+            6).alias("p50"),
+        F.round(F.expr(
+            "percentile(CASE WHEN abs(value) < 1e21 THEN value END, 0.95)"),
+            6).alias("p95"),
     )
 
 
@@ -344,7 +363,9 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
     partial = salted.groupBy("event_type", "salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum(F.col("value").cast("decimal(27,6)")).alias("psum"),
+        # measure(): the hand-written partial must carry dsum's class-L
+        # domain gate or one non-finite row crashes the decimal cast
+        F.sum(measure(F.col("value")).cast("decimal(27,6)")).alias("psum"),
     )
     return (
         partial.groupBy("event_type")
@@ -411,16 +432,20 @@ def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_agg_winsorize", oracle=f"""
 WITH b AS (
   SELECT event_type,
-         ROUND(percentile_cont(0.05) WITHIN GROUP (ORDER BY value), 6) AS lo,
-         ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 6) AS hi
+         ROUND(percentile_cont(0.05) WITHIN GROUP (
+           ORDER BY {measure_sql('value')}), 6) AS lo,
+         ROUND(percentile_cont(0.95) WITHIN GROUP (
+           ORDER BY {measure_sql('value')}), 6) AS hi
   FROM events GROUP BY event_type
 )
 SELECT e.event_type,
-       CAST(COUNT(CASE WHEN e.value < b.lo THEN 1 END) AS BIGINT)
-         AS n_clipped_low,
-       CAST(COUNT(CASE WHEN e.value > b.hi THEN 1 END) AS BIGINT)
-         AS n_clipped_high,
-       {dsum_sql('LEAST(GREATEST(e.value, b.lo), b.hi)')} AS sum_winsorized
+       CAST(COUNT(CASE WHEN ({measure_sql('e.value')}) < b.lo THEN 1 END)
+            AS BIGINT) AS n_clipped_low,
+       CAST(COUNT(CASE WHEN ({measure_sql('e.value')}) > b.hi THEN 1 END)
+            AS BIGINT) AS n_clipped_high,
+       {dsum_sql('CASE WHEN abs(e.value) < 1e21 '
+                 'THEN LEAST(GREATEST(e.value, b.lo), b.hi) END')}
+         AS sum_winsorized
 FROM events e JOIN b USING (event_type)
 GROUP BY e.event_type
 """)
@@ -432,18 +457,29 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines before clipping so every comparison sees identical
     bits, and the winsorized sum goes through the decimal path.  Reports
     clip counts per side — the audit trail for how much the cap bit."""
+    # Class-L discipline: thresholds, clip counts, and the winsorized sum
+    # all run over IN-DOMAIN values (measure()); a NaN/Inf row is missing,
+    # not clipped — the gate must wrap the WHOLE clip expression because
+    # least/greatest SKIP nulls on both engines (a bare least(greatest(
+    # NULL, lo), hi) would silently contribute lo per quarantined row).
     ev = load(spark, sf_dir, "events")
+    mv = measure(F.col("value"))
     b = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+        F.round(F.expr(
+            "percentile(CASE WHEN abs(value) < 1e21 THEN value END, 0.05)"),
+            6).alias("lo"),
+        F.round(F.expr(
+            "percentile(CASE WHEN abs(value) < 1e21 THEN value END, 0.95)"),
+            6).alias("hi"),
     )
-    w = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    w = F.when(in_measure_domain(F.col("value")),
+               F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")))
     return (
         ev.join(F.broadcast(b), "event_type")
         .groupBy("event_type")
         .agg(
-            F.count_if(F.col("value") < F.col("lo")).alias("n_clipped_low"),
-            F.count_if(F.col("value") > F.col("hi")).alias("n_clipped_high"),
+            F.count_if(mv < F.col("lo")).alias("n_clipped_low"),
+            F.count_if(mv > F.col("hi")).alias("n_clipped_high"),
             dsum(w).alias("sum_winsorized"),
         )
     )
@@ -538,7 +574,7 @@ WITH m AS (
          CAST(SUM(CAST(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)
                        AS DECIMAL(27,0))) AS DOUBLE) AS sxx,
          CAST(SUM(CAST(value * value AS DECIMAL(27,2))) AS DOUBLE) AS syy
-  FROM events GROUP BY 1
+  FROM events WHERE abs(value) < 1e21 GROUP BY 1
 )
 SELECT event_type, n,
        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
@@ -567,8 +603,14 @@ def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the exact decimal→double cast (the Gini one-ulp bug) — so the
     integral moments (x, x²) carry scale 0 and the value products (xy,
     y²) scale 2, keeping every scaled sum orders of magnitude inside
-    2^53 at any plausible SF."""
-    ev = load(spark, sf_dir, "events")
+    2^53 at any plausible SF.
+
+    Class-L policy: the regression runs over observed IN-DOMAIN (x, y)
+    pairs (abs(value) < 1e21 both sides) so n and every moment count the
+    SAME rows — a NaN/Inf measure is missing, and a per-moment gate
+    alone would desynchronize n from the sums."""
+    ev = load(spark, sf_dir, "events").filter(
+        in_measure_domain(F.col("value")))
     x = F.col("user_id").cast("double")
     y = F.col("value")
 
@@ -676,7 +718,7 @@ WITH m AS (
               FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS sxx,
          CAST(SUM(CAST(value * value AS DECIMAL(27,4)))
               FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS syy
-  FROM events GROUP BY event_type
+  FROM events WHERE abs(value) < 1e21 GROUP BY event_type
 )
 SELECT event_type,
        CAST(nx AS BIGINT) AS n_a, CAST(ny AS BIGINT) AS n_b,
@@ -697,8 +739,11 @@ def q_agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     on those identical bits in both engines, emitted raw per the
     round-divergence rule (sx² needs >53 bits and rounds, but it rounds
     IDENTICALLY — exactness is only required of the aggregates, the
-    post-aggregate scalar math just has to be the same op sequence)."""
-    ev = load(spark, sf_dir, "events")
+    post-aggregate scalar math just has to be the same op sequence).
+    Class-L: cohort counts and moments run over in-domain values only
+    (the linreg observed-domain policy)."""
+    ev = load(spark, sf_dir, "events").filter(
+        in_measure_domain(F.col("value")))
     a_row = F.col("user_id") % 2 == 0
     v = F.col("value")
 
@@ -923,7 +968,7 @@ WITH g AS (
          CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS s,
          CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(27,6)))
               AS DOUBLE) AS q
-  FROM orders GROUP BY 1
+  FROM orders WHERE abs(o_totalprice) < 1e21 GROUP BY 1
 ), packed AS (
   SELECT list_sort(list(struct_pack(grp := grp, n := n, s := s, q := q)))
            AS ls,
@@ -973,8 +1018,10 @@ def q_agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact scan into the per-priority rollup (partial-aggregated), then a
     1-row fold over k=5 structs — the SinglePartition stage merges k
     rows, nothing more; the cheapest possible k-group test shape at any
-    corpus size."""
-    od = load(spark, sf_dir, "orders")
+    corpus size.  Class-L: observed-in-domain money only (the linreg
+    policy — n and moments must count the same rows)."""
+    od = load(spark, sf_dir, "orders").filter(
+        in_measure_domain(F.col("o_totalprice")))
     y = F.col("o_totalprice")
     g = od.groupBy(F.col("o_orderpriority").alias("grp")).agg(
         F.count(F.lit(1)).alias("n"),
@@ -1037,7 +1084,7 @@ WITH s AS (
               AS DOUBLE) AS s3,
          CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,8)))
               AS DOUBLE) AS s4
-  FROM events GROUP BY 1
+  FROM events WHERE abs(value) < 1e21 GROUP BY 1
 ), m AS (
   SELECT event_type, n,
          s1 / n AS mu, s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
@@ -1068,8 +1115,10 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard (skewness crosses zero on near-symmetric types).  The central
     moments expand in raw-moment form with identical association on
     both sides.  Plan: one scan, one partial-aggregated rollup — the
-    q_agg_stats shape with two more accumulators."""
-    ev = load(spark, sf_dir, "events")
+    q_agg_stats shape with two more accumulators.  Class-L:
+    observed-in-domain values only (the linreg policy)."""
+    ev = load(spark, sf_dir, "events").filter(
+        in_measure_domain(F.col("value")))
     y = F.col("value")
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1273,11 +1322,14 @@ EQUIDEPTH_BUCKETS = 8
 
 @query("q_agg_equidepth_hist", oracle=f"""
 WITH v AS (
-  -- null-measure policy: a histogram is over OBSERVED values; a NULL
-  -- cents group would also ride the engines' opposite null sort orders
-  -- (Spark NULLS FIRST vs DuckDB NULLS LAST) straight into the prefix sum
+  -- observed-measure policy (class C), tightened to the cents-domain by
+  -- class L: a NULL cents group would ride the engines' opposite null
+  -- sort orders into the prefix sum, and a NaN/Inf/1e22 value crashes
+  -- the cents cast on both engines.  The bound is this query's OWN
+  -- representation limit (cents must fit DECIMAL(18,2)), stricter than
+  -- the global 1e21 measure domain.
   SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-  FROM events WHERE value IS NOT NULL
+  FROM events WHERE abs(value) < 1e16
 ), hist AS (
   SELECT c, COUNT(*) AS n FROM v GROUP BY c
 ), cum AS (
@@ -1309,7 +1361,8 @@ def q_agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one scan → one cents rollup shuffle; the prefix windows run
     over the tiny histogram; the bucket rollup is 8 rows."""
-    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = load(spark, sf_dir, "events").filter(
+        F.abs(F.col("value")) < F.lit(1e16))  # cents-domain (see oracle)
     c = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     hist = ev.select(c.alias("c")).groupBy("c").agg(
         F.count(F.lit(1)).alias("n"))

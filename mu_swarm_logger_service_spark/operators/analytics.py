@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core.numeric import davg, davg_sql, dsum, dsum_sql
+from ..core.numeric import (davg, davg_sql, dsum, dsum_sql,
+                            in_measure_domain, measure, measure_sql)
 from ..core.registry import query
 from ..core.tables import load
 
@@ -181,7 +182,7 @@ def q_analytics_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_analytics_large_orders", oracle=f"""
 SELECT c.c_custkey, c.c_name, o.o_orderkey,
        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
-       o.o_totalprice,
+       o.o_totalprice + 0.0 AS o_totalprice,
        {dsum_sql('l.l_quantity')} AS sum_qty
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
@@ -218,9 +219,14 @@ def q_analytics_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
                  "o_totalprice")
         .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        # + 0.0: a raw -0.0 group key renders '-0.0' in DuckDB while
+        # Spark's NormalizeFloatingNumbers rewrites the key to +0.0
+        # (class-L -0.0 injection) — normalize the EMITTED value on both
+        # sides; grouping itself already agrees (-0.0 == 0.0 in both).
         .select("c_custkey", "c_name", "o_orderkey",
                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-                "o_totalprice", "sum_qty")
+                (F.col("o_totalprice") + F.lit(0.0)).alias("o_totalprice"),
+                "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
@@ -1411,6 +1417,7 @@ WITH rev AS (
          SUM(CAST(l_extendedprice * (1 - l_discount)
                   AS DECIMAL(27,4))) AS r
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE abs(l.l_extendedprice) < 1e21
   GROUP BY p.p_brand, l.l_partkey
 ), cum AS (
   SELECT p_brand, l_partkey, r,
@@ -1439,8 +1446,11 @@ def q_analytics_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     window SUM are exact in both engines (DuckDB's segment-tree order is
     irrelevant for decimals); the A/B/C thresholds compare
     integer-scaled decimals (10·cum ≤ 7·total) — no division, no float;
-    revenue re-emits as a double exactly (scale-4 value ≪ 2^53)."""
-    li = load(spark, sf_dir, "lineitem")
+    revenue re-emits as a double exactly (scale-4 value ≪ 2^53).
+    Class-L: revenue is over observed in-domain money (one NaN/Inf line
+    crashes the decimal cast on both engines otherwise)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        in_measure_domain(F.col("l_extendedprice")))
     part = load(spark, sf_dir, "part")
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
     rev = (
@@ -1596,6 +1606,7 @@ WITH rev AS (
          CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
                        AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS r
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE abs(l.l_extendedprice) < 1e21
   GROUP BY 1, 2
 )
 SELECT p_brand,
@@ -1626,9 +1637,10 @@ def q_analytics_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one lineitem scan, broadcast part dim, partial agg
     into the (brand, supplier) shuffle, then the brand rollup — the
     second shuffle moves only |brands|×|suppliers| rows regardless of
-    fact size."""
+    fact size.  Class-L: observed in-domain money only (the abc policy)."""
     li = load(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount").filter(
+        in_measure_domain(F.col("l_extendedprice")))
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     d18 = "decimal(18,4)"
     rev = (
@@ -1920,7 +1932,7 @@ WITH f AS (
   SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
          CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1
   FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
-    AND o_totalprice IS NOT NULL
+    AND abs(o_totalprice) < 1e16
 ), by_v AS (
   SELECT v, CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(g1) AS BIGINT) AS a
   FROM f GROUP BY 1
@@ -1967,10 +1979,12 @@ def q_analytics_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     single groupBy shuffle.  Null-measure policy (hostile class C2):
     the test is over observed prices — a NULL-cents group would ride
     the engines' opposite null sort orders into every cumulative rank
-    (the equidepth-histogram/KS-test mechanism)."""
+    (the equidepth-histogram/KS-test mechanism); class L tightens it to
+    the cents domain (abs < 1e16, the DECIMAL(18,2) representation
+    bound — a NaN/Inf price crashes the cents cast on both engines)."""
     od = load(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
-        & F.col("o_totalprice").isNotNull())
+        & (F.abs(F.col("o_totalprice")) < F.lit(1e16)))
     f = od.select(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
         .alias("v"),
@@ -2026,9 +2040,10 @@ def q_analytics_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH f AS (
   SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
          CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
-  -- null-measure policy: CDFs are over observed values (a NULL cents
-  -- group would sit at opposite ends of the two engines' null orders)
-  FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+  -- observed-values policy (class C), tightened to the cents domain by
+  -- class L: a NULL cents group would sit at opposite ends of the two
+  -- engines' null orders, and a NaN/Inf value crashes the cents cast
+  FROM events WHERE event_type IN ('view', 'click') AND abs(value) < 1e16
 ), by_v AS (
   SELECT v, CAST(COUNT(*) AS BIGINT) AS t, CAST(SUM(g1) AS BIGINT) AS a
   FROM f GROUP BY 1
@@ -2075,7 +2090,9 @@ def q_analytics_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized cost is the single groupBy shuffle."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "click")
-        & F.col("value").isNotNull())
+        # cents domain (class L): NaN/Inf crashes the cents cast; the
+        # predicate also excludes NULL (abs(NULL) < x is NULL)
+        & (F.abs(F.col("value")) < F.lit(1e16)))
     f = ev.select(
         (F.col("value").cast("decimal(18,2)") * 100).cast("long")
         .alias("v"),
@@ -2136,7 +2153,9 @@ WITH o AS (
          strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
            AS cents
-  FROM orders
+  -- cents domain (class L): LTV is over PRICED orders; NaN/Inf/1e22
+  -- crashes the cents cast on both engines
+  FROM orders WHERE abs(o_totalprice) < 1e16
 ), w AS (
   SELECT c, m, cents,
          MIN(m) OVER (PARTITION BY c) AS m0,
@@ -2169,8 +2188,10 @@ def q_analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (cohort, age) rollup and a cohort-keyed cumulative — three
     key-parallel exchanges, rows bounded by cohorts × months after the
     rollup.  At 100 TB the data-sized cost is the per-customer window
-    pass any cohort analysis already pays."""
-    od = load(spark, sf_dir, "orders")
+    pass any cohort analysis already pays.  Class-L: priced orders only
+    (cents domain; see oracle comment)."""
+    od = load(spark, sf_dir, "orders").filter(
+        F.abs(F.col("o_totalprice")) < F.lit(1e16))
     o = od.select(
         F.col("o_custkey").alias("c"),
         (F.year("o_orderdate").cast("long") * 12
@@ -2228,7 +2249,7 @@ def _did_cell_sql(grp: int, post: int) -> str:
 @query("q_analytics_did", oracle=f"""
 WITH cells AS (
   SELECT {", ".join(_did_cell_sql(g, p) for g in (0, 1) for p in (0, 1))}
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' AND abs(value) < 1e21
 ), means AS (
   SELECT n_00, n_01, n_10, n_11,
          s_00 / n_00 AS m_00, s_01 / n_01 AS m_01,
@@ -2259,9 +2280,12 @@ def q_analytics_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-way union).  Plan: one fact scan with the purchase filter pushed
     down into a single partial-aggregated 1-row global agg — the
     SinglePartition stage merges 32 partial rows, nothing more.  At
-    100 TB this is the cheapest possible shape: one pass, one row."""
+    100 TB this is the cheapest possible shape: one pass, one row.
+    Class-L: in-domain values only (the linreg observed-domain policy —
+    cell n and moments must count the same rows)."""
     ev = load(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase")
+        (F.col("event_type") == "purchase")
+        & in_measure_domain(F.col("value")))
     split = F.lit(DID_SPLIT).cast("timestamp")
     aggs = []
     for g in (0, 1):
@@ -2666,7 +2690,7 @@ WITH s AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s1,
          CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS s2
-  FROM events GROUP BY 1
+  FROM events WHERE abs(value) < 1e21 GROUP BY 1
 ), m AS (
   SELECT event_type, n, s1 / n AS mu,
          (s2 - s1 * s1 / n) / (n - 1) AS var_s
@@ -2695,8 +2719,10 @@ def q_analytics_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides (F.lit ↔ CAST literal — the fixed-point-literal gotcha).
     ceil on an exact-identical double is identical; a boundary-exact
     integer quotient cannot arise from these irrational z's.  Plan: one
-    scan, one partial-aggregated rollup — a q_agg_stats-weight query."""
-    ev = load(spark, sf_dir, "events")
+    scan, one partial-aggregated rollup — a q_agg_stats-weight query.
+    Class-L: in-domain values only (the linreg observed-domain policy)."""
+    ev = load(spark, sf_dir, "events").filter(
+        in_measure_domain(F.col("value")))
     y = F.col("value")
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -2729,7 +2755,8 @@ WITH cells AS (
          CAST(SUM(l_quantity) AS BIGINT) AS q,
          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
                    AS DOUBLE) AS DOUBLE) AS rev
-  FROM lineitem GROUP BY 1, 2
+  -- cents/18,2 domain (class L): priced lines only
+  FROM lineitem WHERE abs(l_extendedprice) < 1e16 GROUP BY 1, 2
 ), base AS (
   SELECT pk, q AS q0, rev / q AS p0
   FROM cells WHERE m = (SELECT MIN(m) FROM cells)
@@ -2784,8 +2811,10 @@ def q_analytics_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     base slice, the current slice and the base-month 1-row aggregate
     all reuse it, where the lazy plan re-scanned the fact four times);
     the base month joins back as two 1-row broadcasts and the pairing
-    is a part-keyed broadcast join; the index rollup is month-grain."""
-    li = load(spark, sf_dir, "lineitem")
+    is a part-keyed broadcast join; the index rollup is month-grain.
+    Class-L: priced lines only (DECIMAL(18,2) domain; see oracle)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.abs(F.col("l_extendedprice")) < F.lit(1e16))
     cells = (
         li.groupBy(F.col("l_partkey").alias("pk"),
                    F.date_trunc("month", "l_shipdate").alias("m"))
