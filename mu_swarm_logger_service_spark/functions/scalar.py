@@ -129,11 +129,11 @@ def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   l_orderkey, l_linenumber,
   abs(l_discount - 0.05) AS abs_d,
-  round(l_extendedprice, 1) AS price_r1,
+  round(l_extendedprice, 1) + 0.0 AS price_r1,
   CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
   CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
   CASE WHEN l_extendedprice >= 0
-       THEN round(sqrt(l_extendedprice), 6) END AS price_sqrt,
+       THEN round(sqrt(l_extendedprice), 6) + 0.0 END AS price_sqrt,
   CASE WHEN l_extendedprice > 0
        THEN round(ln(l_extendedprice), 6) END AS price_ln,
   round(pow(l_discount, 2), 6) AS disc_sq,
@@ -156,10 +156,13 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey", "l_linenumber",
         F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
-        F.round("l_extendedprice", 1).alias("price_r1"),
+        # + 0.0: class-L injects a literal -0.0 price — Spark's round()
+        # strips the sign where DuckDB's keeps it (and sqrt(-0.0) is
+        # -0.0 per IEEE), the round-crossing-zero guard applied here
+        (F.round("l_extendedprice", 1) + 0.0).alias("price_r1"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor("l_quantity").alias("qty_floor"),
-        F.when(price >= 0, F.round(F.sqrt("l_extendedprice"), 6))
+        F.when(price >= 0, F.round(F.sqrt("l_extendedprice"), 6) + 0.0)
         .alias("price_sqrt"),
         F.when(price > 0, F.round(F.log("l_extendedprice"), 6))
         .alias("price_ln"),
@@ -204,9 +207,13 @@ SELECT
   o_orderkey,
   CAST(o_orderkey AS VARCHAR) AS key_str,
   CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
-  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec,
-  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE) AS price_dec_x2,
-  CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+  CAST(CASE WHEN abs(o_totalprice) < 1e9
+       THEN CAST(o_totalprice AS DECIMAL(12,2)) END AS VARCHAR) AS price_dec,
+  CAST(CASE WHEN abs(o_totalprice) < 1e9
+       THEN CAST(o_totalprice AS DECIMAL(12,2)) * 2 END AS DOUBLE)
+    AS price_dec_x2,
+  CASE WHEN abs(o_totalprice) < 1e18
+       THEN CAST(floor(o_totalprice) AS BIGINT) END AS price_int,
   strftime(CAST('2024-03-15 12:30:45' AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
     AS ts_parsed,
   CAST(o_orderkey > 1000 AS VARCHAR) AS flag_str
@@ -218,17 +225,24 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Note: Spark double→bigint truncates toward zero while DuckDB rounds, so
     the int conversion goes through floor() explicitly — engine-portable
-    semantics rather than an engine-specific default."""
+    semantics rather than an engine-specific default.  Class-L: every
+    narrowing cast carries a representability gate (abs < 1e9 for the
+    12,2 decimal — margin below its 1e10 capacity so post-round overflow
+    is impossible; abs < 1e18 for the bigint floor) — both engines CRASH
+    casting NaN/Inf/1e22 into a narrower type, and a production cast of
+    a corrupt feed value must yield missing, not abort the job."""
     orders = load(spark, sf_dir, "orders")
+    dec_ok = F.abs(F.col("o_totalprice")) < F.lit(1e9)
+    int_ok = F.abs(F.col("o_totalprice")) < F.lit(1e18)
     return orders.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
-        F.col("o_totalprice").cast("decimal(12,2)").cast("string")
-        .alias("price_dec"),
-        (F.col("o_totalprice").cast("decimal(12,2)") * 2).cast("double")
-        .alias("price_dec_x2"),
-        F.floor("o_totalprice").alias("price_int"),
+        F.when(dec_ok, F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("string").alias("price_dec"),
+        F.when(dec_ok, F.col("o_totalprice").cast("decimal(12,2)") * 2)
+        .cast("double").alias("price_dec_x2"),
+        F.when(int_ok, F.floor("o_totalprice")).alias("price_int"),
         F.date_format(F.lit("2024-03-15 12:30:45").cast("timestamp"),
                       "yyyy-MM-dd HH:mm:ss").alias("ts_parsed"),
         (F.col("o_orderkey") > 1000).cast("string").alias("flag_str"),
@@ -492,7 +506,8 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id,
        CASE WHEN event_type IS NOT NULL
             THEN printf('%s#%06d', event_type, event_id) END AS tagged,
-       printf('%.3f', value) AS val3,  -- NULL in, NULL out (both sides)
+       CASE WHEN abs(value) < 1e21
+            THEN printf('%.3f', value) END AS val3,
        lpad(CAST(user_id AS VARCHAR), 8, '0') AS uid_padded,
        repeat('*', CAST(user_id % 5 AS INT)) AS stars
 FROM events
@@ -513,9 +528,12 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.format_string("%s#%06d", "event_type", "event_id"))
         .alias("tagged"),
         # Java's Formatter renders a null %.3f arg as the STRING "null"
-        # truncated to precision ("nul"); DuckDB printf propagates NULL.
-        # Declared policy: formatting a missing measure yields NULL.
-        F.when(F.col("value").isNotNull(),
+        # truncated to precision ("nul"); DuckDB printf propagates NULL —
+        # and their non-finite spellings diverge too ('Infinity'/'NaN' vs
+        # 'inf'/'nan', class L).  One declared policy covers both:
+        # formatting an out-of-measure-domain value yields NULL (the
+        # domain predicate is NULL-excluding, so it subsumes isNotNull).
+        F.when(F.abs(F.col("value")) < F.lit(1e21),
                F.format_string("%.3f", "value")).alias("val3"),
         F.lpad(F.col("user_id").cast("string"), 8, "0").alias("uid_padded"),
         F.repeat(F.lit("*"), (F.col("user_id") % 5).cast("int")).alias("stars"),

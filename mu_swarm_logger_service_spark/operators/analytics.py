@@ -1490,7 +1490,9 @@ WITH digits AS (
   SELECT o_orderpriority,
          CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
                      1, 1) AS BIGINT) AS d
-  FROM orders WHERE o_totalprice >= 1.0
+  -- class L: the digit source must FIT BIGINT after floor (< 1e18);
+  -- NaN/Inf fail both bounds identically (NaN orders greatest)
+  FROM orders WHERE o_totalprice >= 1.0 AND o_totalprice < 1e18
 ), counts AS (
   SELECT o_orderpriority, d, COUNT(*) AS n
   FROM digits GROUP BY o_orderpriority, d
@@ -1518,7 +1520,8 @@ def q_audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (F.substring(F.floor("o_totalprice").cast("long").cast("string"),
                      1, 1).cast("long"))
     counts = (
-        orders.filter(F.col("o_totalprice") >= 1.0)
+        orders.filter((F.col("o_totalprice") >= 1.0)
+                      & (F.col("o_totalprice") < F.lit(1e18)))
         .select("o_orderpriority", d.alias("d"))
         .groupBy("o_orderpriority", "d")
         .agg(F.count(F.lit(1)).alias("n"))

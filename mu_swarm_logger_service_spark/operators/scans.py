@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core.numeric import dsum, dsum_sql
+from ..core.numeric import dsum, dsum_sql, measure, measure_sql
 from ..core.registry import query
 from ..core.tables import load, observed_time, stat_sig, stat_sig_str
 
@@ -212,11 +212,14 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..core.tables import register_views
 
     register_views(spark, sf_dir)
+    # dsum_sql emits engine-portable SQL (CASE + CAST + SUM), so the SAME
+    # gated text runs on Spark here and on DuckDB in the oracle — the
+    # class-L measure gate rides into both from one definition.
     return spark.sql(f"""
         SELECT r.r_name,
                COUNT(*) AS n_items,
-               CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
-                             AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+               {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')}
+                 AS revenue
         FROM lineitem l
         JOIN orders o   ON o.o_orderkey = l.l_orderkey
         JOIN customer c ON c.c_custkey = o.o_custkey
@@ -452,7 +455,7 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_cdc_incremental_agg", oracle="""
+@query("q_cdc_incremental_agg", oracle=f"""
 WITH effective AS (
   SELECT user_id, value FROM events
   WHERE event_id % 10 != 0 AND event_id % 7 != 0
@@ -461,9 +464,10 @@ WITH effective AS (
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
-       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
-         AS avg_value
+       CAST(SUM(CAST(({measure_sql('value')}) AS DECIMAL(27,6)))
+            AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(({measure_sql('value')}) AS DECIMAL(27,6)))
+            AS DOUBLE) / COUNT(*) AS avg_value
 FROM effective GROUP BY user_id
 """)
 def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,9 +502,11 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     retractions = base.filter(F.col("event_id") % 7 == 0)
 
     def signed_state(df: DataFrame, sign: int) -> DataFrame:
+        # measure(): class-L gate — a NaN retraction row must not crash
+        # (or poison) the maintained decimal state on either engine
         n = F.count(F.lit(1)) if sign > 0 else -F.count(F.lit(1))
-        s = (F.sum(F.col("value").cast(DEC)) if sign > 0
-             else -F.sum(F.col("value").cast(DEC)))
+        s = (F.sum(measure(F.col("value")).cast(DEC)) if sign > 0
+             else -F.sum(measure(F.col("value")).cast(DEC)))
         return df.groupBy("user_id").agg(n.alias("dn"), s.alias("ds"))
 
     merged = (
@@ -666,7 +672,7 @@ def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(f"""
         SELECT metric, COUNT(*) AS n,
-               CAST(SUM(CAST(val AS DECIMAL(27,6))) AS DOUBLE) AS total
+               {dsum_sql('val')} AS total
         FROM lineitem
         UNPIVOT INCLUDE NULLS (val FOR metric IN (
           l_quantity AS quantity, l_extendedprice AS extendedprice,
@@ -933,9 +939,12 @@ def q_cdc_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_cdc_join_ivm", oracle="""
 WITH l AS (
+  -- class L: unit value only when the product fits DECIMAL(18,4)
+  -- (abs < 1e14); out-of-domain lines join and count but add no revenue
   SELECT l_orderkey,
-         CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
-              * 10000 AS BIGINT) AS u4
+         CAST(CASE WHEN abs(l_extendedprice * (1 - l_discount)) < 1e14
+              THEN CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4)) * 10000 END AS BIGINT) AS u4
   FROM lineitem
 )
 SELECT o.o_orderstatus,
@@ -978,8 +987,12 @@ def q_cdc_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         # values, so it carries up to FOUR decimal digits — a scale-2
         # cast would have to round and the engines round differently
         # (the product-of-2dp gotcha); at scale 4 the cast is exact.
-        ((F.col("l_extendedprice") * (1 - F.col("l_discount")))
-         .cast("decimal(18,4)") * 10000).cast("long").alias("u4"),
+        # Class-L gate: only products that FIT DECIMAL(18,4) mint units.
+        F.when(
+            F.abs(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            < F.lit(1e14),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)") * 10000).cast("long").alias("u4"),
         ((F.col("l_orderkey") + F.col("l_linenumber")) % 11 == 0)
         .alias("is_delta"))
     o_base, o_delta = od.filter(~d_o), od.filter(d_o)

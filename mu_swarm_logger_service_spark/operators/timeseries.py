@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..core.numeric import measure, measure_sql
 from ..core.registry import query
 from ..core.tables import load, observed_time
 
@@ -156,13 +157,18 @@ SELECT CAST(FLOOR(value / {BIN_WIDTH}) AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n,
        MIN(value) AS v_min, MAX(value) AS v_max
 FROM events
+WHERE abs(value) < 1e18
 GROUP BY 1, 2
 """)
 def q_ts_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values: one groupBy on the bin id;
     min/max per bin ride the same single pass.  FLOOR(double / width) is
-    the same IEEE operation in both engines, so bin edges agree exactly."""
-    ev = load(spark, sf_dir, "events")
+    the same IEEE operation in both engines, so bin edges agree exactly.
+    Class-L: observed in-domain values, with this query's OWN bound
+    abs < 1e18 — the bin id must fit BIGINT after the divide (a NaN
+    crashed DuckDB's INT64 cast; a 1e21/2.5 bin id would overflow it)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.abs(F.col("value")) < F.lit(1e18))
     bin_id = F.floor(F.col("value") / BIN_WIDTH).cast("long")
     return (
         ev.groupBy(bin_id.alias("bin"),
@@ -1223,9 +1229,9 @@ WITH bounds AS (
   FROM bounds
 ), daily AS (
   SELECT date_trunc('day', ts) AS day,
-         CAST(FLOOR(SUM(CAST(value AS DECIMAL(27,6)))
+         CAST(FLOOR(SUM(CAST(({measure_sql('value')}) AS DECIMAL(27,6)))
               FILTER (WHERE event_type = 'click')) AS DOUBLE) AS a,
-         CAST(FLOOR(SUM(CAST(value AS DECIMAL(27,6)))
+         CAST(FLOOR(SUM(CAST(({measure_sql('value')}) AS DECIMAL(27,6)))
               FILTER (WHERE event_type = 'purchase')) AS DOUBLE) AS b
   FROM {TS_DOMAIN_EVENTS} GROUP BY day
 ), series AS (
@@ -1286,11 +1292,12 @@ def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(ts_domain(spark))
     day = F.date_trunc("day", "ts")
     dec6 = "decimal(27,6)"
+    mval = measure(F.col("value"))  # class-L gate before the decimal cast
     daily = ev.groupBy(day.alias("day")).agg(
-        F.floor(F.sum(F.when(F.col("event_type") == "click", F.col("value"))
+        F.floor(F.sum(F.when(F.col("event_type") == "click", mval)
                       .cast(dec6))).cast("double").alias("a"),
-        F.floor(F.sum(F.when(F.col("event_type") == "purchase",
-                             F.col("value")).cast(dec6)))
+        F.floor(F.sum(F.when(F.col("event_type") == "purchase", mval)
+                      .cast(dec6)))
         .cast("double").alias("b"),
     )
     # Gap-fill without re-reading events: each present day emits itself
@@ -2543,8 +2550,12 @@ def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_ts_kendall", oracle="""
 WITH daily AS (
+  -- class L: the cents sum admits DECIMAL(18,2)-domain values only;
+  -- n stays COUNT(*) so daily ACTIVITY still counts unpriced events
   SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v
+         CAST(SUM(CASE WHEN abs(value) < 1e16
+                       THEN CAST(value AS DECIMAL(18,2)) END) * 100
+              AS BIGINT) AS v
   FROM events GROUP BY 1, 2
 ), pairs AS (
   SELECT a.event_type,
@@ -2596,7 +2607,8 @@ def q_ts_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"),
-             (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+             (F.sum(F.when(F.abs(F.col("value")) < F.lit(1e16),
+                           F.col("value")).cast("decimal(18,2)")) * 100)
              .cast("long").alias("v"))
     )
     a = daily.select(F.col("event_type").alias("et"),

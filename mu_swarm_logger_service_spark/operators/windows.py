@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core.numeric import epoch_s
+from ..core.numeric import epoch_s, measure, measure_sql
 from ..core.registry import query
 from ..core.tables import load, observed_time
 
@@ -67,13 +67,13 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_win_frame_rows", oracle="""
+@query("q_win_frame_rows", oracle=f"""
 SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(27,6)))
+       CAST(SUM(CAST(({measure_sql('value')}) AS DECIMAL(27,6)))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS running_value,
-       CAST(SUM(CAST(value AS DECIMAL(27,6)))
+       CAST(SUM(CAST(({measure_sql('value')}) AS DECIMAL(27,6)))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS sliding_value_4
@@ -81,12 +81,14 @@ FROM events WHERE ts IS NOT NULL
 """)
 def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running + sliding ROWS-frame sums (row 38).  Decimal-cast inside the
-    frame so partial sums are order-exact vs the oracle."""
+    frame so partial sums are order-exact vs the oracle; measure() carries
+    dsum's class-L domain gate into the frame (one NaN row would crash
+    the cast on both engines)."""
     ev = observed_time(load(spark, sf_dir, "events"))
     base = Window.partitionBy("user_id").orderBy("ts", "event_id")
     running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sliding = base.rowsBetween(-3, Window.currentRow)
-    v = F.col("value").cast("decimal(27,6)")
+    v = measure(F.col("value")).cast("decimal(27,6)")
     return ev.select(
         "event_id", "user_id",
         F.sum(v).over(running).cast("double").alias("running_value"),
@@ -188,8 +190,8 @@ def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_win_time_range", oracle=f"""
 SELECT event_id,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
-       CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
-         AS sum_last_hour
+       CAST(SUM(CAST(({measure_sql('value')}) AS DECIMAL(27,6))) OVER w
+            AS DOUBLE) AS sum_last_hour
 FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -213,6 +215,6 @@ def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
-        F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
-        .alias("sum_last_hour"),
+        F.sum(measure(F.col("value")).cast("decimal(27,6)")).over(w)
+        .cast("double").alias("sum_last_hour"),
     )

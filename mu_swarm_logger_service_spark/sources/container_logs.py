@@ -248,9 +248,10 @@ WITH minted AS (
          CASE WHEN event_type = 'error'
               THEN CASE WHEN event_id % 2 = 0 THEN 500 ELSE 404 END
               WHEN event_id % 20 = 0 THEN 304 ELSE 200 END AS s0,
-         CASE WHEN value IS NULL OR value < 0 THEN '-'
-              ELSE CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                        AS VARCHAR) END AS b0,
+         CASE WHEN value >= 0 AND value < 1e16
+              THEN CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS VARCHAR)
+              ELSE '-' END AS b0,
          ts
   FROM events
 )
@@ -268,10 +269,13 @@ def clf_lines(ev: DataFrame) -> DataFrame:
     events fixture — Knuth-hash IPs, type-derived method/path/status,
     decimal-exact byte counts.  Shared by q_source_accesslog (decode +
     ops rollup) and q_ops_log_templates (template mining); the SQL twin
-    is CLF_LINES_SQL.  Byte-count convention (hostile class F): a
-    missing or out-of-domain (negative) measure renders as '-' — CLF's
-    own notation for "no size" — so every line always parses; the
-    decoder's gated integral parse reads '-' back as NULL bytes."""
+    is CLF_LINES_SQL.  Byte-count convention (hostile classes F + L): a
+    byte count mints ONLY from the CLF byte domain [0, 1e16) — missing,
+    negative, NaN/Inf, and magnitude-garbage measures all render as '-',
+    CLF's own notation for "no size" — so every line always parses; the
+    decoder's gated integral parse reads '-' back as NULL bytes.  The
+    domain predicate needs no isnan arm: NaN >= 0 is TRUE but
+    NaN < 1e16 is FALSE in both engines (NaN orders greatest)."""
     ip32 = (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
     o = lambda div: (F.col("ip32") / div).cast("long") % 256  # noqa: E731
     minted = ev.select(
@@ -284,9 +288,10 @@ def clf_lines(ev: DataFrame) -> DataFrame:
                F.when(F.col("event_id") % 2 == 0, 500).otherwise(404))
         .when(F.col("event_id") % 20 == 0, 304).otherwise(200)
         .alias("s0"),
-        F.when(F.col("value").isNull() | (F.col("value") < 0), F.lit("-"))
-        .otherwise((F.col("value").cast("decimal(18,2)") * 100)
-                   .cast("long").cast("string"))
+        F.when((F.col("value") >= 0) & (F.col("value") < F.lit(1e16)),
+               (F.col("value").cast("decimal(18,2)") * 100)
+               .cast("long").cast("string"))
+        .otherwise(F.lit("-"))
         .alias("b0"))
     line = F.concat(
         o(16777216).cast("string"), F.lit("."), o(65536).cast("string"),
@@ -309,9 +314,10 @@ WITH minted AS (
          CASE WHEN event_type = 'error'
               THEN CASE WHEN event_id % 2 = 0 THEN 500 ELSE 404 END
               WHEN event_id % 20 = 0 THEN 304 ELSE 200 END AS s0,
-         CASE WHEN value IS NULL OR value < 0 THEN '-'
-              ELSE CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-                        AS VARCHAR) END AS b0,
+         CASE WHEN value >= 0 AND value < 1e16
+              THEN CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                        AS VARCHAR)
+              ELSE '-' END AS b0,
          ts
   FROM events
 ), lines AS (

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..core.numeric import dsum_sql
 from ..core.registry import query
 from ..core.tables import load
 from .triples import DCT, RDF_TYPE, SWARMUI
@@ -270,11 +271,11 @@ def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("q_sparql_aggregate", oracle="""
+@query("q_sparql_aggregate", oracle=f"""
 SELECT 'c' || CAST(user_id AS VARCHAR) AS container,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
-       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+       {dsum_sql('value')} AS total_value
 FROM events
 GROUP BY user_id
 HAVING COUNT(*) >= 60
@@ -316,7 +317,7 @@ def q_sparql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sparql_union", oracle="""
+@query("q_sparql_union", oracle=f"""
 WITH sols AS (
   SELECT 'c' || CAST(user_id AS VARCHAR) AS container,
          CAST(NULL AS DOUBLE) AS v
@@ -328,7 +329,7 @@ WITH sols AS (
 SELECT container,
        CAST(COUNT(*) AS BIGINT) AS n_solutions,
        CAST(COUNT(v) AS BIGINT) AS n_bound,
-       CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+       {dsum_sql('v')} AS sum_value
 FROM sols GROUP BY container
 """)
 def q_sparql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
