@@ -32,7 +32,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..core.numeric import dsum_sql
+from ..core.numeric import dsum_sql, measure
 from ..core.registry import query
 from ..core.tables import load
 from . import transforms as X
@@ -96,7 +96,8 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS session_value
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1e21 THEN value END)
+                     AS DECIMAL(27,6))) AS DOUBLE) AS session_value
 FROM numbered
 GROUP BY user_id, session_id
 """)
@@ -121,7 +122,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_stream_stateful", oracle="""
 SELECT event_id, user_id, ts,
        COUNT(*) OVER w AS n_so_far,
-       CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS value_so_far
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1e21 THEN value END)
+                     AS DECIMAL(27,6))) OVER w AS DOUBLE) AS value_so_far
 FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -208,8 +210,10 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.enrich_with_dimension(stream, dim)
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
-             .alias("sum_value"))
+             # measure(): class-L — the stream side must carry dsum's
+             # domain gate or one NaN event aborts the micro-batch job
+             F.sum(measure(F.col("value")).cast("decimal(27,6)"))
+             .cast("double").alias("sum_value"))
     )
     return _run_to_memory(agg, "complete")
 
@@ -296,8 +300,8 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         back.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
-             .alias("sum_value"))
+             F.sum(measure(F.col("value")).cast("decimal(27,6)"))
+             .cast("double").alias("sum_value"))
         .localCheckpoint(eager=True)
     )
     shutil.rmtree(ckpt, ignore_errors=True)

@@ -64,7 +64,14 @@ def _accumulate(key: tuple, pdf_iter: Iterator[pd.DataFrame],
         for row in whole.sort_values(["ts", "event_id"]).itertuples(
                 index=False):
             n += 1
-            if pd.notna(row.value):
+            # Measure-domain gate (class L, mirrors the batch twin's
+            # measure()): a true +Inf in a parquet double is NOT NaN and
+            # passes pd.notna, then `total += inf` poisons the state
+            # forever — the same failure shape the r11 NULL fix closed.
+            # abs(v) < 1e21 is False for NaN in Python too, so one
+            # predicate covers NaN/±Inf/magnitude garbage identically
+            # across Python, Spark, and DuckDB.
+            if pd.notna(row.value) and abs(float(row.value)) < 1e21:
                 total += float(row.value)
                 has_total = 1
             out.append({

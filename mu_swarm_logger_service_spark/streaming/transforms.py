@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..core.numeric import dsum
+from ..core.numeric import dsum, measure
 from ..core.tables import observed_time
 
 
@@ -162,7 +162,9 @@ def running_user_counters(events: DataFrame) -> DataFrame:
     return events.select(
         "event_id", "user_id", "ts",
         F.count(F.lit(1)).over(w).alias("n_so_far"),
-        F.sum(F.col("value").cast("decimal(27,6)")).over(w)
+        # measure(): class-L gate — must also match the stateful twin's
+        # fold predicate (stateful.py skips out-of-domain values)
+        F.sum(measure(F.col("value")).cast("decimal(27,6)")).over(w)
         .cast("double").alias("value_so_far"),
     )
 

@@ -27,7 +27,12 @@ from ..core.tables import load
 # ---------------------------------------------------------------------------
 
 def _band_py_fn(value: float) -> str:
-    if value is None:
+    # Class-L: out-of-domain (NaN/±Inf/magnitude garbage) is the MISSING
+    # band — Python comparisons are IEEE (NaN >= 400 is False → would
+    # fall to 'low') while both SQL engines total-order NaN greatest
+    # (→ 'high'); the explicit domain branch is the only banding that
+    # means the same thing in all three runtimes.
+    if value is None or not abs(value) < 1e21:
         return "none"
     if value >= 400.0:
         return "high"
@@ -38,15 +43,19 @@ def _band_py_fn(value: float) -> str:
 
 @query("q_udf_python", oracle="""
 SELECT event_id,
-       CASE WHEN value IS NULL THEN 'none'
-            WHEN value >= 400.0 THEN 'high'
-            WHEN value >= 100.0 THEN 'mid'
-            ELSE 'low' END AS band
+       CASE WHEN abs(value) < 1e21 THEN
+              CASE WHEN value >= 400.0 THEN 'high'
+                   WHEN value >= 100.0 THEN 'mid'
+                   ELSE 'low' END
+            ELSE 'none' END AS band
 FROM events
 """)
 def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (row 67).  One pickle round-trip per row —
-    the formulation q_fn_conditional does JVM-side; both must agree."""
+    the formulation q_fn_conditional does JVM-side; the finite bands
+    agree, while out-of-domain values band 'none' here (Python IEEE
+    comparisons vs the SQL engines' NaN-greatest total order make any
+    bare-comparison banding runtime-dependent — class L)."""
     ev = load(spark, sf_dir, "events")
     band_py = udf(_band_py_fn, "string")
     return ev.select("event_id", band_py("value").alias("band"))
@@ -90,12 +99,22 @@ def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _weighted_mean_fn(v: pd.Series, w: pd.Series) -> float:
-    return float((v * w).sum() / w.sum())
+    # Measure-domain gate (class L): pandas .sum(skipna) silently skips a
+    # true NaN the way it skips a null, while the oracle's SUM propagates
+    # it — and a ±Inf poisons both differently.  Observed in-domain pairs
+    # only, weights included (a quarantined value must not drag its
+    # weight into the denominator).  abs(NaN) < 1e21 is False in pandas
+    # like everywhere else.
+    ok = v.abs() < 1e21
+    return float((v[ok] * w[ok]).sum() / w[ok].sum())
 
 
 @query("q_udaf_pandas", oracle="""
 SELECT event_type,
-       ROUND(SUM(value * (1 + user_id % 10)) / SUM(1 + user_id % 10), 6)
+       ROUND(SUM(CASE WHEN abs(value) < 1e21
+                 THEN value * (1 + user_id % 10) END)
+             / SUM(CASE WHEN abs(value) < 1e21
+                   THEN 1 + user_id % 10 END), 6)
          AS wmean_value
 FROM events
 GROUP BY event_type
@@ -103,7 +122,8 @@ GROUP BY event_type
 def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg pandas UDF (row 69): weighted mean with weights derived
     from user_id — the custom-aggregate shape SQL can't express without a
-    rewrite (oracle does the rewrite: SUM(v*w)/SUM(w))."""
+    rewrite (oracle does the rewrite: SUM(v*w)/SUM(w), both sides over
+    observed in-domain values per the class-L measure contract)."""
     ev = load(spark, sf_dir, "events").withColumn(
         "w", (1 + F.col("user_id") % 10).cast("double")
     )
@@ -129,13 +149,17 @@ def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
 SELECT event_id, event_type,
        ROUND((value - AVG(value) OVER (PARTITION BY event_type))
              / stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z
-FROM events
+FROM events WHERE abs(value) < 1e21
 """)
 def q_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped map (row 70): per-event-type z-score.  Whole
     group as one pandas frame (the contract that enables sklearn-style
-    per-group logic); oracle is the equivalent window SQL."""
-    ev = load(spark, sf_dir, "events")
+    per-group logic); oracle is the equivalent window SQL.  Class-L:
+    in-domain values only — one Inf makes DuckDB's stddev hard-error
+    where pandas yields NaN, and a quarantined value must not shift a
+    group's mean."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.abs(F.col("value")) < F.lit(1e21))
     return ev.groupBy("event_type").applyInPandas(
         _zscore, schema="event_id long, event_type string, z double"
     )
@@ -148,17 +172,24 @@ def q_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_udtf_map_iter", oracle="""
 SELECT event_id, value, value * value AS value_sq
 FROM events
-WHERE event_type = 'purchase' AND value > 100.0
+WHERE event_type = 'purchase' AND value > 100.0 AND abs(value) < 1e21
 """)
 def q_udtf_map_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas (row 71): streaming iterator of Arrow batches — filter +
     derive without materializing a partition at once (constant memory at
     100 TB).  Filter applied Python-side on purpose; the JVM-side
-    event_type predicate still pushes to the scan."""
+    event_type predicate still pushes to the scan.
+
+    Class-L seam this query exists to pin: Python comparisons are IEEE
+    (NaN > 100 is False) while both SQL engines TOTAL-ORDER NaN greatest
+    (NaN > 100 is TRUE) — a bare `value > 100` filter keeps different
+    rowsets in Python vs SQL the moment a true NaN arrives.  The
+    declared in-domain conjunct closes the gap identically on all three
+    runtimes."""
 
     def flt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keep = pdf[pdf["value"] > 100.0]
+            keep = pdf[(pdf["value"] > 100.0) & (pdf["value"].abs() < 1e21)]
             yield pd.DataFrame({
                 "event_id": keep["event_id"],
                 "value": keep["value"],
@@ -197,8 +228,8 @@ def q_udtf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_udf_register_sql", oracle="""
 SELECT event_id,
-       CASE WHEN value IS NULL THEN NULL
-            ELSE least(value, 250.0) END AS value_clipped
+       CASE WHEN abs(value) < 1e21
+            THEN least(value, 250.0) END AS value_clipped
 FROM events
 """)
 def q_udf_register_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,11 +239,18 @@ def q_udf_register_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     Null-measure policy: clipping a missing value yields NULL, preserved
     IN the UDF via the nullable Float64 extension dtype (a plain float64
     return carries the null back as NaN — rendered 'NaN', not NULL —
-    while DuckDB's least() SKIPS the NULL and would emit 250.0)."""
+    while DuckDB's least() SKIPS the NULL and would emit 250.0).
+    Class-L extends the same policy to out-of-domain values: a true NaN
+    sails through .clip() and would render 'NaN' where the oracle's
+    least() yields nan-vs-250 engine soup — the UDF masks everything
+    outside the measure domain to NA (abs(NaN) < 1e21 is False in
+    pandas, so one predicate covers NaN/±Inf/garbage)."""
 
     @pandas_udf("double")
     def clip250(v: pd.Series) -> pd.Series:
-        return v.clip(upper=250.0).astype("Float64")
+        out = v.clip(upper=250.0).astype("Float64")
+        out[~(v.abs() < 1e21)] = pd.NA
+        return out
 
     spark.udf.register("clip250", clip250)
     load(spark, sf_dir, "events").createOrReplaceTempView("events_v")
@@ -228,18 +266,26 @@ def q_udf_register_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_udtf_map_arrow", oracle="""
 SELECT event_id, CAST(floor(value) AS BIGINT) AS value_floor
 FROM events
-WHERE event_type = 'view'
+WHERE event_type = 'view' AND abs(value) < 1e18
 """)
 def q_udtf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow: operate on raw pyarrow RecordBatches — skips the
     Arrow→pandas conversion entirely, the fastest Python tier for
     columnar-in/columnar-out work (the shape multimodal decode uses when
-    the codec takes buffers, not Series)."""
+    the codec takes buffers, not Series).  Class-L: the floor must fit
+    int64, and pyarrow's checked cast throws on NaN/Inf exactly like the
+    ANSI engines — rows outside the bin domain (abs < 1e18, the benford
+    bound) are filtered in the SAME Arrow batch pass (arrow comparisons
+    are IEEE: NaN < x is false; nulls drop explicitly via fill_null)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     def floors(batches):
         for batch in batches:
+            ok = pc.fill_null(
+                pc.less(pc.abs(batch.column("value")), pa.scalar(1e18)),
+                False)
+            batch = batch.filter(ok)
             yield pa.RecordBatch.from_arrays(
                 [batch.column("event_id"),
                  pc.cast(pc.floor(batch.column("value")), pa.int64())],
