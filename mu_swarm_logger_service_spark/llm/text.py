@@ -1655,24 +1655,40 @@ def _bpe_train_oracle(n_rounds: int) -> str:
   SELECT w AS word, COUNT(*) AS freq FROM (
     SELECT unnest(string_split(text, ' ')) AS w FROM documents)
   WHERE w != '' GROUP BY w
-), s0 AS (
-  SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS s, freq FROM words)"""
+), s0 AS MATERIALIZED (
+  -- word rides the whole chain (the Spark side's discipline): the apply
+  -- oracle used to RECONSTRUCT the word from the marked form, which
+  -- breaks the vocab join for tokens containing newlines ('(.)' does
+  -- not match \n in either engine, so '<\t>\n' strips back to '\t') or
+  -- literal '<'/'>' characters — a class-J whitespace-doc find masked
+  -- for a round by this oracle's own 20-minute lateral-unnest form
+  SELECT word, regexp_replace(word, '(.)', '<\1>', 'g') AS s, freq
+  FROM words)"""
     selects = []
     for r in range(1, n_rounds + 1):
+        # p{r}: zipped slice-unnests, never `sy, unnest(range(..)) ..
+        # syms[i]` — the lateral copies the symbol list per position
+        # (O(L^2) on a class-J 100k-char token; measured 20 min), and
+        # each s{r} is MATERIALIZED because two consumers (sy{r+1},
+        # s{r+1}) would otherwise re-evaluate the whole replace chain
+        # per round (the recursive-CTE-inlining trap, non-recursive form)
         sql += f""",
 sy{r} AS (
   SELECT string_split(substr(s, 2, length(s) - 2), '><') AS syms, freq
   FROM s{r - 1}
 ), p{r} AS (
-  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i + 1 AS INT)] AS b,
-         CAST(SUM(freq) AS BIGINT) AS cnt
-  FROM sy{r}, unnest(range(1, len(syms))) AS u(i)
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(syms[1:len(syms) - 1]) AS a,
+           unnest(syms[2:len(syms)]) AS b, freq
+    FROM sy{r}
+  )
   GROUP BY 1, 2
 ), t{r} AS (
   SELECT {r} AS merge_round, a, b, cnt FROM p{r}
   ORDER BY cnt DESC, a, b LIMIT 1
-), s{r} AS (
-  SELECT replace(s, '<' || t.a || '><' || t.b || '>',
+), s{r} AS MATERIALIZED (
+  SELECT word, replace(s, '<' || t.a || '><' || t.b || '>',
                  '<' || t.a || t.b || '>') AS s, freq
   FROM s{r - 1}, t{r} t)"""
         selects.append(
@@ -1755,14 +1771,12 @@ def _bpe_apply_oracle(n_rounds: int) -> str:
     train = _bpe_train_oracle(n_rounds)
     chain = train.split("\nSELECT merge_round")[0]  # CTE prefix only
     return chain + f""",
-vocab AS (
-  SELECT substr(s, 2, length(s) - 2) AS stripped,
-         len(string_split(substr(s, 2, length(s) - 2), '><')) AS n_tokens,
-         s
+word_tokens AS (
+  -- join on the CARRIED word (see the s0 chain comment): reconstruction
+  -- from the marked form corrupts words containing newlines or '<'/'>'
+  SELECT word,
+         len(string_split(substr(s, 2, length(s) - 2), '><')) AS n_tokens
   FROM s{n_rounds}
-), word_tokens AS (
-  SELECT replace(replace(stripped, '><', ''), '>', '') AS word, n_tokens
-  FROM vocab
 ), occurrences AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
 )
@@ -1901,18 +1915,25 @@ WITH docs AS (
          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
   FROM dl
 ), qpos AS (
-  SELECT d.doc_id AS q_id, d.tok[i] AS term, MIN(i) AS first_pos
-  FROM docs d, UNNEST(range(1, len(d.tok) + 1)) t(i)
-  WHERE d.doc_id % 125 = 0
-  GROUP BY 1, 2
+  -- zip-unnest, never a lateral: DuckDB does NOT push a WHERE below a
+  -- lateral UNNEST and copies the row's list per generated element, so
+  -- `docs d, UNNEST(range(..)) .. tok[i] WHERE d.doc_id % 125 = 0`
+  -- laterals over EVERY doc (multi-MB class-J lists included) at
+  -- O(T a copy) per position — measured 20 min; this form is 0.2 s
+  SELECT doc_id AS q_id, term, MIN(i) AS first_pos
+  FROM (
+    SELECT doc_id, unnest(tok) AS term,
+           unnest(range(1, len(tok) + 1)) AS i
+    FROM docs WHERE doc_id % 125 = 0
+  ) GROUP BY 1, 2
 ), qterms AS (
   SELECT q_id, term FROM qpos
   QUALIFY row_number() OVER (PARTITION BY q_id
                              ORDER BY first_pos, term) <= 3
-), postings AS (
-  SELECT d.doc_id, u.term, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM docs d, UNNEST(d.tok) u(term)
-  WHERE u.term IN (SELECT DISTINCT term FROM qterms)
+), postings AS MATERIALIZED (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tok) AS term FROM docs)
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
   GROUP BY 1, 2
 ), df AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY 1
@@ -2042,9 +2063,19 @@ WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS arr FROM documents
   WHERE len(string_split(text, ' ')) >= 3
 ), sh AS (
-  SELECT doc_id, i + 1 AS pos, len(arr) - 2 AS n,
-         md5(arr[i + 1] || ' ' || arr[i + 2] || ' ' || arr[i + 3]) AS h
-  FROM toks, UNNEST(range(0, len(arr) - 2)) AS t(i)
+  -- zipped slice-unnests, never a lateral range + arr[i+j]: the lateral
+  -- copies the whole (possibly multi-MB) list per shingle position —
+  -- O(T^2) bytes (the bm25 qpos mechanism); three aligned slices unnest
+  -- in lockstep and each slice is copied ONCE per doc
+  SELECT doc_id, pos, n, md5(w1 || ' ' || w2 || ' ' || w3) AS h
+  FROM (
+    SELECT doc_id, len(arr) - 2 AS n,
+           unnest(range(1, len(arr) - 1)) AS pos,
+           unnest(arr[1:len(arr) - 2]) AS w1,
+           unnest(arr[2:len(arr) - 1]) AS w2,
+           unnest(arr[3:len(arr)]) AS w3
+    FROM toks
+  )
 ), keyed AS (
   SELECT doc_id, pos, n,
          h || lpad(CAST(1000000 - pos AS VARCHAR), 7, '0') AS key
@@ -2362,9 +2393,11 @@ def q_llm_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_llm_span_corruption", oracle="""
 WITH toks AS (
-  SELECT doc_id, i - 1 AS pos, string_split(text, ' ')[i] AS tok
-  FROM documents,
-       UNNEST(range(1, len(string_split(text, ' ')) + 1)) t(i)
+  -- zip-unnest, never a lateral range + split[i]: the lateral form
+  -- RE-SPLITS the document and copies the token list per position —
+  -- O(T^2), 20 min on multi-MB class-J docs (the bm25 qpos mechanism)
+  SELECT doc_id, unnest(range(0, len(arr))) AS pos, unnest(arr) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
 ), flagged AS (
   SELECT *, ascii(substr(md5(CAST(doc_id AS VARCHAR) || '|'
                              || CAST(pos AS VARCHAR)), 1, 1)) % 5 = 0 AS m
