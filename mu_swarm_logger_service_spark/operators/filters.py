@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..core.numeric import epoch_s
+from ..core.numeric import epoch_s, measure
 from ..core.registry import query
 from ..core.tables import load
 
@@ -117,7 +117,8 @@ def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_values_inline", oracle="""
 SELECT v.event_type, v.weight, COUNT(*) AS n,
-       CAST(SUM(CAST(value * v.weight AS DECIMAL(27,6))) AS DOUBLE)
+       CAST(SUM(CAST((CASE WHEN abs(value) < 1e21 THEN value END)
+                     * v.weight AS DECIMAL(27,6))) AS DOUBLE)
          AS weighted_value
 FROM events e
 JOIN (VALUES ('click', 1.0), ('purchase', 5.0), ('error', 0.5))
@@ -138,6 +139,8 @@ def q_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(values), "event_type")
         .groupBy("event_type", "weight")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.sum((F.col("value") * F.col("weight")).cast("decimal(27,6)"))
+             # measure(): class-L gate before the decimal cast
+             F.sum((measure(F.col("value")) * F.col("weight"))
+                   .cast("decimal(27,6)"))
              .cast("double").alias("weighted_value"))
     )
