@@ -141,9 +141,22 @@ EXPORT_FIRST: tuple[str, ...] = (
 # r13 window suggestion: re-derive stalest-first at activation (the
 # derivation lives in round notes / tools/rotate_window.py's accounting;
 # with never-checked=0 the window is simply the 50 keys whose latest green
-# driver row is oldest, excluding the r12 window above).  Fold in first:
-# any key whose SEMANTICS change during r12 (the q_win_topk_group
-# precedent — a policy fix makes a fresh row stale) and any r12 hard-reds.
+# driver row is oldest, excluding the r12 window above).  Fold in FIRST:
+# the trap-class-L measure-domain policy (r12, commits 1403a32..1a54059)
+# changed observable semantics for ~52 keys — every dsum/davg consumer
+# plus the 46 first-contact fixes (aggregates: distinct/stats/percentile/
+# salted/winsorize/linreg/ab_ttest/anova/skew_kurtosis/equidepth_hist;
+# analytics: abc/hhi/mann_whitney/ks_test/cohort_ltv/did/power/
+# price_index/large_orders/benford; win frame_rows/time_range;
+# ts histogram/cross_corr/kendall; fn math/cast/format; sql surface/
+# unpivot; cdc incremental_agg/join_ivm; sources accesslog/log_templates/
+# container_logs; sparql aggregate/union; stream session/stateful/
+# foreachbatch/static_join; udx all six; values_inline) and the five
+# de-whaled llm oracles (bm25_topk/winnowing/span_corruption/bpe_train/
+# bpe_apply — bpe_apply's vocab join also changed values on hostile
+# content).  Most of these keys' driver rows predate the policy (the
+# q_win_topk_group precedent); prioritize the ones whose r12 row is
+# absent or pre-r10, then any r12 hard-reds.
 
 # The driver's CORRECTNESS window is 50 rows; a 51st pin would silently push
 # the last key out of the claimed evidence window.

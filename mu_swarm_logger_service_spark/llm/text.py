@@ -2173,11 +2173,19 @@ WITH minted AS (
 )
 SELECT doc_id,
        regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
-       trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         html, '<script.*?</script>', ' ', 'g'),
-               '<!--.*?-->', ' ', 'g'),
-               '<[^>]*>', ' ', 'g'),
-               ' +', ' ', 'g')) AS visible_text,
+       -- unicode-whitespace collapse + edge strip (the NORM_TEXT_SQL
+       -- pair), never trim(): DuckDB's trim strips Unicode whitespace
+       -- while Spark's strips ASCII space only — class-J whitespace
+       -- storms split the two on exactly the trailing EM/IDEOGRAPHIC
+       -- spaces (found at sf0.001 density, r12)
+       regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(
+           html, '<script.*?</script>', ' ', 'g'),
+                 '<!--.*?-->', ' ', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+         '[\\t\\n\\r\\x{0B}\\x{0C}\\x{85}\\x{2028}\\x{2029}\\p{Zs}]+',
+         ' ', 'g'),
+         '^ | $', '', 'g') AS visible_text,
        CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags
 FROM minted
 """)
@@ -2202,12 +2210,16 @@ def q_llm_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"), F.lit(" --></body></html>"),
     )
     minted = docs.select("doc_id", html.alias("html"))
-    stripped = F.trim(F.regexp_replace(F.regexp_replace(F.regexp_replace(
-        F.regexp_replace(F.col("html"), F.lit("<script.*?</script>"),
-                         F.lit(" ")),
-        F.lit("<!--.*?-->"), F.lit(" ")),
-        F.lit("<[^>]*>"), F.lit(" ")),
-        F.lit(" +"), F.lit(" ")))
+    # (?U)\s collapse + edge strip, never F.trim (ASCII-space-only) —
+    # the dedup.normalized_text whitespace discipline; see the oracle
+    # comment for the class-J trim seam this closes.
+    stripped = F.regexp_replace(F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.regexp_replace(
+            F.col("html"), F.lit("<script.*?</script>"), F.lit(" ")),
+            F.lit("<!--.*?-->"), F.lit(" ")),
+            F.lit("<[^>]*>"), F.lit(" ")),
+        F.lit(r"(?U)\s+"), F.lit(" ")),
+        F.lit("^ | $"), F.lit(""))
     return minted.select(
         "doc_id",
         F.regexp_extract("html", "<title>([^<]*)</title>", 1).alias("title"),
