@@ -1033,7 +1033,11 @@ def test_did_one_pass_one_row(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "Join" not in p
-    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in p
+    # r12 class-L measure-domain gate (abs(value) < 1e21) null-rejects
+    # value, so IsNotNull(value) joins the pushed set — a strictly better
+    # scan prune (extra row-group skip on all-null value chunks).
+    assert ("PushedFilters: [IsNotNull(event_type), IsNotNull(value), "
+            "EqualTo(event_type,purchase)]") in p
 
 
 def test_anova_one_scan_k_row_fold(spark, sf_dir):
