@@ -78,7 +78,12 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").withColumn(
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
-    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    # Static overwrite pinned at the write: the sink path is fixed, and a
+    # session leaked into dynamic partition-overwrite mode would make an
+    # empty-source overwrite keep a previous run's partitions.
+    (ev.write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
+     .partitionBy("event_date").parquet(out))
     # class K: read back with the writer's schema (an empty source writes
     # a layout with no part files — inference fails).  This also keeps
     # event_date a STRING on read-back instead of the inferred DATE.
@@ -102,7 +107,9 @@ def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
         "event_date", F.date_format("ts", "yyyy-MM-dd")
     )
     if not os.path.exists(marker):
-        ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+        (ev.write.mode("overwrite")
+         .option("partitionOverwriteMode", "static")
+         .partitionBy("event_date").parquet(out))
         open(marker, "w").close()
     # class K: hand the writer's schema to readers — an empty source
     # writes a layout schema inference cannot read.
@@ -745,6 +752,7 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ev.filter(F.pmod(F.col("event_id"), F.lit(8)) == s)
              .coalesce(1)
              .write.mode("overwrite" if s == 0 else "append")
+             .option("partitionOverwriteMode", "static")
              .partitionBy("day").parquet(debris))
         open(marker, "w").close()
     # class K: both layouts read back under the writer's schema (an
@@ -760,7 +768,9 @@ def q_layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_days = ev.select("day").distinct().count()
     (spark.read.schema(layout_schema).parquet(debris)
      .repartition(max(n_days, 1), "day")
-     .write.mode("overwrite").partitionBy("day").parquet(packed))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
+     .partitionBy("day").parquet(packed))
     after = (
         spark.read.schema(layout_schema).parquet(packed)
         .select("day", "event_id", F.input_file_name().alias("f"))

@@ -93,7 +93,13 @@ def q_sink_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SPARQL access pattern) prune 3/4 of the data at the directory level.
     part = triples.withColumn(
         "p_part", F.regexp_replace("p", "[^a-zA-Z]", "_"))
-    part.write.mode("overwrite").partitionBy("p_part").parquet(sink)
+    # Pin static overwrite AT THE WRITE (overrides session conf): the sink
+    # path is fixed, so a session left in dynamic partition-overwrite mode
+    # (e.g. by a rollup upsert) must not turn an empty-source overwrite
+    # into a no-op that serves a previous run's partitions.
+    (part.write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
+     .partitionBy("p_part").parquet(sink))
     # class K: read back with the WRITER's schema — a zero-row source
     # writes a layout with no part files, which schema inference cannot
     # read (UNABLE_TO_INFER_SCHEMA).  Every sink→read-back pair carries

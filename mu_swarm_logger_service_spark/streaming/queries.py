@@ -410,30 +410,42 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.filter(F.col("event_id") % 2 == 1).write.parquet(
         os.path.join(src, "half=1"))
 
+    # Session-mutable conf: set dynamic for the upsert's partition-scoped
+    # overwrites, but RESTORE the prior value afterwards — leaking
+    # dynamic mode into the shared session makes every later fixed-path
+    # ``mode("overwrite").partitionBy(...)`` of an EMPTY source rewrite
+    # zero partitions and silently serve stale data (found r12: flaky
+    # q_sink_triples empty-facts parity).
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    schema = ev.schema
-    upsert = rollup_upsert(spark, store)
-    # class K: pre-seed the store so it exists (with zero partitions)
-    # even when every micro-batch is empty and the upsert never writes.
-    (spark.createDataFrame([], ROLLUP_STORE_SCHEMA)
-     .write.mode("overwrite").partitionBy("event_date").parquet(store))
+    try:
+        schema = ev.schema
+        upsert = rollup_upsert(spark, store)
+        # class K: pre-seed the store so it exists (with zero partitions)
+        # even when every micro-batch is empty and the upsert never writes.
+        (spark.createDataFrame([], ROLLUP_STORE_SCHEMA)
+         .write.mode("overwrite").partitionBy("event_date").parquet(store))
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(src, "half=*"))
-        .writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = (
-        spark.read.schema(ROLLUP_STORE_SCHEMA).parquet(store)
-        .groupBy("event_date", "hour", "event_type")
-        .agg(F.sum("n").cast("long").alias("n"))
-        .localCheckpoint(eager=True)
-    )
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "half=*"))
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.schema(ROLLUP_STORE_SCHEMA).parquet(store)
+            .groupBy("event_date", "hour", "event_type")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode)
     for d in (src, store, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     return out

@@ -88,6 +88,27 @@ def test_empty_facts_parity(spark, empty_dir, duck_empty, key):
             allow_empty=True)
 
 
+def test_sink_overwrite_immune_to_dynamic_mode_leak(spark, empty_dir):
+    """A session leaked into partitionOverwriteMode=dynamic (e.g. by a
+    rollup upsert) must not let a fixed-path partitioned sink keep a
+    previous run's partitions when the source is empty: the write pins
+    static mode per-writer.  (r12 find: flaky q_sink_triples empty-facts
+    parity — spark=4 stale rows vs oracle=0.)"""
+    import __spark_entry__ as em
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    try:
+        # Populate the fixed sink path with REAL data first...
+        em.queries()["q_sink_triples"](spark, BASE).collect()
+        # ...then leak dynamic mode and re-run on the empty fixture.
+        spark.conf.set(key, "dynamic")
+        rows = em.queries()["q_sink_triples"](spark, empty_dir).collect()
+        assert rows == [], f"stale sink partitions survived: {rows}"
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_audit_expectations_vacuous_pass(spark, empty_dir):
     """The data-quality suite on an empty batch reports all rules
     passed with 0 violations — never NULL flags."""
