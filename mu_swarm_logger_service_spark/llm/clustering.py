@@ -428,15 +428,29 @@ def q_llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", (F.lit(1.0) / F.col("c")).alias("rank")
     )
     for _ in range(PR_ITERS):
+        # r12 optimization (guide §3.1/§2.4): the rank vector and the
+        # per-parent mass are CONTAINER-scale (one row per container id,
+        # bounded by fleet size — the same boundedness argument as the
+        # IVF fixed-K codebook broadcast), so broadcast them into their
+        # joins.  Per iteration only the fundamental parent-key
+        # aggregation shuffles — the "one shuffle on the parent key" the
+        # docstring claims, which the previous form missed (the edges⋈r
+        # join planned as a sort-merge shuffle).  Round-body plans
+        # (plans/r12/q_llm_pagerank_roundbody_*.txt): SortMergeJoin 1→0,
+        # Exchange 3→2 per iteration; interleaved A/B at sf0.1: old
+        # 1.008 s / new 0.977 s median (×0.97 — the win is plan shape,
+        # which compounds with graph size, not bench-scale wall).  On a
+        # graph whose rank vector outgrew a broadcast, drop the hints
+        # and the loop falls back to shuffled joins unchanged.
         mass = (
-            edges.join(r, edges.child == r.node)
+            edges.join(F.broadcast(r), edges.child == r.node)
             .groupBy(F.col("parent").alias("node"))
             .agg(F.sum(F.col("rank").cast("decimal(27,12)")).cast("double")
                  .alias("m"))
         )
         r = (
             nodes.crossJoin(F.broadcast(n))
-            .join(mass, "node", "left")
+            .join(F.broadcast(mass), "node", "left")
             .select(
                 "node",
                 (F.lit(1.0 - PR_DAMPING) / F.col("c")

@@ -301,6 +301,19 @@ def minhash_params(spark: SparkSession) -> tuple[int, int, int]:
     return n_perm, n_bands, n_perm // n_bands
 
 
+def minhash_sig_expr(tok_col, n_perm: int):
+    """MinHash signature Column over an ALREADY-MATERIALIZED token-array
+    column: ``transform(0..n-1, i -> array_min(transform(tok, t ->
+    xxhash64(t, i))))``.  Shared by minhash_signatures (which tokenizes
+    first) and callers that carry a token column of their own (the
+    tokenize-once q_llm_near_dedup path)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(tok_col, lambda t: F.xxhash64(t, i))),
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_perm: int = N_MINHASH,
                        keep: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, *keep, sig: array<long>[n_perm]) — MinHash over distinct
@@ -339,11 +352,7 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_MINHASH,
     tokd = docs.select(
         "doc_id", *keep,
         F.array_distinct(F.split("text", " ")).alias("_toks"))
-    raw_sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_perm - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("_toks"), lambda t: F.xxhash64(t, i))),
-    )
+    raw_sig = minhash_sig_expr(F.col("_toks"), n_perm)
     # The always-true size() guard is LOAD-BEARING: it makes _toks a
     # SECOND reference, and CollapseProject only refuses to inline a
     # non-cheap alias when it is referenced more than once — with a
@@ -397,7 +406,28 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     n_perm, n_bands, rows_per_band = minhash_params(spark)
     docs = spread(load(spark, sf_dir, "documents"))
-    sig = minhash_signatures(docs, n_perm, keep=("lang", "source"))
+    # Tokenize ONCE and materialize (r12 optimization, guide §8's
+    # "decide with small rows" discipline applied to the token arrays):
+    # the signature branch AND both verification join sides previously
+    # each re-scanned documents and re-ran array_distinct∘split — three
+    # full tokenizations and three spread exchanges of the corpus.  The
+    # checkpointed token table is the decision-pass intermediate: one
+    # scan, one tokenization, and the downstream branches read the
+    # materialized arrays.  Plan evidence (plans/r12/q_llm_near_dedup_
+    # {before,after}.txt): 3 parquet scans → 1 (in the checkpoint job;
+    # the final plan reads the token table 3×), Exchange 6 → 3.
+    # Interleaved A/B at sf0.1: old 2.235 s / new 2.106 s median
+    # (×0.94).  At 100 TB this is the "fingerprints written once"
+    # pattern (the token table is what a real pipeline would persist
+    # bucketed by doc_id).
+    tok_full = (
+        docs.select("doc_id", "lang", "source",
+                    F.array_distinct(F.split("text", " ")).alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    sig = tok_full.select(
+        "doc_id", "lang", "source",
+        minhash_sig_expr(F.col("tok"), n_perm).alias("sig"))
     bands = lsh_band_rows(sig, n_bands, rows_per_band,
                           keep=("lang", "source"))
     # Candidate pairs by grouping each LSH bucket and expanding a<b pairs
@@ -419,9 +449,7 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    tok = docs.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("tok")
-    )
+    tok = tok_full.select("doc_id", "tok")
     # Pin ONLY the second (compute-bearing) join's partition count: the
     # exact-intersect filter runs in the stage fed by the doc_b join, which
     # AQE would otherwise coalesce to one task at small SF (see

@@ -96,8 +96,25 @@ def q_llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = (docs.filter(F.col("lang").isNotNull())  # class G: tagged only
            .select("lang", F.explode(F.split("text", " ")).alias("token")))
-    tf = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("lang").alias("df"))
+    # r12 optimization (guide §2.3/§2.4): df ≡ COUNT(DISTINCT lang) per
+    # token is fully derivable from tf's (lang, token) grid, so derive it
+    # THERE instead of re-exploding the whole token stream a second time
+    # — the previous two-arm plan tokenized the corpus twice and shuffled
+    # the full per-token stream for df where the distinct (lang, token)
+    # pairs suffice.  tf is checkpointed because both the join arm and
+    # the df arm consume it (Spark has no CTE dedup — the reuse would
+    # otherwise recompute the explode per arm, the price-index/edge-set
+    # discipline).  Plan evidence (plans/r12/q_llm_tfidf_keywords_*.txt):
+    # parquet scans 3 → 1, Exchange 6 → 5 — the df arm's shuffle now
+    # carries pre-aggregated (lang, token) rows, not the raw token
+    # stream.  Interleaved A/B at sf0.1 is neutral-to-slightly-worse
+    # (old 0.438 s / new 0.468 s median, ×1.07 — the checkpoint
+    # materialization costs ~30 ms at this scale); kept because the
+    # eliminated pass + shuffle bytes scale with the corpus while the
+    # materialization scales with the (lang, token) grid.
+    tf = (tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=True))
+    df = tf.groupBy("token").agg(F.countDistinct("lang").alias("df"))
     n_langs = docs.select(F.countDistinct("lang").alias("n_langs"))
     scored = (
         tf.join(F.broadcast(df), "token")

@@ -82,8 +82,21 @@ def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     paths = frontier
     while True:
+        # PIN the broadcast of the edge relation (r12, guide §3.1): edges
+        # is CONTAINER-scale (one row per container id — bounded by the
+        # fleet size, not by event volume), so the per-round join should
+        # always be a map-side hash join on the frontier's partitions,
+        # never a two-sided shuffle.  At bench scale the planner already
+        # picks broadcast from the checkpointed stats (round-body plans
+        # in plans/r12/q_sparql_path_roundbody_*.txt are identical, and
+        # the interleaved A/B is neutral: old 1.360 s / new 1.432 s
+        # medians at sf0.1); the explicit hint removes the dependence on
+        # size ESTIMATES, which guide §3.1 calls out as unreliable — a
+        # stats-less replanning of this loop body must not degrade to
+        # SMJ-per-round.  If the edge relation ever outgrew a broadcast,
+        # drop the hint and the loop is unchanged.
         nxt = (
-            frontier.join(edges, frontier.dst == edges.child)
+            frontier.join(F.broadcast(edges), frontier.dst == edges.child)
             .select(frontier.src, F.col("parent").alias("dst"),
                     (frontier.depth + 1).alias("depth"))
             .localCheckpoint(eager=True)  # truncate lineage per round
