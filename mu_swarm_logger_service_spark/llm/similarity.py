@@ -1063,18 +1063,48 @@ def _moment_sums_sql() -> tuple[str, str]:
     return dsum_sql(_EMB_X_SQL), dsum_sql(f"({_EMB_X_SQL}) * ({_EMB_X_SQL})")
 
 
-def _moment_aggs() -> list:
-    """2·d decimal accumulators (Σx as s{i}, Σx² as q{i}) — the Spark-side
-    twin of _moment_sums_sql, shared by moments and whitening."""
+def _per_dim_moments(emb: DataFrame) -> DataFrame:
+    """(dim BIGINT, n, s, q) — per-dimension count and decimal sums (Σx,
+    Σx²), the Spark-side twin of _moment_sums_sql, shared by moments and
+    whitening.
+
+    r12 optimization (guide §1.2 step 1 + §2.3): the previous form was
+    ONE global aggregate with 2·d = 128 wide-decimal accumulators.  257
+    buffer fields exceed spark.sql.codegen.maxFields (100), so the whole
+    aggregate ran INTERPRETED — measured 1.50 s for 500 rows at sf0.01
+    (~3 ms/row), the #2 whale in the full-registry audit.  This form
+    explodes to (dim, x) and groups by dim: THREE codegen'd aggregate
+    expressions, map-side partial aggregation, and the shuffle carries
+    d rows per map partition (tiny at any corpus size) — measured
+    0.237 s for the same statistics, ×6.  Decimal addition is exact and
+    associative, so regrouping the same per-element terms yields
+    bit-identical s/q (and n is the vector count for every dim because
+    the sequence mints exactly d slots per row — identical to the old
+    global COUNT(*)).
+
+    The per-element expression is EXACTLY the old accumulator's:
+    CAST(element_at(embedding, i) AS DOUBLE) then the DEC cast — same
+    ANSI behavior on short vectors, same NULL-skip in SUM."""
     from ..core.numeric import DEC
 
-    el = lambda i: F.element_at("embedding", i + 1).cast("double")  # noqa: E731
-    aggs = []
-    for i in range(_EMB_DIM):
-        aggs.append(F.sum(el(i).cast(DEC)).cast("double").alias(f"s{i}"))
-        aggs.append(F.sum((el(i) * el(i)).cast(DEC)).cast("double")
-                    .alias(f"q{i}"))
-    return aggs
+    x = F.col("x")
+    return (
+        emb.select(F.posexplode(F.expr(
+            f"transform(sequence(1, {_EMB_DIM}), "
+            f"i -> CAST(element_at(embedding, i) AS DOUBLE))"
+        )).alias("dim", "x"))
+        # cast in a PROJECT, then group on the plain column — grouping on
+        # the cast expression would hide the key behind an opaque
+        # _groupingexpression alias (the q_agg_spearman aliased-key
+        # gotcha) and defeat downstream partitioning recognition.
+        .select(F.col("dim").cast("long").alias("dim"), "x")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(DEC)).cast("double").alias("s"),
+            F.sum((x * x).cast(DEC)).cast("double").alias("q"),
+        )
+    )
 
 
 def _moments_oracle() -> str:
@@ -1098,35 +1128,31 @@ def q_llm_embed_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     standardization / whitening-prep statistics every embedding pipeline
     computes before normalization, PCA, or drift monitoring.
 
-    ONE corpus pass: 2·d decimal accumulators (Σx, Σx² per dimension) in
-    a single-row aggregate — map-side partials shrink the shuffle to one
-    128-value row regardless of corpus size — then a d-way stack() into
-    report rows.  The naive explode-to-(row, dim) form would shuffle
-    n·d rows; this shuffles 1.  (A full d×d Gram/covariance at scale
-    would extend the same pattern with per-partition numpy partials via
-    mapInPandas; the d diagonal moments are the exactly-oracle-checkable
-    core.)
+    ONE corpus pass: explode to (dim, x) and aggregate decimal Σx / Σx²
+    by dim — map-side partial aggregation reduces the shuffle to d tiny
+    partial rows per map partition regardless of corpus size, and the
+    three aggregate expressions stay inside whole-stage codegen (the
+    r12 audit measured the previous 128-wide-accumulator single-row
+    form running INTERPRETED at ~3 ms/row because 257 buffer fields
+    exceed codegen.maxFields; see _per_dim_moments).  (A full d×d
+    Gram/covariance at scale would extend the same pattern with
+    per-partition numpy partials via mapInPandas; the d diagonal
+    moments are the exactly-oracle-checkable core.)
 
     Determinism: float32 → double casts are exact, squares of 24-bit
     mantissas fit doubles exactly, and all sums run through the decimal
-    path (core/numeric) — order-independent, bit-identical cross-engine;
-    mean/var are then fixed-shape IEEE expressions over identical bits.
+    path (core/numeric) — order-independent, bit-identical cross-engine
+    under ANY grouping of the same terms; mean/var are then fixed-shape
+    IEEE expressions over identical bits.
+
+    class K: an EMPTY (or fully invalid-vector) corpus emits no rows —
+    the oracle's unnest-join over zero vectors produces nothing, and
+    the per-dim rows here are data-driven (the old stack() enumeration
+    needed an explicit n > 0 gate; exploding zero rows needs none).
     """
-    emb = load_vec(spark, sf_dir)
-    stats = emb.agg(F.count(F.lit(1)).alias("n"), *_moment_aggs())
-    stacked = stats.select(
-        "n",
-        F.expr("stack(%d, %s) AS (dim, s, q)" % (
-            _EMB_DIM,
-            ", ".join(f"CAST({i} AS BIGINT), s{i}, q{i}"
-                      for i in range(_EMB_DIM)))),
-    )
+    per_dim = _per_dim_moments(load_vec(spark, sf_dir))
     mean = F.col("s") / F.col("n")
-    # class K: an EMPTY (or fully invalid-vector) corpus emits no rows —
-    # the oracle's unnest-join over zero vectors produces nothing, while
-    # the stack() enumeration would mint 64 all-NULL dimension rows.
-    # Moments of zero observations are no observation, not a row.
-    return stacked.filter(F.col("n") > 0).select(
+    return per_dim.select(
         "dim", "n", mean.alias("mean"),
         (F.col("q") / F.col("n") - mean * mean).alias("var"),
     )
@@ -1175,27 +1201,39 @@ def q_llm_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything distance-based (kNN, clustering, drift detection), using the
     same one-pass moment statistics as q_llm_embed_moments.
 
-    Scale shape: the statistics reduce to ONE row (2·d decimal
-    accumulators, map-side partials), which then rides a broadcast onto a
-    second corpus pass that whitens each vector with a narrow zip_with —
-    the classic two-pass fit/transform split.  The corpus is scanned
-    twice but never shuffled; at 100 TB the fit row would be persisted
-    and reused across transform runs.
+    Scale shape: the statistics reduce per-dimension (map-side partial
+    aggregation, d tiny rows per partition) and fold to ONE row of
+    d-sorted arrays, which then rides a broadcast onto a second corpus
+    pass that whitens each vector with a narrow zip_with — the classic
+    two-pass fit/transform split.  The corpus itself is never
+    hash-shuffled; at 100 TB the fit row would be persisted and reused
+    across transform runs.
 
     Emitted: the first two whitened coordinates (rounded, +0.0 for the
     −0.0 gotcha) and the whitened L2 norm via the order-stable left
     fold, so the oracle checks both a point value and a full-vector
     reduction per row."""
     emb = load_vec(spark, sf_dir)
-    stats = emb.agg(F.count(F.lit(1)).alias("n"), *_moment_aggs()).select(
-        F.array(*[(F.col(f"s{i}") / F.col("n")).alias(f"m{i}")
-                  for i in range(_EMB_DIM)]).alias("means"),
-        F.array(*[
-            (F.lit(1.0) / F.sqrt(
-                F.col(f"q{i}") / F.col("n")
-                - (F.col(f"s{i}") / F.col("n")) * (F.col(f"s{i}") / F.col("n"))
-                + F.lit(float(_WHITEN_EPS)))).alias(f"i{i}")
-            for i in range(_EMB_DIM)]).alias("isds"),
+    # Fit: per-dim decimal moments (see _per_dim_moments — the r12
+    # codegen-fallback fix), folded to ONE row of d-sorted means/isds
+    # arrays.  collect_list over d=64 partial rows is driver-trivial;
+    # array_sort on the (dim, s, q, n) structs orders by the unique
+    # leading dim, so the arrays index exactly as the old F.array(...)
+    # construction did.  The mean / inverse-sd expressions are the same
+    # fixed IEEE shapes over the same decimal-sum bits as before.
+    eps = F.lit(float(_WHITEN_EPS))
+    per_dim = _per_dim_moments(emb)
+    stats = per_dim.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "n", "s", "q")))
+        .alias("pd")
+    ).select(
+        F.transform("pd", lambda p: p["s"] / p["n"]).alias("means"),
+        F.transform(
+            "pd",
+            lambda p: F.lit(1.0) / F.sqrt(
+                p["q"] / p["n"]
+                - (p["s"] / p["n"]) * (p["s"] / p["n"]) + eps),
+        ).alias("isds"),
     )
     wh = (
         emb.crossJoin(F.broadcast(stats))

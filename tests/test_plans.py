@@ -539,22 +539,33 @@ def test_k_anonymity_single_aggregation_no_join(spark, sf_dir):
     assert "Join" not in p
 
 
-def test_embed_moments_one_scan_one_row_shuffle(spark, sf_dir):
-    """The moment statistics must be ONE corpus scan reduced map-side to a
-    single row — no join, no key shuffle (the explode-to-(row,dim) form
-    would hashpartition n·d rows)."""
+def test_embed_moments_one_scan_dim_partials_only(spark, sf_dir):
+    """The moment statistics must be ONE corpus scan reduced map-side to
+    d partial rows per partition, shuffled ONLY on the dim key — never a
+    shuffle that scales with the corpus, never a join.  (r12: the old
+    128-wide-accumulator single-row form was pinned at zero shuffles,
+    but 257 aggregate-buffer fields exceed codegen.maxFields so it ran
+    interpreted at ~3 ms/row; the per-dim partial-aggregation form is
+    ×6 and its dim shuffle is d rows per map partition — see
+    llm/similarity._per_dim_moments.)"""
     p = _plan(spark, sf_dir, "q_llm_embed_moments")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
-    assert p.count("hashpartitioning(") == 0
+    assert p.count("hashpartitioning(dim") == 1
+    assert p.count("hashpartitioning(") == 1      # ...and no other key
+    # partial + final aggregate pair around the dim exchange
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
     assert "Join" not in p
 
 
 def test_embed_whiten_broadcasts_stats_never_shuffles_corpus(spark, sf_dir):
-    """Fit/transform split: the 1-row stats side must ride a broadcast
-    onto the transform scan; the corpus itself is never hash-shuffled."""
+    """Fit/transform split: the stats side (per-dim partials → one row of
+    d-sorted arrays) must ride a broadcast onto the transform scan; the
+    corpus itself is never hash-shuffled (the only hashpartitioning is
+    the d-row dim-partial exchange inside the fit side)."""
     p = _plan(spark, sf_dir, "q_llm_embed_whiten")
     assert "BroadcastExchange" in p
-    assert p.count("hashpartitioning(") == 0
+    assert p.count("hashpartitioning(dim") == 1
+    assert p.count("hashpartitioning(") == 1
 
 
 def test_gini_windows_over_rollup_not_orders(spark, sf_dir):
