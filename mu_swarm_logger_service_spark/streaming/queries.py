@@ -28,6 +28,7 @@ import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -222,19 +223,54 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming-executed queries: real micro-batch jobs inside the query fn.
 # ---------------------------------------------------------------------------
 
+@contextmanager
+def _state_shuffle_scope(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` to the lifetime of ONE
+    stream run (r12, guide §2.2).
+
+    Streaming stages have no AQE (Spark disables it for stateful
+    workloads), so a stateful stream mints exactly
+    ``spark.sql.shuffle.partitions`` state-store partitions at checkpoint
+    birth and schedules that many tasks — each a pandas state-fold worker
+    round-trip — EVERY micro-batch.  Inheriting the session's batch
+    constant is the wrong number at both ends (Spark's default 200 on an
+    untuned session: measured 14.4 s for the heavy-hitters stream at
+    sf0.01 vs 3.5 s at 32 vs 1.8 s at 8 — pure task scheduling on a toy
+    batch; a fixed small number would starve a real cluster).  Default =
+    ``defaultParallelism`` (total cores — the first-order state-partition
+    sizing, which grows with the cluster); deployments with hotter key
+    cardinality set ``spark.mu_swarm.stream.statePartitions`` explicitly.
+    Applies only to NEW checkpoints — Spark pins the count inside an
+    existing checkpoint lineage (all checkpoints here are fresh mkdtemp).
+    Conf restored in ``finally`` — the rollup partition-overwrite-mode
+    leak (fixed earlier this round) is the cautionary tale for scoped
+    session conf."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    target = spark.conf.get(
+        "spark.mu_swarm.stream.statePartitions",
+        str(spark.sparkContext.defaultParallelism))
+    spark.conf.set(key, target)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming DF to a memory sink with AvailableNow; return the
     final table as a batch DataFrame."""
     name = f"t_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
-    q = (
-        df.writeStream.format("memory").queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle_scope(df.sparkSession):
+        q = (
+            df.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     spark = df.sparkSession
     out = spark.table(name).localCheckpoint(eager=True)  # detach from sink
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -288,14 +324,15 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf.write.mode("overwrite").parquet(os.path.join(sink, f"batch={batch_id}"))
 
-    q = (
-        X.stream_events(spark, sf_dir, max_files_per_trigger=1)
-        .writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle_scope(spark):
+        q = (
+            X.stream_events(spark, sf_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     back = spark.read.parquet(os.path.join(sink, "batch=*"))
     out = (
         back.groupBy("event_type")
@@ -427,16 +464,17 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (spark.createDataFrame([], ROLLUP_STORE_SCHEMA)
          .write.mode("overwrite").partitionBy("event_date").parquet(store))
 
-        q = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(src, "half=*"))
-            .writeStream.foreachBatch(upsert)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_shuffle_scope(spark):
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(src, "half=*"))
+                .writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         out = (
             spark.read.schema(ROLLUP_STORE_SCHEMA).parquet(store)
             .groupBy("event_date", "hour", "event_type")
@@ -487,14 +525,15 @@ def q_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.write.mode("overwrite").parquet(
             os.path.join(sink, f"batch={batch_id}"))
 
-    q = (
-        X.stream_events(spark, sf_dir, max_files_per_trigger=1)
-        .writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle_scope(spark):
+        q = (
+            X.stream_events(spark, sf_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     back = spark.read.parquet(os.path.join(sink, "batch=*"))
     out = (
         back.groupBy("day")
@@ -536,16 +575,17 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            .write.mode("overwrite").parquet(
                os.path.join(sink, f"batch={batch_id}"))
 
-    q = (
-        mg_sketch_stateful(X.stream_events(spark, sf_dir,
-                                           max_files_per_trigger=1))
-        .writeStream.outputMode("update")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle_scope(spark):
+        q = (
+            mg_sketch_stateful(X.stream_events(spark, sf_dir,
+                                               max_files_per_trigger=1))
+            .writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     from pyspark.sql import Window as W
 
     from ..operators.sketches import mg_merge
@@ -599,16 +639,18 @@ def q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
            .write.mode("overwrite").parquet(
                os.path.join(sink, f"batch={batch_id}"))
 
-    q = (
-        holt_stateful(X.stream_events(spark, sf_dir, max_files_per_trigger=1)
-                      .filter(F.col('event_type').isNotNull()))
-        .writeStream.outputMode("update")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle_scope(spark):
+        q = (
+            holt_stateful(X.stream_events(spark, sf_dir,
+                                          max_files_per_trigger=1)
+                          .filter(F.col('event_type').isNotNull()))
+            .writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     from pyspark.sql import Window as W
 
     snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
@@ -685,14 +727,15 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         b.unpersist()
 
-    q = (
-        X.stream_events(spark, sf_dir, max_files_per_trigger=1)
-        .writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle_scope(spark):
+        q = (
+            X.stream_events(spark, sf_dir, max_files_per_trigger=1)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     merged = kmv_bottomk(
         spark.read.parquet(os.path.join(sink, "kmv/batch=*")),
@@ -812,13 +855,14 @@ def _run_cdc_apply(spark: SparkSession, stream: DataFrame,
             os.path.join(state_dir, f"v{1 - version[0]}"))
         version[0] = 1 - version[0]
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle_scope(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     final = spark.read.parquet(os.path.join(state_dir, f"v{version[0]}"))
     return final.filter(F.col("op") != "delete").select(
         "user_id",
@@ -862,16 +906,18 @@ def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
            .write.mode("overwrite").parquet(
                os.path.join(sink, f"batch={batch_id}"))
 
-    q = (
-        hw_stateful(X.stream_events(spark, sf_dir, max_files_per_trigger=1)
-                    .filter(F.col('event_type').isNotNull()))
-        .writeStream.outputMode("update")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle_scope(spark):
+        q = (
+            hw_stateful(X.stream_events(spark, sf_dir,
+                                        max_files_per_trigger=1)
+                        .filter(F.col('event_type').isNotNull()))
+            .writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     from pyspark.sql import Window as W
 
     snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
@@ -935,17 +981,18 @@ def q_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
            .write.mode("overwrite").parquet(
                os.path.join(sink, f"batch={batch_id}"))
 
-    q = (
-        pattern_stateful(
-            X.stream_events(spark, sf_dir, max_files_per_trigger=1)
-            .filter(F.col("user_id").isNotNull()))
-        .writeStream.outputMode("update")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle_scope(spark):
+        q = (
+            pattern_stateful(
+                X.stream_events(spark, sf_dir, max_files_per_trigger=1)
+                .filter(F.col("user_id").isNotNull()))
+            .writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     from pyspark.sql import Window as W
 
     snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
@@ -992,16 +1039,17 @@ def q_stream_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            .write.mode("overwrite").parquet(
                os.path.join(sink, f"batch={batch_id}"))
 
-    q = (
-        burstiness_stateful(
-            X.stream_events(spark, sf_dir, max_files_per_trigger=1))
-        .writeStream.outputMode("update")
-        .foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_shuffle_scope(spark):
+        q = (
+            burstiness_stateful(
+                X.stream_events(spark, sf_dir, max_files_per_trigger=1))
+            .writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     from pyspark.sql import Window as W
 
     snaps = spark.read.parquet(os.path.join(sink, "batch=*"))
