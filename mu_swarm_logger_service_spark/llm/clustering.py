@@ -1227,6 +1227,43 @@ LP_HUB_CAP = 100  # parts bought by more customers than this are hubs
 LP_MASK_PCT = 3   # ascii(md5) % 10 < 3  →  ~30% of nodes unlabeled
 
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str,
+                      hub_cap: int) -> DataFrame:
+    """Directed co-purchase pair stream (c1, c2) — customers sharing a
+    non-hub part, one row per shared (part, pair) — the edge builder the
+    whole graph family (label prop / k-core / modularity) runs on.
+
+    r12 (guide §1.2 + the 3+-plan-arm materialization discipline): the
+    distinct (customer, part) set feeds THREE arms — the hub census and
+    both sides of the pair self-join — and Spark re-derived the
+    fact-sized join+distinct per arm (label_prop's committed plan
+    scanned parquet 8×).  One eager localCheckpoint of cp makes the
+    fact pass run ONCE; measured on label_prop at sf0.1: 16.2→5.6 s
+    first-touch, 5.8→4.3 s warm, values identical.  At 100 TB cp IS
+    the co-purchase projection a real pipeline persists before any
+    graph work.
+
+    Hub-pruning BOTH join arms (the equi-key makes a-side-only pruning
+    equivalent — every joined pair already has p ∈ parts_ok) shrinks
+    the b-side shuffle by the hub fraction before the pair expansion
+    (guide §3.4 pre-filter-the-big-side)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_partkey").alias("p"))
+          .distinct()
+          .localCheckpoint(eager=True))
+    parts_ok = (cp.groupBy("p").agg(F.count(F.lit(1)).alias("nc"))
+                .filter(F.col("nc") <= hub_cap).select("p"))
+    cp_ok = cp.join(parts_ok, "p")
+    a = cp_ok.select("p", F.col("c").alias("c1"))
+    b = cp_ok.select("p", F.col("c").alias("c2"))
+    return (a.join(b, "p")
+            .where(F.col("c1") != F.col("c2"))
+            .select("c1", "c2"))
+
+
 @query("q_graph_label_prop", oracle=f"""
 WITH cp AS MATERIALIZED (
   SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
@@ -1269,25 +1306,15 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote weights are exact integer co-purchase counts; the winning label
     breaks ties by (vote DESC, label ASC) under row_number — identical
     in both engines.  Plan: the distinct (customer, part) pass is the
-    only fact-sized shuffle; the hub cap bounds per-part pair expansion
-    exactly as in q_analytics_supplier_overlap; votes aggregate on the
-    masked-node key and the winner is a WindowGroupLimit-eligible
-    rank-1.  Multi-round LP = iterate this block with the predicted
-    labels folded in — each round costs one edge-sized shuffle, the
-    same per-iteration budget as q_llm_pagerank."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cp = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .select(F.col("o_custkey").alias("c"),
-                  F.col("l_partkey").alias("p"))
-          .distinct())
-    parts_ok = (cp.groupBy("p").agg(F.count(F.lit(1)).alias("nc"))
-                .filter(F.col("nc") <= LP_HUB_CAP).select("p"))
-    a = cp.join(parts_ok, "p").select(F.col("p").alias("pa"),
-                                      F.col("c").alias("c1"))
-    b = cp.select(F.col("p").alias("pb"), F.col("c").alias("c2"))
-    e = (a.join(b, (F.col("pa") == F.col("pb"))
-                & (F.col("c1") != F.col("c2")))
+    only fact-sized shuffle, run ONCE off the shared checkpointed
+    builder (_copurchase_pairs — r12); the hub cap bounds per-part pair
+    expansion exactly as in q_analytics_supplier_overlap; votes
+    aggregate on the masked-node key and the winner is a
+    WindowGroupLimit-eligible rank-1.  Multi-round LP = iterate this
+    block with the predicted labels folded in — each round costs one
+    edge-sized shuffle, the same per-iteration budget as
+    q_llm_pagerank."""
+    e = (_copurchase_pairs(spark, sf_dir, LP_HUB_CAP)
          .groupBy("c1", "c2").agg(F.count(F.lit(1)).alias("w")))
     lab = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("c"),
@@ -1396,24 +1423,14 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     never broadcast-forced — Catalyst may still broadcast small ones).
     Exact fixpoint k-core = raise KCORE_ROUNDS; each round is the same
     bounded cost, the classic distributed-peeling trade."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cp = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .select(F.col("o_custkey").alias("c"),
-                  F.col("l_partkey").alias("p"))
-          .distinct())
-    parts_ok = (cp.groupBy("p").agg(F.count(F.lit(1)).alias("nc"))
-                .filter(F.col("nc") <= KCORE_HUB_CAP).select("p"))
-    a = cp.join(parts_ok, "p").select(F.col("p").alias("pa"),
-                                      F.col("c").alias("c1"))
-    b = cp.select(F.col("p").alias("pb"), F.col("c").alias("c2"))
-    e = (a.join(b, (F.col("pa") == F.col("pb"))
-                & (F.col("c1") != F.col("c2")))
-         .select("c1", "c2").distinct()
+    e = (_copurchase_pairs(spark, sf_dir, KCORE_HUB_CAP)
+         .distinct()
          # One edge materialization reused by every peel round — without
          # truncation each round re-derives the whole co-purchase DAG and
          # the plan compounds per iteration (measured: 114 parquet scans
-         # for 3 rounds); the PageRank/BFS loop discipline.
+         # for 3 rounds); the PageRank/BFS loop discipline.  (The builder
+         # additionally checkpoints cp, so the edge job itself derives
+         # the fact join once — r12.)
          .localCheckpoint(eager=True))
 
     def degrees(edges: DataFrame) -> DataFrame:
@@ -1518,20 +1535,11 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     join from the customer DIM (broadcast-sized at any corpus scale);
     the rollup is |segments|-bounded.  At 100 TB: one edge-sized
     shuffle — the cost every community metric pays."""
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cp = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .select(F.col("o_custkey").alias("c"),
-                  F.col("l_partkey").alias("p"))
-          .distinct())
-    parts_ok = (cp.groupBy("p").agg(F.count(F.lit(1)).alias("nc"))
-                .filter(F.col("nc") <= KCORE_HUB_CAP).select("p"))
-    a = cp.join(parts_ok, "p").select(F.col("p").alias("pa"),
-                                      F.col("c").alias("c1"))
-    b = cp.select(F.col("p").alias("pb"), F.col("c").alias("c2"))
-    e = (a.join(b, (F.col("pa") == F.col("pb"))
-                & (F.col("c1") != F.col("c2")))
-         .select("c1", "c2").distinct())
+    # ej below feeds TWO aggregation arms (tot and per_seg) — checkpoint
+    # the distinct edge set so the pair expansion runs once, not per arm
+    # (the same 3+-arm materialization discipline as the builder; r12).
+    e = (_copurchase_pairs(spark, sf_dir, KCORE_HUB_CAP)
+         .distinct().localCheckpoint(eager=True))
     lab = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("c"), F.col("c_mktsegment").alias("seg"))
     la = lab.select(F.col("c").alias("ca"), F.col("seg").alias("seg_a"))
