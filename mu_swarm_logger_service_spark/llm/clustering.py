@@ -696,11 +696,11 @@ def _semdedup_scale_assign(spark: SparkSession, sf_dir: str
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
     sig_v = emb.select(
         "vec_id", "embedding",
-        F.posexplode(hyperplane_tables(F.col("embedding"), n_tables, bits))
+        F.posexplode(hyperplane_tables("embedding", n_tables, bits))
         .alias("table", "bucket"))
     sig_c = cent.select(
         "cell", "ce",
-        F.posexplode(hyperplane_tables(F.col("ce"), n_tables, bits))
+        F.posexplode(hyperplane_tables("ce", n_tables, bits))
         .alias("table", "bucket"))
     cand = (
         sig_v.join(sig_c, ["table", "bucket"])

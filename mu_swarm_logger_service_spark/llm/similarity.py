@@ -436,29 +436,38 @@ def lsh_params(spark: SparkSession) -> tuple[int, int]:
     return n_tables, bits
 
 
-def _hyperplane_component(table: int, bit: int, j: Column) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1):
-    xxhash64(table, bit, j) scaled — fixed by construction, identical
-    across runs/executors, no rand()."""
-    return F.xxhash64(F.lit(table), F.lit(bit), j).cast("double") / F.lit(2.0**63)
+# 2^63 as an exact double literal (a power of two: the decimal string
+# parses to exactly 2.0**63, the same constant F.lit(2.0**63) shipped).
+_HYPERPLANE_SCALE = "9.223372036854775808E18"
 
 
-def hyperplane_tables(emb_col: Column, n_tables: int = N_TABLES,
+def hyperplane_tables(emb_col: str, n_tables: int = N_TABLES,
                       bits: int = BITS_PER_TABLE) -> Column:
-    """Array of n_tables bucket ids (each a bits-bit signature):
-    bit b of table t = sign(v . plane_{t,b})."""
-    def projector(t: int, b: int):
-        return lambda x, j: x.cast("double") * _hyperplane_component(t, b, j)
+    """Array of n_tables bucket ids (each a bits-bit signature): bit b of
+    table t = sign(v . plane_{t,b}), plane components the deterministic
+    pseudo-random xxhash64(table, bit, j) / 2^63 in [-1, 1) — fixed by
+    construction, identical across runs/executors, no rand().
 
-    buckets = []
+    r12 (guide §1.1 measure-first): the previous form built the
+    n_tables·bits fold expressions as Python Column objects — hundreds
+    of py4j round-trips, measured ~1.5–2 s of DRIVER-side construction
+    per call (the execution was only ~1 s).  Emitting the identical
+    expression as ONE SQL string is a single parser round-trip; the
+    resolved plan — same transform/aggregate lambdas, same literal
+    types (INT table/bit/index, 0.0D seed, left fold) — is unchanged,
+    so the buckets are bit-identical (verified by full collect at
+    sf0.1).  ``emb_col`` is the embedding COLUMN NAME."""
+    sigs = []
     for t in range(n_tables):
-        sig = F.lit(0)
+        terms = ["0"]
         for b in range(bits):
-            comp = F.transform(emb_col, projector(t, b))
-            d = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
-            sig = sig + F.when(d > 0, F.lit(1 << b)).otherwise(0)
-        buckets.append(sig)
-    return F.array(*buckets)
+            d = (f"aggregate(transform({emb_col}, (x, j) -> "
+                 f"CAST(x AS DOUBLE) * (CAST(xxhash64({t}, {b}, j) "
+                 f"AS DOUBLE) / {_HYPERPLANE_SCALE})), "
+                 f"0.0D, (acc, x) -> acc + x)")
+            terms.append(f"(CASE WHEN {d} > 0 THEN {1 << b} ELSE 0 END)")
+        sigs.append(" + ".join(terms))
+    return F.expr("array(" + ", ".join(sigs) + ")")
 
 
 @query("q_llm_ann_lsh")
@@ -472,12 +481,13 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     table a query meets about n / 2^bits candidates.  Rows-only for the
     driver (xxhash64 has no DuckDB twin); tests measure recall vs the
     exact top-k.
+
     """
     emb = spread(load_vec(spark, sf_dir))
     n_tables, bits = lsh_params(spark)
     sig = emb.select(
         "vec_id", "embedding",
-        F.posexplode(hyperplane_tables(F.col("embedding"), n_tables, bits))
+        F.posexplode(hyperplane_tables("embedding", n_tables, bits))
         .alias("table", "bucket"),
     )
     q = (

@@ -304,7 +304,7 @@ def test_lsh_build_params_conf(spark, sf_dir):
         hyperplane_tables, load_vec)
     sig = (load_vec(spark, sf_dir)
            .select(F.explode(hyperplane_tables(
-               F.col("embedding"), 2, 12)).alias("b")))
+               "embedding", 2, 12)).alias("b")))
     assert sig.filter(F.col("b") > 63).count() > 0
 
 
