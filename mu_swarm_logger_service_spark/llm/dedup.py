@@ -512,24 +512,37 @@ def q_llm_near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact blocked batch×corpus ground truth
     (tests/test_llm.py::test_near_dedup_incremental_sound_and_recall)."""
     n_perm, n_bands, rows_per_band = minhash_params(spark)
-    docs = spread(load(spark, sf_dir, "documents"))
-    side = (F.col("doc_id") / 20).cast("long") % 2
-    corpus = docs.filter(side == 0)
-    batch = docs.filter(side == 1)
+    # Tokenize ONCE into a materialized (doc_id, lang, source, tok) table
+    # (r12 — the q_llm_near_dedup tokenize-once discipline): previously
+    # each side's minhash_signatures re-tokenized its documents and the
+    # verification join tokenized a third time (4 parquet scans); both
+    # sides' signatures and the exact-Jaccard verification now read one
+    # token table.  Same expressions over the same rows — identical
+    # signatures, buckets and pairs.
     keep = ("lang", "source")
-    bc = lsh_band_rows(minhash_signatures(corpus, n_perm, keep), n_bands,
-                       rows_per_band, keep).withColumnRenamed(
+    tokd = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", *keep,
+                F.array_distinct(F.split("text", " ")).alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    side = (F.col("doc_id") / 20).cast("long") % 2
+
+    def band_rows(side_df):
+        sig = side_df.select(
+            "doc_id", *keep, minhash_sig_expr(F.col("tok"), n_perm).alias("sig"))
+        return lsh_band_rows(sig, n_bands, rows_per_band, keep)
+
+    bc = band_rows(tokd.filter(side == 0)).withColumnRenamed(
         "doc_id", "corpus_id")
-    bb = lsh_band_rows(minhash_signatures(batch, n_perm, keep), n_bands,
-                       rows_per_band, keep).withColumnRenamed(
+    bb = band_rows(tokd.filter(side == 1)).withColumnRenamed(
         "doc_id", "batch_id")
     cand = (
         bb.join(bc, ["band", "bucket", "lang", "source"])
         .select("batch_id", "corpus_id")
         .distinct()
     )
-    tok = docs.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("tok"))
+    tok = tokd.select("doc_id", "tok")
     n_par = spark.sparkContext.defaultParallelism
     with_tok = (
         cand.join(tok.withColumnRenamed("doc_id", "batch_id")
