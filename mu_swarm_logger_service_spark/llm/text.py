@@ -2005,7 +2005,17 @@ def q_llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(27,9) path (order-independent; |score|*1e9 << 2^53), and the
     ranking orders on the ROUNDED score with doc_id as unique tiebreak."""
     docs = spread(load(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.split("text", " ").alias("tok"))
+    # r12 tokenize-once: the token table feeds THREE arms (length stats,
+    # query-term minting, postings) and postings feeds two more (df and
+    # the scoring join) — un-materialized, Spark re-tokenized the corpus
+    # per arm and ran the whole postings subtree twice (6 scans / 20
+    # exchanges in the audit plan).  One checkpoint each: corpus passes
+    # 4→1 (the postings checkpoint is query-term-pruned, tiny).
+    # Interleaved A/B at sf0.1: 3.51→3.29 s median (modest locally; the
+    # eliminated passes are the corpus-sized cost at scale), values
+    # identical.
+    toks = (docs.select("doc_id", F.split("text", " ").alias("tok"))
+            .localCheckpoint(eager=True))
     dl = toks.select("doc_id", F.size("tok").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -2037,6 +2047,7 @@ def q_llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"),
              F.max("dl").alias("dl"))
+        .localCheckpoint(eager=True)  # df arm + scoring arm: compute once
     )
     df_ = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
