@@ -1774,6 +1774,8 @@ def q_llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("<"), "a", F.lit("><"), "b", F.lit(">")),
                 F.concat(F.lit("<"), "a", "b", F.lit(">"))).alias("s"),
                 "freq")
+            # r12: lazy per-round truncation (see q_llm_bpe_apply's note).
+            .localCheckpoint(eager=False)
         )
     out = merges[0]
     for m in merges[1:]:
@@ -1848,6 +1850,14 @@ def q_llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("<"), "a", F.lit("><"), "b", F.lit(">")),
                 F.concat(F.lit("<"), "a", "b", F.lit(">"))).alias("s"),
                 "freq")
+            # r12: LAZY per-round truncation — without it each round's
+            # vocab re-derives every earlier round per plan reference
+            # (the audit plan compounded to 9 scans / 25 exchanges);
+            # lazy adds no job (the final action materializes through
+            # the persisted chain) while the loop-plan stays one round
+            # deep.  The PageRank/kcore loop discipline in its
+            # no-mid-loop-action form.
+            .localCheckpoint(eager=False)
         )
     word_tokens = cur.select(
         "word",
