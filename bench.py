@@ -212,6 +212,13 @@ def main() -> None:
         "rep3_total": round(sum(rep3_query.values()), 3),
         "sf": float(sf),
         "ingest_events_per_sec": ingest_rate,
+        # Scaling evidence (r13, additive only): prove $SPARK_GRAFT_CPUS is
+        # honored by recording the session's ACTUAL parallelism and master —
+        # the r12 scaling probe saw flat 8-vs-32-core ratios (per-job
+        # overhead dominates at sf0.1 warm times) and, with no parallelism
+        # field on this line, could not distinguish that from a dead env var.
+        "cpus_effective": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
     }))
 
 

@@ -9,12 +9,39 @@ from __future__ import annotations
 
 import os
 import tempfile
+import weakref
 import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _PYFILES_SHIPPED: set[int] = set()
+
+# Per-session ANALYZED-PLAN cache for the base table loaders (r13).
+# ``spark.read.parquet`` pays a py4j round-trip plus a schema/footer
+# analysis on EVERY call — measured ~95 ms warm, on every load() of every
+# query (the single widest fixed cost in the registry).  A DataFrame is
+# an immutable PLAN, not data: each action re-reads the parquet files, so
+# reusing the plan caches no results.  Freshness: the key carries
+# stat_sig (mtime_ns, size) — regenerating a fixture in place is a cache
+# miss (the round-9 stale-derived-layout discipline; the plan's file
+# index would otherwise pin stale splits).  Keyed weakly per
+# SparkSession so a stopped session's plans die with it.
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary())
+
+
+def _plan_cached(spark: SparkSession, kind: str, sf_dir: str, name: str,
+                 build):
+    sig = stat_sig(sf_dir, name)
+    per = _PLAN_CACHE.setdefault(spark, {})
+    key = (kind, sf_dir, name)
+    hit = per.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    df = build()
+    per[key] = (sig, df)
+    return df
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -113,13 +140,37 @@ def observed_time(df: DataFrame) -> DataFrame:
     return df.filter(F.col("ts").isNotNull())
 
 
+def unpersist_cp(df: DataFrame) -> None:
+    """Deterministically free the block-store memory behind an EAGER
+    ``localCheckpoint``'ed DataFrame (r13, guide §5).
+
+    A local checkpoint TRUNCATES lineage: the persisted blocks are the
+    only copy of the data, so this must run only after the LAST consumer
+    of ``df`` has executed (e.g. the next loop round's checkpoint is
+    materialized, or a sink write completed).  Without it the blocks
+    wait on the ContextCleaner, which only unpins them after a DRIVER
+    JVM GC collects the RDD handle — a marathon session accumulates
+    every dropped checkpoint until a GC happens to run
+    (OPTIMIZATION_r12 §5 measured that lag OOMing a 1 GiB heap).
+    Intermediates whose consumers are in the RETURNED lazy plan can
+    never be unpersisted here — callers haven't run them yet."""
+    try:
+        df._jdf.logicalPlan().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort hygiene: not a LogicalRDD-backed frame
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ship_package(spark)
     if name == "events":
-        return _normalize_events_ts(_read_events(spark, sf_dir))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _plan_cached(
+            spark, "load", sf_dir, name,
+            lambda: _normalize_events_ts(_read_events(spark, sf_dir)))
+    return _plan_cached(
+        spark, "load", sf_dir, name,
+        lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,18 +181,21 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to this read: it is restored afterwards so an unrelated parquet read of
     # a NANOS column elsewhere in the session still fails loudly instead of
     # silently yielding int64.
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "true")
-    try:
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        df.schema  # force analysis (and the footer read) under the flag
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
-    return df
+    def build():
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
+            df.schema  # force analysis (and the footer read) under the flag
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        return df
+
+    return _plan_cached(spark, "raw", sf_dir, "events", build)
 
 
 def _normalize_events_ts(df: DataFrame) -> DataFrame:

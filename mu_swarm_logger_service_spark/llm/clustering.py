@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..core.numeric import dsum
 from ..core.registry import query
-from ..core.tables import load, spread
+from ..core.tables import load, spread, unpersist_cp
 from .similarity import _PQ_CB_SQL, _PQ_CODED_SQL, cosine, load_vec
 
 # IVF coarse codebook: a FIXED-K id-gated centroid set (the PQ family's
@@ -139,54 +139,69 @@ def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cell id, never a crossJoin.  Ranking uses the rounded cosine with
     id tiebreaks so Spark and DuckDB agree bit-for-bit.
     """
-    emb = load_vec(spark, sf_dir).select("vec_id", "embedding")
-    cent = emb.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
-    )
-    cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
+    # r13 (VERDICT item 1, the ann_lsh one-SQL-string lesson applied to a
+    # whole query body): the DataFrame-API form of this query cost
+    # ~0.5-0.8 s of DRIVER-side construction per call — every chained
+    # transform is py4j round-trips plus incremental re-analysis (the
+    # struct-field selects after the agg force schema resolution of the
+    # whole subtree).  The body below is the IDENTICAL computation as one
+    # SQL string over a per-call temp view: same broadcast(cent) /
+    # broadcast(probe) hints, same max(struct(cs, nc, e)) argmax with the
+    # same rounded-cosine + 0.0D sign normalization, same windows and
+    # tiebreaks — full-collect verified identical, and the plan pin
+    # (tests/test_plans.py::test_ivf_assignment_partial_aggregates)
+    # still holds.  SQL literals: 0.0D keeps every constant DOUBLE (a
+    # bare 0.0 parses DECIMAL in Spark SQL — the oracle-side trap, here
+    # on the engine side).
+    from .similarity import _dot_sql, _norm_sql
 
-    # Coarse assignment: nearest centroid, tiebreak lowest cell id.  The
-    # argmax rides a struct max — (cos, -cell) never ties because cell ids
-    # are unique — and partial-aggregates map-side before the shuffle.
-    # The corpus side is `spread`: O(n·K) cosines are compute-bound.
-    assign = (
-        spread(emb).join(F.broadcast(cent))
-        .groupBy("vec_id")
-        .agg(F.max(F.struct(
-            cos_r.alias("cs"),
-            (-F.col("cell")).alias("nc"),
-            F.col("embedding").alias("e"),
-        )).alias("best"))
-        .select("vec_id", (-F.col("best.nc")).alias("cell"),
-                F.col("best.e").alias("e"))
-    )
+    emb = spread(load_vec(spark, sf_dir).select("vec_id", "embedding"))
+    emb.createOrReplaceTempView("_ivf_emb_src")  # serial-session scratch
 
-    # Query-side probing: NPROBE nearest cells per query vector.
-    q = emb.filter(F.expr(_IVF_QUERY_FILTER)).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
-    )
-    probe_cos = F.round(cosine(F.col("qe"), F.col("ce")), 6)
-    wp = Window.partitionBy("q_id").orderBy(probe_cos.desc(), F.col("cell"))
-    probe = (
-        q.join(F.broadcast(cent))
-        .withColumn("r", F.row_number().over(wp))
-        .filter(F.col("r") <= NPROBE)
-        .select("q_id", "qe", "cell")
-    )
+    def cos(a: str, b: str) -> str:
+        return f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})"
 
-    scored = (
-        assign.join(F.broadcast(probe), "cell")
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id", F.col("vec_id").alias("c_id"),
-            (F.round(cosine(F.col("qe"), F.col("e")), 6) + 0.0).alias("cos_sim"),
+    return spark.sql(f"""
+        WITH cent AS (
+          SELECT vec_id AS cell, embedding AS ce
+          FROM _ivf_emb_src WHERE vec_id < {IVF_K}
+        ), assign AS (
+          SELECT vec_id, -best.nc AS cell, best.e AS e
+          FROM (
+            SELECT /*+ BROADCAST(cent) */ vec_id,
+                   max(struct(
+                     round({cos('embedding', 'ce')}, 6) + 0.0D AS cs,
+                     -cell AS nc,
+                     embedding AS e)) AS best
+            FROM _ivf_emb_src CROSS JOIN cent
+            GROUP BY vec_id
+          )
+        ), probe AS (
+          SELECT q_id, qe, cell FROM (
+            SELECT /*+ BROADCAST(cent) */
+                   q.q_id, q.qe, cent.cell,
+                   row_number() OVER (
+                     PARTITION BY q.q_id
+                     ORDER BY round({cos('qe', 'ce')}, 6) DESC, cent.cell
+                   ) AS r
+            FROM (SELECT vec_id AS q_id, embedding AS qe
+                  FROM _ivf_emb_src WHERE {_IVF_QUERY_FILTER}) q
+            CROSS JOIN cent
+          ) WHERE r <= {NPROBE}
+        ), scored AS (
+          SELECT /*+ BROADCAST(probe) */
+                 probe.q_id, assign.vec_id AS c_id,
+                 round({cos('qe', 'e')}, 6) + 0.0D AS cos_sim
+          FROM assign JOIN probe ON assign.cell = probe.cell
+          WHERE assign.vec_id != probe.q_id
         )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= IVF_TOPK)
-    )
+        SELECT * FROM (
+          SELECT q_id, c_id, cos_sim,
+                 row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
+          FROM scored
+        ) WHERE rn <= {IVF_TOPK}
+    """)
 
 
 _GROUPS_SQL = """
@@ -427,6 +442,7 @@ def q_llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = nodes.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("c")).alias("rank")
     )
+    prev_cp = None  # previous round's checkpointed rank vector (if any)
     for _ in range(PR_ITERS):
         # r12 optimization (guide §3.1/§2.4): the rank vector and the
         # per-parent mass are CONTAINER-scale (one row per container id,
@@ -442,6 +458,9 @@ def q_llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which compounds with graph size, not bench-scale wall).  On a
         # graph whose rank vector outgrew a broadcast, drop the hints
         # and the loop falls back to shuffled joins unchanged.
+        # NB (r12 ADVICE): r is checkpointed at the END of each round, so
+        # the broadcast subtree stays one round deep at any PR_ITERS —
+        # raising PR_ITERS adds rounds, not plan depth.
         mass = (
             edges.join(F.broadcast(r), edges.child == r.node)
             .groupBy(F.col("parent").alias("node"))
@@ -459,6 +478,17 @@ def q_llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        # r13 (guide §5): the new round's EAGER checkpoint is the only
+        # thing the rest of the loop reads, so the previous round's
+        # blocks are dead — free them now instead of waiting on the
+        # ContextCleaner (see core.tables.unpersist_cp).
+        if prev_cp is not None:
+            unpersist_cp(prev_cp)
+        prev_cp = r
+    # The final r is eager-materialized, so the loop-entry tables'
+    # checkpoint blocks are dead too (the returned plan reads only r).
+    unpersist_cp(edges)
+    unpersist_cp(nodes)
     return r.select("node", F.round("rank", 9).alias("rank"))
 
 
@@ -508,7 +538,7 @@ def q_llm_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
     )
-    cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
+    cos_r = F.round(cosine("embedding", "ce"), 6) + 0.0
     assign = (
         emb.join(F.broadcast(cent))
         .groupBy("vec_id")
@@ -551,7 +581,7 @@ def _semdedup_emit(assign: DataFrame, all_rows: DataFrame | None = None
     dup = (
         assign.join(b, "cell")
         .where((F.col("b_id") < F.col("vec_id"))
-               & (F.round(cosine(F.col("e"), F.col("eb")), 6) >= SEM_TAU))
+               & (F.round(cosine("e", "eb"), 6) >= SEM_TAU))
         .select("vec_id").distinct()
         .withColumn("hit", F.lit(1))
     )
@@ -618,7 +648,7 @@ def q_llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.expr(f"vec_id % {CENT_MOD} = 3")).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce")
     )
-    cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
+    cos_r = F.round(cosine("embedding", "ce"), 6) + 0.0
     assign = (
         emb.join(F.broadcast(cent))
         .groupBy("vec_id")
@@ -706,7 +736,7 @@ def _semdedup_scale_assign(spark: SparkSession, sf_dir: str
         sig_v.join(sig_c, ["table", "bucket"])
         .dropDuplicates(["vec_id", "cell"])  # met in >=1 table -> score once
     )
-    cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
+    cos_r = F.round(cosine("embedding", "ce"), 6) + 0.0
     assign = (
         cand.groupBy("vec_id")
         .agg(F.max(F.struct(
@@ -958,7 +988,7 @@ def q_llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("qe"),
     )
-    probe_cos = F.round(cosine(F.col("qe"), F.col("ce")), 6)
+    probe_cos = F.round(cosine("qe", "ce"), 6)
     wp = Window.partitionBy("q_id").orderBy(probe_cos.desc(), F.col("cell"))
     probe = (
         q.join(F.broadcast(cent))
@@ -1200,7 +1230,7 @@ def q_llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding")
     cent = emb.filter(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
-    cos_r = F.round(cosine(F.col("embedding"), F.col("ce")), 6) + 0.0
+    cos_r = F.round(cosine("embedding", "ce"), 6) + 0.0
     assign = (
         spread(emb).join(F.broadcast(cent))
         .groupBy("vec_id", "label")

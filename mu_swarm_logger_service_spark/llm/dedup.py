@@ -304,65 +304,32 @@ def minhash_params(spark: SparkSession) -> tuple[int, int, int]:
 def minhash_sig_expr(tok_col, n_perm: int):
     """MinHash signature Column over an ALREADY-MATERIALIZED token-array
     column: ``transform(0..n-1, i -> array_min(transform(tok, t ->
-    xxhash64(t, i))))``.  Shared by minhash_signatures (which tokenizes
-    first) and callers that carry a token column of their own (the
-    tokenize-once q_llm_near_dedup path)."""
+    xxhash64(t, i))))``.  Every caller (the tokenize-once near-dedup
+    paths, both sides of the incremental probe) carries a materialized
+    token column — feeding this a raw ``array_distinct(split(...))``
+    expression would re-tokenize the document n_perm (64) times, because
+    the per-permutation lambda captures the expression, not its value
+    (r12 trap class J; 64 split+distinct passes over a multi-megabyte
+    document is real money at scale).
+
+    Design record (round 6, both alternatives REJECTED on measurement at
+    sf0.1/64-perm; revisit only if the engine gains codegen'd
+    higher-order lambdas): (a) classic affine permutations over a single
+    base hash — ``(x·A_i + B_i) mod (2^31−1)`` — cut the cold rep
+    2.16→1.24 s but DOUBLED the warm rep (0.51→0.98 s): HOFs are
+    CodegenFallback, so each interpreted arithmetic node pays boxing per
+    token×perm, while xxhash64 is one tight JVM call (NB: the modulus
+    must sit just above the base domain — a 2^61−1 modulus makes x·A
+    wrap at most once, the map turns piecewise-monotone, and recall
+    collapsed 0.93→0.73); (b) Arrow/numpy pandas-UDF over per-token base
+    hashes: warm 0.62 s — still behind, and it adds a Python boundary.
+    The explode + n-way min-agg formulation was also measured 4× slower
+    cold and shuffles the whole token stream (see SCALE.md)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_perm - 1)),
         lambda i: F.array_min(
             F.transform(tok_col, lambda t: F.xxhash64(t, i))),
     )
-
-
-def minhash_signatures(docs: DataFrame, n_perm: int = N_MINHASH,
-                       keep: tuple[str, ...] = ()) -> DataFrame:
-    """(doc_id, *keep, sig: array<long>[n_perm]) — MinHash over distinct
-    tokens.
-
-    Each permutation i is simulated by xxhash64(token, i) (64-bit, JVM-side,
-    deterministic); the signature entry is the min over the doc's tokens.
-    Computed as ONE narrow higher-order array expression per row —
-    ``transform(0..n-1, i -> array_min(transform(tokens, t -> xxhash64(t, i))))``
-    — zero shuffle and no n-column aggregate codegen (the explode +
-    n-way min-agg formulation was measured 4× slower cold at sf0.1 and
-    shuffles the whole token stream; signatures are embarrassingly
-    per-document, so the map form is also the right 100 TB shape).
-    ``keep`` carries blocking columns through the same narrow select so
-    callers never join the corpus back to its own signatures.
-
-    Cheaper-family experiments (round 6, all REJECTED on measurement at
-    sf0.1/64-perm; keep unless the engine gains codegen'd higher-order
-    lambdas): (a) classic affine permutations over a single base hash —
-    ``(x·A_i + B_i) mod (2^31−1)`` — cut the cold rep 2.16→1.24 s but
-    DOUBLED the warm rep (0.51→0.98 s): HOFs are CodegenFallback, so each
-    interpreted arithmetic node pays boxing per token×perm, while
-    xxhash64 is one tight JVM call (NB if revisited: the modulus must sit
-    just above the base domain — a 2^61−1 modulus makes x·A wrap at most
-    once, the map turns piecewise-monotone, and recall collapsed
-    0.93→0.73); (b) Arrow/numpy pandas-UDF over per-token base hashes:
-    warm 0.62 s — still behind, and it adds a Python boundary.  The
-    per-(token, perm) xxhash64 form wins warm, which is what the
-    steady-state 100 TB posture prices.
-
-    r12 class J: the token array is MATERIALIZED in a first projection —
-    captured as a raw expression, the outer per-permutation lambda
-    re-tokenized the document n_perm (64) times (linear, unlike the
-    O(T^2) slice-in-lambda finds, but 64 split+distinct passes over a
-    multi-megabyte document is real money at scale)."""
-    tokd = docs.select(
-        "doc_id", *keep,
-        F.array_distinct(F.split("text", " ")).alias("_toks"))
-    raw_sig = minhash_sig_expr(F.col("_toks"), n_perm)
-    # The always-true size() guard is LOAD-BEARING: it makes _toks a
-    # SECOND reference, and CollapseProject only refuses to inline a
-    # non-cheap alias when it is referenced more than once — with a
-    # single reference the tokenization collapses back into the
-    # per-permutation lambda and runs n_perm times again (verified in
-    # the optimized plan; tests/test_plans.py pins it).  size(null) is
-    # null, so the null-text row still yields a null signature exactly
-    # like the unguarded form.
-    sig = F.when(F.size(F.col("_toks")) >= 0, raw_sig)
-    return tokd.select("doc_id", *keep, sig.alias("sig"))
 
 
 def lsh_band_rows(sig: DataFrame, n_bands: int, rows_per_band: int,
@@ -588,7 +555,7 @@ def simhash(docs: DataFrame, keep: tuple[str, ...] = (),
     AGGREGATE'S ARGUMENT position, which is evaluated once no matter
     what the optimizer inlines, and is n_bits× less arithmetic anyway) —
     zero shuffle, no wide aggregate codegen, per-document = the right
-    100 TB shape (same rationale as minhash_signatures).  ``keep`` carries
+    100 TB shape (same rationale as minhash_sig_expr).  ``keep`` carries
     blocking columns through so callers need no join-back.  Note bit 63
     of a 64-bit signature lands in the long's sign bit — hamming distance
     via bit_count(a XOR b) is sign-agnostic, so pairing logic is

@@ -38,11 +38,47 @@ def norm(a: Column) -> Column:
     ))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def _sql_ident(name: str) -> str:
+    """Backtick-quote a plain-identifier column name for SQL-string
+    interpolation (the hyperplane_tables discipline: reject anything a
+    Column's str() could silently mis-parse into)."""
+    if not isinstance(name, str) or not name.isidentifier():
+        raise ValueError(
+            f"expected a plain-identifier column name, got {name!r}")
+    return f"`{name}`"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            f"(acc, x) -> acc + x)")
+
+
+def _norm_sql(a: str) -> str:
+    return (f"SQRT(aggregate(transform({a}, x -> "
+            f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, "
+            f"(acc, x) -> acc + x))")
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity.  Given COLUMN NAMES, the whole expression is
+    emitted as ONE SQL string — a single parser round-trip instead of
+    ~15 py4j lambda constructions (measured ~105 ms of driver-side
+    construction per call; the r12 hyperplane_tables lesson applied to
+    the vector family's hottest helper).  The resolved tree — same
+    zip_with/transform/aggregate lambdas, same DOUBLE casts, same 0.0D
+    seed, same left-fold order — is the one the Column path builds, so
+    results are bit-identical (full-collect verified across the vector
+    family); call sites with computed operands (slices, struct fields)
+    keep passing Columns and take the lambda path."""
+    if isinstance(a, str) and isinstance(b, str):
+        qa, qb = _sql_ident(a), _sql_ident(b)
+        return F.expr(
+            f"{_dot_sql(qa, qb)} / ({_norm_sql(qa)} * {_norm_sql(qb)})")
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def cosine0(a: Column, b: Column) -> Column:
+def cosine0(a: Column | str, b: Column | str) -> Column:
     """Zero-norm-safe cosine: similarity to a zero vector is DEFINED as
     0.0 (the neutral "no similarity" convention).  Required wherever a
     zero norm is reachable — e.g. a Matryoshka PREFIX of a non-zero
@@ -51,7 +87,14 @@ def cosine0(a: Column, b: Column) -> Column:
     list_cosine_similarity clamps to -1.0).  Oracles of callers must
     carry the matching CASE WHEN norm-product = 0 THEN 0.0 guard.
     For non-zero norms the ELSE branch is the exact `cosine` division —
-    identical operands, identical bits."""
+    identical operands, identical bits.  Accepts column NAMES for the
+    one-SQL-string construction fast path (see cosine)."""
+    if isinstance(a, str) and isinstance(b, str):
+        qa, qb = _sql_ident(a), _sql_ident(b)
+        nprod = f"({_norm_sql(qa)} * {_norm_sql(qb)})"
+        return F.expr(
+            f"CASE WHEN {nprod} != 0.0D THEN {_dot_sql(qa, qb)} / {nprod} "
+            f"ELSE 0.0D END")
     nprod = norm(a) * norm(b)
     return F.when(nprod != 0.0, dot(a, b) / nprod).otherwise(F.lit(0.0))
 
@@ -95,9 +138,15 @@ def vec_valid(col: Column) -> Column:
 def load_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table under the validity contract (narrow filter,
     pushed to the scan's output — no shuffle, prunes nothing on pristine
-    data)."""
-    return load(spark, sf_dir, "embeddings").filter(
-        vec_valid(F.col("embedding")))
+    data).  Plan-cached per session like load() itself (r13): the
+    validity predicate alone is ~35 ms of py4j lambda construction on
+    every call of every vector query."""
+    from ..core.tables import _plan_cached
+
+    return _plan_cached(
+        spark, "load_vec", sf_dir, "embeddings",
+        lambda: load(spark, sf_dir, "embeddings").filter(
+            vec_valid(F.col("embedding"))))
 
 
 _QUERY_FILTER = "vec_id % 100 = 0"
@@ -149,7 +198,7 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id",
-                (F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0)
+                (F.round(cosine("qe", "ce"), 6) + 0.0)
                 .alias("cos_sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
@@ -205,7 +254,7 @@ def q_llm_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id", "label",
-                (F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0)
+                (F.round(cosine("qe", "ce"), 6) + 0.0)
                 .alias("cos_sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
@@ -289,7 +338,7 @@ def q_llm_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id", "c_id",
-            (F.round(cosine0(F.col("qe"), F.col("ce")), 6) + 0.0)
+            (F.round(cosine0("qe", "ce"), 6) + 0.0)
             .alias("cos_full"),
             (F.round(cosine0(F.slice("qe", 1, _MRL_DIM),
                              F.slice("ce", 1, _MRL_DIM)), 6) + 0.0)
@@ -386,7 +435,7 @@ def q_llm_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id", "c_id",
-            (F.round(cosine0(F.col("qe"), F.col("ce")), 6) + 0.0)
+            (F.round(cosine0("qe", "ce"), 6) + 0.0)
             .alias("cos_full"),
             (F.round(cosine0(F.slice("qe", 1, _MRL_DIM),
                              F.slice("ce", 1, _MRL_DIM)), 6) + 0.0)
@@ -456,12 +505,19 @@ def hyperplane_tables(emb_col: str, n_tables: int = N_TABLES,
     resolved plan — same transform/aggregate lambdas, same literal
     types (INT table/bit/index, 0.0D seed, left fold) — is unchanged,
     so the buckets are bit-identical (verified by full collect at
-    sf0.1).  ``emb_col`` is the embedding COLUMN NAME."""
+    sf0.1).  ``emb_col`` is the embedding COLUMN NAME — a plain
+    identifier only (asserted); it is interpolated into SQL text, so a
+    dotted/spaced/keyword name would mis-parse, and a Column object's
+    str() would interpolate silently wrong (r12 ADVICE)."""
+    if not emb_col.isidentifier():
+        raise ValueError(
+            f"hyperplane_tables needs a plain-identifier column name, "
+            f"got {emb_col!r} (pass the string name, not a Column)")
     sigs = []
     for t in range(n_tables):
         terms = ["0"]
         for b in range(bits):
-            d = (f"aggregate(transform({emb_col}, (x, j) -> "
+            d = (f"aggregate(transform(`{emb_col}`, (x, j) -> "
                  f"CAST(x AS DOUBLE) * (CAST(xxhash64({t}, {b}, j) "
                  f"AS DOUBLE) / {_HYPERPLANE_SCALE})), "
                  f"0.0D, (acc, x) -> acc + x)")
@@ -505,7 +561,7 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = cand.select(
         "q_id", "c_id",
-        (F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0).alias("cos_sim"),
+        (F.round(cosine("qe", "ce"), 6) + 0.0).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
     return (
@@ -626,7 +682,7 @@ def q_llm_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     )
     b = sub.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = cosine(F.col("ea"), F.col("eb"))
+    cos = cosine("ea", "eb")
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .where(F.round(cos, 6) >= 0.3)  # rounded: threshold can't straddle ulp noise
@@ -847,7 +903,7 @@ def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spread(emb.filter(F.col("label").isNotNull())
                .select(F.col("vec_id").alias("c_id"), "label",
                        F.col("embedding").alias("ce")))
-    cos_r = F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0
+    cos_r = F.round(cosine("qe", "ce"), 6) + 0.0
     same = F.col("label") == F.col("q_label")
     cand = F.struct(cos_r.alias("cs"), (-F.col("c_id")).alias("nc"))
     best = (
@@ -1347,7 +1403,7 @@ def q_llm_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("label").alias("c_label"),
                           F.col("embedding").alias("ce")))
     w = Window.partitionBy("q_id").orderBy(
-        (F.round(cosine(F.col("qe"), F.col("ce")), 6) + 0.0).desc(), "c_id")
+        (F.round(cosine("qe", "ce"), 6) + 0.0).desc(), "c_id")
     hits = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("c_id"))

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..core.numeric import dsum_sql
 from ..core.registry import query
-from ..core.tables import load
+from ..core.tables import load, unpersist_cp
 from .triples import DCT, RDF_TYPE, SWARMUI
 
 
@@ -105,6 +105,11 @@ def q_sparql_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         paths = paths.union(nxt)
         frontier = nxt
+    # r13 (guide §5): every round's frontier is an EAGER checkpoint and
+    # `paths` unions those checkpoints only, so the edge relation's
+    # blocks are dead once the loop exits — free them deterministically
+    # instead of waiting on the ContextCleaner.
+    unpersist_cp(edges)
     return paths
 
 

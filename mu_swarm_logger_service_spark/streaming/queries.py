@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..core.numeric import dsum_sql, measure
 from ..core.registry import query
-from ..core.tables import load
+from ..core.tables import load, unpersist_cp
 from . import transforms as X
 
 _TUMBLING_SQL = f"""
@@ -216,40 +216,96 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(measure(F.col("value")).cast("decimal(27,6)"))
              .cast("double").alias("sum_value"))
     )
-    return _run_to_memory(agg, "complete")
+    return _run_to_memory(agg, "complete",
+                          _events_backlog_bytes(sf_dir))
 
 
 # ---------------------------------------------------------------------------
 # Streaming-executed queries: real micro-batch jobs inside the query fn.
 # ---------------------------------------------------------------------------
 
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('64MB', '64m', bare bytes) to int."""
+    s = str(v).strip().lower()
+    for suffix, mult in (("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30),
+                         ("mb", 1 << 20), ("kb", 1 << 10), ("p", 1 << 50),
+                         ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20),
+                         ("k", 1 << 10), ("b", 1)):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
+def _events_backlog_bytes(sf_dir: str) -> int:
+    """On-disk size of the staged AvailableNow source (events.parquet) —
+    the KNOWN total backlog of a replay run, used to size state
+    partitions (see _state_shuffle_scope)."""
+    return os.stat(os.path.join(sf_dir, "events.parquet")).st_size
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for fn in files:
+            total += os.stat(os.path.join(dirpath, fn)).st_size
+    return total
+
+
 @contextmanager
-def _state_shuffle_scope(spark: SparkSession):
+def _state_shuffle_scope(spark: SparkSession, backlog_bytes: int | None = None):
     """Scope ``spark.sql.shuffle.partitions`` to the lifetime of ONE
     stream run (r12, guide §2.2).
 
     Streaming stages have no AQE (Spark disables it for stateful
     workloads), so a stateful stream mints exactly
     ``spark.sql.shuffle.partitions`` state-store partitions at checkpoint
-    birth and schedules that many tasks — each a pandas state-fold worker
-    round-trip — EVERY micro-batch.  Inheriting the session's batch
+    birth and schedules that many tasks — each a state-store open +
+    delta-file commit (and, for the pandas folds, an Arrow worker
+    round-trip) — EVERY micro-batch.  Inheriting the session's batch
     constant is the wrong number at both ends (Spark's default 200 on an
     untuned session: measured 14.4 s for the heavy-hitters stream at
     sf0.01 vs 3.5 s at 32 vs 1.8 s at 8 — pure task scheduling on a toy
-    batch; a fixed small number would starve a real cluster).  Default =
-    ``defaultParallelism`` (total cores — the first-order state-partition
-    sizing, which grows with the cluster); deployments with hotter key
-    cardinality set ``spark.mu_swarm.stream.statePartitions`` explicitly.
+    batch; a fixed small number would starve a real cluster).
+
+    Sizing (r13, guide §2.2 "derive partitioning from input size"): these
+    are ``Trigger.AvailableNow`` REPLAY runs, so the total backlog is
+    known up front — callers pass its on-disk size and the partition
+    count becomes ``clamp(backlog / advisoryPartitionSizeInBytes, 1,
+    defaultParallelism)``: exactly the coalescing AQE would do for a
+    batch shuffle of the same bytes, applied by hand because streaming
+    has no AQE.  At 100 TB the clamp binds at defaultParallelism (the r12
+    behavior, growing with the cluster); at audit scale it stops minting
+    32 state stores for a 2 MB backlog (measured: addBatch is ~linear in
+    the partition count, ~60-80 ms of pure per-partition overhead).
+    Callers with no known backlog (a genuinely unbounded stream) pass
+    None and get defaultParallelism; deployments with hotter key
+    cardinality set ``spark.mu_swarm.stream.statePartitions`` explicitly
+    — the explicit conf always wins.
     Applies only to NEW checkpoints — Spark pins the count inside an
     existing checkpoint lineage (all checkpoints here are fresh mkdtemp).
     Conf restored in ``finally`` — the rollup partition-overwrite-mode
     leak (fixed earlier this round) is the cautionary tale for scoped
-    session conf."""
+    session conf.
+
+    SERIAL-EXECUTION ASSUMPTION (r12 ADVICE): this mutates the
+    session-global ``spark.sql.shuffle.partitions`` for the stream run's
+    lifetime — safe under the serial grading driver and the serial
+    bench/test harnesses, but a BATCH query planned concurrently in the
+    same session would pick up the streaming value.  If concurrent use
+    ever becomes a supported mode, scope via a cloned session
+    (``spark.newSession()``) instead."""
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
-    target = spark.conf.get(
-        "spark.mu_swarm.stream.statePartitions",
-        str(spark.sparkContext.defaultParallelism))
+    explicit = spark.conf.get("spark.mu_swarm.stream.statePartitions", None)
+    if explicit is not None:
+        target = explicit
+    elif backlog_bytes is not None:
+        advisory = _parse_bytes(spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+        n_par = spark.sparkContext.defaultParallelism
+        target = str(max(1, min(n_par, -(-backlog_bytes // advisory))))
+    else:
+        target = str(spark.sparkContext.defaultParallelism)
     spark.conf.set(key, target)
     try:
         yield
@@ -257,12 +313,13 @@ def _state_shuffle_scope(spark: SparkSession):
         spark.conf.set(key, prev)
 
 
-def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+def _run_to_memory(df: DataFrame, output_mode: str,
+                   backlog_bytes: int | None = None) -> DataFrame:
     """Run a streaming DF to a memory sink with AvailableNow; return the
     final table as a batch DataFrame."""
     name = f"t_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
-    with _state_shuffle_scope(df.sparkSession):
+    with _state_shuffle_scope(df.sparkSession, backlog_bytes):
         q = (
             df.writeStream.format("memory").queryName(name)
             .outputMode(output_mode)
@@ -273,6 +330,12 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
         q.awaitTermination()
     spark = df.sparkSession
     out = spark.table(name).localCheckpoint(eager=True)  # detach from sink
+    # Drop the sink's temp view (r13, guide §5): each run minted a
+    # uniquely-named memory-sink table that stayed registered for the
+    # session's lifetime, pinning the sink's collected rows — a marathon
+    # session leaked one result-sized block per stream run.  The
+    # checkpoint above owns the data now.
+    spark.catalog.dropTempView(name)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
@@ -286,7 +349,8 @@ def q_stream_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Append/update-mode emission sequences are asserted in
     tests/test_streaming.py (they depend on batch boundaries)."""
     stream = X.stream_events(spark, sf_dir)
-    return _run_to_memory(X.tumbling_counts(stream), "complete")
+    return _run_to_memory(X.tumbling_counts(stream), "complete",
+                          _events_backlog_bytes(sf_dir))
 
 
 @query("q_stream_watermark")
@@ -301,7 +365,7 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
-    return _run_to_memory(agg, "append")
+    return _run_to_memory(agg, "append", _events_backlog_bytes(sf_dir))
 
 
 @query("q_stream_foreachbatch", oracle=f"""
@@ -324,7 +388,7 @@ def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         bdf.write.mode("overwrite").parquet(os.path.join(sink, f"batch={batch_id}"))
 
-    with _state_shuffle_scope(spark):
+    with _state_shuffle_scope(spark, _events_backlog_bytes(sf_dir)):
         q = (
             X.stream_events(spark, sf_dir, max_files_per_trigger=1)
             .writeStream.foreachBatch(write_batch)
@@ -382,6 +446,11 @@ def rollup_upsert(spark: SparkSession, store: str):
 
     def upsert(bdf: DataFrame, batch_id: int) -> None:
         _require_dynamic_overwrite()
+        # Eager-checkpoint the sketch-sized partial: it is consumed TWICE
+        # per batch (the touched-days collect and the merged write) and
+        # would otherwise re-aggregate the whole batch for each (r13,
+        # guide §1.2); unpersisted right after the write — the merged
+        # store owns the rows from then on (guide §5).
         part = (
             bdf.groupBy(
                 F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
@@ -391,20 +460,26 @@ def rollup_upsert(spark: SparkSession, store: str):
             )
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .localCheckpoint(eager=True)
         )
         try:
-            existing = spark.read.schema(ROLLUP_STORE_SCHEMA).parquet(store)
-            days = [r.event_date for r in
-                    part.select("event_date").distinct().collect()]
-            keep = existing.filter(
-                F.col("event_date").isin(days)
-                & (F.col("batch_id") != batch_id)
-            )
-            merged = keep.unionByName(part)
-        except Exception:  # first batch: store doesn't exist yet
-            merged = part
-        (merged.repartition("event_date")
-         .write.mode("overwrite").partitionBy("event_date").parquet(store))
+            try:
+                existing = spark.read.schema(
+                    ROLLUP_STORE_SCHEMA).parquet(store)
+                days = [r.event_date for r in
+                        part.select("event_date").distinct().collect()]
+                keep = existing.filter(
+                    F.col("event_date").isin(days)
+                    & (F.col("batch_id") != batch_id)
+                )
+                merged = keep.unionByName(part)
+            except Exception:  # first batch: store doesn't exist yet
+                merged = part
+            (merged.repartition("event_date")
+             .write.mode("overwrite").partitionBy("event_date")
+             .parquet(store))
+        finally:
+            unpersist_cp(part)
 
     return upsert
 
@@ -437,15 +512,21 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"spark_graft_rollup_store_{run}")
     ckpt = tempfile.mkdtemp(prefix=f"spark_graft_rollup_ckpt_{run}_")
 
-    # Stage the source as TWO files so the rollup genuinely increments
-    # across micro-batches (maxFilesPerTrigger=1 → two triggers).
+    # Stage the source as TWO file groups so the rollup genuinely
+    # increments across micro-batches (maxFilesPerTrigger=1 → ≥2
+    # triggers).  ONE pass (r13, guide §1.2 "don't compute things
+    # twice"): partitionBy(half) writes both halves from a single scan —
+    # the previous two filtered writes each re-scanned events.  The
+    # written files carry exactly ev's columns (the half partition
+    # column stays in the directory name), and the stream reads the
+    # half=* glob with ev's schema, so batch contents are unchanged.
     from ..core.tables import observed_time
     ev = observed_time(load(spark, sf_dir, "events"))  # class I: the
     # store is day-partitioned — an unstamped row has no partition
-    ev.filter(F.col("event_id") % 2 == 0).write.parquet(
-        os.path.join(src, "half=0"))
-    ev.filter(F.col("event_id") % 2 == 1).write.parquet(
-        os.path.join(src, "half=1"))
+    (ev.withColumn("half", F.col("event_id") % 2)
+     .write.mode("overwrite")  # mkdtemp pre-created (empty) src
+     .option("partitionOverwriteMode", "static")
+     .partitionBy("half").parquet(src))
 
     # Session-mutable conf: set dynamic for the upsert's partition-scoped
     # overwrites, but RESTORE the prior value afterwards — leaking
@@ -464,7 +545,7 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (spark.createDataFrame([], ROLLUP_STORE_SCHEMA)
          .write.mode("overwrite").partitionBy("event_date").parquet(store))
 
-        with _state_shuffle_scope(spark):
+        with _state_shuffle_scope(spark, _dir_bytes(src)):
             q = (
                 spark.readStream.schema(schema)
                 .option("maxFilesPerTrigger", 1)
@@ -525,7 +606,7 @@ def q_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.write.mode("overwrite").parquet(
             os.path.join(sink, f"batch={batch_id}"))
 
-    with _state_shuffle_scope(spark):
+    with _state_shuffle_scope(spark, _events_backlog_bytes(sf_dir)):
         q = (
             X.stream_events(spark, sf_dir, max_files_per_trigger=1)
             .writeStream.foreachBatch(write_batch)
@@ -575,7 +656,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            .write.mode("overwrite").parquet(
                os.path.join(sink, f"batch={batch_id}"))
 
-    with _state_shuffle_scope(spark):
+    with _state_shuffle_scope(spark, _events_backlog_bytes(sf_dir)):
         q = (
             mg_sketch_stateful(X.stream_events(spark, sf_dir,
                                                max_files_per_trigger=1))
@@ -639,7 +720,7 @@ def q_stream_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
            .write.mode("overwrite").parquet(
                os.path.join(sink, f"batch={batch_id}"))
 
-    with _state_shuffle_scope(spark):
+    with _state_shuffle_scope(spark, _events_backlog_bytes(sf_dir)):
         q = (
             holt_stateful(X.stream_events(spark, sf_dir,
                                           max_files_per_trigger=1)
@@ -727,7 +808,7 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         b.unpersist()
 
-    with _state_shuffle_scope(spark):
+    with _state_shuffle_scope(spark, _events_backlog_bytes(sf_dir)):
         q = (
             X.stream_events(spark, sf_dir, max_files_per_trigger=1)
             .writeStream.foreachBatch(write_batch)
@@ -798,8 +879,8 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = _run_cdc_apply(
         spark,
         X.stream_events(spark, sf_dir).filter(F.col('user_id').isNotNull()),
-        state_dir,
-                            ckpt)
+        state_dir, ckpt,
+        backlog_bytes=_events_backlog_bytes(sf_dir))
     out = result.localCheckpoint(eager=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(state_dir, ignore_errors=True)
@@ -808,7 +889,8 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_cdc_apply(spark: SparkSession, stream: DataFrame,
                    state_dir: str, ckpt: str,
-                   batch_ids: list | None = None) -> DataFrame:
+                   batch_ids: list | None = None,
+                   backlog_bytes: int | None = None) -> DataFrame:
     """Run the CDC-apply loop on ``stream``; returns the final live view.
     Split out so the replay test can drive it with its own multi-batch
     file source (``batch_ids`` collects observed batch ids so the test
@@ -855,7 +937,7 @@ def _run_cdc_apply(spark: SparkSession, stream: DataFrame,
             os.path.join(state_dir, f"v{1 - version[0]}"))
         version[0] = 1 - version[0]
 
-    with _state_shuffle_scope(spark):
+    with _state_shuffle_scope(spark, backlog_bytes):
         q = (
             stream.writeStream.foreachBatch(apply_batch)
             .option("checkpointLocation", ckpt)
@@ -906,7 +988,7 @@ def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
            .write.mode("overwrite").parquet(
                os.path.join(sink, f"batch={batch_id}"))
 
-    with _state_shuffle_scope(spark):
+    with _state_shuffle_scope(spark, _events_backlog_bytes(sf_dir)):
         q = (
             hw_stateful(X.stream_events(spark, sf_dir,
                                         max_files_per_trigger=1)
@@ -981,7 +1063,7 @@ def q_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
            .write.mode("overwrite").parquet(
                os.path.join(sink, f"batch={batch_id}"))
 
-    with _state_shuffle_scope(spark):
+    with _state_shuffle_scope(spark, _events_backlog_bytes(sf_dir)):
         q = (
             pattern_stateful(
                 X.stream_events(spark, sf_dir, max_files_per_trigger=1)
@@ -1039,7 +1121,7 @@ def q_stream_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
            .write.mode("overwrite").parquet(
                os.path.join(sink, f"batch={batch_id}"))
 
-    with _state_shuffle_scope(spark):
+    with _state_shuffle_scope(spark, _events_backlog_bytes(sf_dir)):
         q = (
             burstiness_stateful(
                 X.stream_events(spark, sf_dir, max_files_per_trigger=1))
