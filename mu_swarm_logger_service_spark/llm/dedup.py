@@ -408,27 +408,38 @@ def q_llm_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_expr = ("flatten(transform(sequence(1, size(ds) - 1), i -> "
                  "transform(slice(ds, i + 1, size(ds) - i), x -> "
                  "struct(element_at(ds, i) AS doc_a, x AS doc_b))))")
-    cand = (
+    expanded = (
         bands.groupBy("band", "bucket", "lang", "source")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
-    tok = tok_full.select("doc_id", "tok")
-    # Pin ONLY the second (compute-bearing) join's partition count: the
-    # exact-intersect filter runs in the stage fed by the doc_b join, which
-    # AQE would otherwise coalesce to one task at small SF (see
-    # tables.spread).  The doc_a attach join stays unpinned — it carries no
-    # per-row compute, so AQE is free to size it by bytes; pinning it too
-    # (rounds 1-3) forced a second full-width exchange of the candidate set
-    # for no parallelism benefit.
+    # Dedup the ~5x band-duplicated pairs and establish the verify stage's
+    # compute parallelism with ONE exchange (r13, guide §2.4 "two
+    # operations keyed the same way share one exchange"): the explicit
+    # repartition on the full pair key is AQE-non-coalescible and already
+    # satisfies dropDuplicates' required distribution, so the dedup plans
+    # as a single complete HashAggregate on n_par partitions and the
+    # broadcast-join + intersect stage runs right on top of it.  The r12
+    # form paid two exchanges here — `.distinct()` (whose post-shuffle
+    # partitions AQE coalesced by BYTES, blind to the per-pair intersect
+    # compute) and then `repartition(n_par, "doc_b")` to win the
+    # parallelism back, re-shuffling candidate rows already widened by
+    # tok_a.  Interleaved A/B of the phase at sf0.1 (plans/r13, probe in
+    # OPTIMIZATION_r13.md): 0.66-0.74 s -> 0.41-0.45 s warm, identical
+    # 106,237 output rows; one full-width exchange of the tok_a-widened
+    # candidate set removed from the plan.
     n_par = spark.sparkContext.defaultParallelism
+    cand = expanded.repartition(n_par, "doc_a", "doc_b").dropDuplicates()
+    tok = tok_full.select("doc_id", "tok")
+    # Token-attach joins stay UNPINNED: at bench scale the planner
+    # broadcasts the token table itself (verified in plans/r13); at 100 TB
+    # a corpus-sized build side must be free to plan as SMJ, so a
+    # broadcast hint here would be a posture bug, not an optimization.
     with_tok = (
         cand.join(tok.withColumnRenamed("doc_id", "doc_a")
                   .withColumnRenamed("tok", "tok_a"), "doc_a")
-        .repartition(n_par, "doc_b")
         .join(tok.withColumnRenamed("doc_id", "doc_b")
               .withColumnRenamed("tok", "tok_b"), "doc_b")
     )
@@ -504,17 +515,24 @@ def q_llm_near_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "corpus_id")
     bb = band_rows(tokd.filter(side == 1)).withColumnRenamed(
         "doc_id", "batch_id")
+    # One exchange for dedup + verify parallelism (r13, same restructure
+    # as q_llm_near_dedup): the explicit full-pair-key repartition is
+    # AQE-non-coalescible and satisfies dropDuplicates' distribution, so
+    # the band-duplicate dedup and the exact-verify stage share it; the
+    # r12 form paid a `.distinct()` exchange AND a `repartition(n_par,
+    # "corpus_id")` re-shuffle of tok_a-widened rows.  Token-attach joins
+    # unpinned (broadcast at bench scale, SMJ-free at 100 TB).
+    n_par = spark.sparkContext.defaultParallelism
     cand = (
         bb.join(bc, ["band", "bucket", "lang", "source"])
         .select("batch_id", "corpus_id")
-        .distinct()
+        .repartition(n_par, "batch_id", "corpus_id")
+        .dropDuplicates()
     )
     tok = tokd.select("doc_id", "tok")
-    n_par = spark.sparkContext.defaultParallelism
     with_tok = (
         cand.join(tok.withColumnRenamed("doc_id", "batch_id")
                   .withColumnRenamed("tok", "tok_a"), "batch_id")
-        .repartition(n_par, "corpus_id")
         .join(tok.withColumnRenamed("doc_id", "corpus_id")
               .withColumnRenamed("tok", "tok_b"), "corpus_id")
     )

@@ -131,9 +131,25 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rsd=0.02: the default 5% sketch breaches the ±5% tolerance at sf0.1
     # (5% is one standard deviation, not a bound) — a tighter sketch keeps
     # the documented tolerance honest at every scale factor.
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    #
+    # The sketch and the exact count are computed in SEPARATE aggregates
+    # and joined on the group key (r13; found by tools/codegen_audit.py):
+    # fused into one agg, the countDistinct expand phases drag the HLL
+    # partial buffer — 410 longs at rsd=0.02, over codegen.maxFields, so
+    # every phase also falls back to interpreted — through the shuffle ON
+    # EVERY DISTINCT (event_type, user_id) ROW.  Split, the HLL shuffle is
+    # groups x 410 longs and the distinct shuffle is narrow key pairs;
+    # interleaved A/B at sf0.1: 0.69-0.73 -> 0.30-0.42 s warm (x2.1),
+    # full-collect identical.  The join is null-safe (<=>) so a NULL
+    # event_type group survives exactly as the fused form kept it.
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    return (
+        approx.alias("a")
+        .join(exact.alias("b"), F.expr("a.event_type <=> b.event_type"))
+        .select("a.event_type", "a.approx_users", "b.exact_users")
     )
 
 
